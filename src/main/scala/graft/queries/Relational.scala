@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational operator surface (SURVEY.md §2.1–2.8, verification ids §2.12).
+  *
+  * Declarative DataFrame/Dataset plans throughout — Catalyst handles filter
+  * pushdown, column pruning, join selection (broadcast below the 10 MB
+  * threshold, sort-merge beyond — reference join selection at
+  * sql/core/.../execution/SparkStrategies.scala:111), and AQE re-planning.
+  *
+  * Scale notes per query are inline; the general posture: dimension sides of
+  * joins are explicitly `broadcast(...)` when bounded (region/nation), large
+  * joins stay shuffled equi-joins on their natural keys, aggregations are
+  * partial+final (map-side combine) by construction.
+  */
+object Relational extends QueryPack {
+
+  /** Exact money arithmetic: parquet doubles hold exact 2-decimal values, so
+    * a cast to DECIMAL(18,2) is lossless and both engines agree bit-for-bit. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def d(c: Column): Column = c.cast("double")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** SQL-path query: same statement text runs on Spark SQL and DuckDB. */
+  private def sqlQ(name: String, sql: String): Q =
+    Q(name, (s, dir) => { Tables.registerViews(s, dir); s.sql(sql) }, Some(sql))
+
+  def queries: Seq[Q] = Seq(
+
+    // ---- scans / projection / filters --------------------------------------
+    Q("q_scan",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    Q("q_proj",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          d(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("amt"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100),
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amt
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    Q("q_filter",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q_in",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+              WHERE l_returnflag IN ('A','R') GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q_null",
+      (s, dir) => t(s, dir, "orders")
+        .select(expr("coalesce(nullif(o_orderstatus,'O'),'X')").as("st"))
+        .groupBy("st").agg(count(lit(1)).as("n")).orderBy("st"),
+      Some("""SELECT coalesce(nullif(o_orderstatus,'O'),'X') AS st, count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY st""")),
+
+    Q("q_case",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 100000, "hi")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("lo").as("bucket"))
+        .orderBy("o_orderkey").limit(500),
+      Some("""SELECT o_orderkey,
+              CASE WHEN o_totalprice > 100000 THEN 'hi'
+                   WHEN o_totalprice > 10000 THEN 'mid' ELSE 'lo' END AS bucket
+              FROM orders ORDER BY o_orderkey LIMIT 500""")),
+
+    Q("q_cast",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").as("ship"),
+          col("l_orderkey").cast("string").as("ok_str"))
+        .orderBy("l_orderkey", "l_linenumber").limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int,
+              strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship,
+              CAST(l_orderkey AS VARCHAR) AS ok_str
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    // ---- joins --------------------------------------------------------------
+    // TPC-H Q3 skeleton. customer is the small side → broadcast; the
+    // lineitem⋈orders equi-join shuffles on the order key (co-partitioned at
+    // scale when both sides are bucketed by orderkey).
+    Q("q_join_inner",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .withColumn("odate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .groupBy(col("l_orderkey"), col("odate"))
+          .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey")).limit(20)
+          .select("l_orderkey", "odate", "revenue")
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 20""")),
+
+    Q("q_join_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey")).agg(count(o("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    Q("q_join_semi",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        t(s, dir, "orders").join(c, col("o_custkey") === c("c_custkey"), "left_semi")
+          .select("o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+              ORDER BY o_orderkey""")),
+
+    Q("q_join_anti",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        t(s, dir, "customer").join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Non-equi θ-join: tiny×tiny → broadcast nested loop is the right plan.
+    Q("q_join_theta",
+      (s, dir) => {
+        val r = t(s, dir, "region")
+        val n = t(s, dir, "nation")
+        n.join(broadcast(r), n("n_regionkey") < r("r_regionkey"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT count(*) AS n FROM nation JOIN region ON n_regionkey < r_regionkey")),
+
+    Q("q_cross",
+      (s, dir) => t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM region CROSS JOIN nation")),
+
+    // ---- aggregation --------------------------------------------------------
+    // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
+    Q("q_agg",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          d(sum(dec(col("l_quantity")))).as("sum_qty"),
+          d(sum(dec(col("l_extendedprice")))).as("sum_base"),
+          d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("sum_disc"),
+          d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")) * dec(lit(1) + col("l_tax")))).as("sum_charge"),
+          (d(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          (d(sum(dec(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (d(sum(dec(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2)) * CAST(1+l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS n
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+              GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_fs")),
+      Some("""SELECT count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part,
+              count(DISTINCT (l_returnflag, l_linestatus)) AS n_fs FROM lineitem""")),
+
+    Q("q_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(d(sum(dec(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g1"), col("g2"), col("sum_qty"), col("n"))
+        .orderBy("rf", "ls", "g1", "g2"),
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g1, CAST(grouping(l_linestatus) AS INTEGER) AS g2,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY rf, ls, g1, g2""")),
+
+    Q("q_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g1"), col("g2"), col("n"))
+        .orderBy("rf", "ls", "g1", "g2"),
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g1, CAST(grouping(l_linestatus) AS INTEGER) AS g2,
+              count(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY rf, ls, g1, g2""")),
+
+    sqlQ("q_gsets",
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+         CAST(grouping(l_returnflag) AS INTEGER) AS g1, CAST(grouping(l_linestatus) AS INTEGER) AS g2,
+         count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+         ORDER BY rf, ls, g1, g2"""),
+
+    Q("q_having",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("qty"))
+        .filter(col("n") > 600)
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem GROUP BY l_suppkey HAVING count(*) > 600 ORDER BY l_suppkey""")),
+
+    // ---- window functions ---------------------------------------------------
+    Q("q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"), rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Q("q_window_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            d(sum(dec(col("o_totalprice"))).over(w)).as("running"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    Q("q_window_leadlag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev"),
+            lead(col("o_totalprice"), 1).over(w).as("nxt"),
+            ntile(4).over(w).as("nt"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              lag(o_totalprice, 1) OVER w AS prev, lead(o_totalprice, 1) OVER w AS nxt,
+              ntile(4) OVER w AS nt, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+              FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- sort / limit / top-k ----------------------------------------------
+    // ORDER BY + LIMIT plans as TakeOrderedAndProject: per-partition bounded
+    // heap, then merge — no global sort at any scale.
+    Q("q_sort_limit",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // ---- set operations ------------------------------------------------------
+    Q("q_union",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .distinct().orderBy("k"),
+      Some("""SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    Q("q_union_all",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+                SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+              GROUP BY k ORDER BY k""")),
+
+    Q("q_intersect",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    Q("q_except",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""")),
+
+    Q("q_distinct",
+      (s, dir) => t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- subqueries / CTE ----------------------------------------------------
+    sqlQ("q_subq_scalar",
+      """SELECT o_orderkey FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         ORDER BY o_orderkey LIMIT 100"""),
+
+    sqlQ("q_subq_corr",
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey"""),
+
+    sqlQ("q_cte",
+      """WITH t AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+         SELECT a.n AS n, count(*) AS pairs
+         FROM t a JOIN t b ON a.n = b.n AND a.o_custkey < b.o_custkey
+         GROUP BY a.n ORDER BY n"""),
+
+    // ---- pivot ---------------------------------------------------------------
+    Q("q_pivot",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+          .select(col("n_name"), col("1-URGENT").as("p_urgent"),
+            col("2-HIGH").as("p_high"), col("3-MEDIUM").as("p_medium"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+              count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+              count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+              count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- inline table / sample ------------------------------------------------
+    Q("q_values",
+      (s, dir) => s.sql("SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c') AS t(id, s) ORDER BY id"),
+      Some("SELECT * FROM (VALUES (1,'a'),(2,'b'),(3,'c')) AS t(id, s) ORDER BY id")),
+
+    // Seeded Bernoulli sample: RNGs differ across engines, so the check is a
+    // bound on the sampled fraction, not a hash match.
+    Q("q_sample",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val total = li.agg(count(lit(1)).as("t"))
+        li.sample(withReplacement = false, 0.1, 42)
+          .agg(count(lit(1)).as("got"))
+          .crossJoin(total)
+          .select((col("got") >= col("t") * 0.07 && col("got") <= col("t") * 0.13).as("ok"))
+      },
+      Some("SELECT true AS ok")),
+
+    // ---- repartition / coalesce (plan-shape ops; result is count-stable) ------
+    Q("q_repartition",
+      (s, dir) => t(s, dir, "lineitem")
+        .repartition(8, col("l_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Scalar SQL function surface (SURVEY.md §2.9: string / regex / math /
+  * datetime / collection / JSON / hash-sketch functions) plus typed Dataset
+  * ops (§2.11) and higher-order array functions.
+  *
+  * Everything stays inside whole-stage codegen: `functions._` only, no UDFs.
+  */
+object Scalars extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def d(c: Column): Column = c.cast("double")
+
+  def queries: Seq[Q] = Seq(
+
+    Q("q_string",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trm"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "*").as("rp"),
+        instr(col("p_name"), "a").as("ins"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        translate(col("p_type"), "AEO", "aeo").as("tr"),
+        levenshtein(col("p_name"), col("p_brand")).as("lev"),
+        length(col("p_name")).as("len"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_brand"), 2).as("rep"),
+        regexp_replace(col("p_name"), " ", "_").as("repl"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+              substring(p_name, 1, 5) AS sub, trim('  ' || p_name || '  ') AS trm,
+              lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+              instr(p_name, 'a') AS ins, concat_ws('|', p_brand, p_type) AS cw,
+              translate(p_type, 'AEO', 'aeo') AS tr, levenshtein(p_name, p_brand) AS lev,
+              length(p_name) AS len, reverse(p_name) AS rev, repeat(p_brand, 2) AS rep,
+              replace(p_name, ' ', '_') AS repl
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_like",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        col("p_type").like("PROMO%").as("is_promo"),
+        col("p_name").like("%bolt%").as("has_bolt"),
+        col("p_name").like("_ed%").as("u1"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_type LIKE 'PROMO%' AS is_promo,
+              p_name LIKE '%bolt%' AS has_bolt, p_name LIKE '_ed%' AS u1
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_regex",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        element_at(split(col("p_name"), " "), 1).as("w1"),
+        col("p_type").rlike("^(PROMO|LARGE)").as("m"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+              regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+              string_split(p_name, ' ')[1] AS w1,
+              regexp_matches(p_type, '^(PROMO|LARGE)') AS m
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_math",
+      (s, dir) => t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).cast("bigint").as("fl"),
+        ceil(col("l_extendedprice")).cast("bigint").as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_"),
+        round(log10(col("l_extendedprice")), 6).as("l10"),
+        pow(col("l_quantity"), 2).as("p2"),
+        (col("l_quantity").cast("bigint") % 7).as("m7"),
+        pmod(col("l_quantity").cast("bigint") - 25, lit(7L)).as("pm"),
+        signum(col("l_discount") - 0.05).as("sg"))
+        .orderBy("l_orderkey", "l_linenumber").limit(300),
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+              CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+              abs(l_discount - 0.05) AS ab,
+              sqrt(l_extendedprice) AS sq,
+              round(ln(l_extendedprice), 6) AS ln_,
+              round(log10(l_extendedprice), 6) AS l10,
+              pow(l_quantity, 2) AS p2,
+              CAST(l_quantity AS BIGINT) % 7 AS m7,
+              ((CAST(l_quantity AS BIGINT) - 25) % 7 + 7) % 7 AS pm,
+              CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300""")),
+
+    Q("q_date",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("tm"),
+        date_format(date_add(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").as("d7"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("dd2k"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("ld"))
+        .orderBy("o_orderkey").limit(300),
+      Some("""SELECT o_orderkey,
+              year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dd,
+              quarter(o_orderdate) AS q, dayofyear(o_orderdate) AS doy,
+              strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS tm,
+              strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS d7,
+              date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS dd2k,
+              strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld
+              FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
+    Q("q_array",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        array_join(sort_array(split(col("p_name"), " ")), ",").as("sorted_words"),
+        array_contains(split(col("p_name"), " "), "bolt").as("has_bolt"),
+        size(split(col("p_name"), " ")).as("n_words"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+              array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+              list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt,
+              len(string_split(p_name, ' ')) AS n_words
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_explode",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+        .orderBy("p_partkey", "w"),
+      Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
+              FROM part ORDER BY p_partkey, w""")),
+
+    Q("q_higher_order",
+      (s, dir) => {
+        val toks = split(col("p_name"), " ")
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          size(filter(toks, tk => length(tk) > lit(4))).as("n_long"),
+          aggregate(toks, lit(0), (acc, tk) => acc + length(tk)).as("chars"),
+          array_join(transform(toks, tk => upper(tk)), ",").as("ups"),
+          exists(toks, tk => tk === lit("bolt")).as("has_bolt"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+              len(list_filter(string_split(p_name, ' '), tk -> length(tk) > 4)) AS n_long,
+              CAST(list_sum(list_transform(string_split(p_name, ' '), tk -> length(tk))) AS INTEGER) AS chars,
+              array_to_string(list_transform(string_split(p_name, ' '), tk -> upper(tk)), ',') AS ups,
+              list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt
+              FROM part ORDER BY p_partkey""")),
+
+    Q("q_map",
+      (s, dir) => t(s, dir, "region").select(
+        col("r_regionkey"),
+        array_join(sort_array(map_keys(map(lit("a"), lit(1), lit("b"), lit(2)))), ",").as("ks"),
+        size(map(lit("a"), lit(1), lit("b"), lit(2))).as("n"),
+        aggregate(map_values(map(lit("a"), lit(1), lit("b"), lit(2))), lit(0), (a, v) => a + v).as("vsum"))
+        .orderBy("r_regionkey"),
+      Some("""SELECT r_regionkey,
+              array_to_string(list_sort(map_keys(map(['a','b'], [1,2]))), ',') AS ks,
+              cardinality(map(['a','b'], [1,2])) AS n,
+              CAST(list_sum(map_values(map(['a','b'], [1,2]))) AS INTEGER) AS vsum
+              FROM region ORDER BY r_regionkey""")),
+
+    Q("q_json",
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id").limit(500),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events ORDER BY event_id LIMIT 500""")),
+
+    // Sketches: engines use different algorithms, so the contract is a
+    // relative-error bound computed inside each engine (both emit true).
+    Q("q_approx",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= countDistinct(col("l_partkey")) * 0.05).as("acd_ok"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          - expr("percentile(l_quantity, 0.5)")) <= lit(2.0)).as("pct_ok")),
+      Some("""SELECT
+              (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                 <= count(DISTINCT l_partkey) * 0.05) AS acd_ok,
+              (abs(approx_quantile(l_quantity, 0.5) - median(l_quantity)) <= 2.0) AS pct_ok
+              FROM lineitem""")),
+
+    Q("q_stats",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd"),
+        round(var_samp(col("l_quantity")), 6).as("vr"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+        round(skewness(col("l_quantity")), 6).as("sk"),
+        round(kurtosis(col("l_quantity")), 6).as("ku")),
+      Some("""SELECT round(stddev_samp(l_quantity), 6) AS sd,
+              round(var_samp(l_quantity), 6) AS vr,
+              round(corr(l_quantity, l_extendedprice), 6) AS cr,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
+              round(skewness(l_quantity), 6) AS sk,
+              round(kurtosis(l_quantity), 6) AS ku
+              FROM lineitem""")),
+
+    Q("q_collect",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",").as("names"),
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+              array_to_string(list_sort(list(c_name)), ',') AS names,
+              array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs
+              FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    Q("q_hash",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        md5(col("p_name")).as("m5"),
+        sha2(col("p_name"), 256).as("s2"),
+        crc32(col("p_name")).as("c32"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        unbase64(base64(col("p_name").cast("binary"))).cast("string").as("rt"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, md5(p_name) AS m5, sha256(p_name) AS s2,
+              crc32(p_name) AS c32, to_base64(encode(p_name)) AS b64,
+              p_name AS rt
+              FROM part ORDER BY p_partkey"""))
+  )
+}
