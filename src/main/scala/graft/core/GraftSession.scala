@@ -19,10 +19,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Apply graft settings to an existing session (used by Verify/Bench whose
-    * sessions are driver-owned). Safe to call repeatedly. */
+    * sessions are driver-owned). Safe to call repeatedly.
+    *
+    * `nanosAsLong`: the events fixture stores ts as INT64 TIMESTAMP(NANOS),
+    * which Spark 4 rejects by default; with this flag it reads as BIGINT
+    * nanos and we convert explicitly where event-time is needed. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -18,7 +18,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all tables as temp views for SQL-path queries (exercises the
-    * parser/analyzer surface, SURVEY.md §3.1). */
+    * parser/analyzer surface, SURVEY.md §3.1). Per-table isolation: one
+    * unreadable table must not take down queries over the other nine. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      try apply(spark, dir, n).createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[tables] skipping view $n: ${e.getMessage}")
+      }
+    }
 }

@@ -1,0 +1,141 @@
+package graft.ext
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the frozen token grammar (graft.fts
+  * .Analyzer semantics: lowercase, split on runs of non-[a-z0-9], drop
+  * empties). Counterpart of the reference's in-SQL tokenizer `Sentences`
+  * (reference stringExpressions.scala:1393) and ml `Tokenizer`
+  * (ml/feature/Tokenizer.scala:32), but implemented with whole-stage
+  * codegen (`doGenCode` calls the static eval — one virtual call per row,
+  * no interpreted expression tree). */
+case class FtsTokenize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_tokenize requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    FtsTokenize.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // MODULE$ access: the companion class suppresses static forwarders
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsTokenize$$.MODULE$$.tokenize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): FtsTokenize =
+    copy(child = newChild)
+}
+
+object FtsTokenize {
+  private val splitter = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def tokenize(s: UTF8String): ArrayData = {
+    val lower = s.toString.toLowerCase(Locale.ROOT)
+    val parts = splitter.split(lower)
+    val out = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out.add(UTF8String.fromString(parts(i)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `fts_match(text, 'q terms')`: true iff the document contains ALL query
+  * terms (token-level AND). Left unevaluated at runtime on purpose: the
+  * analyzer accepts it, and [[RewriteFtsMatch]] lowers it to plain
+  * array_contains conjunctions over [[FtsTokenize]] during optimization —
+  * the same "rewrite the predicate, let the engine optimize the rest"
+  * pattern as the reference's LikeSimplification (Optimizer.scala:99) and
+  * RewritePredicateSubquery (Optimizer.scala:123). */
+case class FtsMatch(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_match"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsMatch =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** Lowers [[FtsMatch]] to `array_contains(fts_tokenize(text), term) AND …`.
+  * Runs in the operator-optimization batch, so the resulting conjuncts then
+  * flow through the stock pushdown/pruning rules like any predicate. */
+object RewriteFtsMatch extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, Literal}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case FtsMatch(text, Literal(q: UTF8String, StringType)) =>
+        val terms = q.toString.toLowerCase(Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        if (terms.isEmpty) Literal.FalseLiteral
+        else terms.map[Expression](t =>
+            ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
+          .reduce(And)
+    }
+}
+
+/** Session extensions: the full-text function surface + the rewrite rule.
+  * Install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.ext.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("fts_tokenize"),
+      new ExpressionInfo(classOf[FtsTokenize].getName, "fts_tokenize"),
+      (args: Seq[Expression]) => FtsTokenize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("fts_match"),
+      new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
+      (args: Seq[Expression]) => FtsMatch(args(0), args(1))))
+    ext.injectOptimizerRule(_ => RewriteFtsMatch)
+  }
+}
+
+object GraftExtensions {
+  /** Register the graft functions + rule on an already-built session (the
+    * harness receives driver-owned sessions; extensions can't be added
+    * post-hoc via builder, but the internals are session-state-local). */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("fts_tokenize"),
+      new ExpressionInfo(classOf[FtsTokenize].getName, "fts_tokenize"),
+      (args: Seq[Expression]) => FtsTokenize(args.head))
+    reg.registerFunction(
+      new FunctionIdentifier("fts_match"),
+      new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
+      (args: Seq[Expression]) => FtsMatch(args(0), args(1)))
+    // post-hoc rule injection isn't part of the public API; the supported
+    // path is spark.sql.extensions=graft.ext.GraftExtensions. For harness
+    // sessions we fall back to experimental extraOptimizations, which the
+    // optimizer runs as its own batch.
+    if (!spark.experimental.extraOptimizations.contains(RewriteFtsMatch)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteFtsMatch
+    }
+  }
+}

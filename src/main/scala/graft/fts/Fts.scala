@@ -1,0 +1,186 @@
+package graft.fts
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Full-text analysis primitives, expressed as codegen-friendly column
+  * expressions (`functions._` only — no UDFs, so everything stays inside
+  * whole-stage codegen).
+  *
+  * Semantics follow the reference's text seeds: lowercase + delimiter split
+  * like ml/feature/Tokenizer.scala:32 (reference), with the regex variant of
+  * RegexTokenizer :66; shingling mirrors ml/feature/NGram.scala:37.
+  * The token grammar is FROZEN (index and query must agree — SURVEY.md §7
+  * risk 3): lowercase, split on runs of non-[a-z0-9], drop empties.
+  */
+object Analyzer {
+  /** Frozen token grammar, version 1. */
+  val TokenSplitRegex = "[^a-z0-9]+"
+
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), TokenSplitRegex), t => length(t) > lit(0))
+
+  /** Distinct n-token shingles ("a b c") — the unit of near-dup similarity.
+    * Docs shorter than n tokens produce an empty set (guarded: Spark's
+    * `sequence(0, -1)` would count DOWN, not produce an empty range). */
+  def shingles(toks: Column, n: Int): Column = {
+    val joined = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(joined))
+  }
+}
+
+/** Inverted index as ordinary DataFrames — postings are just rows, so every
+  * built-in strategy (pushdown, broadcast, AQE) applies; persisted form is
+  * parquet partitioned by a term hash bucket so a query's term lookups prune
+  * to a handful of files (partition-pruning pathway, SURVEY.md §4.2).
+  */
+final case class FtsIndex(
+    postings: DataFrame, // term, doc_id, tf
+    docLens: DataFrame,  // doc_id, dl
+    stats: DataFrame)    // n_docs, avgdl  (single row)
+
+object Index {
+  /** Build postings + per-doc lengths + corpus stats from a document table.
+    * One pass to tokens (explode = reference GenerateExec pattern,
+    * sql/core/.../execution/GenerateExec.scala:50), then two cheap aggs;
+    * token stream is cached only for the duration of the build. */
+  def build(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): FtsIndex = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Analyzer.tokenize(col(textCol))).as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
+  /** Persist: postings partitioned by term-hash bucket (queries prune to
+    * their terms' buckets); doc lengths and stats alongside. */
+  def write(ix: FtsIndex, dir: String, buckets: Int = 64): Unit = {
+    ix.postings
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    ix.docLens.write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
+    ix.stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =
+    FtsIndex(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** Postings rows for the query terms only. Against the persisted layout the
+    * bucket predicate (same expression as the writer, over literals — so
+    * Catalyst constant-folds it and the scan partition-prunes) restricts the
+    * read to the terms' buckets before the term filter runs. */
+  def lookup(ix: FtsIndex, terms: Seq[String], buckets: Int = 64): DataFrame = {
+    val p = ix.postings
+    val termFilter = col("term").isin(terms.distinct: _*)
+    if (p.columns.contains("bucket")) {
+      val bucketFilter = terms.distinct
+        .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(buckets)))
+        .reduce(_ || _)
+      p.filter(bucketFilter && termFilter)
+    } else p.filter(termFilter)
+  }
+}
+
+/** Query operators over an FtsIndex: boolean matching, phrase matching,
+  * TF-IDF and BM25 ranking with ORDER BY + LIMIT top-k (plans as
+  * TakeOrderedAndProject — per-partition bounded heap, merge at the driver:
+  * reference limit.scala:114 pattern; no global sort at any scale).
+  */
+object Search {
+
+  /** doc_ids containing ALL of the terms (boolean AND = postings intersect:
+    * filter to the query's terms, count distinct matched terms per doc). */
+  def matchAllIds(ix: FtsIndex, terms: Seq[String]): DataFrame =
+    ix.postings.filter(col("term").isin(terms.distinct: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select("doc_id")
+
+  /** doc_ids containing ANY of the terms (boolean OR = postings union). */
+  def matchAnyIds(ix: FtsIndex, terms: Seq[String]): DataFrame =
+    ix.postings.filter(col("term").isin(terms.distinct: _*))
+      .select("doc_id").distinct()
+
+  /** Docs matching all `must` terms and none of the `mustNot` terms —
+    * semi-join + anti-join against the postings (reference join types,
+    * catalyst/.../plans/logical/basicLogicalOperators.scala:270). */
+  def matchBoolean(docs: DataFrame, ix: FtsIndex,
+                   must: Seq[String], mustNot: Seq[String] = Nil,
+                   idCol: String = "doc_id"): DataFrame = {
+    val mustIds = matchAllIds(ix, must).withColumnRenamed("doc_id", "match_id")
+    val all = docs.join(mustIds, docs(idCol) === mustIds("match_id"), "left_semi")
+    if (mustNot.isEmpty) all
+    else {
+      val notIds = matchAnyIds(ix, mustNot).withColumnRenamed("doc_id", "match_id")
+      all.join(notIds, all(idCol) === notIds("match_id"), "left_anti")
+    }
+  }
+
+  /** Exact phrase match: index prunes to docs containing all phrase terms
+    * (cheap candidate set), then the candidate docs are verified by token-
+    * sequence containment — substring search over the canonical space-joined
+    * token stream, bounded by spaces so "art" never matches "part". */
+  def matchPhrase(docs: DataFrame, ix: FtsIndex, phrase: Seq[String],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val phraseIds = matchAllIds(ix, phrase).withColumnRenamed("doc_id", "match_id")
+    val candidates = docs.join(
+      phraseIds, docs(idCol) === phraseIds("match_id"), "left_semi")
+    val canonical = concat(lit(" "), array_join(Analyzer.tokenize(col(textCol)), " "), lit(" "))
+    candidates.filter(canonical.contains(" " + phrase.mkString(" ") + " "))
+  }
+
+  /** BM25(k1, b) top-k. Everything after the postings filter is tiny:
+    * per-term df is an agg over the filtered postings; corpus stats are one
+    * row (broadcast); scores group by doc. Ordering is on the ROUNDED score
+    * (then doc_id) so ranking is reproducible across engines. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ix = Index.build(docs, idCol, textCol)
+    scoreBm25(ix, terms, k, k1, b)
+  }
+
+  def scoreBm25(ix: FtsIndex, terms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
+    val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val scored = qp
+      .join(broadcast(df), "term")
+      .join(ix.docLens, "doc_id")
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy("doc_id").agg(round(sum(col("score_t")), 4).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** TF-IDF ranking (reference IDF semantics, ml/feature/IDF.scala:67:
+    * idf = ln((N+1)/(df+1)); tf normalized by doc length). */
+  def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ix = Index.build(docs, idCol, textCol)
+    val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
+    val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    qp.join(broadcast(df), "term")
+      .join(ix.docLens, "doc_id")
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("w",
+        (col("tf").cast("double") / col("dl").cast("double")) *
+          log((col("n_docs").cast("double") + 1.0) / (col("df") + 1.0)))
+      .groupBy("doc_id").agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

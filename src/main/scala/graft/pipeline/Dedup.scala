@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fts.Analyzer
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Three candidate-generation strategies — MinHash+LSH banding, SimHash
+  * chunk banding, and shared-shingle blocking — all followed by the same
+  * exact shingle-Jaccard verification, so precision is 1.0 by construction
+  * and the approximate stage only affects recall (tuned to ~1.0 at the 0.8
+  * threshold; see band math below).
+  *
+  * Scale posture: nothing ever compares all pairs. Candidates come from a
+  * shuffle on a band/bucket key (pairs meet only inside their bucket), the
+  * reference's hash-shuffle pattern over Murmur3-style hashing (reference
+  * misc.scala:443 — our xxhash64 analogue, hashes computed inside codegen).
+  */
+object Dedup {
+
+  /** Exact-dup corpus summary: one row — total docs, distinct texts, dups. */
+  def exactStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(textCol)).as("distinct_texts"),
+      (count(lit(1)) - countDistinct(col(textCol))).as("dup_docs"))
+
+  /** Exact-duplicate groups keyed by content hash (hash-groupBy dedup):
+    * (representative id, member count) for groups with >1 member. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("rep_id", "n")
+
+  /** doc_id + distinct n-token shingle set (`sh`) and its per-shingle
+    * xxhash64 values (`hs`) — hashes computed ONCE here; every downstream
+    * signature derives from `hs` (hashing a long is far cheaper than
+    * re-hashing strings per permutation).
+    *
+    * Persisted: the set frame feeds both candidate generation and exact
+    * verification, and materializing it stops CollapseProject from inlining
+    * the tokenize→shingle expression tree into every downstream band
+    * expression (which multiplies the tokenizer cost by bands×hashes). */
+  def shingleSets(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      // spread the (CPU-heavy, interpreted higher-order) shingle/hash work
+      // across the cluster — the input is often a few large parquet files
+      // whose row groups don't split to full parallelism. Explicit partition
+      // count: these rows are CPU-bound, not byte-bound, and AQE would
+      // coalesce a keyless repartition of a small-byte shuffle back to one
+      // partition.
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        Analyzer.shingles(Analyzer.tokenize(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .persist()
+
+  /** MinHash signature from per-shingle hashes: component i = min over
+    * shingles of xxhash64(i, h(s)). Seeded re-hashing instead of affine
+    * (a*h+b mod p) permutations: same guarantees, no multiplication that
+    * could overflow under ANSI mode. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+
+  /** LSH candidate pairs: signature split into `bands` bands of
+    * numHashes/bands rows; docs agreeing on any band's hash meet in that
+    * band's shuffle bucket. With 64 hashes, 16 bands × 4 rows:
+    * P(miss | J=0.9) = (1 − 0.9⁴)¹⁶ ≈ 1e-8. */
+  def minhashCandidates(sets: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val sig = sets.withColumn("sig", minhashSignature(col("hs"), numHashes))
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .persist()
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .distinct()
+  }
+
+  /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum
+    * over shingles of ±1 (sign of bit j of the shingle's hash) is positive.
+    * Takes hashes (not shingles) so the per-shingle xxhash64 is computed
+    * once, not once per bit. */
+  def simhashFromHashes(hashes: Column): Column =
+    (0 until 64).map { j =>
+      // each bit is an independent expression reduced by OR — a fold that
+      // threads the accumulator through when().otherwise(acc) would copy
+      // the accumulator twice per level (2^64-node expression tree)
+      val vote = aggregate(hashes, lit(0),
+        (a, h) => a + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** SimHash candidates: band on 16 four-bit nibbles — pairs agreeing on any
+    * nibble meet (recall 1.0 for Hamming distance < 16; near-dup pairs land
+    * well under that). Narrow nibbles collide by birthday at corpus scale,
+    * so the raw join output is immediately cut by a CHEAP xor/popcount
+    * Hamming filter (two longs per row) BEFORE the distinct and the
+    * expensive shingle-set verification ever see it. SimHash is the
+    * low-memory strategy; minhash-LSH (wide band hashes, no quadratic
+    * collision term) is the 100 TB path. */
+  def simhashCandidates(sets: DataFrame, maxHamming: Int = 15): DataFrame = {
+    val hashed = sets.withColumn("sh64", simhashFromHashes(col("hs"))).persist()
+    val banded = hashed.select(col("doc_id"), col("sh64"),
+      posexplode(array((0 until 16).map(b =>
+        shiftright(col("sh64"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "nib")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))) <= maxHamming)
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .distinct()
+  }
+
+  /** Blocking candidates: pairs sharing ≥1 shingle, via the inverted index
+    * (explode → self-join on shingle). `maxDf` drops stopword-like shingles
+    * before the join — the skew guard at corpus scale. */
+  def blockingCandidates(sets: DataFrame, maxDf: Long = 1000): DataFrame = {
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") > 1)
+    val pruned = inv.join(rare.select("s"), "s")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .distinct()
+  }
+
+  /** Exact verification: candidate pairs → true shingle Jaccard ≥ threshold.
+    * Join is on the (small) candidate set, not all pairs. */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                    threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("aid"), col("sh").as("sha"))
+    val b = sets.select(col("doc_id").as("bid"), col("sh").as("shb"))
+    // candidates and both set sides derive from the persisted `sets` frame
+    // — the join reads materialized arrays, no expression re-derivation.
+    candidates.join(a, "aid").join(b, "bid")
+      .withColumn("jac",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("aid"), col("bid"), round(col("jac"), 4).as("jac"))
+      .orderBy("aid", "bid")
+  }
+
+  /** Near-duplicate pairs at `threshold` via MinHash LSH + exact verify. */
+  def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs)
+    verifyJaccard(minhashCandidates(sets), sets, threshold)
+  }
+
+  def nearDupPairsSimhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs)
+    verifyJaccard(simhashCandidates(sets), sets, threshold)
+  }
+
+  def nearDupPairsNgram(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs)
+    verifyJaccard(blockingCandidates(sets), sets, threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media payload: opaque bytes + typed metadata — the multimodal column
+  * convention (binary content, struct metadata) for 100 TB pipelines. */
+final case class MediaRecord(doc_id: Long, fmt: String, bytes: Array[Byte])
+
+/** Decoded media features. width/height/checksum come from the decode step. */
+final case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Long,
+                               width: Int, height: Int, checksum: Long)
+
+/** Multimodal-column plumbing. The DECODE STEP IS A STUB: real image/audio
+  * decoding needs codec libraries absent from this container, so
+  * `decodeStub` derives deterministic fake dimensions from the byte stream.
+  * Everything around it — the binary+metadata schema, the typed
+  * `mapPartitions` batch shape (one decoder init per partition, stream of
+  * records through it, mirroring how a real codec/model would be invoked),
+  * and the partitioning — is real and tested.
+  */
+object Multimodal {
+
+  /** Pack a text table into media shape: payload = UTF-8 bytes (stand-in for
+    * image/audio bytes), fmt tag derived from the source column. */
+  def toMedia(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      concat(lit("img/"), col("source")).as("fmt"),
+      encode(col(textCol), "UTF-8").as("bytes"))
+
+  /** STUB decode — deterministic fake: "dimensions" from byte length,
+    * checksum = byte sum mod 2³¹−1. A real deployment swaps the body of
+    * `decodeOne` for an actual codec call; the surrounding per-partition
+    * batching is exactly what that call would need. */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would happen here (codec/model handle)
+      it.map(decodeOne)
+    }
+  }
+
+  private[pipeline] def decodeOne(r: MediaRecord): MediaFeatures = {
+    val n = r.bytes.length.toLong
+    val checksum = r.bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
+    val width = (n % 64 + 1).toInt * 16
+    val height = (n % 48 + 1).toInt * 16
+    MediaFeatures(r.doc_id, r.fmt, n, width, height, checksum)
+  }
+
+  /** End-to-end: documents → media records → decoded features DataFrame. */
+  def features(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    decodeStub(toMedia(docs).as[MediaRecord]).toDF()
+  }
+}

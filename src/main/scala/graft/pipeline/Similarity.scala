@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector(s)
+  * against a single scan of the corpus, top-k via ORDER BY + LIMIT
+  * (TakeOrderedAndProject: per-partition heap, no global sort). The scale
+  * path is `annTopK`: random-hyperplane LSH buckets the corpus by sign
+  * pattern so a query probes only its own (and adjacent) buckets.
+  *
+  * All arithmetic in double (`zip_with` product + left-fold `aggregate` sum
+  * — deterministic summation order, matching the sequential oracle).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact cosine top-k neighbors of the vector with id `queryId`.
+    * The 1-row query side is broadcast; ranking is on the rounded score
+    * (then id) for cross-engine reproducibility. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosim", round(cosine(asDouble(col(vecCol)), col("qv")), 4))
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component p,d in [-1, 1):
+    * derived from xxhash64 so executors need no shared RNG state. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(2000L)).cast("double") - 1000.0) / 1000.0
+
+  /** LSH bucket id: sign pattern of the vector against `planes` random
+    * hyperplanes, packed into a long. Vectors in the same bucket are likely
+    * cosine-close (probability of agreeing on one plane = 1 − θ/π). */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (a, v) => a + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** ANN top-k: probe the query's LSH bucket plus all buckets at Hamming
+    * distance 1 (multi-probe — recovers most of the recall the coarse
+    * buckets lose), exact cosine only within the probed buckets.
+    *
+    * Default planes=3: the fixture embeddings are uniform random — ANN's
+    * adversarial case, where recall ≈ fraction of corpus scanned — so the
+    * default probes (planes+1)/2^planes = half the buckets, biased toward
+    * the query's halfspaces (measured recall@10 ≈ 0.7 on the fixture). On
+    * clustered real-world embeddings, raise `planes` and prune much harder. */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb
+      // explicit count: CPU-bound rows; AQE would coalesce the small shuffle
+      .repartition(emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .withColumn("v", asDouble(col(vecCol)))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .persist()
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col("v").as("qv"),
+        explode(array(col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("probe"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), col("bucket") === col("probe"))
+      .withColumn("cosim", round(cosine(col("v"), col("qv")), 4))
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * candidate-limited to LSH bucket collisions (never all-pairs). */
+  def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb
+      .repartition(emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .withColumn("v", asDouble(col(vecCol)))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .select(col(idCol).as("id"), col("v"), col("bucket"))
+      .persist()
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosim", round(cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cosim") >= threshold)
+      .select(col("a.id").as("aid"), col("b.id").as("bid"), col("cosim"))
+      .orderBy("aid", "bid")
+  }
+}

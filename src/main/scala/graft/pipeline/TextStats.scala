@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fts.Analyzer
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, language ID, and content fingerprinting — all as
+  * codegen'd column expressions over the frozen token grammar
+  * (graft.fts.Analyzer), no UDFs in the hot path.
+  */
+object TextStats {
+
+  /** English-y stopwords present in the fixture vocabulary; the heuristics
+    * only need SOME closed-class word list, frozen like the token grammar. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** Per-doc quality/statistics row:
+    * token counts, distinct ratio, mean token length, stopword ratio, and a
+    * BPE-ish subword token estimate (chars/4 is the classic approximation;
+    * the regex term count is the whitespace/word-boundary count). */
+  def qualityStats(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = Analyzer.tokenize(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("distinct_ratio"),
+      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks), 4)
+        .as("mean_tok_len"),
+      round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 4)
+        .as("stop_ratio"),
+      ceil(length(col(textCol)).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** N-gram-profile language heuristic: score = stopword density; docs with
+    * enough closed-class English words are tagged "en". (The fixture text is
+    * synthetic English regardless of its `lang` label — the point is the
+    * deterministic, frozen heuristic, not linguistics.) */
+  def langGuess(textCol: Column): Column = {
+    val toks = Analyzer.tokenize(textCol)
+    val ratio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+    when(ratio >= 0.02, lit("en")).otherwise(lit("unk"))
+  }
+
+  /** Polynomial rolling-hash document fingerprint over the token stream:
+    * fp = fold(tokens, h -> (h*31 + tokenCode) mod (2³¹−1)) where
+    * tokenCode = 131*len(t) + first char — order-sensitive (unlike a token
+    * set), cheap, and expressible identically in any SQL engine. Kept inside
+    * [0, 2³¹) so no ANSI overflow is possible. */
+  def fingerprint(textCol: Column): Column = {
+    val p = 2147483647L
+    val codes = transform(Analyzer.tokenize(textCol),
+      t => (length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")))
+    aggregate(codes, lit(0L), (h, c) => pmod(h * 31L + c, lit(p)))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** UDF / typed-Aggregator / typed Dataset ops surface (SURVEY.md §2.11) —
+  * reference: UDFRegistration.scala:63 (ScalaUDF), Aggregator.scala:54,
+  * objects.scala (MapElements/MapGroups). The reference's untyped UDAF is
+  * deprecated in Spark 4; `Aggregator` + `functions.udaf` is the modern
+  * bridge and is what we exercise.
+  */
+object Extensibility extends QueryPack {
+
+  /** Root-mean-square over doubles. Buffer sums are exact for the fixture's
+    * integral quantities (squares < 2⁵³), so merge order cannot change the
+    * result. */
+  object RmsAgg extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + a * a, b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double = math.sqrt(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  final case class Li(l_orderkey: Long, l_linenumber: Int,
+                      l_extendedprice: Double, l_discount: Double)
+  final case class Ord(o_custkey: Long, o_totalprice: Double)
+
+  def queries: Seq[Q] = Seq(
+
+    // Scala UDF through the registration path (ScalaUDF expression).
+    Q("q_udf",
+      (s, dir) => {
+        s.udf.register("graft_rev", (x: String) => x.reverse)
+        Tables(s, dir, "part").createOrReplaceTempView("part_udf")
+        s.sql("""SELECT p_partkey, graft_rev(p_name) AS rev
+                 FROM part_udf ORDER BY p_partkey""")
+      },
+      Some("SELECT p_partkey, reverse(p_name) AS rev FROM part ORDER BY p_partkey")),
+
+    // Typed Aggregator via functions.udaf (partial/final merge across
+    // partitions like any built-in agg).
+    Q("q_udaf",
+      (s, dir) => {
+        val rms = udaf(RmsAgg)
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(rms(col("l_quantity")), 6).as("rms_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sqrt(avg(l_quantity * l_quantity)), 6) AS rms_qty
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Typed map over a case-class Dataset (MapElements with encoders);
+    // exact decimal rounding done in Scala to match SQL ROUND semantics.
+    Q("q_typed_map",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+          .as[Li]
+          .map { li =>
+            // exact-decimal money math (parquet doubles hold exact 2-dec
+            // values) so rounding is boundary-safe across engines
+            val price = BigDecimal(li.l_extendedprice).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            val disc = BigDecimal(li.l_discount).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            val net = (price * (BigDecimal(1) - disc))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (li.l_orderkey, li.l_linenumber, net)
+          }
+          .toDF("l_orderkey", "l_linenumber", "net")
+          .orderBy("l_orderkey", "l_linenumber").limit(200)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS net
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""")),
+
+    // KeyValueGroupedDataset.mapGroups (typed per-group logic; MapGroupsExec).
+    Q("q_typed_groups",
+      (s, dir) => {
+        import s.implicits._
+        Tables(s, dir, "orders")
+          .select("o_custkey", "o_totalprice")
+          .as[Ord]
+          .groupByKey(_.o_custkey)
+          .mapGroups { (k, it) =>
+            var n = 0L; var mx = Double.MinValue
+            it.foreach { o => n += 1; if (o.o_totalprice > mx) mx = o.o_totalprice }
+            (k, n, mx)
+          }
+          .toDF("o_custkey", "n", "max_price")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.fts.{Index, Search}
+
+/** Full-text query layer verification (SURVEY.md §7 — the layer the
+  * reference fork intended but never shipped). DuckDB oracles re-derive the
+  * same semantics from scratch with list functions over the same frozen
+  * token grammar: lowercase, split [^a-z0-9]+, drop empties.
+  */
+object Fts extends QueryPack {
+
+  /** DuckDB-side tokenizer — must stay in lockstep with Analyzer.tokenize. */
+  private val DTOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** BM25(k1=1.2, b=0.75) over ('spark','query'), reimplemented from scratch
+    * in DuckDB — shared by the in-memory and persisted-index variants. */
+  private[queries] val bm25Oracle: String =
+    s"""WITH toks AS (
+         SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+       stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+              WHERE term IN ('spark', 'query') GROUP BY term),
+       sc AS (
+         SELECT tf.doc_id,
+           sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+         FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+         GROUP BY tf.doc_id)
+       SELECT doc_id, round(s, 4) AS score FROM sc
+       ORDER BY round(s, 4) DESC, doc_id LIMIT 10"""
+
+  def queries: Seq[Q] = Seq(
+
+    // Boolean AND over the inverted index (semi-join of postings).
+    Q("q_fts_match",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Search.matchBoolean(docs, Index.build(docs), must = Seq("spark", "query"))
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents)
+               SELECT doc_id, lang FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+               ORDER BY doc_id""")),
+
+    // must + mustNot (anti-join against the NOT terms' postings).
+    Q("q_fts_match_not",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Search.matchBoolean(docs, Index.build(docs),
+            must = Seq("vector"), mustNot = Seq("slow", "batch"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'vector')
+                 AND NOT list_contains(t, 'slow') AND NOT list_contains(t, 'batch')
+               ORDER BY doc_id""")),
+
+    // Phrase: index candidates, then token-sequence containment verify.
+    Q("q_fts_phrase",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Search.matchPhrase(docs, Index.build(docs), Seq("data", "query"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+               ORDER BY doc_id""")),
+
+    // BM25(k1=1.2, b=0.75) top-10; ranking on the rounded score.
+    Q("q_fts_bm25",
+      (s, dir) => Search.bm25TopK(Tables(s, dir, "documents"),
+        Seq("spark", "query"), k = 10),
+      Some(bm25Oracle)),
+
+    // TF-IDF (reference IDF semantics: ln((N+1)/(df+1)), length-normalized tf).
+    Q("q_fts_tfidf",
+      (s, dir) => Search.tfidfTopK(Tables(s, dir, "documents"),
+        Seq("merge", "window"), k = 10),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('merge', 'window') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( (tf.tf/dl.dl) * ln((stats.n + 1.0)/(df.df + 1.0)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 6) AS score FROM sc
+               ORDER BY round(s, 6) DESC, doc_id LIMIT 10""")),
+
+    // The SQL surface: fts_match through the injected function + optimizer
+    // rule (native FtsTokenize expression with codegen underneath).
+    Q("q_fts_sql",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_fts")
+        s.sql("""SELECT doc_id, size(fts_tokenize(text)) AS n_toks
+                 FROM documents_fts WHERE fts_match(text, 'spark query')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id, len(t) AS n_toks FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+               ORDER BY doc_id""")),
+
+    // BM25 again, but through the PERSISTED index layout (bucketed parquet
+    // postings → partition-pruned lookup) — results must be identical.
+    Q("q_fts_bm25_persisted",
+      (s, dir) => {
+        val ix = graft.fts.Index.build(Tables(s, dir, "documents"))
+        val ixDir = "/root/repo/target/qtmp/fts_index"
+        graft.fts.Index.write(ix, ixDir)
+        val persisted = graft.fts.Index.read(s, ixDir)
+        val pruned = persisted.copy(postings = graft.fts.Index.lookup(persisted, Seq("spark", "query")))
+        graft.fts.Search.scoreBm25(pruned, Seq("spark", "query"), k = 10)
+      },
+      Some(graft.queries.Fts.bm25Oracle)),
+
+    // Postings/index build itself: corpus term frequencies (explode → agg).
+    Q("q_fts_postings",
+      (s, dir) => {
+        val ix = Index.build(Tables(s, dir, "documents"))
+        ix.postings.groupBy("term")
+          .agg(sum(col("tf")).as("total_tf"), count(lit(1)).as("n_docs"))
+          .orderBy(col("total_tf").desc, col("term")).limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents)
+               SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS n_docs
+               FROM toks GROUP BY term
+               ORDER BY total_tf DESC, term LIMIT 20"""))
+  )
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+
+/** LLM-training-data pipeline operators (builder brief): dedup (exact,
+  * MinHash+LSH, SimHash, n-gram blocking, embedding), similarity search
+  * (brute-force + LSH ANN), text analysis, multimodal columns.
+  *
+  * The three near-dup strategies all end in the same exact-Jaccard verify,
+  * so they share one oracle: DuckDB recomputes ground truth as brute-force
+  * all-pairs shingle Jaccard (fine at oracle scale; the Spark side never
+  * does all-pairs — that's the point of LSH).
+  */
+object Pipeline extends QueryPack {
+
+  private val DTOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** All-pairs 3-shingle Jaccard ≥ 0.8 in DuckDB (ground truth). */
+  private val nearDupOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]) AS s
+               FROM toks WHERE len(t) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS aid, b.doc_id AS bid,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+              len(list_distinct(list_concat(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT aid, bid, round(j, 4) AS jac FROM pairs
+        WHERE j >= 0.8 ORDER BY aid, bid"""
+
+  def queries: Seq[Q] = Seq(
+
+    // ---- deduplication ------------------------------------------------------
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exactStats(Tables(s, dir, "documents")),
+      Some("""SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts,
+              count(*) - count(DISTINCT text) AS dup_docs FROM documents""")),
+
+    Q("q_dedup_minhash",
+      (s, dir) => Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"), 0.8),
+      Some(nearDupOracle)),
+
+    Q("q_dedup_simhash",
+      (s, dir) => Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"), 0.8),
+      Some(nearDupOracle)),
+
+    Q("q_dedup_ngram",
+      (s, dir) => Dedup.nearDupPairsNgram(Tables(s, dir, "documents"), 0.8),
+      Some(nearDupOracle)),
+
+    Q("q_dedup_embed",
+      (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), 0.8),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                      list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT aid, bid, round(c, 4) AS cosim FROM p
+              WHERE round(c, 4) >= 0.8 ORDER BY aid, bid""")),
+
+    // ---- similarity search --------------------------------------------------
+    Q("q_sim_cosine",
+      (s, dir) => Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), 0L, 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              sc AS (SELECT vec_id,
+                       list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+                     FROM e CROSS JOIN q WHERE vec_id <> 0)
+              SELECT vec_id, round(c, 4) AS cosim FROM sc
+              ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+
+    // ANN vs exact: self-contained recall assertion (approximate results are
+    // engine-specific; the contract is recall@10 ≥ 0.4 — both sides emit ok.
+    // The fixture embeddings are uniform random, ANN's adversarial case:
+    // recall ≈ fraction scanned; see Similarity.annTopK scaladoc).
+    Q("q_sim_ann",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(emb, 0L, 10).select("vec_id")
+        val ann = Similarity.annTopK(emb, 0L, 10).select("vec_id")
+        exact.join(ann, "vec_id")
+          .agg((count(lit(1)) >= 4).as("ok"))
+      },
+      Some("SELECT true AS ok")),
+
+    // ---- text analysis ------------------------------------------------------
+    Q("q_text_stats",
+      (s, dir) => TextStats.qualityStats(Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, text, $DTOKS AS t FROM documents)
+               SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+                 len(list_distinct(t)) AS n_distinct,
+                 round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
+                 round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS mean_tok_len,
+                 round(len(list_filter(t, x -> list_contains(['the','a','an','of','to','and','in','is'], x)))::DOUBLE / len(t), 4) AS stop_ratio,
+                 ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+               FROM toks ORDER BY doc_id""")),
+
+    Q("q_text_lang",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langGuess(col("text")).as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("n")).orderBy("lang_guess"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               g AS (SELECT doc_id,
+                 CASE WHEN len(list_filter(t, x -> list_contains(['the','a','an','of','to','and','in','is'], x)))::DOUBLE / len(t) >= 0.02
+                      THEN 'en' ELSE 'unk' END AS lang_guess FROM toks)
+               SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY lang_guess""")),
+
+    Q("q_text_fingerprint",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id,
+                 list_reduce(list_prepend(0::BIGINT,
+                     [(131*len(x) + ascii(x[1]))::BIGINT FOR x IN t]),
+                   (a, b) -> (a*31 + b) % 2147483647) AS fp
+               FROM toks ORDER BY doc_id""")),
+
+    // ---- multimodal columns -------------------------------------------------
+    // Binary payload + typed metadata through the typed mapPartitions decode
+    // path (decode itself is a deterministic stub — see Multimodal scaladoc).
+    Q("q_multimodal",
+      (s, dir) => Multimodal.features(s, Tables(s, dir, "documents"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'img/' || source AS fmt,
+              strlen(text)::BIGINT AS n_bytes,
+              ((strlen(text) % 64 + 1) * 16)::INTEGER AS width,
+              ((strlen(text) % 48 + 1) * 16)::INTEGER AS height,
+              list_reduce(list_prepend(0::BIGINT,
+                  [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
+                (a, b) -> (a*31 + b) % 2147483647) AS checksum
+              FROM documents ORDER BY doc_id"""))
+  )
+}

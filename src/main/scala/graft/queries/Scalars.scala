@@ -181,7 +181,11 @@ object Scalars extends QueryPack {
     // Sketches: engines use different algorithms, so the contract is a
     // relative-error bound computed inside each engine (both emit true).
     Q("q_approx",
-      (s, dir) => t(s, dir, "lineitem").agg(
+      (s, dir) => t(s, dir, "lineitem")
+        // buffering aggs (exact percentile) need real parallelism; explicit
+        // count so AQE doesn't coalesce the small-byte shuffle to one task
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("l_orderkey"))
+        .agg(
         (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
           <= countDistinct(col("l_partkey")) * 0.05).as("acd_ok"),
         (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
@@ -192,21 +196,30 @@ object Scalars extends QueryPack {
               (abs(approx_quantile(l_quantity, 0.5) - median(l_quantity)) <= 2.0) AS pct_ok
               FROM lineitem""")),
 
+    // Spark skewness/kurtosis are population moments (m3/m2^1.5, m4/m2²−3);
+    // DuckDB's are bias-corrected sample statistics — spell the population
+    // formula out in the oracle (round(4): two-pass vs streaming moments
+    // agree well past 4 decimals).
     Q("q_stats",
       (s, dir) => t(s, dir, "lineitem").agg(
         round(stddev_samp(col("l_quantity")), 6).as("sd"),
         round(var_samp(col("l_quantity")), 6).as("vr"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
-        round(skewness(col("l_quantity")), 6).as("sk"),
-        round(kurtosis(col("l_quantity")), 6).as("ku")),
-      Some("""SELECT round(stddev_samp(l_quantity), 6) AS sd,
+        round(skewness(col("l_quantity")), 4).as("sk"),
+        round(kurtosis(col("l_quantity")), 4).as("ku")),
+      Some("""WITH s AS (SELECT avg(l_quantity) AS mu, count(*) AS n FROM lineitem),
+              m AS (SELECT sum(pow(l_quantity - mu, 2))/any_value(n) AS m2,
+                           sum(pow(l_quantity - mu, 3))/any_value(n) AS m3,
+                           sum(pow(l_quantity - mu, 4))/any_value(n) AS m4
+                    FROM lineitem, s)
+              SELECT round(stddev_samp(l_quantity), 6) AS sd,
               round(var_samp(l_quantity), 6) AS vr,
               round(corr(l_quantity, l_extendedprice), 6) AS cr,
               round(covar_samp(l_quantity, l_extendedprice), 4) AS cv,
-              round(skewness(l_quantity), 6) AS sk,
-              round(kurtosis(l_quantity), 6) AS ku
-              FROM lineitem""")),
+              round(any_value(m3/pow(m2, 1.5)), 4) AS sk,
+              round(any_value(m4/(m2*m2) - 3.0), 4) AS ku
+              FROM lineitem, m""")),
 
     Q("q_collect",
       (s, dir) => t(s, dir, "customer")
@@ -219,17 +232,18 @@ object Scalars extends QueryPack {
               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs
               FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // crc32 is exercised in the ScalaTest suite instead: DuckDB 1.0 (the
+    // oracle engine) has no crc32 function.
     Q("q_hash",
       (s, dir) => t(s, dir, "part").select(
         col("p_partkey"),
         md5(col("p_name")).as("m5"),
         sha2(col("p_name"), 256).as("s2"),
-        crc32(col("p_name")).as("c32"),
         base64(col("p_name").cast("binary")).as("b64"),
         unbase64(base64(col("p_name").cast("binary"))).cast("string").as("rt"))
         .orderBy("p_partkey"),
       Some("""SELECT p_partkey, md5(p_name) AS m5, sha256(p_name) AS s2,
-              crc32(p_name) AS c32, to_base64(encode(p_name)) AS b64,
+              to_base64(encode(p_name)) AS b64,
               p_name AS rt
               FROM part ORDER BY p_partkey"""))
   )

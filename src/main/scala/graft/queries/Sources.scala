@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+/** Source/sink surface (SURVEY.md §2.1) beyond the parquet read path:
+  * partitioned parquet WRITE + read-back, CSV and JSON round-trips with
+  * explicit schemas, text format, and the structured-streaming slice
+  * (§2.10). Each query writes under target/qtmp and verifies by reading its
+  * own output back — the oracle checks the same aggregate straight off the
+  * source parquet, so a lossy round-trip fails the compare.
+  */
+object Sources extends QueryPack {
+
+  private def tmp(name: String): String = s"/root/repo/target/qtmp/$name"
+
+  def queries: Seq[Q] = Seq(
+
+    // Partitioned write (the 100 TB egress pattern: InsertIntoHadoopFsRelation
+    // + dynamic partitions) then a partition-pruned read-back.
+    Q("q_write_partitioned",
+      (s, dir) => {
+        val out = tmp("orders_by_priority")
+        Tables(s, dir, "orders")
+          .write.mode(SaveMode.Overwrite).partitionBy("o_orderpriority").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // CSV round-trip with explicit schema (no inference nondeterminism).
+    Q("q_source_csv",
+      (s, dir) => {
+        val out = tmp("part_csv")
+        Tables(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+        val schema = StructType(Seq(
+          StructField("p_partkey", LongType), StructField("p_name", StringType),
+          StructField("p_brand", StringType), StructField("p_size", IntegerType),
+          StructField("p_retailprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_size")).as("sum_size"),
+            sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      },
+      Some("""SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
+              CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM part""")),
+
+    // JSON round-trip (schema'd read; ts stays int64 nanos end-to-end).
+    Q("q_source_json",
+      (s, dir) => {
+        val out = tmp("events_json")
+        Tables(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode(SaveMode.Overwrite).json(out)
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        s.read.schema(schema).json(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Text format: one line per doc out, line count + char mass back.
+    Q("q_source_text",
+      (s, dir) => {
+        val out = tmp("documents_text")
+        Tables(s, dir, "documents").select(col("text"))
+          .write.mode(SaveMode.Overwrite).text(out)
+        s.read.text(out)
+          .agg(count(lit(1)).as("n_lines"), sum(length(col("value"))).as("n_chars"))
+      },
+      Some("SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents")),
+
+    // Structured streaming: file source → watermarked windowed agg → memory
+    // sink, Trigger.AvailableNow (real MicroBatchExecution, bounded run).
+    Q("q_stream_window",
+      (s, dir) => StreamOps.runFileStream(s, dir),
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS w,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM events GROUP BY 1, 2 ORDER BY w, event_type"""))
+  )
+}

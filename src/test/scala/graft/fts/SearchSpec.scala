@@ -1,0 +1,74 @@
+package graft.fts
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** FTS semantics on a tiny hand-computable corpus. */
+class SearchSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark makes big data simple"),
+      (2L, "big data big results"),
+      (3L, "spark streaming of data streams"),
+      (4L, "nothing to see here")
+    ).toDF("doc_id", "text")
+  }
+  private lazy val ix = Index.build(docs)
+
+  test("postings: tf and df are exact") {
+    val p = ix.postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p.contains(("big", 2L, 2L)))   // "big" twice in doc 2
+    assert(p.contains(("spark", 1L, 1L)))
+    assert(ix.docLens.filter(col("doc_id") === 2).collect()(0).getLong(1) == 4L)
+    val s = ix.stats.collect()(0)
+    assert(s.getLong(0) == 4L) // n_docs
+  }
+
+  test("matchAll = AND, matchAny = OR") {
+    assert(Search.matchAllIds(ix, Seq("spark", "data")).collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L))
+    assert(Search.matchAnyIds(ix, Seq("spark", "results")).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+  }
+
+  test("matchBoolean honors mustNot") {
+    val r = Search.matchBoolean(docs, ix, must = Seq("data"), mustNot = Seq("streaming"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(r === Array(1L, 2L))
+  }
+
+  test("phrase match requires adjacency in order") {
+    val r = Search.matchPhrase(docs, ix, Seq("big", "data"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(r === Array(1L, 2L)) // doc 3 has data but not "big data"
+    val r2 = Search.matchPhrase(docs, ix, Seq("data", "big"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(r2 === Array(2L)) // "big DATA BIG results" — reversed phrase hits only doc 2
+    val r3 = Search.matchPhrase(docs, ix, Seq("simple", "spark"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(r3.isEmpty) // both terms in doc 1 but never adjacent in this order
+  }
+
+  test("bm25 scores match the closed-form formula") {
+    // corpus: N=4, avgdl=(5+4+5+4)/4=4.5 ; query "spark": df=2, tf=1 in docs 1,3
+    val res = Search.bm25TopK(docs, Seq("spark"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val idf = math.log((4.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.5)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res.keySet == Set(1L, 3L))
+    assert(math.abs(res(1L) - s(1, 5)) < 1e-9)
+    assert(math.abs(res(3L) - s(1, 5)) < 1e-9)
+  }
+
+  test("crc32 matches JVM reference (oracle engine lacks crc32)") {
+    import spark.implicits._
+    val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
+    val c = new java.util.zip.CRC32()
+    c.update("hello graft".getBytes("UTF-8"))
+    assert(got == c.getValue)
+  }
+}

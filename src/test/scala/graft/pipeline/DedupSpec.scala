@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Dedup invariants on a corpus with known exact and near duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    Seq(
+      (1L, base),                       // exact dup of 2
+      (2L, base),
+      (3L, base + " extraword"),        // near dup of 1/2
+      (4L, "totally different content about spark engines and queries quick brown fox"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactStats counts duplicates") {
+    val r = Dedup.exactStats(docs).collect()(0)
+    assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 1)
+  }
+
+  test("exactGroups finds the duplicate group with min id as rep") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 1L && g(0).getLong(1) == 2L)
+  }
+
+  test("minhash LSH recalls exact and near dups, rejects unrelated (precision via verify)") {
+    val pairs = Dedup.nearDupPairsMinhash(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must always collide (recall 1.0)")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("simhash and ngram strategies agree with minhash after verification") {
+    val m = Dedup.nearDupPairsMinhash(docs, 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Dedup.nearDupPairsSimhash(docs, 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = Dedup.nearDupPairsNgram(docs, 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == s && s == n)
+  }
+
+  test("verifyJaccard filters a candidate below threshold") {
+    val sets = Dedup.shingleSets(docs)
+    import spark.implicits._
+    val fakeCandidates = Seq((1L, 4L), (1L, 2L)).toDF("aid", "bid")
+    val out = Dedup.verifyJaccard(fakeCandidates, sets, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // (1,4) is dissimilar → dropped
+  }
+}

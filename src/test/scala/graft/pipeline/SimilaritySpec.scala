@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical → cos 1
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal → cos 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite → cos -1
+      (4L, Array(1.0f, 1.0f, 0.0f))    // 45° → cos ≈ 0.7071
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine column computes expected values") {
+    val r = Similarity.bruteForceTopK(emb, 0L, 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r(1L) == 1.0)
+    assert(r(2L) == 0.0)
+    assert(r(3L) == -1.0)
+    assert(math.abs(r(4L) - 0.7071) < 1e-9)
+  }
+
+  test("top-k order is score desc then id") {
+    val ids = Similarity.bruteForceTopK(emb, 0L, 4).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("identical vectors always share an LSH bucket") {
+    val b = emb.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), 8))
+      .select("vec_id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+  }
+
+  test("ann recall on the fixture embeddings is usable") {
+    val embFixture = spark.read.parquet(sf("embeddings"))
+    val exact = Similarity.bruteForceTopK(embFixture, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(embFixture, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert((exact & ann).size >= 4, s"recall too low: ${(exact & ann).size}/10")
+  }
+}
