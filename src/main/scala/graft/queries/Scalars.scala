@@ -178,6 +178,44 @@ object Scalars extends QueryPack {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events ORDER BY event_id LIMIT 500""")),
 
+    // json_tuple generator (reference jsonExpressions.scala:328) and
+    // from_json → typed struct (Spark-4 upgrade the reference lacked).
+    Q("q_json_tuple",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_jt")
+        s.sql("""SELECT event_id, CAST(jt.k0 AS INT) AS k,
+                        from_json(props, 'k INT').k AS k2
+                 FROM events_jt
+                 LATERAL VIEW json_tuple(props, 'k') jt AS k0
+                 ORDER BY event_id LIMIT 500""")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2
+              FROM events ORDER BY event_id LIMIT 500""")),
+
+    // DataFrameNaFunctions (reference DataFrameNaFunctions.scala:44): nulls
+    // synthesized via nullif, then drop/fill exercised in one pass.
+    Q("q_na",
+      (s, dir) => {
+        val withNulls = t(s, dir, "orders")
+          .withColumn("st", expr("nullif(o_orderstatus, 'O')"))
+          .withColumn("price_hi", when(col("o_totalprice") > 100000, col("o_totalprice")))
+        val filled = withNulls.na.fill(Map("st" -> "OPEN", "price_hi" -> 0.0))
+        val dropped = withNulls.na.drop(Seq("price_hi"))
+        filled.groupBy("st").agg(
+            count(lit(1)).as("n"),
+            sum(col("price_hi").cast("decimal(18,2)")).cast("double").as("hi_total"))
+          .join(dropped.agg(count(lit(1)).as("n_hi_rows")))
+          .orderBy("st")
+      },
+      Some("""WITH w AS (SELECT nullif(o_orderstatus,'O') AS st,
+                     CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS price_hi
+                   FROM orders)
+              SELECT coalesce(st, 'OPEN') AS st, count(*) AS n,
+                CAST(sum(CAST(coalesce(price_hi, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS hi_total,
+                (SELECT count(*) FROM w WHERE price_hi IS NOT NULL) AS n_hi_rows
+              FROM w GROUP BY 1 ORDER BY st""")),
+
     // Sketches: engines use different algorithms, so the contract is a
     // relative-error bound computed inside each engine (both emit true).
     Q("q_approx",

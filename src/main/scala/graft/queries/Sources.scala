@@ -89,6 +89,24 @@ object Sources extends QueryPack {
       },
       Some("SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents")),
 
+    // ORC round-trip (native ORC reader in Spark 4; reference went through
+    // the Hive SerDe, sql/hive/.../orc/OrcFileFormat.scala:47).
+    Q("q_source_orc",
+      (s, dir) => {
+        val out = tmp("orders_orc")
+        Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode(SaveMode.Overwrite).orc(out)
+        s.read.orc(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Structured streaming: file source → watermarked windowed agg → memory
     // sink, Trigger.AvailableNow (real MicroBatchExecution, bounded run).
     Q("q_stream_window",
@@ -96,6 +114,31 @@ object Sources extends QueryPack {
       Some("""SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS w,
               event_type, count(*) AS n,
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
-              FROM events GROUP BY 1, 2 ORDER BY w, event_type"""))
+              FROM events GROUP BY 1, 2 ORDER BY w, event_type""")),
+
+    // Session windows (Spark 4 capability upgrade — the reference snapshot
+    // predates session_window). Batch-mode gap sessions per user; the oracle
+    // derives the same sessions with the lag/cumulative-sum islands idiom.
+    Q("q_stream_session",
+      (s, dir) => Tables(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(session_window(col("ts"), "1 hour").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (
+                SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              s AS (SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM e)
+              SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     count(*) AS n
+              FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
   )
 }
