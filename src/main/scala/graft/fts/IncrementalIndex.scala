@@ -1,0 +1,51 @@
+package graft.fts
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental inverted-index maintenance for streaming document ingest
+  * (SURVEY.md §7 step 6). Strategy: merge-on-read deltas — each micro-batch
+  * appends its own postings partition (cheap, append-only, no read-modify-
+  * write of the base index), readers aggregate deltas on the fly, and a
+  * compaction job periodically folds deltas into the canonical bucketed
+  * layout. The reference snapshot had no watermark/late-data story
+  * (pre-watermark StreamExecution.scala:174); bounding state by delta files
+  * + compaction sidesteps unbounded streaming aggregation state entirely.
+  */
+object IncrementalIndex {
+
+  /** Start a foreachBatch sink that appends per-batch postings deltas. */
+  def start(docsStream: DataFrame, dir: String,
+            idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      // durable offsets: a restarted ingest must NOT replay batches into the
+      // append-only delta log (exactly-once = offset WAL + idempotent append)
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Index.build(batch, idCol, textCol).postings
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
+        Index.build(batch, idCol, textCol).docLens
+          .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
+      }
+      .start()
+
+  /** Merge-on-read view over the accumulated deltas. Re-aggregation is safe
+    * because a doc appears in exactly one batch (append-only ingest). */
+  def read(spark: SparkSession, dir: String): FtsIndex = {
+    val postings = spark.read.parquet(s"$dir/postings_delta")
+      .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
+    val docLens = spark.read.parquet(s"$dir/doclens_delta")
+      .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
+  /** Fold deltas into the canonical bucketed layout (Index.write format). */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+              buckets: Int = 64): Unit =
+    Index.write(read(spark, dir), outDir, buckets)
+}

@@ -45,6 +45,49 @@ object Scalars extends QueryPack {
               replace(p_name, ' ', '_') AS repl
               FROM part ORDER BY p_partkey""")),
 
+    // Second string-function sweep: the DuckDB-expressible remainder of
+    // §2.9 (ascii/chr/left/right/locate/substring_index/least/greatest);
+    // engine-specific ones (soundex, sentences, parse_url, format_number,
+    // initcap) are covered with known-answer tests in ScalarFunctionsSpec.
+    Q("q_string2",
+      (s, dir) => t(s, dir, "part").select(
+        col("p_partkey"),
+        ascii(col("p_name")).as("asc"),
+        expr("chr(65 + p_partkey % 26)").as("ch"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        locate("a", col("p_name")).as("loc"),
+        substring_index(col("p_type"), " ", 1).as("sx"),
+        least(col("p_size"), lit(25)).as("le"),
+        greatest(col("p_size"), lit(25)).as("gr"),
+        expr("elt(1 + p_partkey % 2, p_brand, p_type)").as("e"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, ascii(p_name) AS asc, chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
+              left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+              strpos(p_name, 'a') AS loc, string_split(p_type, ' ')[1] AS sx,
+              least(p_size, 25) AS le, greatest(p_size, 25) AS gr,
+              CASE WHEN p_partkey % 2 = 0 THEN p_brand ELSE p_type END AS e
+              FROM part ORDER BY p_partkey""")),
+
+    // Second datetime sweep: add_months/next_day/unix round-trips.
+    Q("q_date2",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(add_months(col("o_orderdate").cast("date"), 1), "yyyy-MM-dd").as("am"),
+        unix_timestamp(col("o_orderdate")).as("ux"),
+        date_format(to_timestamp(unix_timestamp(col("o_orderdate"))), "yyyy-MM-dd HH:mm:ss").as("rt"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        date_format(next_day(col("o_orderdate").cast("date"), "Monday"), "yyyy-MM-dd").as("nd"))
+        .orderBy("o_orderkey").limit(300),
+      Some("""SELECT o_orderkey,
+              strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d') AS am,
+              CAST(epoch(o_orderdate) AS BIGINT) AS ux,
+              strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS rt,
+              week(CAST(o_orderdate AS DATE)) AS wk,
+              strftime(CAST(o_orderdate AS DATE) + CAST(((8 - isodow(CAST(o_orderdate AS DATE))) % 7 +
+                CASE WHEN isodow(CAST(o_orderdate AS DATE)) = 1 THEN 7 ELSE 0 END) AS INTEGER), '%Y-%m-%d') AS nd
+              FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
     Q("q_like",
       (s, dir) => t(s, dir, "part").select(
         col("p_partkey"),

@@ -1,0 +1,47 @@
+package graft.fts
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** Streaming index ingest must converge to the same index a batch build
+  * produces over the same documents. */
+class IncrementalIndexSpec extends SparkSpec {
+
+  test("foreachBatch deltas + merge-on-read == batch index build") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = "/root/repo/target/qtmp/incr_ix_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    input.addData((1L, "spark makes big data simple"), (2L, "big data big results"))
+    val q1 = IncrementalIndex.start(stream, dir)
+    q1.awaitTermination()
+    input.addData((3L, "spark streaming of data streams"))
+    val q2 = IncrementalIndex.start(stream, dir)
+    q2.awaitTermination()
+
+    val incr = IncrementalIndex.read(spark, dir)
+    val batch = Index.build(
+      Seq((1L, "spark makes big data simple"), (2L, "big data big results"),
+        (3L, "spark streaming of data streams")).toDF("doc_id", "text"))
+
+    def canon(ix: FtsIndex) = (
+      ix.postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      ix.stats.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+    assert(canon(incr) == canon(batch))
+
+    // compaction produces the canonical bucketed layout, scores unchanged
+    val compactDir = "/root/repo/target/qtmp/compact_ix_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(compactDir))
+    IncrementalIndex.compact(spark, dir, compactDir)
+    val persisted = Index.read(spark, compactDir)
+    val s1 = Search.scoreBm25(persisted, Seq("spark"), 5).collect().map(_.toSeq)
+    val s2 = Search.scoreBm25(batch, Seq("spark"), 5).collect().map(_.toSeq)
+    assert(s1.toSeq == s2.toSeq)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** mapGroupsWithState carries state across micro-batches (the reference's
+  * updateStateByKey capability on the modern engine). */
+class StatefulSpec extends SparkSpec {
+
+  test("state accumulates across two micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val q = Stateful.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("stateful_sink")
+      .outputMode(Stateful.outputMode)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    input.addData(UserEvent(1L, "click", 1.0), UserEvent(1L, "view", 2.0),
+      UserEvent(2L, "click", 5.0))
+    q.processAllAvailable()
+    input.addData(UserEvent(1L, "purchase", 10.0))
+    q.processAllAvailable()
+    q.stop()
+
+    // Update mode: latest snapshot per user reflects ALL batches
+    val rows = spark.table("stateful_sink")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("events").as("events"),
+        org.apache.spark.sql.functions.max("total").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 3L, 13.0), (2L, 1L, 5.0)))
+  }
+}
