@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * Honesty contract (round-1 verdict): failures are reported per query (value
   * -1 + an `errors` map), never silently folded into the total; results are
   * materialized through the `noop` sink so Catalyst cannot prune projected
-  * expressions the way a bare `count()` would.
+  * expressions the way a bare `count()` would. The BASELINE micro shapes run
+  * AFTER the query loop — their billion-row heaps would otherwise leave the
+  * JVM churned while query times are being measured.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +24,20 @@ object Bench {
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+
+    var errors = List.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors ::= name -> e.getMessage.take(160).replaceAll("[\"\\n\\r\\\\]", " ")
+          false
+        }
+        finally spark.catalog.clearCache() // don't let one query's persisted
+                                           // scratch frames skew the rest
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
 
     // BASELINE.md micro-bench shapes (range/filter/sum MiscBenchmark.scala:40,
     // keyed agg AggregateBenchmark.scala:124, broadcast hash join
@@ -53,17 +69,6 @@ object Bench {
     }
     val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f}"""
 
-    var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          errors ::= name -> e.getMessage.take(160).replaceAll("[\"\\n\\r\\\\]", " ")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }

@@ -1,0 +1,148 @@
+package graft.ext
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the dedup hot path. The declarative higher-order
+  * variants (graft.pipeline.Dedup building blocks) are evaluated
+  * interpreted by Catalyst — fine for composition, but tokenize → shingle →
+  * hash → signature per document is 10⁴–10⁵ lambda evaluations per row.
+  * These expressions run the whole kernel as one compiled JVM call per row
+  * (CodegenFallback: whole-stage codegen pipelines around them).
+  *
+  * Hash mixing is internal-only (never compared against SQL xxhash64):
+  * 64-bit avalanche over token-hash windows, stable across partitions and
+  * sessions by construction.
+  */
+object TextKernels {
+
+  // xxhash64-style avalanche finalizer (public-domain mixing constants)
+  @inline private[ext] def mix(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Distinct hashes of n-token shingles of the frozen token grammar. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val parts = s.toString.toLowerCase(Locale.ROOT).split("[^a-z0-9]+")
+    // token hashes, skipping empties
+    var m = 0
+    val th = new Array[Long](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { th(m) = mix(parts(i).hashCode.toLong * 0x9e3779b97f4a7c15L); m += 1 }
+      i += 1
+    }
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    i = 0
+    while (i <= m - n) {
+      var h = 0x87c37b91114253d5L
+      var j = 0
+      while (j < n) { h = mix(h ^ th(i + j)) * 31L + j; j += 1 }
+      h = mix(h)
+      if (set.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** MinHash signature over shingle hashes: sig(i) = min over h of
+    * mix(h ^ seed(i)). */
+  def minhashSig(hs: ArrayData, numHashes: Int): ArrayData = {
+    val n = hs.numElements()
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = mix(0xdeadbeefL + i * 0x9e3779b97f4a7c15L)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = mix(hs.getLong(j) ^ seed)
+        if (v < best) best = v
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over shingle hashes (bit j = sign of ±1 votes). */
+  def simhash(hs: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hs.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Register all kernels on a session's function registry. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args.head))
+    reg.registerFunction(
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinhashSigExpr(args.head))
+    reg.registerFunction(
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashExpr(args.head))
+  }
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinhashSigExpr(child: Expression, numHashes: Int = 64)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimhashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}

@@ -35,38 +35,41 @@ object Dedup {
       .filter(col("n") > 1)
       .select("rep_id", "n")
 
-  /** doc_id + distinct n-token shingle set (`sh`) and its per-shingle
-    * xxhash64 values (`hs`) — hashes computed ONCE here; every downstream
-    * signature derives from `hs` (hashing a long is far cheaper than
-    * re-hashing strings per permutation).
+  /** doc_id + distinct n-token shingle HASH set (`hs`), computed by the
+    * native one-pass kernel (graft.ext.TextKernels: tokenize → shingle →
+    * hash in one compiled call per row — the interpreted higher-order
+    * composition of the same semantics is 10⁴ lambda evals per doc). All
+    * downstream similarity (signatures, Jaccard) operates on the hashes;
+    * 64-bit collisions are ~1e-9 territory.
     *
-    * Persisted: the set frame feeds both candidate generation and exact
-    * verification, and materializing it stops CollapseProject from inlining
-    * the tokenize→shingle expression tree into every downstream band
-    * expression (which multiplies the tokenizer cost by bands×hashes). */
+    * Persisted AND eagerly materialized: the frame feeds candidate
+    * generation and exact verification in the same job — a lazy cache
+    * would let every scan race to recompute it (at warehouse scale this
+    * step is "write the signature table"). */
   def shingleSets(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
-    docs
-      // spread the (CPU-heavy, interpreted higher-order) shingle/hash work
-      // across the cluster — the input is often a few large parquet files
-      // whose row groups don't split to full parallelism. Explicit partition
-      // count: these rows are CPU-bound, not byte-bound, and AQE would
-      // coalesce a keyless repartition of a small-byte shuffle back to one
-      // partition.
+                  textCol: String = "text"): DataFrame = {
+    graft.ext.TextKernels.install(docs.sparkSession)
+    val sets = docs
+      // spread the CPU-heavy kernel across the cluster — the input is often
+      // a few large parquet files whose row groups don't split to full
+      // parallelism. Explicit partition count: these rows are CPU-bound,
+      // not byte-bound, and AQE would coalesce a keyless repartition of a
+      // small-byte shuffle back to one partition.
       .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .select(col(idCol).as("doc_id"),
-        Analyzer.shingles(Analyzer.tokenize(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+        call_function("graft_shingle_hashes", col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
       .persist()
+    sets.count()
+    sets
+  }
 
   /** MinHash signature from per-shingle hashes: component i = min over
-    * shingles of xxhash64(i, h(s)). Seeded re-hashing instead of affine
-    * (a*h+b mod p) permutations: same guarantees, no multiplication that
-    * could overflow under ANSI mode. */
-  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+    * shingle hashes of mix(h ^ seed_i) — seeded re-hashing instead of
+    * affine (a*h+b mod p) permutations: same guarantees, no multiplication
+    * that could overflow under ANSI mode. Native kernel (one call per row). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column =
+    call_function("graft_minhash", shingleHashes)
 
   /** LSH candidate pairs: signature split into `bands` bands of
     * numHashes/bands rows; docs agreeing on any band's hash meet in that
@@ -81,6 +84,7 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .persist()
+    banded.count() // materialize before the self-join scans it twice
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -90,17 +94,10 @@ object Dedup {
 
   /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum
     * over shingles of ±1 (sign of bit j of the shingle's hash) is positive.
-    * Takes hashes (not shingles) so the per-shingle xxhash64 is computed
-    * once, not once per bit. */
+    * Native kernel — the column-expression formulation is 64 interpreted
+    * aggregates per row. */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { j =>
-      // each bit is an independent expression reduced by OR — a fold that
-      // threads the accumulator through when().otherwise(acc) would copy
-      // the accumulator twice per level (2^64-node expression tree)
-      val vote = aggregate(hashes, lit(0),
-        (a, h) => a + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    call_function("graft_simhash", hashes)
 
   /** SimHash candidates: band on 16 four-bit nibbles — pairs agreeing on any
     * nibble meet (recall 1.0 for Hamming distance < 16; near-dup pairs land
@@ -112,6 +109,7 @@ object Dedup {
     * collision term) is the 100 TB path. */
   def simhashCandidates(sets: DataFrame, maxHamming: Int = 15): DataFrame = {
     val hashed = sets.withColumn("sh64", simhashFromHashes(col("hs"))).persist()
+    hashed.count() // materialize before the banded self-join
     val banded = hashed.select(col("doc_id"), col("sh64"),
       posexplode(array((0 until 16).map(b =>
         shiftright(col("sh64"), b * 4).bitwiseAND(lit(15L))): _*)))
@@ -128,7 +126,8 @@ object Dedup {
     * (explode → self-join on shingle). `maxDf` drops stopword-like shingles
     * before the join — the skew guard at corpus scale. */
   def blockingCandidates(sets: DataFrame, maxDf: Long = 1000): DataFrame = {
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv = sets.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+    inv.count() // scanned three times (df counts + both join sides)
     val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") > 1)
     val pruned = inv.join(rare.select("s"), "s")
@@ -138,12 +137,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact verification: candidate pairs → true shingle Jaccard ≥ threshold.
-    * Join is on the (small) candidate set, not all pairs. */
+  /** Exact verification: candidate pairs → true shingle Jaccard ≥ threshold
+    * (over shingle hashes — identical to string-shingle Jaccard modulo
+    * ~1e-9 hash collisions). Join is on the (small) candidate set, not all
+    * pairs. */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                     threshold: Double): DataFrame = {
-    val a = sets.select(col("doc_id").as("aid"), col("sh").as("sha"))
-    val b = sets.select(col("doc_id").as("bid"), col("sh").as("shb"))
+    val a = sets.select(col("doc_id").as("aid"), col("hs").as("sha"))
+    val b = sets.select(col("doc_id").as("bid"), col("hs").as("shb"))
     // candidates and both set sides derive from the persisted `sets` frame
     // — the join reads materialized arrays, no expression re-derivation.
     candidates.join(a, "aid").join(b, "bid")

@@ -74,6 +74,7 @@ object Similarity {
       .withColumn("v", asDouble(col(vecCol)))
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist()
+    bucketed.count() // materialize before query-side + corpus-side scans
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col("v").as("qv"),
         explode(array(col("bucket") +: (0 until planes).map(p =>
@@ -96,6 +97,7 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), planes))
       .select(col(idCol).as("id"), col("v"), col("bucket"))
       .persist()
+    bucketed.count() // materialize before the self-join
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosim", round(cosine(col("a.v"), col("b.v")), 4))

@@ -261,16 +261,22 @@ object Scalars extends QueryPack {
 
     // Sketches: engines use different algorithms, so the contract is a
     // relative-error bound computed inside each engine (both emit true).
+    // Two separate 1-row aggregations joined at the end: mixing DISTINCT
+    // aggregates with buffering sketch aggregates in one Aggregate forces an
+    // Expand + sort-based ObjectHashAggregate that re-serializes the sketch
+    // buffers per group — ~100× slower than the two clean plans.
     Q("q_approx",
-      (s, dir) => t(s, dir, "lineitem")
-        // buffering aggs (exact percentile) need real parallelism; explicit
-        // count so AQE doesn't coalesce the small-byte shuffle to one task
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("l_orderkey"))
-        .agg(
-        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-          <= countDistinct(col("l_partkey")) * 0.05).as("acd_ok"),
-        (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
-          - expr("percentile(l_quantity, 0.5)")) <= lit(2.0)).as("pct_ok")),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("l_orderkey"))
+        val acd = li.agg(
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            <= countDistinct(col("l_partkey")) * 0.05).as("acd_ok"))
+        val pct = li.agg(
+          (abs(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            - expr("percentile(l_quantity, 0.5)")) <= lit(2.0)).as("pct_ok"))
+        acd.crossJoin(pct)
+      },
       Some("""SELECT
               (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
                  <= count(DISTINCT l_partkey) * 0.05) AS acd_ok,
