@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Typed Dataset operator surface (SURVEY.md §2.11, reference
+  * execution/objects.scala: MapElements/MapGroups/CoGroup, Dataset
+  * map/flatMap/mapPartitions, KeyValueGroupedDataset reduceGroups/cogroup). */
+class TypedOpsSpec extends SparkSpec {
+
+  private case class N(k: Int, name: String)
+
+  test("flatMap / mapPartitions / reduceGroups") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val words = Seq("big data", "fast data").toDS()
+      .flatMap(_.split(" "))
+    assert(words.collect().sorted.toSeq == Seq("big", "data", "data", "fast"))
+
+    val perPart = Seq(1, 2, 3, 4).toDS().repartition(2)
+      .mapPartitions(it => Iterator(it.sum))
+      .collect().sum
+    assert(perPart == 10)
+
+    val reduced = Seq(("a", 1), ("a", 2), ("b", 5)).toDS()
+      .groupByKey(_._1)
+      .reduceGroups((x, y) => (x._1, x._2 + y._2))
+      .map { case (k, (_, v)) => (k, v) }
+      .collect().toMap
+    assert(reduced == Map("a" -> 3, "b" -> 5))
+  }
+
+  test("cogroup joins typed groups with custom logic") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val left = Seq((1, "l1"), (1, "l2"), (2, "l3")).toDS().groupByKey(_._1)
+    val right = Seq((1, "r1"), (3, "r2")).toDS().groupByKey(_._1)
+    val out = left.cogroup(right) { (k, ls, rs) =>
+      Iterator((k, ls.size, rs.size))
+    }.collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, 2, 1), (2, 1, 0), (3, 0, 1)))
+  }
+
+  test("catalog + DDL surface: views, cache, describe, functions") {
+    spark.read.parquet(sf("region")).createOrReplaceTempView("region_ddl")
+    assert(spark.catalog.tableExists("region_ddl"))
+
+    spark.sql("CACHE TABLE region_ddl")
+    assert(spark.catalog.isCached("region_ddl"))
+    spark.sql("UNCACHE TABLE region_ddl")
+    assert(!spark.catalog.isCached("region_ddl"))
+
+    val desc = spark.sql("DESCRIBE region_ddl").collect().map(_.getString(0))
+    assert(desc.contains("r_regionkey") && desc.contains("r_name"))
+
+    val viaSql = spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW region_top AS SELECT * FROM region_ddl WHERE r_regionkey < 3")
+    assert(spark.table("region_top").count() == 3)
+    spark.sql("DROP VIEW region_top")
+    assert(!spark.catalog.tableExists("region_top"))
+
+    assert(spark.catalog.functionExists("approx_count_distinct"))
+    val show = spark.sql("SHOW FUNCTIONS LIKE 'approx*'").collect().map(_.getString(0))
+    assert(show.contains("approx_count_distinct"))
+  }
+}
