@@ -79,22 +79,108 @@ case class FtsMatch(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
-/** Lowers [[FtsMatch]] to `array_contains(fts_tokenize(text), term) AND …`.
-  * Runs in the operator-optimization batch, so the resulting conjuncts then
-  * flow through the stock pushdown/pruning rules like any predicate. */
-object RewriteFtsMatch extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, Literal}
+/** Lowers [[FtsMatch]] along one of two paths:
+  *
+  *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
+  *     `Filter` directly over a table registered in
+  *     [[graft.fts.IndexCatalog]] becomes a LEFT-SEMI join against the
+  *     persisted bucketed postings ([[graft.fts.Index.lookup]]), so the
+  *     postings scan partition-prunes to the query terms' hash buckets —
+  *     ~|terms| buckets read instead of the whole corpus. Same
+  *     predicate→semi-join shape as the reference's
+  *     RewritePredicateSubquery (Optimizer.scala:123); the pruning rides
+  *     the stock partition-pruning pathway (FileSourceStrategy.scala:78).
+  *  2. **Scan fallback**: any remaining `fts_match` is rewritten to
+  *     `array_contains(fts_tokenize(text), term) AND …` — a full scan, but
+  *     codegen'd and pushdown-friendly like any predicate.
+  */
+object RewriteFtsMatch extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, Attribute, EqualTo, Literal}
+  import org.apache.spark.sql.catalyst.plans.LeftSemi
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import graft.fts.IndexCatalog
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+  private def queryTerms(q: UTF8String): Seq[String] =
+    q.toString.toLowerCase(Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Registered index for a plan that is (a filter chain over) exactly one
+    * file-source relation, plus the doc-id attribute to semi-join on. */
+  private def indexedTable(child: LogicalPlan): Option[(IndexCatalog.Entry, Attribute)] =
+    child.collectLeaves() match {
+      case Seq(lr: LogicalRelation) =>
+        (lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.headOption
+          case _ => None
+        }).flatMap(p => IndexCatalog.get(p.toString))
+          .flatMap(e => child.output.find(_.name.equalsIgnoreCase(e.idCol)).map((e, _)))
+      case _ => None
+    }
+
+  /** Doc ids matching ALL `terms`, as an optimized logical plan over the
+    * persisted postings (optimized eagerly so partition pruning + pushdown
+    * have already run by the time it is grafted into the outer tree — the
+    * later optimizer batches of the outer query won't revisit it). */
+  private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String]): LogicalPlan = {
+    import org.apache.spark.sql.functions.{col, count_distinct, lit}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val postings = spark.read.parquet(s"${entry.indexDir}/postings")
+    graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets)
+      .groupBy("doc_id").agg(count_distinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") === lit(terms.size))
+      .select("doc_id")
+      .queryExecution.optimizedPlan
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    var rewrote = false
+    val indexAware = plan.transformUp {
+      case f @ Filter(cond, child) if f.resolved =>
+        indexedTable(child) match {
+          case Some((entry, idAttr)) =>
+            val (fts, rest) = splitConjunctivePredicates(cond).partition {
+              case FtsMatch(a: Attribute, Literal(_, StringType)) =>
+                a.name.equalsIgnoreCase(entry.textCol)
+              case _ => false
+            }
+            if (fts.isEmpty) f
+            else {
+              rewrote = true
+              val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+              fts.foldLeft(base) { (cur, m) =>
+                val terms = queryTerms(
+                  m.asInstanceOf[FtsMatch].right.asInstanceOf[Literal]
+                    .value.asInstanceOf[UTF8String])
+                if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
+                else {
+                  val sub = matchingIds(entry, terms)
+                  Join(cur, sub, LeftSemi,
+                    Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
+                }
+              }
+            }
+          case None => f
+        }
+    }
+    // The semi-join just dropped the only reference to the text column, but
+    // stock ColumnPruning already ran (this rule sits in the user batch at
+    // the optimizer's tail) — re-apply it so the document scan's ReadSchema
+    // shrinks to the projected columns instead of shipping the fat text
+    // column through the join.
+    val pruned =
+      if (rewrote) org.apache.spark.sql.catalyst.optimizer.ColumnPruning(indexAware)
+      else indexAware
+    pruned.transformAllExpressions {
       case FtsMatch(text, Literal(q: UTF8String, StringType)) =>
-        val terms = q.toString.toLowerCase(Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        val terms = queryTerms(q)
         if (terms.isEmpty) Literal.FalseLiteral
         else terms.map[Expression](t =>
             ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
           .reduce(And)
     }
+  }
 }
 
 /** Session extensions: the full-text function surface + the rewrite rule.

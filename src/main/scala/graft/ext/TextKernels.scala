@@ -3,7 +3,7 @@ package graft.ext
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * variants (graft.pipeline.Dedup building blocks) are evaluated
   * interpreted by Catalyst — fine for composition, but tokenize → shingle →
   * hash → signature per document is 10⁴–10⁵ lambda evaluations per row.
-  * These expressions run the whole kernel as one compiled JVM call per row
-  * (CodegenFallback: whole-stage codegen pipelines around them).
+  * These expressions run the whole kernel as one compiled JVM call per row,
+  * and generate that call inline via `doGenCode` (same pattern as
+  * FtsTokenize) so the enclosing whole-stage codegen span stays fused —
+  * no interpreted-eval island in the hot path.
   *
   * Hash mixing is internal-only (never compared against SQL xxhash64):
   * 64-bit avalanche over token-hash windows, stable across partitions and
@@ -31,7 +33,10 @@ object TextKernels {
     x
   }
 
-  /** Distinct hashes of n-token shingles of the frozen token grammar. */
+  /** Distinct hashes of n-token shingles of the frozen token grammar,
+    * SORTED ascending — [[intersectCard]] relies on the order for its
+    * allocation-free sorted-merge; set semantics are order-independent
+    * everywhere else (minhash/simhash fold over the whole array). */
   def shingleHashes(s: UTF8String, n: Int): ArrayData = {
     val parts = s.toString.toLowerCase(Locale.ROOT).split("[^a-z0-9]+")
     // token hashes, skipping empties
@@ -55,7 +60,25 @@ object TextKernels {
       if (set.add(h)) { out(k) = h; k += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+    val trimmed = java.util.Arrays.copyOf(out, k)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+
+  /** |a ∩ b| over two sorted long arrays: one sorted-merge pass, no per-row
+    * hash-set allocation (array_intersect builds one per invocation —
+    * measured hot in the dedup verify stage at sf0.1). Union size follows as
+    * |a| + |b| − |a ∩ b|, so Jaccard needs only this kernel. */
+  def intersectCard(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** MinHash signature over shingle hashes: sig(i) = min over h of
@@ -114,35 +137,62 @@ object TextKernels {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashExpr(args.head))
+    reg.registerFunction(
+      new FunctionIdentifier("graft_intersect_card"),
+      new ExpressionInfo(classOf[IntersectCardExpr].getName, "graft_intersect_card"),
+      (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1)))
   }
 }
 
 case class ShingleHashesExpr(child: Expression, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
   override def nullSafeEval(input: Any): Any =
     TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.shingleHashes($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
 
 case class MinhashSigExpr(child: Expression, numHashes: Int = 64)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
   override def nullSafeEval(input: Any): Any =
     TextKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.minhashSig($c, $numHashes);")
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
     copy(child = newChild)
 }
 
 case class SimhashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
   override def nullSafeEval(input: Any): Any =
     TextKernels.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.simhash($c);")
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
+}
+
+case class IntersectCardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_intersect_card"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.intersectCard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.intersectCard($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCardExpr =
+    copy(left = newLeft, right = newRight)
 }

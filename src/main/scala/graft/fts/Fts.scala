@@ -58,6 +58,27 @@ object Index {
     FtsIndex(postings, docLens, stats)
   }
 
+  /** Postings with per-doc position lists (0-based token offsets, sorted):
+    * `term, doc_id, tf, positions`. Enables phrase / adjacency / NEAR
+    * queries purely on the index — candidate docs never re-read text
+    * (SURVEY.md §7 risk 4's optional position lists). Position capture uses
+    * the posexplode generator (reference generators.scala:250); everything
+    * downstream of [[build]] accepts the extra column untouched. */
+  def buildPositional(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): FtsIndex = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(Analyzer.tokenize(col(textCol))))
+      .withColumnRenamed("col", "term")
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val docLens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
   /** Persist: postings partitioned by term-hash bucket (queries prune to
     * their terms' buckets); doc lengths and stats alongside. */
   def write(ix: FtsIndex, dir: String, buckets: Int = 64): Unit = {
@@ -137,6 +158,36 @@ object Search {
       phraseIds, docs(idCol) === phraseIds("match_id"), "left_semi")
     val canonical = concat(lit(" "), array_join(Analyzer.tokenize(col(textCol)), " "), lit(" "))
     candidates.filter(canonical.contains(" " + phrase.mkString(" ") + " "))
+  }
+
+  /** Exact phrase match over POSITIONAL postings ([[Index.buildPositional]])
+    * alone: left-fold adjacency intersection over the phrase terms' position
+    * lists — acc starts as term₀'s positions and each step keeps the
+    * positions p of termᵢ with p−1 in acc, so acc ends as the end-offsets of
+    * full phrase occurrences. Document text is never re-read; the postings
+    * filter prunes to the phrase's terms (and, against the persisted layout,
+    * their buckets) before anything else runs. */
+  def matchPhrasePositional(ix: FtsIndex, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    // phrase order as data: idx joins each term occurrence to its slot(s) —
+    // a repeated term simply matches several slots.
+    val order = phrase.zipWithIndex.toDF("term", "idx")
+    val slots = ix.postings.filter(col("term").isin(phrase.distinct: _*))
+      .join(broadcast(order), "term")
+      .select(col("doc_id"), col("idx"), col("positions"))
+    slots.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        sort_array(collect_list(struct(col("idx"), col("positions")))).as("tp"))
+      .filter(col("n_slots") === phrase.size) // every slot's term present
+      .withColumn("ends", aggregate(
+        slice(col("tp"), lit(2), size(col("tp")) - 1),
+        col("tp").getItem(0).getField("positions"),
+        (acc, e) => filter(e.getField("positions"),
+          p => array_contains(acc, p - 1))))
+      .filter(size(col("ends")) > 0)
+      .select("doc_id")
   }
 
   /** BM25(k1, b) top-k. Everything after the postings filter is tiny:

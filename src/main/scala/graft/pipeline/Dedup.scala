@@ -122,16 +122,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Blocking candidates: pairs sharing ≥1 shingle, via the inverted index
-    * (explode → self-join on shingle). `maxDf` drops stopword-like shingles
-    * before the join — the skew guard at corpus scale. */
-  def blockingCandidates(sets: DataFrame, maxDf: Long = 1000): DataFrame = {
+  /** Blocking candidates via RAREST-K blocking keys: each doc blocks only on
+    * its `k` globally-rarest shingles (lowest document frequency, ties by
+    * hash — a deterministic total order shared by all docs), and a pair is a
+    * candidate iff some shingle is in BOTH docs' rarest-k.
+    *
+    * Scale math: raw shared-shingle blocking emits Σ_s df(s)² pairs — the
+    * Σdf² blowup that made this strategy 2.3× slower than minhash at sf0.1.
+    * Rarest-k bounds each doc's blocking keys at k, so total key rows are
+    * k·n_docs and a pair must share a MUTUALLY-rare shingle to collide.
+    * Recall: a J ≥ 0.8 pair shares ≥ 80% of its shingle union, and df-rank
+    * is independent of which side a shingle landed on — the miss probability
+    * is ≈ (1−J)^k ≈ 2.6e-6 at k=8. `maxDf` still drops stopword-like
+    * shingles (df cap) before ranking, as the skew guard. */
+  def blockingCandidates(sets: DataFrame, k: Int = 8, maxDf: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val inv = sets.select(col("doc_id"), explode(col("hs")).as("s")).persist()
-    inv.count() // scanned three times (df counts + both join sides)
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    inv.count() // scanned twice (df counts + key ranking)
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") > 1)
-    val pruned = inv.join(rare.select("s"), "s")
-    pruned.as("a").join(pruned.as("b"),
+    val keys = inv.join(dfs, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "s")
+      .persist()
+    keys.count() // materialize before the self-join scans it twice
+    inv.unpersist()
+    keys.as("a").join(keys.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
       .distinct()
@@ -140,7 +158,9 @@ object Dedup {
   /** Exact verification: candidate pairs → true shingle Jaccard ≥ threshold
     * (over shingle hashes — identical to string-shingle Jaccard modulo
     * ~1e-9 hash collisions). Join is on the (small) candidate set, not all
-    * pairs. */
+    * pairs. Intersection via the sorted-merge kernel (the arrays are sorted
+    * at build); union size derived as |a|+|b|−|∩| — no per-row hash sets,
+    * no second array traversal. */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                     threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("aid"), col("hs").as("sha"))
@@ -148,9 +168,10 @@ object Dedup {
     // candidates and both set sides derive from the persisted `sets` frame
     // — the join reads materialized arrays, no expression re-derivation.
     candidates.join(a, "aid").join(b, "bid")
+      .withColumn("inter",
+        call_function("graft_intersect_card", col("sha"), col("shb")).cast("double"))
       .withColumn("jac",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("aid"), col("bid"), round(col("jac"), 4).as("jac"))
       .orderBy("aid", "bid")

@@ -74,6 +74,19 @@ object Fts extends QueryPack {
                WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
                ORDER BY doc_id""")),
 
+    // Phrase again, but POSITIONAL: adjacency intersection over position
+    // lists from Index.buildPositional — candidate text is never re-read.
+    // Same rows as q_fts_phrase, same oracle.
+    Q("q_fts_phrase_pos",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.matchPhrasePositional(ix, Seq("data", "query")).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+               ORDER BY doc_id""")),
+
     // BM25(k1=1.2, b=0.75) top-10; ranking on the rounded score.
     Q("q_fts_bm25",
       (s, dir) => Search.bm25TopK(Tables(s, dir, "documents"),
@@ -111,6 +124,29 @@ object Fts extends QueryPack {
       },
       Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
                SELECT doc_id, len(t) AS n_toks FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+               ORDER BY doc_id""")),
+
+    // The SQL surface AGAIN, but index-backed: the table is registered in
+    // IndexCatalog, so RewriteFtsMatch lowers fts_match to a left-semi join
+    // against the persisted bucketed postings (partition-pruned to the query
+    // terms' buckets) instead of re-tokenizing the corpus. Same rows as
+    // q_fts_match; `graft.Explain q_fts_sql_indexed` shows the pruned
+    // postings scan + semi-join.
+    Q("q_fts_sql_indexed",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val docsPath = s"$dir/documents.parquet"
+        val ixDir = "/root/repo/target/qtmp/fts_index_sql"
+        graft.fts.Index.write(graft.fts.Index.build(s.read.parquet(docsPath)), ixDir)
+        graft.fts.IndexCatalog.register(docsPath, ixDir)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixq")
+        s.sql("""SELECT doc_id, lang FROM documents_ixq
+                 WHERE fts_match(text, 'spark query')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents)
+               SELECT doc_id, lang FROM toks
                WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
                ORDER BY doc_id""")),
 

@@ -76,16 +76,22 @@ object Pipeline extends QueryPack {
               ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
 
     // ANN vs exact: self-contained recall assertion (approximate results are
-    // engine-specific; the contract is recall@10 ≥ 0.4 — both sides emit ok.
-    // The fixture embeddings are uniform random, ANN's adversarial case:
-    // recall ≈ fraction scanned; see Similarity.annTopK scaladoc).
+    // engine-specific, so both sides emit ok — but the contract is REAL:
+    // recall@10 ≥ 0.8 while probing 16 of 4096 buckets (0.4% of the corpus'
+    // bucket space; query-directed multiprobe). Runs on the clustered
+    // fixture derived from the embeddings table — on uniform-random vectors
+    // no sublinear method beats a scan (see Similarity.clusteredVec).
     Q("q_sim_ann",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        val exact = Similarity.bruteForceTopK(emb, 0L, 10).select("vec_id")
-        val ann = Similarity.annTopK(emb, 0L, 10).select("vec_id")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist() // heavy interpreted zip_with chain; both paths scan it
+        clustered.count()
+        val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
+        val ann = Similarity.annTopK(clustered, 0L, 10).select("vec_id")
         exact.join(ann, "vec_id")
-          .agg((count(lit(1)) >= 4).as("ok"))
+          .agg((count(lit(1)) >= 8).as("ok"))
       },
       Some("SELECT true AS ok")),
 

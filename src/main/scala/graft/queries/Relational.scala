@@ -165,6 +165,48 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n")),
       Some("SELECT count(*) AS n FROM region CROSS JOIN nation")),
 
+    // Fact⋈fact co-location via BUCKETED catalog tables: both sides written
+    // bucketBy(8, orderkey).sortBy(orderkey) (reference FileSourceScanExec
+    // bucketing, DataSourceScanExec.scala:141), so the sort-merge join reads
+    // pre-partitioned buckets — NO Exchange on either side of the join
+    // (verify via graft.Explain q_join_bucketed: both scans show
+    // `Bucketed: true`, the SMJ has bare Sorts over the scans). This is
+    // SCALE.md's warehouse upgrade for the 100 TB lineitem⋈orders path: the
+    // shuffle happens once at write time, every subsequent join rides it.
+    // The merge hint pins SMJ so the no-shuffle plan is what's exercised
+    // even at oracle scale where broadcast would win on size. (The residual
+    // in-partition Sort would also vanish under the legacy
+    // bucketedTableScan.outputOrdering flag, SPARK-28595; not worth a
+    // legacy knob — the Exchange is the scale cost, not the local sort.)
+    Q("q_join_bucketed",
+      (s, dir) => {
+        // repartition on the bucket key first → exactly one file per bucket
+        // (the layout the sorted-scan path needs, and fewer files at scale)
+        t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", "/root/repo/target/qtmp/lineitem_bucketed")
+          .saveAsTable("lineitem_bucketed")
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", "/root/repo/target/qtmp/orders_bucketed")
+          .saveAsTable("orders_bucketed")
+        val l = s.table("lineitem_bucketed")
+        val o = s.table("orders_bucketed")
+        l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1-l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",
@@ -413,6 +455,36 @@ object Relational extends QueryPack {
         .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
-              GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- DDL / command surface (§2.1: CREATE TABLE AS / INSERT / DROP,
+    // reference execution/command/{tables,ddl}.scala). A catalog table is
+    // created from a SELECT, extended by INSERT INTO (both a SELECT feed and
+    // a VALUES feed), and the read-back aggregate must equal the oracle's
+    // recomputation straight off the source parquet.
+    Q("q_ddl",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("DROP TABLE IF EXISTS nation_ddl")
+        // cross-session leftover: the in-memory catalog forgets the managed
+        // table between runs but its warehouse directory survives, and
+        // CREATE TABLE refuses a pre-existing managed location — clear it
+        val leftover = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, "nation_ddl")
+        leftover.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(leftover, true)
+        s.sql("""CREATE TABLE nation_ddl USING parquet AS
+                 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2""")
+        s.sql("""INSERT INTO nation_ddl
+                 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey >= 2""")
+        s.sql("INSERT INTO nation_ddl VALUES (997, 'ATLANTIS', 9), (998, 'LEMURIA', 9)")
+        s.sql("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+                 FROM nation_ddl GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""WITH all_rows AS (
+                SELECT n_nationkey, n_name, n_regionkey FROM nation
+                UNION ALL SELECT * FROM (VALUES (997, 'ATLANTIS', 9), (998, 'LEMURIA', 9)))
+              SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+              FROM all_rows GROUP BY n_regionkey ORDER BY n_regionkey"""))
   )
 }

@@ -116,6 +116,15 @@ object Sources extends QueryPack {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
               FROM events GROUP BY 1, 2 ORDER BY w, event_type""")),
 
+    // Streaming exact dedup: the landing dir holds the events file TWICE
+    // (at-least-once redelivery), dropDuplicatesWithinWatermark(event_id)
+    // emits each exactly once — oracle aggregates the SINGLE batch copy.
+    Q("q_stream_dedup",
+      (s, dir) => StreamOps.runStreamDedup(s, dir),
+      Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Session windows (Spark 4 capability upgrade — the reference snapshot
     // predates session_window). Batch-mode gap sessions per user; the oracle
     // derives the same sessions with the lag/cumulative-sum islands idiom.

@@ -33,4 +33,29 @@ object Stateful {
 
   /** Output mode the query must run with (mapGroupsWithState contract). */
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** flatMapGroupsWithState flavour: zero-or-one rows per group per batch —
+    * a snapshot is emitted only once a user's running total crosses
+    * `threshold` (selective emission is what flatMap adds over mapGroups;
+    * the reference's closest analogue is mapWithState's optional emit,
+    * PairDStreamFunctions.scala:380). */
+  def updateUserIfHot(threshold: Double)(
+      id: Long, events: Iterator[UserEvent],
+      state: GroupState[UserState]): Iterator[UserSnapshot] = {
+    val before = state.getOption.getOrElse(UserState(0L, 0.0))
+    var s = before
+    events.foreach { e => s = UserState(s.events + 1, s.total + e.value) }
+    state.update(s)
+    if (s.total >= threshold && before.total < threshold)
+      Iterator.single(UserSnapshot(id, s.events, s.total))
+    else Iterator.empty
+  }
+
+  /** Users whose cumulative value first crossed `threshold` this batch. */
+  def hotUsers(events: Dataset[UserEvent], threshold: Double): Dataset[UserSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateUserIfHot(threshold))
+  }
 }

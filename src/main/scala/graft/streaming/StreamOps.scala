@@ -56,4 +56,43 @@ object StreamOps {
     q.awaitTermination()
     spark.table(sink).orderBy("w", "event_type")
   }
+
+  /** Streaming exact dedup under at-least-once delivery: the landing
+    * directory receives the SAME events file twice (duplicate redelivery),
+    * and `dropDuplicatesWithinWatermark(event_id)` emits each event exactly
+    * once — the streaming half of the pipeline dedup story. State is
+    * bounded: ids older than the watermark are evicted, the non-negotiable
+    * property for an unbounded 100 TB ingest (the batch-era reference kept
+    * unbounded updateStateByKey state, PairDStreamFunctions.scala:397).
+    * Returns the post-dedup per-type aggregate for the oracle compare
+    * (aggregation runs in batch over the sink — one stateful op per
+    * stream). */
+  def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/events_dedup_stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    for (copy <- Seq("events_a.parquet", "events_b.parquet")) {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        streamDir.resolve(copy),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val sink = s"graft_dedup_sink_${sinkSeq.incrementAndGet()}"
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val deduped = raw
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("event_type")
+  }
 }

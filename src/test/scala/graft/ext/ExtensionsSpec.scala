@@ -44,6 +44,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("fts_match over a registered table lowers to a postings semi-join") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_ix_spec")
+      val df = spark.sql(
+        "SELECT doc_id FROM docs_ix_spec WHERE fts_match(text, 'spark query')")
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty, s"expected a left-semi join against the postings, got:\n$optimized")
+      assert(!optimized.toString.contains("array_contains"),
+        "indexed path must not fall back to the scan lowering")
+      // identical rows to the scan-based lowering on an unregistered view
+      val expect = graft.fts.Search.matchAllIds(
+          graft.fts.Index.build(spark.read.parquet(docsPath)), Seq("spark", "query"))
+        .collect().map(_.getLong(0)).toSet
+      assert(df.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("fts_match with no usable terms is false, not an error") {
     GraftExtensions.install(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")

@@ -37,10 +37,24 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0L) == b(1L))
   }
 
-  test("ann recall on the fixture embeddings is usable") {
-    val embFixture = spark.read.parquet(sf("embeddings"))
-    val exact = Similarity.bruteForceTopK(embFixture, 0L, 10).collect().map(_.getLong(0)).toSet
-    val ann = Similarity.annTopK(embFixture, 0L, 10).collect().map(_.getLong(0)).toSet
-    assert((exact & ann).size >= 4, s"recall too low: ${(exact & ann).size}/10")
+  test("ann recall@10 >= 0.8 on the clustered fixture at 0.4% probe fraction") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    val exact = Similarity.bruteForceTopK(clustered, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(clustered, 0L, 10).collect().map(_.getLong(0)).toSet
+    clustered.unpersist()
+    assert((exact & ann).size >= 8, s"recall too low: ${(exact & ann).size}/10")
+  }
+
+  test("clustered fixture separates clusters (sanity for the ann contract)") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+    // exact top-10 of vec 0 should be dominated by cluster 0 (id % 24 == 0)
+    val top = Similarity.bruteForceTopK(clustered, 0L, 10).collect().map(_.getLong(0))
+    assert(top.count(_ % 24 == 0) >= 8, s"clusters not separated: ${top.mkString(",")}")
   }
 }

@@ -34,4 +34,30 @@ class StatefulSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set((1L, 3L, 13.0), (2L, 1L, 5.0)))
   }
+
+  test("flatMapGroupsWithState emits only on threshold crossing") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val input = MemoryStream[UserEvent]
+    val q = Stateful.hotUsers(input.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("hot_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    // batch 1: user 1 at 6.0 (below), user 2 at 12.0 (crosses) → only user 2
+    input.addData(UserEvent(1L, "click", 6.0), UserEvent(2L, "click", 12.0))
+    q.processAllAvailable()
+    // batch 2: user 1 crosses (6+5=11); user 2 already above → no re-emit
+    input.addData(UserEvent(1L, "view", 5.0), UserEvent(2L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hot_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((2L, 1L, 12.0), (1L, 2L, 11.0)),
+      s"exactly one crossing emission per user, got $rows")
+  }
 }
