@@ -79,6 +79,20 @@ case class FtsMatch(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_match_any(text, 'q terms')`: true iff the document contains AT
+  * LEAST ONE query term (token-level OR). Lowered by [[RewriteFtsMatch]]
+  * exactly like [[FtsMatch]] — index path is a semi-join against the ANY
+  * postings (no per-doc term-count filter), scan path an OR conjunction. */
+case class FtsMatchAny(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_match_any"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsMatchAny =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -119,19 +133,25 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** Doc ids matching ALL `terms`, as an optimized logical plan over the
-    * persisted postings (optimized eagerly so partition pruning + pushdown
-    * have already run by the time it is grafted into the outer tree — the
-    * later optimizer batches of the outer query won't revisit it). */
-  private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String]): LogicalPlan = {
+  /** Doc ids matching `terms` (ALL of them, or ANY if `requireAll` is
+    * false), as an optimized logical plan over the persisted postings
+    * (optimized eagerly so partition pruning + pushdown have already run by
+    * the time it is grafted into the outer tree — the later optimizer
+    * batches of the outer query won't revisit it). */
+  private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String],
+                          requireAll: Boolean): LogicalPlan = {
     import org.apache.spark.sql.functions.{col, count_distinct, lit}
     val spark = org.apache.spark.sql.SparkSession.active
     val postings = spark.read.parquet(s"${entry.indexDir}/postings")
-    graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets)
-      .groupBy("doc_id").agg(count_distinct(col("term")).as("n_terms"))
-      .filter(col("n_terms") === lit(terms.size))
-      .select("doc_id")
-      .queryExecution.optimizedPlan
+    val filtered =
+      graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets)
+    val ids =
+      if (requireAll)
+        filtered.groupBy("doc_id").agg(count_distinct(col("term")).as("n_terms"))
+          .filter(col("n_terms") === lit(terms.size))
+          .select("doc_id")
+      else filtered.select("doc_id").distinct()
+    ids.queryExecution.optimizedPlan
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -140,22 +160,23 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
           case Some((entry, idAttr)) =>
-            val (fts, rest) = splitConjunctivePredicates(cond).partition {
-              case FtsMatch(a: Attribute, Literal(_, StringType)) =>
-                a.name.equalsIgnoreCase(entry.textCol)
-              case _ => false
+            // (query-literal, all-vs-any) per rewritable fts conjunct
+            val (fts, rest) = splitConjunctivePredicates(cond).partitionMap {
+              case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
+                  if a.name.equalsIgnoreCase(entry.textCol) => Left((q, true))
+              case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
+                  if a.name.equalsIgnoreCase(entry.textCol) => Left((q, false))
+              case other => Right(other)
             }
             if (fts.isEmpty) f
             else {
               rewrote = true
               val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
-              fts.foldLeft(base) { (cur, m) =>
-                val terms = queryTerms(
-                  m.asInstanceOf[FtsMatch].right.asInstanceOf[Literal]
-                    .value.asInstanceOf[UTF8String])
+              fts.foldLeft(base) { case (cur, (q, requireAll)) =>
+                val terms = queryTerms(q)
                 if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
                 else {
-                  val sub = matchingIds(entry, terms)
+                  val sub = matchingIds(entry, terms, requireAll)
                   Join(cur, sub, LeftSemi,
                     Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
                 }
@@ -179,6 +200,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else terms.map[Expression](t =>
             ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
           .reduce(And)
+      case FtsMatchAny(text, Literal(q: UTF8String, StringType)) =>
+        val terms = queryTerms(q)
+        if (terms.isEmpty) Literal.FalseLiteral
+        else terms.map[Expression](t =>
+            ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
+          .reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
     }
   }
 }
@@ -197,6 +224,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("fts_match"),
       new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
       (args: Seq[Expression]) => FtsMatch(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("fts_match_any"),
+      new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
+      (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteFtsMatch)
   }
 }
@@ -215,6 +246,10 @@ object GraftExtensions {
       new FunctionIdentifier("fts_match"),
       new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
       (args: Seq[Expression]) => FtsMatch(args(0), args(1)))
+    reg.registerFunction(
+      new FunctionIdentifier("fts_match_any"),
+      new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
+      (args: Seq[Expression]) => FtsMatchAny(args(0), args(1)))
     // post-hoc rule injection isn't part of the public API; the supported
     // path is spark.sql.extensions=graft.ext.GraftExtensions. For harness
     // sessions we fall back to experimental extraOptimizations, which the

@@ -17,8 +17,18 @@ object Analyzer {
   /** Frozen token grammar, version 1. */
   val TokenSplitRegex = "[^a-z0-9]+"
 
+  /** Tokenize via the native codegen'd [[graft.ext.FtsTokenize]] expression
+    * (one compiled call per row). The declarative equivalent —
+    * `filter(split(lower(c), regex), t => length(t) > 0)` — evaluates an
+    * interpreted lambda per token, and every downstream frame that inlines
+    * the expression re-pays it; at sf0.1 that made BM25's four derivations
+    * of the token stream cost 156 s. Semantics are identical (the
+    * expression and the old composition are property-tested against each
+    * other in ExtensionsSpec). */
   def tokenize(c: Column): Column =
-    filter(split(lower(c), TokenSplitRegex), t => length(t) > lit(0))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.ext.FtsTokenize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Distinct n-token shingles ("a b c") — the unit of near-dup similarity.
     * Docs shorter than n tokens produce an empty set (guarded: Spark's
@@ -51,7 +61,11 @@ object Index {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Analyzer.tokenize(col(textCol))).as("term"))
     val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val docLens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // doc length = Σ tf over the doc's postings — deriving it from postings
+    // (instead of a second aggregation over toks) means the token stream is
+    // scanned once per postings consumer, not once more per docLens/stats
+    // consumer (each re-derivation re-runs scan+tokenize+explode).
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = docLens.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -72,7 +86,7 @@ object Index {
     val postings = toks.groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
-    val docLens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = docLens.agg(
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))

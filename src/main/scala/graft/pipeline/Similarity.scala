@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+import graft.ext.{DotExpr, LshBucketExpr, LshProjsExpr}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -11,13 +12,21 @@ import org.apache.spark.sql.functions._
   * path is `annTopK`: random-hyperplane LSH buckets the corpus by sign
   * pattern so a query probes only its own (and adjacent) buckets.
   *
-  * All arithmetic in double (`zip_with` product + left-fold `aggregate` sum
-  * — deterministic summation order, matching the sequential oracle).
+  * All arithmetic in double via the native [[graft.ext.VecKernels]]
+  * expressions (one compiled call per row; the declarative
+  * `aggregate(zip_with(...))` equivalent costs ~2·dim interpreted lambda
+  * evals per row — SCALE.md's "known cost" on a billion-vector corpus).
+  * Summation is left-fold in index order, bit-identical to the sequential
+  * oracle.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftColumnBridge.column(e)
+  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    GraftColumnBridge.expression(c)
+
+  def dot(a: Column, b: Column): Column = kcol(DotExpr(kexp(a), kexp(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -40,25 +49,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component p,d in [-1, 1):
-    * derived from xxhash64 so executors need no shared RNG state. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(2000L)).cast("double") - 1000.0) / 1000.0
-
-  /** Signed projection of `vec` onto pseudo-random hyperplane `p`. */
-  private def planeProj(vec: Column, p: Int): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x * planeComponent(p, d)),
-      lit(0.0), (a, v) => a + v)
-
-  /** LSH bucket id: sign pattern of the vector against `planes` random
-    * hyperplanes, packed into a long. Vectors in the same bucket are likely
-    * cosine-close (probability of agreeing on one plane = 1 − θ/π). */
+  /** LSH bucket id: sign pattern of the vector against `planes`
+    * deterministic pseudo-random hyperplanes (components derived from
+    * xxhash64(p, d) — no shared RNG state across executors), packed into a
+    * long. Vectors in the same bucket are likely cosine-close (probability
+    * of agreeing on one plane = 1 − θ/π). Native kernel; one call per row. */
   def lshBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      when(planeProj(vec, p) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    kcol(LshBucketExpr(kexp(vec), planes))
+
+  /** All `planes` hyperplane projections of `vec`, as array<double>. */
+  def lshProjs(vec: Column, planes: Int): Column =
+    kcol(LshProjsExpr(kexp(vec), planes))
 
   /** Deterministic CLUSTERED embedding fixture: vector i is cluster
     * (i mod `clusters`)'s pseudo-random center plus `noise`× the original
@@ -96,11 +97,11 @@ object Similarity {
       .persist()
     bucketed.count() // materialize before query-side + corpus-side scans
     val qRow = bucketed.filter(col(idCol) === queryId)
-      .select(col("bucket") +: (0 until planes).map(p => planeProj(col("v"), p)): _*)
+      .select(col("bucket"), lshProjs(col("v"), planes))
       .head()
     val qBucket = qRow.getLong(0)
-    val uncertain = (0 until planes)
-      .map(p => p -> math.abs(qRow.getDouble(p + 1)))
+    val uncertain = qRow.getSeq[Double](1).zipWithIndex
+      .map { case (proj, p) => p -> math.abs(proj) }
       .sortBy(_._2).take(probeDepth).map(_._1)
     val probes = (0 until (1 << probeDepth)).map { mask =>
       uncertain.zipWithIndex.foldLeft(qBucket) { case (b, (p, i)) =>

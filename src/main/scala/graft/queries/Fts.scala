@@ -163,6 +163,53 @@ object Fts extends QueryPack {
       },
       Some(graft.queries.Fts.bm25Oracle)),
 
+    // OR semantics through the SQL surface: fts_match_any over the SAME
+    // registered table — index path semi-joins the ANY postings (distinct
+    // doc ids, no per-doc term-count filter).
+    Q("q_fts_sql_any",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val docsPath = s"$dir/documents.parquet"
+        val ixDir = "/root/repo/target/qtmp/fts_index_sql"
+        graft.fts.Index.write(graft.fts.Index.build(s.read.parquet(docsPath)), ixDir)
+        graft.fts.IndexCatalog.register(docsPath, ixDir)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixany")
+        s.sql("""SELECT doc_id, lang FROM documents_ixany
+                 WHERE fts_match_any(text, 'hyperplane simhash')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents)
+               SELECT doc_id, lang FROM toks
+               WHERE list_contains(t, 'hyperplane') OR list_contains(t, 'simhash')
+               ORDER BY doc_id""")),
+
+    // Incremental index maintenance end-to-end: documents stream in through
+    // a foreachBatch delta-append sink (IncrementalIndex), and BM25 over the
+    // merge-on-read view must equal BM25 over a from-scratch batch index —
+    // the oracle recomputes from the raw table.
+    Q("q_fts_incremental",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/docs_ingest_stream")
+        val ixDir = "/root/repo/target/qtmp/fts_index_incr"
+        // fresh run: the delta log is append-only and checkpointed — stale
+        // deltas from a previous process would double-count
+        val fs = new org.apache.hadoop.fs.Path(ixDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(ixDir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(streamDir.toString), true)
+        java.nio.file.Files.createDirectories(streamDir)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
+        graft.fts.IncrementalIndex.start(docsStream, ixDir).awaitTermination()
+        val ix = graft.fts.IncrementalIndex.read(s, ixDir)
+        Search.scoreBm25(ix, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25Oracle)),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {
