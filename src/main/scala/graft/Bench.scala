@@ -45,10 +45,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     def mrowsPerSec(rows: Long)(body: => Unit): Double = {
       body // warm-up (codegen compile)
-      // best-of-3: the host shows large transient steal/throttle windows;
-      // min time is the machine's actual capability (Spark's own Benchmark
-      // harness reports best time the same way)
-      val best = (1 to 3).map { _ =>
+      // best-of-5: the host shows large transient steal/throttle windows
+      // (observed 4× swings between identical runs minutes apart); min time
+      // is the machine's actual capability (Spark's own Benchmark harness
+      // reports best time the same way)
+      val best = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); body; System.nanoTime() - t0
       }.min
       rows / (best / 1e9) / 1e6

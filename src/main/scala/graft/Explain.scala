@@ -19,8 +19,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q_filter", "q_join_inner", "q_agg", "q_sort_limit",
-        "q_fts_bm25", "q_fts_sql", "q_dedup_minhash", "q_sim_cosine")
+      else Seq("q_filter", "q_join_inner", "q_join_bucketed", "q_agg",
+        "q_sort_limit", "q_fts_bm25", "q_fts_sql", "q_fts_sql_indexed",
+        "q_dedup_minhash", "q_sim_cosine")
     names.foreach { n =>
       println(s"\n================ $n ================")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -175,12 +175,12 @@ object Fts extends QueryPack {
         graft.fts.IndexCatalog.register(docsPath, ixDir)
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixany")
         s.sql("""SELECT doc_id, lang FROM documents_ixany
-                 WHERE fts_match_any(text, 'hyperplane simhash')
+                 WHERE fts_match_any(text, 'vector stream')
                  ORDER BY doc_id""")
       },
       Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents)
                SELECT doc_id, lang FROM toks
-               WHERE list_contains(t, 'hyperplane') OR list_contains(t, 'simhash')
+               WHERE list_contains(t, 'vector') OR list_contains(t, 'stream')
                ORDER BY doc_id""")),
 
     // Incremental index maintenance end-to-end: documents stream in through

@@ -129,6 +129,38 @@ object Pipeline extends QueryPack {
                    (a, b) -> (a*31 + b) % 2147483647) AS fp
                FROM toks ORDER BY doc_id""")),
 
+    // ---- end-to-end curation ------------------------------------------------
+    // The composite the library exists for: quality-filter (token count +
+    // lexical diversity) → exact dedup keeping the lowest doc_id per content
+    // hash → per-language corpus counts. Everything stays declarative, so
+    // Catalyst fuses the quality projection into the scan and both joins are
+    // semi-joins on doc_id.
+    Q("q_pipeline_curate",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = TextStats.qualityStats(docs)
+          .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.4)
+          .select("doc_id")
+        val reps = docs.join(keep, Seq("doc_id"), "left_semi")
+          .groupBy(md5(col("text")).as("content_key"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        docs.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, lang, $DTOKS AS t FROM documents),
+               keep AS (
+                 SELECT doc_id FROM toks
+                 WHERE len(t) >= 20
+                   AND round(len(list_distinct(t))::DOUBLE / len(t), 4) >= 0.4),
+               reps AS (
+                 SELECT min(doc_id) AS doc_id
+                 FROM documents JOIN keep USING (doc_id)
+                 GROUP BY md5(text))
+               SELECT lang, count(*) AS n
+               FROM documents JOIN reps USING (doc_id)
+               GROUP BY lang ORDER BY lang""")),
+
     // ---- multimodal columns -------------------------------------------------
     // Binary payload + typed metadata through the typed mapPartitions decode
     // path (decode itself is a deterministic stub — see Multimodal scaladoc).
