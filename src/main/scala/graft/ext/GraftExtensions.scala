@@ -140,17 +140,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * batches of the outer query won't revisit it). */
   private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String],
                           requireAll: Boolean): LogicalPlan = {
-    import org.apache.spark.sql.functions.{col, count_distinct, lit}
     val spark = org.apache.spark.sql.SparkSession.active
     val postings = spark.read.parquet(s"${entry.indexDir}/postings")
-    val filtered =
-      graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets)
+    // bucket-pruned postings slice, then the same AND/OR match shapes the
+    // library API exposes — one implementation of the match semantics
+    val pruned = graft.fts.FtsIndex(
+      graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets),
+      null, null)
     val ids =
-      if (requireAll)
-        filtered.groupBy("doc_id").agg(count_distinct(col("term")).as("n_terms"))
-          .filter(col("n_terms") === lit(terms.size))
-          .select("doc_id")
-      else filtered.select("doc_id").distinct()
+      if (requireAll) graft.fts.Search.matchAllIds(pruned, terms)
+      else graft.fts.Search.matchAnyIds(pruned, terms)
     ids.queryExecution.optimizedPlan
   }
 
@@ -206,6 +205,15 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else terms.map[Expression](t =>
             ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
           .reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      // NULL query literal: three-valued logic, same as every SQL predicate
+      case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
+      // anything else (non-literal query) would otherwise survive as an
+      // Unevaluable and die in physical planning with an opaque error
+      case m: FtsMatch => throw new IllegalArgumentException(
+        s"fts_match requires a literal query string, got: ${m.right.sql}")
+      case m: FtsMatchAny => throw new IllegalArgumentException(
+        s"fts_match_any requires a literal query string, got: ${m.right.sql}")
     }
   }
 }
@@ -229,6 +237,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
       (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))))
     ext.injectOptimizerRule(_ => RewriteFtsMatch)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotExpr(args(0), args(1))))
   }
 }
 
@@ -250,6 +262,7 @@ object GraftExtensions {
       new FunctionIdentifier("fts_match_any"),
       new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
       (args: Seq[Expression]) => FtsMatchAny(args(0), args(1)))
+    VecKernels.install(spark)
     // post-hoc rule injection isn't part of the public API; the supported
     // path is spark.sql.extensions=graft.ext.GraftExtensions. For harness
     // sessions we fall back to experimental extraOptimizations, which the

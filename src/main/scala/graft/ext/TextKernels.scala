@@ -65,11 +65,17 @@ object TextKernels {
     new GenericArrayData(trimmed)
   }
 
-  /** |a ∩ b| over two sorted long arrays: one sorted-merge pass, no per-row
-    * hash-set allocation (array_intersect builds one per invocation —
-    * measured hot in the dedup verify stage at sf0.1). Union size follows as
-    * |a| + |b| − |a ∩ b|, so Jaccard needs only this kernel. */
+  /** |a ∩ b| over two long-array SETS: one sorted-merge pass when both
+    * inputs are ascending (the layout graft_shingle_hashes emits), no
+    * per-row hash-set allocation (array_intersect builds one per
+    * invocation — measured hot in the dedup verify stage at sf0.1). Union
+    * size follows as |a| + |b| − |a ∩ b|, so Jaccard needs only this
+    * kernel. An out-of-order element (caller fed arrays not built by the
+    * sorting kernel) is detected during the merge and the call falls back
+    * to a hash-set intersection — correct on any input, never silently
+    * undercounts. */
   def intersectCard(a: ArrayData, b: ArrayData): Long = {
+    if (!isAscending(a) || !isAscending(b)) return intersectCardUnsorted(a, b)
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < na && j < nb) {
@@ -78,6 +84,29 @@ object TextKernels {
       else if (x < y) i += 1
       else j += 1
     }
+    c
+  }
+
+  /** One cheap validation pass — a mid-merge order check can exhaust one
+    * side before ever reaching the out-of-order element and silently
+    * undercount, so order is proven before the merge is trusted. */
+  private def isAscending(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 1
+    while (i < n) {
+      if (a.getLong(i) < a.getLong(i - 1)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def intersectCardUnsorted(a: ArrayData, b: ArrayData): Long = {
+    val set = new java.util.HashSet[java.lang.Long](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { set.add(a.getLong(i)); i += 1 }
+    var c = 0L
+    var j = 0
+    while (j < b.numElements()) { if (set.remove(b.getLong(j))) c += 1; j += 1 }
     c
   }
 

@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   */
 object VecKernels {
 
-  /** Left-to-right Σ a(i)·b(i) over two array<double> columns. */
+  /** Left-to-right Σ a(i)·b(i) over two equal-length array<double> columns.
+    * Callers (DotExpr) return NULL on a length mismatch — the same
+    * three-valued behavior as the `zip_with` formulation this replaces
+    * (zip_with pads the short side with nulls, poisoning the sum), so a
+    * ragged embedding row falls out of top-k instead of contributing a
+    * silently-truncated score. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -67,7 +72,10 @@ object VecKernels {
     bucket
   }
 
-  /** Register all kernels on a session's function registry. */
+  /** Register the kernels as SQL functions (the library API in
+    * [[graft.pipeline.Similarity]] builds the expressions directly and
+    * needs no registry; this is the surface for SQL users — installed by
+    * [[GraftExtensions.install]] alongside the fts functions). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
@@ -83,7 +91,8 @@ object VecKernels {
         case Seq(v) => LshProjsExpr(v)
         case Seq(v, Literal(p: Int, IntegerType)) => LshProjsExpr(v, p)
         case args => throw new IllegalArgumentException(
-          s"graft_lsh_projs(vec[, planes]) got ${args.size} args")
+          "graft_lsh_projs(vec[, planes]) needs a literal integer planes arg, got: "
+            + args.map(_.sql).mkString(", "))
       })
     reg.registerFunction(
       new FunctionIdentifier("graft_lsh_bucket"),
@@ -92,7 +101,8 @@ object VecKernels {
         case Seq(v) => LshBucketExpr(v)
         case Seq(v, Literal(p: Int, IntegerType)) => LshBucketExpr(v, p)
         case args => throw new IllegalArgumentException(
-          s"graft_lsh_bucket(vec[, planes]) got ${args.size} args")
+          "graft_lsh_bucket(vec[, planes]) needs a literal integer planes arg, got: "
+            + args.map(_.sql).mkString(", "))
       })
   }
 }
@@ -100,12 +110,19 @@ object VecKernels {
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // also null on length mismatch
   override def prettyName: String = "graft_dot"
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null else VecKernels.dot(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.ext.VecKernels$$.MODULE$$.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.ext.VecKernels$$.MODULE$$.dot($a, $b);
+      }""")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)

@@ -186,9 +186,11 @@ object Search {
     val spark = ix.postings.sparkSession
     import spark.implicits._
     // phrase order as data: idx joins each term occurrence to its slot(s) —
-    // a repeated term simply matches several slots.
+    // a repeated term simply matches several slots. Index.lookup applies
+    // the bucket predicate too, so a persisted positional index
+    // partition-prunes to the phrase terms' buckets here.
     val order = phrase.zipWithIndex.toDF("term", "idx")
-    val slots = ix.postings.filter(col("term").isin(phrase.distinct: _*))
+    val slots = Index.lookup(ix, phrase.distinct)
       .join(broadcast(order), "term")
       .select(col("doc_id"), col("idx"), col("positions"))
     slots.groupBy("doc_id")

@@ -25,8 +25,17 @@ object IndexCatalog {
 
   private val byPath = new ConcurrentHashMap[String, Entry]()
 
-  private def canon(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Scheme-qualified canonical key: `file:///x` and `/x` agree (local paths
+    * default to the file scheme), but distinct filesystems/buckets —
+    * `s3a://bucketA/corpus` vs `s3a://bucketB/corpus` vs `hdfs://nn/corpus`
+    * — stay distinct keys; a bare-path key would silently alias them and
+    * semi-join against the wrong index. */
+  private def canon(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val authority = Option(uri.getAuthority).getOrElse("")
+    s"$scheme://$authority${uri.getPath}"
+  }
 
   def register(tablePath: String, indexDir: String,
                idCol: String = "doc_id", textCol: String = "text",

@@ -96,9 +96,15 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist()
     bucketed.count() // materialize before query-side + corpus-side scans
-    val qRow = bucketed.filter(col(idCol) === queryId)
+    val qRowOpt = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket"), lshProjs(col("v"), planes))
-      .head()
+      .limit(1).collect().headOption
+    if (qRowOpt.isEmpty) {
+      // unknown query id → empty top-k, same contract as bruteForceTopK
+      return bucketed.filter(lit(false))
+        .select(col(idCol), lit(0.0).as("cosim"))
+    }
+    val qRow = qRowOpt.get
     val qBucket = qRow.getLong(0)
     val uncertain = qRow.getSeq[Double](1).zipWithIndex
       .map { case (proj, p) => p -> math.abs(proj) }

@@ -117,6 +117,11 @@ object Fts extends QueryPack {
     Q("q_fts_sql",
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
+        // this query exists to exercise the SCAN lowering — drop any index
+        // registration left by q_fts_sql_indexed/_any (registry order is
+        // arbitrary), else the rewrite would take the semi-join path and
+        // the scan fallback would silently lose its only coverage
+        graft.fts.IndexCatalog.clear()
         Tables(s, dir, "documents").createOrReplaceTempView("documents_fts")
         s.sql("""SELECT doc_id, size(fts_tokenize(text)) AS n_toks
                  FROM documents_fts WHERE fts_match(text, 'spark query')

@@ -69,6 +69,46 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_match with NULL query is null-filtered, not an execution crash") {
+    GraftExtensions.install(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")
+    val n = spark.sql(
+      "SELECT count(*) FROM docs_ext WHERE fts_match(text, NULL)").collect()(0).getLong(0)
+    assert(n == 0)
+    val nAny = spark.sql(
+      "SELECT count(*) FROM docs_ext WHERE fts_match_any(text, NULL)").collect()(0).getLong(0)
+    assert(nAny == 0)
+  }
+
+  test("fts_match with a non-literal query fails with a clear message") {
+    GraftExtensions.install(spark)
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM docs_ext WHERE fts_match(text, lang)").collect()
+    }
+    assert(e.getMessage.contains("literal query string"), e.getMessage)
+  }
+
+  test("graft_dot SQL function: exact dot, null on ragged arrays") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    val ragged = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d))").collect()(0)
+    assert(ragged.isNullAt(0), "length mismatch must be NULL, not a partial sum")
+  }
+
+  test("graft_intersect_card is correct on unsorted input (fallback path)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sorted = new GenericArrayData(Array(1L, 3L, 7L))
+    val unsorted = new GenericArrayData(Array(7L, 1L, 3L))
+    assert(TextKernels.intersectCard(sorted, sorted) == 3)
+    assert(TextKernels.intersectCard(unsorted, sorted) == 3)
+    assert(TextKernels.intersectCard(
+      new GenericArrayData(Array(3L, 1L)), new GenericArrayData(Array(1L, 3L))) == 2)
+  }
+
   test("fts_match with no usable terms is false, not an error") {
     GraftExtensions.install(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")

@@ -49,6 +49,12 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ann).size >= 8, s"recall too low: ${(exact & ann).size}/10")
   }
 
+  test("annTopK with an unknown query id returns empty, same as brute force") {
+    val embFixture = spark.read.parquet(sf("embeddings"))
+    assert(Similarity.annTopK(embFixture, 999999L, 10).collect().isEmpty)
+    assert(Similarity.bruteForceTopK(embFixture, 999999L, 10).collect().isEmpty)
+  }
+
   test("clustered fixture separates clusters (sanity for the ann contract)") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),
