@@ -55,4 +55,31 @@ object Multimodal {
     import spark.implicits._
     decodeStub(toMedia(docs).as[MediaRecord]).toDF()
   }
+
+  /** Frame sampling over a "video" payload: frame i covers bytes
+    * [i·stride, i·stride + frameLen) and yields a rolling checksum — the
+    * shape of real frame extraction (fixed-stride sampling, bounded window
+    * per frame, one row out per frame via flatMap inside mapPartitions so a
+    * real codec handle initializes once per partition). The per-frame
+    * "decode" is the same documented stub as [[decodeOne]]. */
+  def sampleFrames(media: Dataset[MediaRecord], frameLen: Int = 256,
+                   stride: Int = 512): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would happen here (codec handle)
+      it.flatMap { r =>
+        val n = r.bytes.length
+        Iterator.range(0, n, stride).zipWithIndex.map { case (off, idx) =>
+          val end = math.min(off + frameLen, n)
+          var h = 0L
+          var i = off
+          while (i < end) { h = (h * 31 + (r.bytes(i) & 0xff)) % 2147483647L; i += 1 }
+          FrameSample(r.doc_id, idx, h)
+        }
+      }
+    }
+  }
 }
+
+/** One sampled frame: which doc, which frame slot, stub checksum. */
+final case class FrameSample(doc_id: Long, frame_idx: Int, checksum: Long)

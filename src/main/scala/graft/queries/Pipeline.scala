@@ -164,6 +164,27 @@ object Pipeline extends QueryPack {
     // ---- multimodal columns -------------------------------------------------
     // Binary payload + typed metadata through the typed mapPartitions decode
     // path (decode itself is a deterministic stub — see Multimodal scaladoc).
+    // Frame sampling over the "video" payload: fixed-stride windows, one
+    // row per frame (flatMap in mapPartitions — codec init once per
+    // partition); the oracle recomputes every frame checksum from char
+    // ranges (the synthetic text is pure ASCII, so bytes == chars).
+    Q("q_multimodal_frames",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sampleFrames(
+            Multimodal.toMedia(Tables(s, dir, "documents")).as[graft.pipeline.MediaRecord])
+          .toDF().orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH frames AS (
+                SELECT doc_id, unnest(range(0, CAST(ceil(strlen(text) / 512.0) AS BIGINT))) AS frame_idx,
+                       text
+                FROM documents WHERE strlen(text) > 0)
+              SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                list_reduce(list_prepend(0::BIGINT,
+                    [ascii(c)::BIGINT FOR c IN string_split(substring(text, frame_idx*512 + 1, 256), '')]),
+                  (a, b) -> (a*31 + b) % 2147483647) AS checksum
+              FROM frames ORDER BY doc_id, frame_idx""")),
+
     Q("q_multimodal",
       (s, dir) => Multimodal.features(s, Tables(s, dir, "documents"))
         .orderBy("doc_id"),

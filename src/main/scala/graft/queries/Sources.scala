@@ -125,6 +125,24 @@ object Sources extends QueryPack {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Stream-static join: per-micro-batch lookup join against the customer
+    // dimension (no stream state); oracle joins the batch copies.
+    Q("q_stream_join",
+      (s, dir) => StreamOps.runStreamStaticJoin(s, dir),
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY c_mktsegment, event_type
+              ORDER BY c_mktsegment, event_type""")),
+
+    // mapGroupsWithState end-to-end: per-user running (count, max) state —
+    // the snapshot after the single AvailableNow batch equals the batch
+    // aggregate (count/max are fold-order independent, unlike double sums).
+    Q("q_stream_stateful",
+      (s, dir) => StreamOps.runStreamStateful(s, dir),
+      Some("""SELECT user_id, count(*) AS events, max(value) AS max_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // Session windows (Spark 4 capability upgrade — the reference snapshot
     // predates session_window). Batch-mode gap sessions per user; the oracle
     // derives the same sessions with the lag/cumulative-sum islands idiom.

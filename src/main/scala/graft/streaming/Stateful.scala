@@ -7,6 +7,13 @@ final case class UserEvent(user_id: Long, event_type: String, value: Double)
 final case class UserState(events: Long, total: Double)
 final case class UserSnapshot(user_id: Long, events: Long, total: Double)
 
+/** Order-independent per-user state (count + max): every fold order over
+  * the same events yields bit-identical results, so a snapshot can be
+  * hash-compared against a batch oracle — double SUMS cannot (addition
+  * order varies with partitioning). */
+final case class UserMaxState(events: Long, maxValue: Double)
+final case class UserActivity(user_id: Long, events: Long, max_value: Double)
+
 /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState —
   * the Structured-Streaming successor of the reference's DStream
   * `updateStateByKey` (streaming PairDStreamFunctions.scala:397) /
@@ -57,5 +64,23 @@ object Stateful {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         updateUserIfHot(threshold))
+  }
+
+  def updateActivity(id: Long, events: Iterator[UserEvent],
+                     state: GroupState[UserMaxState]): UserActivity = {
+    var s = state.getOption.getOrElse(UserMaxState(0L, Double.NegativeInfinity))
+    events.foreach { e =>
+      s = UserMaxState(s.events + 1, math.max(s.maxValue, e.value))
+    }
+    state.update(s)
+    UserActivity(id, s.events, s.maxValue)
+  }
+
+  /** Per-user running (count, max) — the oracle-comparable stateful shape
+    * (see [[UserMaxState]]). Update mode, like [[runningUserTotals]]. */
+  def runningActivity(events: Dataset[UserEvent]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateActivity)
   }
 }

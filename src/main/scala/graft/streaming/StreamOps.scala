@@ -36,18 +36,10 @@ object StreamOps {
     * `ts` arrives as INT64 nanos (legacy nanosAsLong read); integer-divide
     * to micros — a double division would lose precision at 1.7e18. */
   def runFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
     // FileStreamSource requires a directory to monitor; stage the fixture
     // file into one (in production the source IS a landing directory).
-    val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/events_stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_stream")
     val sink = s"graft_stream_sink_${sinkSeq.incrementAndGet()}"
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val q = windowedAgg(ev).writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
@@ -55,6 +47,71 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(sink).orderBy("w", "event_type")
+  }
+
+  /** Stage the events fixture file into a fresh landing directory and
+    * return the file-stream DataFrame over it (ts normalized to a real
+    * timestamp from the INT64-nanos read). */
+  private def eventsStream(spark: SparkSession, dir: String,
+                           landing: String, copies: Int = 1): org.apache.spark.sql.DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // wipe the landing dir: leftovers from a previous run (other sf dir,
+    // other copy count) would stream extra rows into the sink
+    val fs = new org.apache.hadoop.fs.Path(landing)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(landing), true)
+    val streamDir = java.nio.file.Paths.get(landing)
+    java.nio.file.Files.createDirectories(streamDir)
+    for (i <- 1 to copies) {
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+        streamDir.resolve(s"events_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer) — the standard production lookup-join; Spark
+    * plans it as a per-micro-batch broadcast join with no stream state.
+    * Joined rows land in the sink; aggregation runs in batch over it. */
+  def runStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_join_stream")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val sink = s"graft_sjoin_sink_${sinkSeq.incrementAndGet()}"
+    val q = ev.join(dim, ev("user_id") === dim("c_custkey"))
+      .select(col("event_type"), col("c_mktsegment"), col("value"))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  /** Custom streaming state end-to-end: per-user running (count, max)
+    * through mapGroupsWithState over the file stream; Update mode with a
+    * single AvailableNow batch emits exactly one snapshot per user. */
+  def runStreamStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_state_stream")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+    val sink = s"graft_state_sink_${sinkSeq.incrementAndGet()}"
+    val q = Stateful.runningActivity(ev).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("user_id")
   }
 
   /** Streaming exact dedup under at-least-once delivery: the landing
@@ -68,21 +125,11 @@ object StreamOps {
     * (aggregation runs in batch over the sink — one stateful op per
     * stream). */
   def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/events_dedup_stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    for (copy <- Seq("events_a.parquet", "events_b.parquet")) {
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        streamDir.resolve(copy),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    val deduped =
+      eventsStream(spark, dir, "/root/repo/target/qtmp/events_dedup_stream", copies = 2)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
     val sink = s"graft_dedup_sink_${sinkSeq.incrementAndGet()}"
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val deduped = raw
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("ts", "1 day")
-      .dropDuplicatesWithinWatermark("event_id")
     val q = deduped.writeStream
       .format("memory").queryName(sink)
       .outputMode("append")
