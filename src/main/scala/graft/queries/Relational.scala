@@ -207,6 +207,37 @@ object Relational extends QueryPack {
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Salted join for extreme key skew: the fact side has only 3 distinct
+    // join keys (l_returnflag), so a plain shuffle join sends each key to
+    // ONE reducer. Salting fans each key over 8 shuffle buckets — fact rows
+    // get salt = hash(row key) % 8, the small side is exploded ×8 — and the
+    // join runs on (key, salt). Same rows, 8× the reduce parallelism per
+    // hot key. This is the MANUAL skew lever; AQE's skew-join split is the
+    // automatic one (SCALE.md) — both belong in the toolbox because AQE
+    // only splits at partition granularity after the fact. The merge hint
+    // keeps the demo on the shuffle path (broadcast would dodge the skew).
+    Q("q_join_salted",
+      (s, dir) => {
+        val salts = 8
+        val fact = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(salts)))
+        val dim = s.createDataFrame(Seq(("A", "returned"), ("N", "open"), ("R", "refused")))
+          .toDF("flag", "disposition")
+          .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+        fact.hint("merge")
+          .join(dim, fact("l_returnflag") === dim("flag") && fact("salt") === dim("salt"))
+          .groupBy("disposition")
+          .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("qty"))
+          .orderBy("disposition")
+      },
+      Some("""SELECT disposition, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+              FROM lineitem
+              JOIN (VALUES ('A', 'returned'), ('N', 'open'), ('R', 'refused'))
+                AS dim(flag, disposition) ON l_returnflag = flag
+              GROUP BY disposition ORDER BY disposition""")),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",
