@@ -215,6 +215,35 @@ object Fts extends QueryPack {
       },
       Some(bm25Oracle)),
 
+    // The rest of the incremental lifecycle: fold the delta log into the
+    // canonical bucketed layout (compaction), read it back, and score
+    // through the partition-pruned lookup — results must equal the
+    // from-scratch batch index (same oracle). Depends on q_fts_incremental's
+    // delta log only through its own fresh ingest here.
+    Q("q_fts_compacted",
+      (s, dir) => {
+        val path = s"$dir/documents.parquet"
+        val schema = s.read.parquet(path).schema
+        val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/docs_compact_stream")
+        val deltaDir = "/root/repo/target/qtmp/fts_index_compact_delta"
+        val outDir = "/root/repo/target/qtmp/fts_index_compacted"
+        val fs = new org.apache.hadoop.fs.Path(deltaDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(deltaDir, outDir, streamDir.toString).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        java.nio.file.Files.createDirectories(streamDir)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
+        graft.fts.IncrementalIndex.start(docsStream, deltaDir).awaitTermination()
+        graft.fts.IncrementalIndex.compact(s, deltaDir, outDir)
+        val ix = graft.fts.Index.read(s, outDir)
+        val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))
+        Search.scoreBm25(pruned, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25Oracle)),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {
