@@ -42,9 +42,19 @@ object Multimodal {
     }
   }
 
+  /** The one stub hash: rolling (h·31 + byte) mod 2³¹−1 over a byte range —
+    * shared by whole-payload checksums and frame checksums so the two can
+    * never drift (both oracles re-derive this exact formula). */
+  private[pipeline] def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * 31 + (bytes(i) & 0xff)) % 2147483647L; i += 1 }
+    h
+  }
+
   private[pipeline] def decodeOne(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length.toLong
-    val checksum = r.bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
+    val checksum = hashRange(r.bytes, 0, r.bytes.length)
     val width = (n % 64 + 1).toInt * 16
     val height = (n % 48 + 1).toInt * 16
     MediaFeatures(r.doc_id, r.fmt, n, width, height, checksum)
@@ -70,11 +80,7 @@ object Multimodal {
       it.flatMap { r =>
         val n = r.bytes.length
         Iterator.range(0, n, stride).zipWithIndex.map { case (off, idx) =>
-          val end = math.min(off + frameLen, n)
-          var h = 0L
-          var i = off
-          while (i < end) { h = (h * 31 + (r.bytes(i) & 0xff)) % 2147483647L; i += 1 }
-          FrameSample(r.doc_id, idx, h)
+          FrameSample(r.doc_id, idx, hashRange(r.bytes, off, math.min(off + frameLen, n)))
         }
       }
     }

@@ -15,6 +15,28 @@ object Fts extends QueryPack {
   private val DTOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** Stage the documents fixture into a fresh landing dir and run it
+    * through the foreachBatch delta-append ingest (IncrementalIndex),
+    * wiping the previous run's delta log + checkpoint first (append-only:
+    * stale deltas would double-count). Shared by the merge-on-read and
+    * compaction lifecycle queries. */
+  private def ingestDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+                         landing: String, deltaDir: String): Unit = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val fs = new org.apache.hadoop.fs.Path(deltaDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(deltaDir, landing).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val streamDir = java.nio.file.Paths.get(landing)
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      streamDir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
+    graft.fts.IncrementalIndex.start(docsStream, deltaDir).awaitTermination()
+  }
+
   /** BM25(k1=1.2, b=0.75) over ('spark','query'), reimplemented from scratch
     * in DuckDB — shared by the in-memory and persisted-index variants. */
   private[queries] val bm25Oracle: String =
@@ -194,22 +216,8 @@ object Fts extends QueryPack {
     // the oracle recomputes from the raw table.
     Q("q_fts_incremental",
       (s, dir) => {
-        val path = s"$dir/documents.parquet"
-        val schema = s.read.parquet(path).schema
-        val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/docs_ingest_stream")
         val ixDir = "/root/repo/target/qtmp/fts_index_incr"
-        // fresh run: the delta log is append-only and checkpointed — stale
-        // deltas from a previous process would double-count
-        val fs = new org.apache.hadoop.fs.Path(ixDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(ixDir), true)
-        fs.delete(new org.apache.hadoop.fs.Path(streamDir.toString), true)
-        java.nio.file.Files.createDirectories(streamDir)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          streamDir.resolve("documents.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
-        graft.fts.IncrementalIndex.start(docsStream, ixDir).awaitTermination()
+        ingestDocs(s, dir, "/root/repo/target/qtmp/docs_ingest_stream", ixDir)
         val ix = graft.fts.IncrementalIndex.read(s, ixDir)
         Search.scoreBm25(ix, Seq("spark", "query"), k = 10)
       },
@@ -222,21 +230,12 @@ object Fts extends QueryPack {
     // delta log only through its own fresh ingest here.
     Q("q_fts_compacted",
       (s, dir) => {
-        val path = s"$dir/documents.parquet"
-        val schema = s.read.parquet(path).schema
-        val streamDir = java.nio.file.Paths.get("/root/repo/target/qtmp/docs_compact_stream")
         val deltaDir = "/root/repo/target/qtmp/fts_index_compact_delta"
         val outDir = "/root/repo/target/qtmp/fts_index_compacted"
-        val fs = new org.apache.hadoop.fs.Path(deltaDir)
+        new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        Seq(deltaDir, outDir, streamDir.toString).foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(d), true))
-        java.nio.file.Files.createDirectories(streamDir)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-          streamDir.resolve("documents.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
-        graft.fts.IncrementalIndex.start(docsStream, deltaDir).awaitTermination()
+          .delete(new org.apache.hadoop.fs.Path(outDir), true)
+        ingestDocs(s, dir, "/root/repo/target/qtmp/docs_compact_stream", deltaDir)
         graft.fts.IncrementalIndex.compact(s, deltaDir, outDir)
         val ix = graft.fts.Index.read(s, outDir)
         val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))

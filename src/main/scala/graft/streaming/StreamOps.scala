@@ -111,7 +111,14 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink).orderBy("user_id")
+    // Update mode emits one snapshot per touched user PER BATCH; snapshots
+    // are monotone (count grows, max never shrinks), so folding with max
+    // yields the final state even if the source ever splits into several
+    // micro-batches instead of today's single-file batch.
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(col("events")).as("events"), max(col("max_value")).as("max_value"))
+      .orderBy("user_id")
   }
 
   /** Streaming exact dedup under at-least-once delivery: the landing

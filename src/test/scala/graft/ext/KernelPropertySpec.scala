@@ -10,10 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * from the semantics. Pure JVM — no Spark session needed. */
 class KernelPropertySpec extends AnyFunSuite {
 
-  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit =
-    (0 until n).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(1337L + i)).foreach(f)
+  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    val ran = (0 until n).count { i =>
+      g.apply(Gen.Parameters.default, Seed(1337L + i)) match {
+        case Some(a) => f(a); true
+        case None => false
+      }
     }
+    // a filtered generator must not silently turn the test into a no-op
+    assert(ran >= n / 2, s"generator produced only $ran/$n values")
+  }
 
   private val longSet = Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct)
 
