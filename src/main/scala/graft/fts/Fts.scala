@@ -104,6 +104,18 @@ object Index {
     ix.stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }
 
+  /** One-call provisioning: build the index from the parquet table, persist
+    * it in the bucketed layout, and register the table→index association —
+    * after this, SQL `fts_match`/`fts_match_any` over the table lowers to
+    * the partition-pruned postings semi-join ([[graft.ext.RewriteFtsMatch]]).
+    * Re-running overwrites the index (idempotent refresh). */
+  def createIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                  indexDir: String, idCol: String = "doc_id",
+                  textCol: String = "text", buckets: Int = 64): Unit = {
+    write(build(spark.read.parquet(tablePath), idCol, textCol), indexDir, buckets)
+    IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets)
+  }
+
   def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =
     FtsIndex(
       spark.read.parquet(s"$dir/postings"),

@@ -163,10 +163,8 @@ object Fts extends QueryPack {
     Q("q_fts_sql_indexed",
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
-        val docsPath = s"$dir/documents.parquet"
-        val ixDir = "/root/repo/target/qtmp/fts_index_sql"
-        graft.fts.Index.write(graft.fts.Index.build(s.read.parquet(docsPath)), ixDir)
-        graft.fts.IndexCatalog.register(docsPath, ixDir)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          "/root/repo/target/qtmp/fts_index_sql")
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixq")
         s.sql("""SELECT doc_id, lang FROM documents_ixq
                  WHERE fts_match(text, 'spark query')
@@ -196,10 +194,8 @@ object Fts extends QueryPack {
     Q("q_fts_sql_any",
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
-        val docsPath = s"$dir/documents.parquet"
-        val ixDir = "/root/repo/target/qtmp/fts_index_sql"
-        graft.fts.Index.write(graft.fts.Index.build(s.read.parquet(docsPath)), ixDir)
-        graft.fts.IndexCatalog.register(docsPath, ixDir)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          "/root/repo/target/qtmp/fts_index_sql")
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixany")
         s.sql("""SELECT doc_id, lang FROM documents_ixany
                  WHERE fts_match_any(text, 'vector stream')
