@@ -32,7 +32,13 @@ object TextStats {
         .as("mean_tok_len"),
       round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 4)
         .as("stop_ratio"),
-      ceil(length(col(textCol)).cast("double") / 4.0).cast("long").as("est_bpe_tokens"))
+      ceil(length(col(textCol)).cast("double") / 4.0).cast("long").as("est_bpe_tokens"),
+      // BPE-ish subword count: greedy ≤4-char pieces of alphanumeric runs —
+      // a deterministic regex stand-in for a real subword vocabulary (the
+      // actual BPE merge table is model-specific); cheap, engine-portable,
+      // and tracks true subword counts closely enough for length filters
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]{1,4}"), lit(0)))
+        .cast("long").as("n_bpe_pieces"))
   }
 
   /** N-gram-profile language heuristic: score = stopword density; docs with

@@ -105,7 +105,8 @@ object Pipeline extends QueryPack {
                  round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
                  round(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 4) AS mean_tok_len,
                  round(len(list_filter(t, x -> list_contains(['the','a','an','of','to','and','in','is'], x)))::DOUBLE / len(t), 4) AS stop_ratio,
-                 ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+                 ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))::BIGINT AS n_bpe_pieces
                FROM toks ORDER BY doc_id""")),
 
     Q("q_text_lang",
