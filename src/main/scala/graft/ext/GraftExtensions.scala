@@ -110,9 +110,9 @@ case class FtsMatchAny(left: Expression, right: Expression)
   */
 object RewriteFtsMatch extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.{And, ArrayContains, Attribute, EqualTo, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, Attribute, EqualTo, ExprId, Literal}
   import org.apache.spark.sql.catalyst.plans.LeftSemi
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Project, SubqueryAlias}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import graft.fts.IndexCatalog
 
@@ -120,16 +120,47 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     q.toString.toLowerCase(Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
 
-  /** Registered index for a plan that is (a filter chain over) exactly one
-    * file-source relation, plus the doc-id attribute to semi-join on. */
-  private def indexedTable(child: LogicalPlan): Option[(IndexCatalog.Entry, Attribute)] =
+  /** The base-relation exprId that `attr` (an output of `plan`) carries,
+    * traced through pass-through Projects (direct references and simple
+    * `col AS alias` renames), Filters, and SubqueryAliases. None for
+    * computed expressions or any node this walk doesn't model — name
+    * equality alone is NOT identity: `SELECT upper(title) AS text` must not
+    * be lowered to the text column's postings semi-join. */
+  private def traceToBase(attr: Attribute, plan: LogicalPlan): Option[ExprId] =
+    plan match {
+      case lr: LogicalRelation =>
+        lr.output.find(_.exprId == attr.exprId).map(_.exprId)
+      case p: Project =>
+        p.projectList.find(_.exprId == attr.exprId).flatMap {
+          case a: Attribute => traceToBase(a, p.child)
+          case Alias(a: Attribute, _) => traceToBase(a, p.child)
+          case _ => None
+        }
+      case f: Filter => traceToBase(attr, f.child)
+      case s: SubqueryAlias => traceToBase(attr, s.child)
+      case _ => None
+    }
+
+  /** Registered FRESH index for a plan rooted at exactly one file-source
+    * relation, plus: the child-level attribute that IS the base id column
+    * (semi-join key), and a semantic test for "this attribute IS the base
+    * text column" — both by exprId lineage, never by name. */
+  private def indexedTable(child: LogicalPlan)
+      : Option[(IndexCatalog.Entry, Attribute, Attribute => Boolean)] =
     child.collectLeaves() match {
       case Seq(lr: LogicalRelation) =>
-        (lr.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.headOption
-          case _ => None
-        }).flatMap(p => IndexCatalog.get(p.toString))
-          .flatMap(e => child.output.find(_.name.equalsIgnoreCase(e.idCol)).map((e, _)))
+        for {
+          path <- lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.headOption
+            case _ => None
+          }
+          entry <- IndexCatalog.get(path.toString)
+          baseText <- lr.output.find(_.name.equalsIgnoreCase(entry.textCol))
+          baseIdCol <- lr.output.find(_.name.equalsIgnoreCase(entry.idCol))
+          idAttr <- child.output.find(a =>
+            traceToBase(a, child).contains(baseIdCol.exprId))
+        } yield (entry, idAttr,
+          (a: Attribute) => traceToBase(a, child).contains(baseText.exprId))
       case _ => None
     }
 
@@ -158,13 +189,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     val indexAware = plan.transformUp {
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
-          case Some((entry, idAttr)) =>
+          case Some((entry, idAttr, isBaseText)) =>
             // (query-literal, all-vs-any) per rewritable fts conjunct
             val (fts, rest) = splitConjunctivePredicates(cond).partitionMap {
               case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
-                  if a.name.equalsIgnoreCase(entry.textCol) => Left((q, true))
+                  if isBaseText(a) => Left((q, true))
               case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
-                  if a.name.equalsIgnoreCase(entry.textCol) => Left((q, false))
+                  if isBaseText(a) => Left((q, false))
               case other => Right(other)
             }
             if (fts.isEmpty) f
@@ -224,45 +255,37 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   * `spark.sql.extensions=graft.ext.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("fts_tokenize"),
-      new ExpressionInfo(classOf[FtsTokenize].getName, "fts_tokenize"),
-      (args: Seq[Expression]) => FtsTokenize(args.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("fts_match"),
-      new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
-      (args: Seq[Expression]) => FtsMatch(args(0), args(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("fts_match_any"),
-      new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
-      (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))))
+    GraftExtensions.allFunctions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteFtsMatch)
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotExpr(args(0), args(1))))
   }
 }
 
 object GraftExtensions {
+  /** The complete graft SQL function surface — fts + vector + text kernels.
+    * ONE list feeds both installation paths, so a session built with
+    * `spark.sql.extensions=graft.ext.GraftExtensions` and one patched by
+    * [[install]] expose identical functions. */
+  def allFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (new FunctionIdentifier("fts_tokenize"),
+        new ExpressionInfo(classOf[FtsTokenize].getName, "fts_tokenize"),
+        (args: Seq[Expression]) => FtsTokenize(args.head)),
+      (new FunctionIdentifier("fts_match"),
+        new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
+        (args: Seq[Expression]) => FtsMatch(args(0), args(1))),
+      (new FunctionIdentifier("fts_match_any"),
+        new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
+        (args: Seq[Expression]) => FtsMatchAny(args(0), args(1)))
+    ) ++ VecKernels.functions ++ TextKernels.functions
+
   /** Register the graft functions + rule on an already-built session (the
     * harness receives driver-owned sessions; extensions can't be added
     * post-hoc via builder, but the internals are session-state-local). */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("fts_tokenize"),
-      new ExpressionInfo(classOf[FtsTokenize].getName, "fts_tokenize"),
-      (args: Seq[Expression]) => FtsTokenize(args.head))
-    reg.registerFunction(
-      new FunctionIdentifier("fts_match"),
-      new ExpressionInfo(classOf[FtsMatch].getName, "fts_match"),
-      (args: Seq[Expression]) => FtsMatch(args(0), args(1)))
-    reg.registerFunction(
-      new FunctionIdentifier("fts_match_any"),
-      new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
-      (args: Seq[Expression]) => FtsMatchAny(args(0), args(1)))
-    VecKernels.install(spark)
+    allFunctions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
     // post-hoc rule injection isn't part of the public API; the supported
     // path is spark.sql.extensions=graft.ext.GraftExtensions. For harness
     // sessions we fall back to experimental extraOptimizations, which the

@@ -151,25 +151,28 @@ object TextKernels {
     out
   }
 
+  /** The kernels' SQL function surface — one canonical list shared by every
+    * installation path (see [[VecKernels.functions]] for the rationale). */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args.head)),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinhashSigExpr(args.head)),
+    (new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashExpr(args.head)),
+    (new FunctionIdentifier("graft_intersect_card"),
+      new ExpressionInfo(classOf[IntersectCardExpr].getName, "graft_intersect_card"),
+      (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1))))
+
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("graft_shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
-      (args: Seq[Expression]) => ShingleHashesExpr(args.head))
-    reg.registerFunction(
-      new FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinhashSigExpr(args.head))
-    reg.registerFunction(
-      new FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimhashExpr(args.head))
-    reg.registerFunction(
-      new FunctionIdentifier("graft_intersect_card"),
-      new ExpressionInfo(classOf[IntersectCardExpr].getName, "graft_intersect_card"),
-      (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1)))
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }
 

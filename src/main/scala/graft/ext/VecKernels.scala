@@ -72,20 +72,18 @@ object VecKernels {
     bucket
   }
 
-  /** Register the kernels as SQL functions (the library API in
-    * [[graft.pipeline.Similarity]] builds the expressions directly and
-    * needs no registry; this is the surface for SQL users — installed by
-    * [[GraftExtensions.install]] alongside the fts functions). */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      new FunctionIdentifier("graft_dot"),
+  /** The kernels' SQL function surface, one canonical list consumed by BOTH
+    * installation paths ([[GraftExtensions]] as spark.sql.extensions and
+    * [[GraftExtensions.install]] post-hoc) so the registered surface can't
+    * drift between them. The library API in [[graft.pipeline.Similarity]]
+    * builds the expressions directly and needs no registry. */
+  def functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotExpr(args(0), args(1)))
+      (args: Seq[Expression]) => DotExpr(args(0), args(1))),
     // planes arrives as a literal second argument (an Expression builder has
     // no other channel for a scalar parameter)
-    reg.registerFunction(
-      new FunctionIdentifier("graft_lsh_projs"),
+    (new FunctionIdentifier("graft_lsh_projs"),
       new ExpressionInfo(classOf[LshProjsExpr].getName, "graft_lsh_projs"),
       {
         case Seq(v) => LshProjsExpr(v)
@@ -93,9 +91,8 @@ object VecKernels {
         case args => throw new IllegalArgumentException(
           "graft_lsh_projs(vec[, planes]) needs a literal integer planes arg, got: "
             + args.map(_.sql).mkString(", "))
-      })
-    reg.registerFunction(
-      new FunctionIdentifier("graft_lsh_bucket"),
+      }),
+    (new FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
       {
         case Seq(v) => LshBucketExpr(v)
@@ -103,7 +100,13 @@ object VecKernels {
         case args => throw new IllegalArgumentException(
           "graft_lsh_bucket(vec[, planes]) needs a literal integer planes arg, got: "
             + args.map(_.sql).mkString(", "))
-      })
+      }))
+
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }
 

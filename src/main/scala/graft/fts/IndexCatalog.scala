@@ -20,10 +20,38 @@ object IndexCatalog {
     * columns of the indexed table are the document id / indexed text, and
     * the bucket count the postings were partitioned with (must match the
     * writer's). The rewrite only fires for `fts_match` over `textCol` —
-    * the index carries that column's tokens and no other's. */
-  final case class Entry(indexDir: String, idCol: String, textCol: String, buckets: Int)
+    * the index carries that column's tokens and no other's.
+    * `fingerprint` is the indexed table's file listing at registration time
+    * ([[tableFingerprint]]); [[get]] re-checks it so a table rewritten after
+    * indexing falls back to the scan lowering instead of silently
+    * semi-joining stale postings. */
+  final case class Entry(indexDir: String, idCol: String, textCol: String,
+                         buckets: Int, fingerprint: Long)
 
   private val byPath = new ConcurrentHashMap[String, Entry]()
+
+  /** Order-independent hash of the table's data files (path, length,
+    * mtime) — any rewrite, compaction, append, or delete changes it. One
+    * metadata listing per call: trivial on a filesystem, and on an object
+    * store it is the same LIST the subsequent scan planning issues anyway
+    * (cache with a TTL there if the optimizer-time LIST ever shows up in
+    * profiles). `_`-prefixed bookkeeping files (_SUCCESS) are skipped, same
+    * as Spark's own file-index listing. */
+  def tableFingerprint(tablePath: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var acc = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(
+          s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+        acc ^= (h.toLong << 32) | (Integer.rotateLeft(h, 13).toLong & 0xffffffffL)
+      }
+    }
+    acc
+  }
 
   /** Scheme-qualified canonical key: `file:///x` and `/x` agree (local paths
     * default to the file scheme), but distinct filesystems/buckets —
@@ -40,10 +68,20 @@ object IndexCatalog {
   def register(tablePath: String, indexDir: String,
                idCol: String = "doc_id", textCol: String = "text",
                buckets: Int = 64): Unit =
-    byPath.put(canon(tablePath), Entry(indexDir, idCol, textCol, buckets))
+    byPath.put(canon(tablePath),
+      Entry(indexDir, idCol, textCol, buckets, tableFingerprint(tablePath)))
 
+  /** The entry for `tablePath`, or None if unregistered OR the table's data
+    * files changed since registration (stale index — callers must fall back
+    * to non-index semantics). */
   def get(tablePath: String): Option[Entry] =
-    Option(byPath.get(canon(tablePath)))
+    Option(byPath.get(canon(tablePath))).filter { e =>
+      val fresh = scala.util.Try(tableFingerprint(tablePath) == e.fingerprint)
+        .getOrElse(false)
+      if (!fresh) byPath.remove(canon(tablePath), e) // drop so later queries
+                                                     // skip the re-listing
+      fresh
+    }
 
   def clear(): Unit = byPath.clear()
 }

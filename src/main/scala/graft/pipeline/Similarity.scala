@@ -39,8 +39,9 @@ object Similarity {
     * (then id) for cross-engine reproducibility. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // limit(1): a duplicated query id must not fan out candidates via the join
     val q = emb.filter(col(idCol) === queryId)
-      .select(asDouble(col(vecCol)).as("qv"))
+      .select(asDouble(col(vecCol)).as("qv")).limit(1)
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cosim", round(cosine(asDouble(col(vecCol)), col("qv")), 4))
@@ -89,38 +90,55 @@ object Similarity {
   def annTopK(emb: DataFrame, queryId: Long, k: Int, planes: Int = 12,
               probeDepth: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
     val bucketed = emb
       // explicit count: CPU-bound rows; AQE would coalesce the small shuffle
-      .repartition(emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .withColumn("v", asDouble(col(vecCol)))
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist()
     bucketed.count() // materialize before query-side + corpus-side scans
-    val qRowOpt = bucketed.filter(col(idCol) === queryId)
-      .select(col("bucket"), lshProjs(col("v"), planes))
-      .limit(1).collect().headOption
-    if (qRowOpt.isEmpty) {
-      // unknown query id → empty top-k, same contract as bruteForceTopK
-      return bucketed.filter(lit(false))
-        .select(col(idCol), lit(0.0).as("cosim"))
-    }
-    val qRow = qRowOpt.get
-    val qBucket = qRow.getLong(0)
-    val uncertain = qRow.getSeq[Double](1).zipWithIndex
-      .map { case (proj, p) => p -> math.abs(proj) }
-      .sortBy(_._2).take(probeDepth).map(_._1)
-    val probes = (0 until (1 << probeDepth)).map { mask =>
-      uncertain.zipWithIndex.foldLeft(qBucket) { case (b, (p, i)) =>
-        if ((mask & (1 << i)) != 0) b ^ (1L << p) else b
+    try {
+      val emptyResult = {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          bucketed.schema(idCol),
+          org.apache.spark.sql.types.StructField(
+            "cosim", org.apache.spark.sql.types.DoubleType)))
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       }
-    }.distinct
-    val q = bucketed.filter(col(idCol) === queryId).select(col("v").as("qv"))
-    bucketed.filter(col(idCol) =!= queryId && col("bucket").isin(probes: _*))
-      .crossJoin(broadcast(q))
-      .withColumn("cosim", round(cosine(col("v"), col("qv")), 4))
-      .select(col(idCol), col("cosim"))
-      .orderBy(col("cosim").desc, col(idCol))
-      .limit(k)
+      val qRowOpt = bucketed.filter(col(idCol) === queryId)
+        .select(col("bucket"), lshProjs(col("v"), planes))
+        .limit(1).collect().headOption
+      if (qRowOpt.isEmpty) return emptyResult // unknown id → empty top-k,
+                                              // same contract as bruteForceTopK
+      val qRow = qRowOpt.get
+      val qBucket = qRow.getLong(0)
+      val uncertain = qRow.getSeq[Double](1).zipWithIndex
+        .map { case (proj, p) => p -> math.abs(proj) }
+        .sortBy(_._2).take(probeDepth).map(_._1)
+      val probes = (0 until (1 << probeDepth)).map { mask =>
+        uncertain.zipWithIndex.foldLeft(qBucket) { case (b, (p, i)) =>
+          if ((mask & (1 << i)) != 0) b ^ (1L << p) else b
+        }
+      }.distinct
+      // limit(1): a duplicated query id must not fan out every candidate row
+      // through the crossJoin
+      val q = bucketed.filter(col(idCol) === queryId)
+        .select(col("v").as("qv")).limit(1)
+      val topK = bucketed.filter(col(idCol) =!= queryId && col("bucket").isin(probes: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cosim", round(cosine(col("v"), col("qv")), 4))
+        .select(col(idCol), col("cosim"))
+        .orderBy(col("cosim").desc, col(idCol))
+        .limit(k)
+      // Materialize the ≤ k result rows eagerly (the ANN serving path does
+      // anyway) so the bucketed scratch cache can be released in `finally` —
+      // a lazy return would either recompute after unpersist or pin executor
+      // memory for the session (round-3 advisory).
+      spark.createDataFrame(
+        java.util.Arrays.asList(topK.collect(): _*), topK.schema)
+    } finally bucketed.unpersist()
   }
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,

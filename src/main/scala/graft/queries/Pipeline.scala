@@ -88,10 +88,16 @@ object Pipeline extends QueryPack {
             Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
           .persist() // heavy interpreted zip_with chain; both paths scan it
         clustered.count()
-        val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
-        val ann = Similarity.annTopK(clustered, 0L, 10).select("vec_id")
-        exact.join(ann, "vec_id")
-          .agg((count(lit(1)) >= 8).as("ok"))
+        try {
+          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
+          val ann = Similarity.annTopK(clustered, 0L, 10).select("vec_id")
+          val recall = exact.join(ann, "vec_id")
+            .agg((count(lit(1)) >= 8).as("ok"))
+          // 1 row — materialize eagerly so the fixture cache can be dropped
+          // instead of pinning executor memory for the rest of the session
+          s.createDataFrame(
+            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
+        } finally clustered.unpersist()
       },
       Some("SELECT true AS ok")),
 

@@ -69,6 +69,94 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("index path follows renames but refuses name-only impostors") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_lineage_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_lin_spec")
+      def semiJoins(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        }.size
+
+      // RENAMED text/id columns are still lineage-identical to the base
+      // relation's columns → index path fires and rows match the scan path
+      val renamed = spark.sql(
+        """SELECT id FROM (SELECT doc_id AS id, text AS body FROM docs_lin_spec)
+           WHERE fts_match(body, 'spark query')""")
+      assert(semiJoins(renamed) > 0,
+        s"rename must keep the index path:\n${renamed.queryExecution.optimizedPlan}")
+      val expect = graft.fts.Search.matchAllIds(
+          graft.fts.Index.build(spark.read.parquet(docsPath)), Seq("spark", "query"))
+        .collect().map(_.getLong(0)).toSet
+      assert(renamed.collect().map(_.getLong(0)).toSet == expect)
+
+      // a COMPUTED column merely NAMED "text" must NOT be lowered to the
+      // postings semi-join (the index carries the real text column's tokens)
+      val impostor = spark.sql(
+        """SELECT doc_id FROM (SELECT doc_id, upper(lang) AS text FROM docs_lin_spec)
+           WHERE fts_match(text, 'en')""")
+      assert(semiJoins(impostor) == 0,
+        s"computed impostor column took the index path:\n${impostor.queryExecution.optimizedPlan}")
+      assert(impostor.queryExecution.optimizedPlan.toString.contains("array_contains"),
+        "impostor must fall back to the scan lowering")
+      // and the scan lowering evaluates the impostor's ACTUAL content:
+      // upper('en') tokenizes back to 'en', so rows where lang='en' match
+      val langEn = spark.sql(
+        "SELECT count(*) FROM docs_lin_spec WHERE lang = 'en'").collect()(0).getLong(0)
+      assert(impostor.count() == langEn)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("stale index (table files changed after registration) falls back to scan") {
+    GraftExtensions.install(spark)
+    val tmpTable = "/root/repo/target/ttmp/fts_stale_table"
+    val ixDir = "/root/repo/target/ttmp/fts_stale_index"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.write.mode("overwrite").parquet(tmpTable)
+    graft.fts.Index.createIndex(spark, tmpTable, ixDir)
+    try {
+      spark.read.parquet(tmpTable).createOrReplaceTempView("docs_stale_spec")
+      val before = spark.sql(
+        "SELECT doc_id FROM docs_stale_spec WHERE fts_match(text, 'spark query')")
+      assert(before.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty, "fresh registration must take the index path")
+
+      // rewrite the table: postings are now stale — the rewrite must notice
+      docs.limit(10).write.mode("overwrite").parquet(tmpTable)
+      spark.read.parquet(tmpTable).createOrReplaceTempView("docs_stale_spec")
+      val after = spark.sql(
+        "SELECT doc_id FROM docs_stale_spec WHERE fts_match(text, 'spark query')")
+      assert(after.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.isEmpty, "stale index must NOT be semi-joined")
+      assert(after.queryExecution.optimizedPlan.toString.contains("array_contains"),
+        "stale index must fall back to the scan lowering")
+      assert(graft.fts.IndexCatalog.get(tmpTable).isEmpty,
+        "stale entry must be dropped from the catalog")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("both installation paths expose the identical function surface") {
+    val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
+    assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
+      "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
+      "graft_shingle_hashes", "graft_minhash", "graft_simhash",
+      "graft_intersect_card"))
+    GraftExtensions.install(spark)
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
+    }
+  }
+
   test("fts_match with NULL query is null-filtered, not an execution crash") {
     GraftExtensions.install(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")
