@@ -122,29 +122,39 @@ object Dedup {
       .distinct()
   }
 
-  /** Blocking candidates via RAREST-K blocking keys: each doc blocks only on
-    * its `k` globally-rarest shingles (lowest document frequency, ties by
-    * hash — a deterministic total order shared by all docs), and a pair is a
-    * candidate iff some shingle is in BOTH docs' rarest-k.
+  /** Blocking candidates via PREFIX FILTERING (the AllPairs/PPJoin prefix
+    * principle), EXACT at Jaccard ≥ `threshold`: order every doc's shingles
+    * by the global total order (df ascending, shingle hash as tiebreak —
+    * rarest first, identical on both sides of any pair); a doc with m
+    * shingles blocks on its first L = m − ⌈t·m⌉ + 1 of them. If
+    * J(a,b) ≥ t then |a∩b| ≥ t·max(|a|,|b|), so fewer than L_a elements of
+    * `a` lie outside the intersection — the first L_a elements cannot ALL
+    * be private to `a`, hence some SHARED shingle sits in both prefixes and
+    * the pair collides. Recall is 1.0 by construction (unlike the previous
+    * rarest-k heuristic, whose (1−J)^k bound assumed an independence that
+    * doesn't hold — round-3 advisory); the all-pairs oracle is matched on
+    * every fixture, not just the current one.
     *
-    * Scale math: raw shared-shingle blocking emits Σ_s df(s)² pairs — the
-    * Σdf² blowup that made this strategy 2.3× slower than minhash at sf0.1.
-    * Rarest-k bounds each doc's blocking keys at k, so total key rows are
-    * k·n_docs and a pair must share a MUTUALLY-rare shingle to collide.
-    * Recall: a J ≥ 0.8 pair shares ≥ 80% of its shingle union, and df-rank
-    * is independent of which side a shingle landed on — the miss probability
-    * is ≈ (1−J)^k ≈ 2.6e-6 at k=8. `maxDf` still drops stopword-like
-    * shingles (df cap) before ranking, as the skew guard. */
-  def blockingCandidates(sets: DataFrame, k: Int = 8, maxDf: Long = 1000): DataFrame = {
+    * Scale math: raw shared-shingle blocking emits Σ_s df(s)² pairs. The
+    * prefix bound caps key rows at ~(1−t)·Σ m_d ≈ 20% of the inverted index
+    * at t=0.8, and because the order is df-ascending the prefixes
+    * concentrate on RARE shingles, so the per-shingle df² term collapses
+    * (a stopword-like shingle enters a prefix only for docs with almost no
+    * rarer shingles). No df cap — a cap would reintroduce missed pairs.
+    * df=1 shingles are dropped from keys (no partner to meet), which keeps
+    * exactness: removing elements that sort FIRST only shifts shared
+    * shingles earlier, never out of the L-window computed from the full m. */
+  def blockingCandidates(sets: DataFrame, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val inv = sets.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+    val inv = sets
+      .select(col("doc_id"), size(col("hs")).as("m"), explode(col("hs")).as("s"))
+      .persist()
     inv.count() // scanned twice (df counts + key ranking)
-    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") > 1)
+    val dfs = inv.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > 1)
     val keys = inv.join(dfs, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
       .select("doc_id", "s")
       .persist()
     keys.count() // materialize before the self-join scans it twice
@@ -190,6 +200,6 @@ object Dedup {
 
   def nearDupPairsNgram(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(docs)
-    verifyJaccard(blockingCandidates(sets), sets, threshold)
+    verifyJaccard(blockingCandidates(sets, threshold), sets, threshold)
   }
 }
