@@ -13,7 +13,8 @@ object SparkEntry {
   private def packs: Seq[Q] =
     Relational.queries ++ Scalars.queries ++
       graft.queries.Fts.queries ++ graft.queries.Pipeline.queries ++
-      graft.queries.Sources.queries ++ graft.queries.Extensibility.queries
+      graft.queries.Sources.queries ++ graft.queries.Extensibility.queries ++
+      graft.queries.Temporal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * BM25 full-text top-k — the end-to-end slice that exercises scan →

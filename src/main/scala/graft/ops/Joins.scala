@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the built-in join strategies don't provide
+  * directly, composed so they stay shuffle-bounded at 100 TB.
+  *
+  * Both are declarative compositions (no custom physical operator needed):
+  * the as-of join is a union + window — ONE shuffle on the key, never a
+  * range-predicate join — and the range join is an equi-join on coarse
+  * buckets plus a residual predicate, so it plans as a hash/SMJ join
+  * instead of the BroadcastNestedLoop a raw inequality join would pick.
+  * Pattern references: reference window exec
+  * (sql/core/.../execution/window/WindowExec.scala:37) for the running-
+  * last-value shape, and the reference's join-selection fallback order
+  * (sql/core/.../execution/SparkStrategies.scala:124) for why a bare
+  * inequality predicate must be avoided (it plans as BNLJ).
+  */
+object Joins {
+
+  /** AS-OF JOIN (point-in-time lookup): for every left row, attach the
+    * single latest right row with the same key and `rightTime <=
+    * leftTime`. The classic feature-store/training-pipeline join ("what
+    * was the user's state when the example was created").
+    *
+    * Shape: tag both sides, UNION them, and run one `last_value(...)
+    * IGNORE NULLS` window per attached column ordered by (time, side-tag)
+    * within each key — right rows sort before left rows at equal times, so
+    * an exactly-simultaneous right row IS visible to the left row (the
+    * standard `<=` as-of contract). Then keep only left rows. Cost: ONE
+    * shuffle by key + a per-partition sort — no range predicate ever
+    * reaches a join operator, so there is nothing the planner can turn
+    * into a nested loop, and skew tooling (AQE) sees a plain window agg.
+    *
+    * Right-side dedup: among right rows sharing (key, time) the one with
+    * the greatest `rightTiebreak` wins, making the result deterministic
+    * (needed for oracle hash-compare; real pipelines want it too).
+    *
+    * @param attach right-side columns to carry onto each left row
+    */
+  def asOf(left: DataFrame, leftKey: String, leftTime: String,
+           right: DataFrame, rightKey: String, rightTime: String,
+           rightTiebreak: String, attach: Seq[String]): DataFrame = {
+    // canonical narrow right side: one row per (key, time)
+    val r = right
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(rightKey), col(rightTime))
+          .orderBy(col(rightTiebreak).desc)))
+      .filter(col("_rn") === 1)
+      .select(Seq(col(rightKey).as("_k"), col(rightTime).cast("long").as("_t"),
+        lit(0).as("_side")) ++ attach.map(c => col(c).as(s"_r_$c")): _*)
+
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).cast("long").as("_t"),
+        lit(1).as("_side")) ++ leftCols.map(col): _*)
+
+    // align schemas for the union: left lacks _r_* columns, right lacks the
+    // left payload columns
+    val lAligned = attach.foldLeft(l)((d, c) =>
+      d.withColumn(s"_r_$c", lit(null).cast(r.schema(s"_r_$c").dataType)))
+    val rAligned = leftCols.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    // right rows (_side=0) order before left rows at the same timestamp
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val projections = col("_side") +: (leftCols.map(col) ++
+      attach.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
+        .as(s"asof_$c")))
+    lAligned.unionByName(rAligned)
+      .select(projections: _*)
+      .filter(col("_side") === 1).drop("_side")
+  }
+
+  /** RANGE JOIN (interval containment): all (left, right) pairs with
+    * `right.t` in `[left.lo, left.hi)`, WITHOUT a nested-loop plan: each
+    * left interval explodes into the coarse buckets it overlaps
+    * (`sequence(floor(lo/w), floor((hi-1)/w))` — intervals are expected to
+    * span O(1) buckets at a well-chosen `bucketWidth`), each right point
+    * maps to exactly one bucket, and the join is an EQUI-join on bucket
+    * with the interval predicate left as a residual filter. The planner
+    * sees a plain equi-join (hash/SMJ, AQE-skew-splittable); the fan-out
+    * is bounded by intervals' bucket span, not |left|×|right|.
+    *
+    * Times are compared as longs (caller casts/encodes); `bucketWidth` in
+    * the same unit. */
+  def rangeJoin(left: DataFrame, loCol: String, hiCol: String,
+                right: DataFrame, tCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lb = left
+      .withColumn("_bucket", explode(sequence(
+        floor(col(loCol).cast("long") / bucketWidth),
+        floor((col(hiCol).cast("long") - 1) / bucketWidth))))
+      .filter(col(loCol).cast("long") < col(hiCol).cast("long"))
+    val rb = right.withColumn("_bucket",
+      floor(col(tCol).cast("long") / bucketWidth))
+    lb.join(rb, Seq("_bucket"))
+      .filter(col(tCol).cast("long") >= col(loCol).cast("long") &&
+        col(tCol).cast("long") < col(hiCol).cast("long"))
+      .drop("_bucket")
+  }
+}

@@ -141,6 +141,77 @@ object Similarity {
     } finally bucketed.unpersist()
   }
 
+  /** IVF (inverted-file) top-k — the OTHER standard ANN scale path next to
+    * LSH ([[annTopK]]): the corpus is coarse-quantized into `nlist` cells
+    * (each vector assigned to its nearest centroid), and a query scans only
+    * its `nprobe` nearest cells ≈ nprobe/nlist of the corpus.
+    *
+    * Centroids here are the `nlist` lowest-id corpus vectors — a real
+    * deployment k-means-trains them; centroid QUALITY is orthogonal to the
+    * partition/probe machinery this exercises. They ship to executors as
+    * literal arrays inside the cell-assignment expression (a few KB —
+    * constant-folded, no join, no shuffle for assignment), so at 100 TB the
+    * assignment is a pure map over the corpus and the probe filter
+    * partition-prunes against a cell-partitioned persisted layout exactly
+    * like the FTS postings path. Cell = argmax cosine(v, centroidᵢ),
+    * computed as argmax of dot(v, cᵢ)/‖cᵢ‖ (the ‖v‖ factor is constant
+    * across cells).
+    *
+    * Same serving-path contract as [[annTopK]]: the ≤ k result rows are
+    * materialized eagerly and scratch caches released. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
+              nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    // nlist × dim doubles on the driver — the "trained quantizer" artifact
+    val centroids: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
+    def cellOf(v: Column): Column = {
+      // argmax over the per-cell scaled dot products; array_position on the
+      // max is deterministic (first max wins) and 1-based → cell ids 1..nlist
+      val scores = array(centroids.zip(cNorms).map { case (c, n) =>
+        dot(v, centroidLit(c)) / lit(n)
+      }: _*)
+      array_position(scores, array_max(scores)).cast("int")
+    }
+    val celled = emb
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
+      .withColumn("v", asDouble(col(vecCol)))
+      .withColumn("cell", cellOf(col("v")))
+      .persist()
+    celled.count()
+    try {
+      val qRow = celled.filter(col(idCol) === queryId)
+        .select(col("v")).limit(1).collect().headOption
+      val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+        celled.schema(idCol),
+        org.apache.spark.sql.types.StructField(
+          "cosim", org.apache.spark.sql.types.DoubleType)))
+      if (qRow.isEmpty)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), emptySchema)
+      val qv = qRow.get.getSeq[Double](0).toArray
+      val probes = centroids.zip(cNorms).zipWithIndex
+        .map { case ((c, n), i) =>
+          (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
+        .sortBy(-_._2).take(nprobe).map(_._1)
+      val q = celled.filter(col(idCol) === queryId)
+        .select(col("v").as("qv")).limit(1)
+      val topK = celled
+        .filter(col(idCol) =!= queryId && col("cell").isin(probes: _*))
+        .crossJoin(broadcast(q))
+        .withColumn("cosim", round(cosine(col("v"), col("qv")), 4))
+        .select(col(idCol), col("cosim"))
+        .orderBy(col("cosim").desc, col(idCol))
+        .limit(k)
+      spark.createDataFrame(
+        java.util.Arrays.asList(topK.collect(): _*), topK.schema)
+    } finally celled.unpersist()
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate-limited to LSH bucket collisions (never all-pairs). */
   def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,

@@ -101,6 +101,28 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // IVF — the coarse-quantizer ANN scale path (cells instead of LSH
+    // buckets): same clustered fixture and self-contained recall contract
+    // as q_sim_ann. recall@10 ≥ 0.8 scanning nprobe/nlist = 4/16 of the
+    // corpus' cells.
+    Q("q_sim_ivf",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist() // heavy interpreted zip_with chain; both paths scan it
+        clustered.count()
+        try {
+          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
+          val ivf = Similarity.ivfTopK(clustered, 0L, 10).select("vec_id")
+          val recall = exact.join(ivf, "vec_id")
+            .agg((count(lit(1)) >= 8).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // ---- text analysis ------------------------------------------------------
     Q("q_text_stats",
       (s, dir) => TextStats.qualityStats(Tables(s, dir, "documents"))

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Joins
+
+/** Temporal join operators over the events stream table ([[graft.ops.Joins]]):
+  * as-of (point-in-time lookup) and bucketized range join — the two join
+  * shapes a training-data pipeline needs that no built-in join type covers
+  * directly, each expressed so the planner never sees a raw inequality
+  * predicate (which would plan as BroadcastNestedLoop).
+  *
+  * `ts` arrives as BIGINT epoch-nanos (the fixture's TIMESTAMP(NANOS)
+  * under spark.sql.legacy.parquet.nanosAsLong); DuckDB reads the same
+  * column as a true timestamp, so the oracles work in timestamps and the
+  * outputs stick to id/aggregate columns both engines agree on.
+  */
+object Temporal extends QueryPack {
+
+  def queries: Seq[Q] = Seq(
+
+    // AS-OF: for every click, the same user's latest purchase at-or-before
+    // the click (the feature-store join). One shuffle on user_id — union +
+    // running last_value, never a range-predicate join.
+    Q("q_join_asof",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        Joins.asOf(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            leftKey = "user_id", leftTime = "ts",
+            right = ev.filter(col("event_type") === "purchase"),
+            rightKey = "user_id", rightTime = "ts",
+            rightTiebreak = "event_id",
+            attach = Seq("event_id", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"),
+            round(col("asof_value"), 4).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+                SELECT user_id, ts,
+                  arg_max(event_id, event_id) AS pe_id,
+                  arg_max(value, event_id) AS pe_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts),
+              c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click')
+              SELECT c.event_id, c.user_id,
+                p.pe_id AS asof_event_id,
+                round(p.pe_value, 4) AS asof_value
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts >= p.ts
+              ORDER BY c.event_id""")),
+
+    // RANGE: purchases landing in the hour after each signup (interval
+    // containment, no key). Buckets of one hour → equi-join + residual;
+    // aggregates are order-independent (count/max) so hashes are stable.
+    Q("q_join_range",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+            col("ts").as("lo"), (col("ts") + hourNs).as("hi"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("ts"), col("value"))
+        Joins.rangeJoin(signups, "lo", "hi", purchases, "ts", hourNs)
+          .groupBy("signup_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(max(col("value")), 4).as("max_value"))
+          .orderBy("signup_id")
+      },
+      Some("""SELECT s.event_id AS signup_id, count(*) AS n_purchases,
+                round(max(p.value), 4) AS max_value
+              FROM (SELECT * FROM events WHERE event_type = 'signup') s
+              JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+              GROUP BY s.event_id ORDER BY signup_id"""))
+  )
+}

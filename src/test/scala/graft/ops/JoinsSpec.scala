@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Temporal joins: as-of semantics (<=, tie handling, missing partner) and
+  * bucketized range containment (boundary inclusivity, bucket spanning). */
+class JoinsSpec extends SparkSpec {
+
+  test("asOf attaches the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 15L), (2L, 7L))
+      .toDF("k", "t")
+    val right = Seq((1L, 4L, 100L, 1.0), (1L, 10L, 101L, 2.0), (1L, 12L, 102L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = Joins.asOf(left, "k", "t", right, "k", "t", "rid",
+        attach = Seq("rid", "v"))
+      .orderBy("k", "t")
+      .select("k", "t", "asof_rid", "asof_v")
+      .collect()
+    // t=5 → rid 100; t=10 → rid 101 (equal time IS visible); t=15 → rid 102
+    assert(out(0).getLong(2) == 100L && out(0).getDouble(3) == 1.0)
+    assert(out(1).getLong(2) == 101L && out(1).getDouble(3) == 2.0)
+    assert(out(2).getLong(2) == 102L && out(2).getDouble(3) == 3.0)
+    // key 2 has no right rows → nulls, row kept (left semantics)
+    assert(out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
+
+  test("asOf breaks (key,time) ties by the greatest tiebreak") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 7L, 7.0), (1L, 10L, 9L, 9.0), (1L, 10L, 8L, 8.0))
+      .toDF("k", "t", "rid", "v")
+    val out = Joins.asOf(left, "k", "t", right, "k", "t", "rid",
+      attach = Seq("rid", "v")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("asof_rid") == 9L)
+  }
+
+  test("asOf ignores right rows strictly after the left time") {
+    import spark.implicits._
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq((1L, 4L, 1L, 1.0)).toDF("k", "t", "rid", "v")
+    val out = Joins.asOf(left, "k", "t", right, "k", "t", "rid",
+      attach = Seq("rid", "v")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_rid")))
+  }
+
+  test("rangeJoin is [lo, hi) containment across bucket boundaries") {
+    import spark.implicits._
+    val intervals = Seq((10L, 0L, 10L), (20L, 5L, 15L)).toDF("iid", "lo", "hi")
+    val points = Seq((1L, 3L), (2L, 9L), (3L, 10L), (4L, 14L), (5L, 20L))
+      .toDF("pid", "t")
+    // bucketWidth 4 → every interval spans several buckets; result must be
+    // exactly set containment regardless
+    val got = Joins.rangeJoin(intervals, "lo", "hi", points, "t", 4L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set(
+      (10L, 1L), (10L, 2L),            // [0,10): t=3, 9; t=10 is EXCLUDED
+      (20L, 2L), (20L, 3L), (20L, 4L)) // [5,15): 9, 10, 14
+    assert(got == expect)
+  }
+
+  test("rangeJoin drops empty/inverted intervals instead of exploding") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 10L), (2L, 12L, 8L)).toDF("iid", "lo", "hi")
+    val points = Seq((1L, 10L)).toDF("pid", "t")
+    assert(Joins.rangeJoin(intervals, "lo", "hi", points, "t", 4L).count() == 0)
+  }
+}

@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(embFixture, 999999L, 10).collect().isEmpty)
   }
 
+  test("ivf recall@10 >= 0.8 on the clustered fixture at 4/16 probe cells") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    val exact = Similarity.bruteForceTopK(clustered, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(clustered, 0L, 10).collect().map(_.getLong(0)).toSet
+    clustered.unpersist()
+    assert((exact & ivf).size >= 8, s"recall too low: ${(exact & ivf).size}/10")
+  }
+
+  test("ivfTopK returns at most k rows and empty for an unknown id") {
+    val embFixture = spark.read.parquet(sf("embeddings"))
+    assert(Similarity.ivfTopK(embFixture, 999999L, 10).collect().isEmpty)
+    val rows = Similarity.ivfTopK(embFixture, 0L, 5).collect()
+    assert(rows.length <= 5 && rows.forall(_.getLong(0) != 0L))
+  }
+
   test("clustered fixture separates clusters (sanity for the ann contract)") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),
