@@ -212,6 +212,22 @@ object Similarity {
     } finally celled.unpersist()
   }
 
+  /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the
+    * storage-compression step a 100 TB embedding corpus ships with (4×
+    * smaller than float32; dot products stay rank-preserving to ~1e-2).
+    * NULL for an all-zero/empty vector (nothing to scale). */
+  def quantScale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x)))
+    when(maxAbs > 0.0, lit(127.0) / maxAbs)
+  }
+
+  /** The int8-quantized vector: round(xᵢ·scale) per element (half away from
+    * zero on both Spark and the oracle engine, so codes are reproducible). */
+  def quantizeInt8(vec: Column): Column = {
+    val sc = quantScale(vec)
+    transform(vec, x => round(x * sc).cast("int"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate-limited to LSH bucket collisions (never all-pairs). */
   def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,

@@ -123,6 +123,27 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // Int8 quantization of the embedding column — pure map (no shuffle);
+    // checksum is an exact integer sum, so the oracle hash proves the codes
+    // are bit-reproducible across engines, not just approximately close.
+    Q("q_embed_quant",
+      (s, dir) => {
+        val v = col("embedding").cast("array<double>")
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(Similarity.quantScale(v), 6).as("scale"),
+            aggregate(Similarity.quantizeInt8(v), lit(0L),
+              (acc, q) => acc + q.cast("long")).as("checksum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              sc AS (SELECT vec_id, v,
+                       127.0 / list_max(list_transform(v, x -> abs(x))) AS s
+                     FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0)
+              SELECT vec_id, round(s, 6) AS scale,
+                CAST(list_sum(list_transform(v, x -> CAST(round(x * s) AS BIGINT))) AS BIGINT) AS checksum
+              FROM sc ORDER BY vec_id""")),
+
     // ---- text analysis ------------------------------------------------------
     Q("q_text_stats",
       (s, dir) => TextStats.qualityStats(Tables(s, dir, "documents"))

@@ -38,6 +38,30 @@ object Sources extends QueryPack {
               FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // JDBC source/sink round-trip against EMBEDDED Derby (in /opt/spark/jars
+    // — no network, so the §2.1 JDBC surface is coverable even offline):
+    // write nation through the JDBC sink (Spark's DerbyDialect maps the
+    // types), read it back through the JDBC source, aggregate; the oracle
+    // recomputes straight off the parquet, so any round-trip lossiness
+    // fails the hash. A per-JVM database name keeps concurrent harness
+    // JVMs off each other's Derby boot lock.
+    Q("q_source_jdbc",
+      (s, dir) => {
+        val db = tmp(s"derby_nation_${ProcessHandle.current().pid()}")
+        val url = s"jdbc:derby:$db;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        Tables(s, dir, "nation")
+          .write.mode(SaveMode.Overwrite).jdbc(url, "nation", props)
+        s.read.jdbc(url, "nation", props)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sum_key"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, count(*) AS n,
+              CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // CSV round-trip with explicit schema (no inference nondeterminism).
     Q("q_source_csv",
       (s, dir) => {
