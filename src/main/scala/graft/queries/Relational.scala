@@ -238,6 +238,48 @@ object Relational extends QueryPack {
                 AS dim(flag, disposition) ON l_returnflag = flag
               GROUP BY disposition ORDER BY disposition""")),
 
+    // TPC-H Q5 shape: the 6-table star — fact⋈fact (lineitem⋈orders) rides
+    // join selection (SMJ at scale, AQE re-plans), the dimension chain
+    // (supplier/nation/region) is explicitly broadcast, customer is left to
+    // the planner. Exercises multi-join reordering + broadcast chains, the
+    // bread-and-butter 100 TB warehouse plan. Revenue in exact DECIMAL so
+    // partial-aggregation order can't change the result.
+    Q("q_join_star",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val cust = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region").filter(col("r_regionkey") < 3)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+            .as("revenue"), count(lit(1)).as("n"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+                AND r_regionkey < 3
+              GROUP BY n_name ORDER BY n_name""")),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",

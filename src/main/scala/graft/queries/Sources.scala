@@ -149,6 +149,16 @@ object Sources extends QueryPack {
               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Transactional parquet file sink: stream → filter/project → parquet +
+    // checkpoint (_spark_metadata commit log = exactly-once), read back and
+    // aggregate in batch; oracle recomputes straight off the source.
+    Q("q_stream_sink",
+      (s, dir) => StreamOps.runStreamFileSink(s, dir),
+      Some("""SELECT user_id % 10 AS user_bucket, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY user_bucket""")),
+
     // Stream-static join: per-micro-batch lookup join against the customer
     // dimension (no stream state); oracle joins the batch copies.
     Q("q_stream_join",

@@ -121,6 +121,40 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** Streaming ETL through the TRANSACTIONAL parquet file sink: stream →
+    * filter/project → parquet + checkpoint, then read the output back.
+    * Exactly-once comes from the sink's `_spark_metadata` commit log (the
+    * batch reader lists committed files through it, so a torn task can
+    * never surface partial output) — at 100 TB this is the landing-zone
+    * pattern: no rename-based commit, no duplicate files after retries.
+    * Non-aggregated append keeps the pipeline free of the watermark-
+    * emission coupling (aggregates run in batch over the committed
+    * output). Output + checkpoint dirs are wiped first so the query is
+    * idempotent per run. */
+  def runStreamFileSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/qtmp/events_filesink_out"
+    val ckpt = "/root/repo/target/qtmp/events_filesink_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(out, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_filesink_stream")
+    val q = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("user_id") % 10 as "user_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("user_bucket")
+  }
+
   /** Streaming exact dedup under at-least-once delivery: the landing
     * directory receives the SAME events file twice (duplicate redelivery),
     * and `dropDuplicatesWithinWatermark(event_id)` emits each event exactly

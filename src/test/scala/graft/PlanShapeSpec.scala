@@ -57,4 +57,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
     assert(!plan.contains("LeftSemi"))
   }
+
+  test("q_join_asof plans as window aggregation, never a nested-loop join") {
+    val plan = planOf("q_join_asof")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must not plan a range-predicate join")
+    assert(plan.contains("Window"), "as-of is a running-window fold")
+  }
+
+  test("q_join_range plans as an equi-join with the range as residual") {
+    val plan = planOf("q_join_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketized range join must not plan a nested loop")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket:\n${plan.linesIterator.take(20).mkString("\n")}")
+  }
+
+  test("q_join_star broadcasts the dimension chain, no cartesian anywhere") {
+    val plan = planOf("q_join_star")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "supplier/nation/region must broadcast")
+  }
 }
