@@ -19,7 +19,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq
-      else Seq("q_filter", "q_join_inner", "q_join_bucketed", "q_agg",
+      else Seq("q_filter", "q_join_inner", "q_join_bucketed", "q_join_star",
+        "q_join_asof", "q_join_range", "q_agg",
         "q_sort_limit", "q_fts_bm25", "q_fts_sql", "q_fts_sql_indexed",
         "q_dedup_minhash", "q_sim_cosine")
     names.foreach { n =>

@@ -43,6 +43,10 @@ object Joins {
   def asOf(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
            rightTiebreak: String, attach: Seq[String]): DataFrame = {
+    val reserved = Seq("_k", "_t", "_side", "_rn") ++ attach.map(c => s"_r_$c")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asOf reserves column names ${reserved.mkString(", ")}; left side carries ${clash.mkString(", ")}")
     // canonical narrow right side: one row per (key, time)
     val r = right
       .withColumn("_rn", row_number().over(

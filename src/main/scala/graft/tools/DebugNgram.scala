@@ -25,20 +25,22 @@ object DebugNgram {
       val s = Dedup.shingleSets(docs); s.count(); s
     }
     val inv = time("inv explode+persist") {
-      val i = sets.select(col("doc_id"), explode(col("hs")).as("s")).persist()
+      val i = sets.select(col("doc_id"), size(col("hs")).as("m"),
+        explode(col("hs")).as("s")).persist()
       println(s"[debug]   inv rows = ${i.count()}"); i
     }
     val dfs = time("df counts") {
       val d = inv.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000 && col("df") > 1).persist()
-      println(s"[debug]   rare shingles = ${d.count()}"); d
+        .filter(col("df") > 1).persist()
+      println(s"[debug]   shared shingles = ${d.count()}"); d
     }
-    val keys = time("rarest-k ranking") {
+    val keys = time("prefix-filter ranking") {
       import org.apache.spark.sql.expressions.Window
       val k = inv.join(dfs, "s")
         .withColumn("rn", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-        .filter(col("rn") <= 8).select("doc_id", "s").persist()
+        .filter(col("rn") <= col("m") - ceil(lit(0.8) * col("m")) + 1)
+        .select("doc_id", "s").persist()
       println(s"[debug]   key rows = ${k.count()}"); k
     }
     val cand = time("self-join candidates") {
