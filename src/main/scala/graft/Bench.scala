@@ -100,7 +100,26 @@ object Bench {
         .join(broadcast(dim), "k")
         .agg(sum(col("dv"))).write.format("noop").mode("overwrite").save()
     }
-    val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f}"""
+    // stddev / kurtosis aggregates (AggregateBenchmark.scala:80–90: 83.0 /
+    // 63.0 M rows/s) and single-long-key global sort (SortBenchmark.scala:
+    // 60–90 — range-partition + per-partition radix sort in modern Spark).
+    val nStat = 1L << 26
+    val microStddev = mrowsPerSec(nStat) {
+      spark.range(nStat)
+        .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
+        .groupBy("k").agg(stddev(col("v"))).write.format("noop").mode("overwrite").save()
+    }
+    val microKurtosis = mrowsPerSec(nStat) {
+      spark.range(nStat)
+        .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
+        .groupBy("k").agg(kurtosis(col("v"))).write.format("noop").mode("overwrite").save()
+    }
+    val nSort = 1L << 25
+    val microSort = mrowsPerSec(nSort) {
+      spark.range(nSort).select(xxhash64(col("id")).as("k"))
+        .orderBy("k").write.format("noop").mode("overwrite").save()
+    }
+    val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f,"stddev_agg_mrows":$microStddev%.1f,"kurtosis_agg_mrows":$microKurtosis%.1f,"sort_mrows":$microSort%.1f}"""
 
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -218,6 +218,23 @@ object Search {
       .select("doc_id")
   }
 
+  /** Proximity (NEAR/slop) match over POSITIONAL postings
+    * ([[Index.buildPositional]]): doc_ids where `a` and `b` occur within
+    * `slop` token positions of each other, in either order — the
+    * generalization of phrase matching that position lists exist for
+    * (SURVEY §7 risk 4). The postings filter prunes to the two terms (and
+    * their buckets against the persisted layout) BEFORE the position check;
+    * the pairwise exists runs only on docs containing both terms, arrays of
+    * a few positions each. */
+  def matchNear(ix: FtsIndex, a: String, b: String, slop: Int): DataFrame = {
+    require(slop >= 0, "slop must be non-negative")
+    val pa = Index.lookup(ix, Seq(a)).select(col("doc_id"), col("positions").as("pa"))
+    val pb = Index.lookup(ix, Seq(b)).select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, "doc_id")
+      .filter(exists(col("pa"), p => exists(col("pb"), q => abs(p - q) <= slop)))
+      .select("doc_id")
+  }
+
   /** BM25(k1, b) top-k. Everything after the postings filter is tiny:
     * per-term df is an agg over the filtered postings; corpus stats are one
     * row (broadcast); scores group by doc. Ordering is on the ROUNDED score

@@ -109,6 +109,27 @@ object Fts extends QueryPack {
                WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
                ORDER BY doc_id""")),
 
+    // NEAR/slop proximity over positional postings: 'data' within 3 tokens
+    // of 'query', either order — strictly wider than the adjacent phrase
+    // (q_fts_phrase rows are a subset). Oracle recomputes per-term position
+    // lists and the same pairwise window check; 1-based vs 0-based offsets
+    // cancel in the difference.
+    Q("q_fts_near",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.matchNear(ix, "data", "query", slop = 3).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(pa) > 0 AND len(pb) > 0
+                 AND len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
+               ORDER BY doc_id""")),
+
     // BM25(k1=1.2, b=0.75) top-10; ranking on the rounded score.
     Q("q_fts_bm25",
       (s, dir) => Search.bm25TopK(Tables(s, dir, "documents"),
