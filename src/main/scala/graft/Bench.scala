@@ -114,10 +114,13 @@ object Bench {
         .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
         .groupBy("k").agg(kurtosis(col("v"))).write.format("noop").mode("overwrite").save()
     }
+    // SortBenchmark measures the in-memory sorter kernel (radix on a single
+    // long key), not a range-partitioning exchange — sortWithinPartitions
+    // is the faithful mirror (UnsafeExternalSorter radix path, no shuffle).
     val nSort = 1L << 25
     val microSort = mrowsPerSec(nSort) {
       spark.range(nSort).select(xxhash64(col("id")).as("k"))
-        .orderBy("k").write.format("noop").mode("overwrite").save()
+        .sortWithinPartitions("k").write.format("noop").mode("overwrite").save()
     }
     val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f,"stddev_agg_mrows":$microStddev%.1f,"kurtosis_agg_mrows":$microKurtosis%.1f,"sort_mrows":$microSort%.1f}"""
 

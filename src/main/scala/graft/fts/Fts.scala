@@ -114,6 +114,9 @@ object Index {
                   textCol: String = "text", buckets: Int = 64): Unit = {
     write(build(spark.read.parquet(tablePath), idCol, textCol), indexDir, buckets)
     IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets)
+    // metadata travels with the index: a fresh session can
+    // IndexCatalog.restore(spark, indexDir) instead of rebuilding
+    IndexCatalog.writeMeta(spark, tablePath, indexDir, idCol, textCol, buckets)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =

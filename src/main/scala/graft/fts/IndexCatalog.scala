@@ -71,6 +71,48 @@ object IndexCatalog {
     byPath.put(canon(tablePath),
       Entry(indexDir, idCol, textCol, buckets, tableFingerprint(tablePath)))
 
+  /** Name of the metadata file [[Index.createIndex]] drops inside the index
+    * directory — the association + build-time fingerprint, so a NEW session
+    * can [[restore]] the registration without rebuilding (the warehouse
+    * pattern: index metadata travels with the index, like the reference's
+    * table properties in its external catalog,
+    * sql/hive/.../HiveExternalCatalog.scala:214). */
+  val MetaFile = "_graft_index.properties"
+
+  /** Persist the association alongside the index itself. */
+  def writeMeta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                indexDir: String, idCol: String, textCol: String,
+                buckets: Int): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("tablePath", canon(tablePath))
+    props.setProperty("idCol", idCol)
+    props.setProperty("textCol", textCol)
+    props.setProperty("buckets", buckets.toString)
+    props.setProperty("fingerprint", tableFingerprint(tablePath).toString)
+    val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try props.store(out, "graft index registration")
+    finally out.close()
+  }
+
+  /** Re-register a persisted index from its own metadata file — the stored
+    * BUILD-TIME fingerprint is kept, so if the table changed since the
+    * index was built, [[get]] still detects the staleness and the rewrite
+    * falls back to the scan lowering (re-fingerprinting here would wrongly
+    * bless a stale index as fresh). */
+  def restore(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    byPath.put(props.getProperty("tablePath"),
+      Entry(indexDir, props.getProperty("idCol"), props.getProperty("textCol"),
+        props.getProperty("buckets").toInt,
+        props.getProperty("fingerprint").toLong))
+  }
+
   /** The entry for `tablePath`, or None if unregistered OR the table's data
     * files changed since registration (stale index — callers must fall back
     * to non-index semantics). */

@@ -144,6 +144,29 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("index metadata persists and restores across catalog resets") {
+    val tmpTable = "/root/repo/target/ttmp/fts_restore_table"
+    val ixDir = "/root/repo/target/ttmp/fts_restore_index"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.write.mode("overwrite").parquet(tmpTable)
+    graft.fts.Index.createIndex(spark, tmpTable, ixDir)
+    try {
+      graft.fts.IndexCatalog.clear() // "new session"
+      assert(graft.fts.IndexCatalog.get(tmpTable).isEmpty)
+      graft.fts.IndexCatalog.restore(spark, ixDir)
+      val e = graft.fts.IndexCatalog.get(tmpTable)
+      assert(e.isDefined && e.get.indexDir == ixDir && e.get.buckets == 64)
+
+      // restore keeps the BUILD-TIME fingerprint: a table rewritten after
+      // the build must still read as stale after restore
+      docs.limit(5).write.mode("overwrite").parquet(tmpTable)
+      graft.fts.IndexCatalog.clear()
+      graft.fts.IndexCatalog.restore(spark, ixDir)
+      assert(graft.fts.IndexCatalog.get(tmpTable).isEmpty,
+        "stale table must not restore as fresh")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",

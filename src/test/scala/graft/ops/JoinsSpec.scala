@@ -46,6 +46,31 @@ class JoinsSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_rid")))
   }
 
+  test("asOf matches the naive per-row definition on randomized data") {
+    import spark.implicits._
+    for (seed <- Seq(3, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val leftRows = (0 until 60).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+      val rightRows = (0 until 80).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong, rnd.nextInt(100).toDouble))
+      val left = leftRows.toDF("k", "t", "lid")
+      val right = rightRows.toDF("k", "t", "rid", "v")
+
+      val got = Joins.asOf(left, "k", "t", right, "k", "t", "rid",
+          attach = Seq("rid", "v"))
+        .select("lid", "asof_rid")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+      leftRows.foreach { case (k, t, lid) =>
+        val candidates = rightRows.filter(r => r._1 == k && r._2 <= t)
+        val expect = if (candidates.isEmpty) -1L
+          else candidates.maxBy(r => (r._2, r._3))._3 // latest time, then max tiebreak
+        assert(got(lid) == expect, s"seed $seed lid=$lid k=$k t=$t: got ${got(lid)}, want $expect")
+      }
+    }
+  }
+
   test("rangeJoin is [lo, hi) containment across bucket boundaries") {
     import spark.implicits._
     val intervals = Seq((10L, 0L, 10L), (20L, 5L, 15L)).toDF("iid", "lo", "hi")

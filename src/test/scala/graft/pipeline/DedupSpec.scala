@@ -42,6 +42,51 @@ class DedupSpec extends SparkSpec {
     assert(m == s && s == n)
   }
 
+  test("prefix-filter blocking is EXACT vs brute-force all-pairs Jaccard") {
+    // the property the round-4 rewrite claims: every J >= t pair survives
+    // blocking (recall 1.0), on randomized corpora engineered to contain
+    // true near-dup pairs — not just the fixture
+    import spark.implicits._
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 12).map { i =>
+        (0 until (10 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.length)))
+      }
+      // near-copies: mutate 0-2 words of a base doc (J likely >= 0.8);
+      // plus the base docs themselves (self-pairs excluded by aid < bid)
+      val docsSeq = base.zipWithIndex.flatMap { case (words, i) =>
+        val mutated = words.zipWithIndex.map { case (w, j) =>
+          if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.length)) else w
+        }
+        Seq((i.toLong * 2, words.mkString(" ")), (i.toLong * 2 + 1, mutated.mkString(" ")))
+      }
+      val docsDf = docsSeq.toDF("doc_id", "text")
+
+      def shingles(text: String): Set[String] = {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val byId = docsSeq.toMap.map { case (id, t) => id -> shingles(t) }
+      val ids = byId.keys.toSeq.sorted
+      val expect = (for {
+        a <- ids; b <- ids if a < b
+        sa = byId(a); sb = byId(b)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.8
+      } yield (a, b)).toSet
+      assert(expect.nonEmpty, s"seed $seed generated no true pairs — broken generator")
+
+      val got = Dedup.nearDupPairsNgram(docsDf, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect,
+        s"seed $seed: missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    }
+  }
+
   test("verifyJaccard filters a candidate below threshold") {
     val sets = Dedup.shingleSets(docs)
     import spark.implicits._
