@@ -93,6 +93,22 @@ case class FtsMatchAny(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_phrase(text, 'exact phrase')`: true iff the document contains the
+  * phrase as a contiguous token sequence (the SQL surface of
+  * [[graft.fts.Search.matchPhrase]]). Lowered by [[RewriteFtsMatch]]:
+  * scan path = token-canonical substring containment; index path =
+  * all-terms postings semi-join (cheap candidates) + the same containment
+  * as a residual filter. */
+case class FtsPhrase(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_phrase"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsPhrase =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -119,6 +135,28 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private def queryTerms(q: UTF8String): Seq[String] =
     q.toString.toLowerCase(Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Phrase tokens keep ORDER and REPETITION (unlike [[queryTerms]]). */
+  private def phraseTerms(q: UTF8String): Seq[String] =
+    q.toString.toLowerCase(Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Token-canonical phrase containment over `text`: the space-padded join
+    * of the tokens contains the space-padded phrase — all codegen'd
+    * built-ins, identical semantics to [[graft.fts.Search.matchPhrase]]'s
+    * verification stage. */
+  private def phraseContains(text: Expression, terms: Seq[String]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, Concat, Contains}
+    def s(v: String) = Literal(UTF8String.fromString(v), StringType)
+    val canonical = Concat(Seq(s(" "),
+      ArrayJoin(FtsTokenize(text), s(" "), None), s(" ")))
+    Contains(canonical, s(" " + terms.mkString(" ") + " "))
+  }
+
+  // rewritable-conjunct modes
+  private val ModeAll = 0
+  private val ModeAny = 1
+  private val ModePhrase = 2
 
   /** The base-relation exprId that `attr` (an output of `plan`) carries,
     * traced through pass-through Projects (direct references and simple
@@ -190,25 +228,33 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
           case Some((entry, idAttr, isBaseText)) =>
-            // (query-literal, all-vs-any) per rewritable fts conjunct
+            // (text-attr, query-literal, mode) per rewritable fts conjunct
             val (fts, rest) = splitConjunctivePredicates(cond).partitionMap {
               case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left((q, true))
+                  if isBaseText(a) => Left((a, q, ModeAll))
               case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left((q, false))
+                  if isBaseText(a) => Left((a, q, ModeAny))
+              case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
+                  if isBaseText(a) => Left((a, q, ModePhrase))
               case other => Right(other)
             }
             if (fts.isEmpty) f
             else {
               rewrote = true
               val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
-              fts.foldLeft(base) { case (cur, (q, requireAll)) =>
+              fts.foldLeft(base) { case (cur, (a, q, mode)) =>
                 val terms = queryTerms(q)
                 if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
                 else {
-                  val sub = matchingIds(entry, terms, requireAll)
-                  Join(cur, sub, LeftSemi,
+                  val sub = matchingIds(entry, terms, requireAll = mode != ModeAny)
+                  val joined = Join(cur, sub, LeftSemi,
                     Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
+                  // phrase: postings give the cheap candidate set (all terms
+                  // present); containment is verified as a residual filter
+                  // over the candidates only
+                  if (mode == ModePhrase)
+                    Filter(phraseContains(a, phraseTerms(q)), joined)
+                  else joined
                 }
               }
             }
@@ -236,15 +282,22 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else terms.map[Expression](t =>
             ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
           .reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      case FtsPhrase(text, Literal(q: UTF8String, StringType)) =>
+        val terms = phraseTerms(q)
+        if (terms.isEmpty) Literal.FalseLiteral
+        else phraseContains(text, terms)
       // NULL query literal: three-valued logic, same as every SQL predicate
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsPhrase(_, Literal(null, _)) => Literal(null, BooleanType)
       // anything else (non-literal query) would otherwise survive as an
       // Unevaluable and die in physical planning with an opaque error
       case m: FtsMatch => throw new IllegalArgumentException(
         s"fts_match requires a literal query string, got: ${m.right.sql}")
       case m: FtsMatchAny => throw new IllegalArgumentException(
         s"fts_match_any requires a literal query string, got: ${m.right.sql}")
+      case m: FtsPhrase => throw new IllegalArgumentException(
+        s"fts_phrase requires a literal query string, got: ${m.right.sql}")
     }
   }
 }
@@ -275,7 +328,10 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsMatch(args(0), args(1))),
       (new FunctionIdentifier("fts_match_any"),
         new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
-        (args: Seq[Expression]) => FtsMatchAny(args(0), args(1)))
+        (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))),
+      (new FunctionIdentifier("fts_phrase"),
+        new ExpressionInfo(classOf[FtsPhrase].getName, "fts_phrase"),
+        (args: Seq[Expression]) => FtsPhrase(args(0), args(1)))
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

@@ -196,6 +196,25 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
                ORDER BY doc_id""")),
 
+    // Phrase through the SQL surface over the SAME registered table: the
+    // rewrite lowers fts_phrase to the all-terms postings semi-join (cheap
+    // candidates, partition-pruned) plus a token-canonical containment
+    // RESIDUAL — same rows as q_fts_phrase, same oracle.
+    Q("q_fts_sql_phrase",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          "/root/repo/target/qtmp/fts_index_sql")
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixp")
+        s.sql("""SELECT doc_id FROM documents_ixp
+                 WHERE fts_phrase(text, 'data query')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+               ORDER BY doc_id""")),
+
     // BM25 again, but through the PERSISTED index layout (bucketed parquet
     // postings → partition-pruned lookup) — results must be identical.
     Q("q_fts_bm25_persisted",

@@ -144,6 +144,35 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_phrase: scan and index lowerings agree with the library path") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    spark.read.parquet(docsPath).createOrReplaceTempView("docs_phrase_spec")
+    val expect = graft.fts.Search.matchPhrase(
+        spark.read.parquet(docsPath),
+        graft.fts.Index.build(spark.read.parquet(docsPath)), Seq("data", "query"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // scan path (unregistered): containment lowering, no semi-join
+    val scan = spark.sql(
+      "SELECT doc_id FROM docs_phrase_spec WHERE fts_phrase(text, 'data query')")
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    // index path: candidates via postings semi-join + containment residual
+    val ixDir = "/root/repo/target/ttmp/fts_phrase_spec_index"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      val ix = spark.sql(
+        "SELECT doc_id FROM docs_phrase_spec WHERE fts_phrase(text, 'data query')")
+      assert(ix.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.nonEmpty, "index path must semi-join the postings")
+      assert(ix.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("index metadata persists and restores across catalog resets") {
     val tmpTable = "/root/repo/target/ttmp/fts_restore_table"
     val ixDir = "/root/repo/target/ttmp/fts_restore_index"
@@ -170,6 +199,7 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
+      "fts_phrase",
       "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))
