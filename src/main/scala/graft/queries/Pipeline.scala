@@ -211,6 +211,62 @@ object Pipeline extends QueryPack {
                FROM documents JOIN reps USING (doc_id)
                GROUP BY lang ORDER BY lang""")),
 
+    // The WHOLE library in one query — the canonical LLM-corpus curation
+    // pipeline: quality filter → exact dedup (keep min id per content hash)
+    // → near-dedup (drop any doc with a smaller-id near-dup at J ≥ 0.8;
+    // "local minima" rule = keep-first, deterministic and
+    // transitive-chain-stable) → per-language doc counts + BPE-ish token
+    // budget. Every stage is shuffle-bounded: semi/anti joins on doc_id,
+    // prefix-filter blocking for candidates (never all-pairs). Prefix
+    // filtering (not minhash) on purpose: its recall is EXACTLY 1.0, so the
+    // brute-force all-pairs oracle can never diverge on any fixture —
+    // minhash's 1e-8 band-miss probability is fine in production but is a
+    // latent hash-mismatch in a bit-compare harness.
+    Q("q_pipeline_full",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = TextStats.qualityStats(docs)
+          .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.4)
+          .select("doc_id")
+        val filtered = docs.join(keep, Seq("doc_id"), "left_semi")
+        val exactReps = filtered
+          .groupBy(md5(col("text")).as("content_key"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val stage2 = filtered.join(exactReps, Seq("doc_id"), "left_semi")
+        val dropIds = Dedup.nearDupPairsNgram(stage2, 0.8)
+          .select(col("bid").as("doc_id")).distinct()
+        stage2.join(dropIds, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+              .as("token_budget"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, lang, $DTOKS AS t FROM documents),
+               keep AS (
+                 SELECT doc_id FROM toks
+                 WHERE len(t) >= 20
+                   AND round(len(list_distinct(t))::DOUBLE / len(t), 4) >= 0.4),
+               f AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+               reps AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+               s2 AS (SELECT f.* FROM f JOIN reps USING (doc_id)),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS sgl
+                      FROM toks JOIN s2 USING (doc_id) WHERE len(t) >= 3),
+               pairs AS (
+                 SELECT a.doc_id AS aid, b.doc_id AS bid
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE /
+                       len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+               finals AS (
+                 SELECT * FROM s2
+                 WHERE doc_id NOT IN (SELECT DISTINCT bid FROM pairs))
+               SELECT lang, count(*) AS n_docs,
+                 CAST(sum(ceil(strlen(text) / 4.0)) AS BIGINT) AS token_budget
+               FROM finals GROUP BY lang ORDER BY lang""")),
+
     // ---- multimodal columns -------------------------------------------------
     // Binary payload + typed metadata through the typed mapPartitions decode
     // path (decode itself is a deterministic stub — see Multimodal scaladoc).
