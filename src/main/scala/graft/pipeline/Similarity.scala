@@ -164,23 +164,11 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     // nlist × dim doubles on the driver — the "trained quantizer" artifact
-    val centroids: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
-      .select(asDouble(col(vecCol))).collect()
-      .map(_.getSeq[Double](0).toArray).toSeq
-    val cNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    def centroidLit(c: Array[Double]): Column = array(c.map(lit): _*)
-    def cellOf(v: Column): Column = {
-      // argmax over the per-cell scaled dot products; array_position on the
-      // max is deterministic (first max wins) and 1-based → cell ids 1..nlist
-      val scores = array(centroids.zip(cNorms).map { case (c, n) =>
-        dot(v, centroidLit(c)) / lit(n)
-      }: _*)
-      array_position(scores, array_max(scores)).cast("int")
-    }
+    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
     val celled = emb
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .withColumn("v", asDouble(col(vecCol)))
-      .withColumn("cell", cellOf(col("v")))
+      .withColumn("cell", cellExpr(col("v"), centroids, cNorms))
       .persist()
     celled.count()
     try {
@@ -210,6 +198,72 @@ object Similarity {
       spark.createDataFrame(
         java.util.Arrays.asList(topK.collect(): _*), topK.schema)
     } finally celled.unpersist()
+  }
+
+  /** The "trained quantizer" artifact: nlist centroids (+ norms) — the
+    * nlist lowest-id corpus vectors (selection is orthogonal to the
+    * partition/probe machinery; see [[ivfTopK]]). */
+  private def centroidsOf(emb: DataFrame, nlist: Int, idCol: String,
+                          vecCol: String): (Seq[Array[Double]], Seq[Double]) = {
+    val cs: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    (cs, cs.map(c => math.sqrt(c.map(x => x * x).sum)))
+  }
+
+  /** Cell-assignment column: argmax over per-cell scaled dot products
+    * (1-based, deterministic first-max). */
+  private def cellExpr(v: Column, centroids: Seq[Array[Double]],
+                       cNorms: Seq[Double]): Column = {
+    val scores = array(centroids.zip(cNorms).map { case (c, n) =>
+      dot(v, array(c.map(lit): _*)) / lit(n)
+    }: _*)
+    array_position(scores, array_max(scores)).cast("int")
+  }
+
+  /** Persist the IVF-celled corpus partitioned BY CELL — the layout where a
+    * query's probe set becomes a partition filter, so the scan reads
+    * nprobe/nlist of the files instead of the corpus (the vector analogue
+    * of the FTS bucketed postings layout). Returns the probe-ready reader. */
+  def writeCelled(emb: DataFrame, dir: String, nlist: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
+    emb.withColumn("cell", cellExpr(asDouble(col(vecCol)), centroids, cNorms))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    emb.sparkSession.read.parquet(dir)
+  }
+
+  /** IVF top-k over the PERSISTED celled layout: probes are a literal cell
+    * filter the reader turns into a PARTITION filter — nprobe/nlist of the
+    * files read, corpus never scanned. The query vector is driver-resident
+    * (as in any serving path) and ships as a literal, so the probe is a
+    * single pruned scan + TakeOrderedAndProject. */
+  def ivfTopKPersisted(emb: DataFrame, dir: String, queryId: Long, k: Int,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val celled = writeCelled(emb, dir, nlist, idCol, vecCol)
+    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect().headOption
+    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
+      emb.schema(idCol),
+      org.apache.spark.sql.types.StructField(
+        "cosim", org.apache.spark.sql.types.DoubleType)))
+    if (qRow.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), emptySchema)
+    val qv = qRow.get.getSeq[Double](0).toArray
+    val probes = centroids.zip(cNorms).zipWithIndex
+      .map { case ((c, n), i) =>
+        (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    val qLit = array(qv.map(lit): _*)
+    celled.filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
+      .withColumn("cosim", round(cosine(asDouble(col(vecCol)), qLit), 4))
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the

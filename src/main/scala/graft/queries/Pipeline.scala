@@ -123,6 +123,29 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // IVF over the PERSISTED cell-partitioned layout: the probe set is a
+    // literal partition filter — the scan reads 4/16 of the files, the
+    // corpus is never re-scanned (vector analogue of q_fts_bm25_persisted).
+    // Same clustered fixture + recall contract as q_sim_ivf.
+    Q("q_sim_ivf_persisted",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
+          val ivf = Similarity.ivfTopKPersisted(clustered,
+            "/root/repo/target/qtmp/ivf_cells", 0L, 10).select("vec_id")
+          val recall = exact.join(ivf, "vec_id")
+            .agg((count(lit(1)) >= 8).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // Int8 quantization of the embedding column — pure map (no shuffle);
     // checksum is an exact integer sum, so the oracle hash proves the codes
     // are bit-reproducible across engines, not just approximately close.

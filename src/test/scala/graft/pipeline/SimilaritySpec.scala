@@ -67,6 +67,18 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 8, s"recall too low: ${(exact & ivf).size}/10")
   }
 
+  test("persisted IVF probe partition-prunes to the probe cells") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val df = Similarity.ivfTopKPersisted(emb,
+      "/root/repo/target/ttmp/ivf_spec_cells", 0L, 5)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe must be a partition filter:\n${plan.take(1500)}")
+    val rows = df.collect()
+    assert(rows.length <= 5 && rows.forall(_.getLong(0) != 0L))
+  }
+
   test("ivfTopK returns at most k rows and empty for an unknown id") {
     val embFixture = spark.read.parquet(sf("embeddings"))
     assert(Similarity.ivfTopK(embFixture, 999999L, 10).collect().isEmpty)
