@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.Joins
+import graft.ops.{Fuzzy, Joins}
 
 /** Temporal join operators over the events stream table ([[graft.ops.Joins]]):
   * as-of (point-in-time lookup) and bucketized range join — the two join
@@ -76,6 +76,20 @@ object Temporal extends QueryPack {
               FROM (SELECT * FROM events WHERE event_type = 'signup') s
               JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
                 ON p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
-              GROUP BY s.event_id ORDER BY signup_id"""))
+              GROUP BY s.event_id ORDER BY signup_id""")),
+
+    // FUZZY: all part-name pairs within edit distance 1 via deletion-
+    // neighborhood (FastSS) blocking — equi-join on the variant key,
+    // exact recall, levenshtein verify on candidates only. The oracle is
+    // the brute-force all-pairs distance join.
+    Q("q_join_fuzzy",
+      (s, dir) => Fuzzy.fuzzyJoin1(Tables(s, dir, "part"), "p_partkey", "p_name")
+        .select("aid", "bid", "dist")
+        .orderBy("aid", "bid"),
+      Some("""SELECT a.p_partkey AS aid, b.p_partkey AS bid,
+                levenshtein(a.p_name, b.p_name) AS dist
+              FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 1
+              ORDER BY aid, bid"""))
   )
 }

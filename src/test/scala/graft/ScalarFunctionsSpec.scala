@@ -71,4 +71,21 @@ class ScalarFunctionsSpec extends SparkSpec {
       Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.5), 42L)
     assert(sb.count() > 0 && sb.count() < li.count())
   }
+
+  test("sketch API: bloomFilter membership and countMinSketch bounds") {
+    val li = spark.read.parquet(sf("lineitem"))
+    // Bloom: no false negatives — every present orderkey must test true
+    val bf = li.stat.bloomFilter("l_orderkey", 10000L, 0.03)
+    val present = li.select("l_orderkey").limit(50).collect().map(_.getLong(0))
+    assert(present.forall(bf.mightContain))
+    // Count-min: estimate is an UPPER bound on the true count (one-sided
+    // error), and within eps·N of it with high probability
+    val cms = li.stat.countMinSketch(
+      org.apache.spark.sql.functions.col("l_returnflag"), 0.001, 0.99, 42)
+    val trueA = li.filter(org.apache.spark.sql.functions.col("l_returnflag") === "A").count()
+    val est = cms.estimateCount("A")
+    assert(est >= trueA, s"CMS must never under-count: $est < $trueA")
+    assert(est <= trueA + (0.001 * li.count()).toLong + 1,
+      s"CMS estimate too loose: $est vs $trueA")
+  }
 }

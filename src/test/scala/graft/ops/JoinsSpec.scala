@@ -86,6 +86,32 @@ class JoinsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("fuzzyJoin1 is exact vs brute-force levenshtein on adversarial cases") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "widget"), (2L, "widgets"),  // insertion at end
+      (3L, "widget"),                    // exact dup of 1
+      (4L, "wodget"),                    // substitution mid
+      (5L, "idget"),                     // deletion at front
+      (6L, "gadget"),                    // distance 2 from widget — excluded
+      (7L, ""), (8L, "a"),               // empty/one-char edge
+      (9L, "b"))
+    val df = rows.toDF("id", "s")
+    val got = Fuzzy.fuzzyJoin1(df, "id", "s")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ai, as) <- rows; (bi, bs) <- rows if ai < bi && lev(as, bs) <= 1
+    } yield (ai, bi)).toSet
+    assert(got == expect, s"missed=${expect -- got} extra=${got -- expect}")
+  }
+
   test("rangeJoin drops empty/inverted intervals instead of exploding") {
     import spark.implicits._
     val intervals = Seq((1L, 10L, 10L), (2L, 12L, 8L)).toDF("iid", "lo", "hi")
