@@ -89,3 +89,28 @@ object Multimodal {
 
 /** One sampled frame: which doc, which frame slot, stub checksum. */
 final case class FrameSample(doc_id: Long, frame_idx: Int, checksum: Long)
+
+/** Extracted feature vector: a 16-bin byte histogram per media payload. */
+final case class MediaHistogram(doc_id: Long, hist: Array[Long])
+
+object MultimodalFeatures {
+  /** FEATURE-EXTRACT stage: a fixed-width histogram over the payload bytes
+    * (bin = byte mod 16) through the same per-partition batch shape as the
+    * decode stub — where a real pipeline would run an embedding model or
+    * feature net over the decoded media, this runs the cheapest possible
+    * stand-in whose output an oracle can recompute exactly. One row in,
+    * one fixed-length vector out: the shape that feeds the embedding
+    * column workflows (similarity, quantization) upstream of this file. */
+  def byteHistogram(media: Dataset[MediaRecord]): Dataset[MediaHistogram] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition model/codec init would happen here
+      it.map { r =>
+        val h = new Array[Long](16)
+        var i = 0
+        while (i < r.bytes.length) { h((r.bytes(i) & 0xff) % 16) += 1; i += 1 }
+        MediaHistogram(r.doc_id, h)
+      }
+    }
+  }
+}

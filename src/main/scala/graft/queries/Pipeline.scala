@@ -314,6 +314,30 @@ object Pipeline extends QueryPack {
                   (a, b) -> (a*31 + b) % 2147483647) AS checksum
               FROM frames ORDER BY doc_id, frame_idx""")),
 
+    // Feature-extract stage: 16-bin byte histogram per payload through the
+    // same mapPartitions batch shape (stand-in for a real feature net);
+    // oracle recomputes the histogram from character codes (ASCII fixture:
+    // bytes == chars).
+    Q("q_multimodal_hist",
+      (s, dir) => {
+        import s.implicits._
+        graft.pipeline.MultimodalFeatures.byteHistogram(
+            Multimodal.toMedia(Tables(s, dir, "documents")).as[graft.pipeline.MediaRecord])
+          .toDF()
+          .select(col("doc_id") +:
+            (0 until 16).map(b => col("hist").getItem(b).as(s"h$b")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH codes AS (
+                SELECT doc_id,
+                  [ascii(c) % 16 FOR c IN string_split(text, '')] AS cs
+                FROM documents)
+              SELECT doc_id,
+                """ + (0 until 16).map(b =>
+                  s"CAST(len(list_filter(cs, x -> x = $b)) AS BIGINT) AS h$b")
+                  .mkString(", ") + """
+              FROM codes ORDER BY doc_id""")),
+
     Q("q_multimodal",
       (s, dir) => Multimodal.features(s, Tables(s, dir, "documents"))
         .orderBy("doc_id"),
