@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Components, Dedup, Multimodal, Packing, Similarity, TextStats}
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
   * MinHash+LSH, SimHash, n-gram blocking, embedding), similarity search
@@ -52,6 +52,36 @@ object Pipeline extends QueryPack {
     Q("q_dedup_ngram",
       (s, dir) => Dedup.nearDupPairsNgram(Tables(s, dir, "documents"), 0.8),
       Some(nearDupOracle)),
+
+    // Dedup clustering: near-dup similarity is not transitive, but dedup
+    // policy is ("one doc per connected cluster") — close the verified pairs
+    // into components. Spark side = alternating large-star/small-star
+    // contraction (O(log² n) rounds of groupBy+join, never a driver
+    // union-find); oracle = recursive-CTE reachability ground truth, so the
+    // hash match proves the contraction computes exactly min-reachable-id.
+    Q("q_dedup_cc",
+      (s, dir) => Components.connectedComponents(
+          Dedup.nearDupPairsNgram(Tables(s, dir, "documents"), 0.8))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+               toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+               e AS (SELECT aid AS a, bid AS b FROM p
+                     UNION SELECT bid, aid FROM p),
+               n AS (SELECT DISTINCT a AS id FROM e),
+               reach(id, r) AS (
+                 SELECT id, id FROM n
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+               SELECT id AS doc_id, min(r) AS comp FROM reach
+               GROUP BY id ORDER BY doc_id""")),
 
     Q("q_dedup_embed",
       (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), 0.8),
@@ -289,6 +319,54 @@ object Pipeline extends QueryPack {
                SELECT lang, count(*) AS n_docs,
                  CAST(sum(ceil(strlen(text) / 4.0)) AS BIGINT) AS token_budget
                FROM finals GROUP BY lang ORDER BY lang""")),
+
+    // Deterministic hash-based train/val/test split — reproducible corpus
+    // splits are assignment by content-stable hash, never by RNG (a re-run,
+    // a different executor count, or a different engine must produce the
+    // SAME split; that's why the oracle can hash-match it exactly). Buckets
+    // come from the first md5 hex byte of the id: ≤ 0xc9 → train (~79%),
+    // ≤ 0xe5 → val (~11%), else test (~10%). Pure per-row map — no shuffle
+    // except the final tiny aggregate.
+    Q("q_split_hash",
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            when(h <= "c9", "train").when(h <= "e5", "val").otherwise("test")
+              .as("split"),
+            ceil(length(col("text")).cast("double") / 4.0).cast("long").as("toks"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("token_budget"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH s AS (SELECT lang,
+                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'c9' THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks
+              FROM documents)
+            SELECT split, lang, count(*) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS token_budget
+            FROM s GROUP BY split, lang ORDER BY split, lang""")),
+
+    // Sequence packing into 2048-token training bins. The Spark side is the
+    // DISTRIBUTED two-level prefix sum (range partition → local window →
+    // broadcast offsets — see graft.pipeline.Packing); the oracle states the
+    // same semantics as the naive single-partition global window DuckDB can
+    // afford at oracle scale. Hash equality proves the distributed prefix
+    // sum is exactly the sequential one.
+    Q("q_pipeline_pack",
+      (s, dir) => Packing.packByBudget(Tables(s, dir, "documents"), 2048L),
+      Some("""WITH t AS (SELECT doc_id,
+                CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks FROM documents),
+              c AS (SELECT doc_id, toks,
+                      sum(toks) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM t)
+              SELECT CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+                count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              FROM c GROUP BY 1 ORDER BY 1""")),
 
     // ---- multimodal columns -------------------------------------------------
     // Binary payload + typed metadata through the typed mapPartitions decode

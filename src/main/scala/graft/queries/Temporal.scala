@@ -90,6 +90,41 @@ object Temporal extends QueryPack {
                 levenshtein(a.p_name, b.p_name) AS dist
               FROM part a JOIN part b ON a.p_partkey < b.p_partkey
               WHERE levenshtein(a.p_name, b.p_name) <= 1
-              ORDER BY aid, bid"""))
+              ORDER BY aid, bid""")),
+
+    // FUNNEL: ordered event-sequence matching (first view → first
+    // subsequent click → first subsequent purchase, per user). Each stage
+    // is an equi-join on user_id with the time ordering as a RESIDUAL
+    // filter (the planner keys on user_id; no inequality ever becomes a
+    // BNLJ), and every aggregation shares the user_id shuffle key, so AQE
+    // reuses one exchange layout through the chain. Counts only in the
+    // output — both engines agree on counts, while raw nanos vs timestamp
+    // rendering would not hash-match.
+    Q("q_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                         WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                    WHERE e.event_type = 'click' GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                    JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+              SELECT (SELECT count(*) FROM v) AS n_view,
+                     (SELECT count(*) FROM c) AS n_view_click,
+                     (SELECT count(*) FROM p) AS n_view_click_purchase"""))
   )
 }
