@@ -236,6 +236,27 @@ object Scalars extends QueryPack {
               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2
               FROM events ORDER BY event_id LIMIT 500""")),
 
+    // VARIANT (Spark 4 semi-structured type — capability upgrade over the
+    // reference's string-JSON-only path, like session windows/watermarks):
+    // props parsed ONCE into the binary variant encoding, then typed
+    // variant_get extraction. At scale this is the open-schema column
+    // pattern: parse at ingest, store variant, extract without re-parsing
+    // per query. The oracle reads the same values via DuckDB's JSON path.
+    Q("q_variant",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(pmod(col("k"), lit(10)).as("kmod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("kmod"),
+      Some("""WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                         FROM events)
+              SELECT k % 10 AS kmod, count(*) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k
+              FROM x WHERE k IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")),
+
     // DataFrameNaFunctions (reference DataFrameNaFunctions.scala:44): nulls
     // synthesized via nullif, then drop/fill exercised in one pass.
     Q("q_na",

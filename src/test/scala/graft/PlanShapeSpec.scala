@@ -79,4 +79,52 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       "supplier/nation/region must broadcast")
   }
+
+  test("q_pipeline_pack: the data-path window is partitioned; only offsets use a global window") {
+    val plan = planOf("q_pipeline_pack")
+    // exactly one single-partition window is acceptable — the
+    // #partitions-row offsets frame; the per-row cumsum must be partitioned
+    val globalWindows = "SinglePartition".r.findAllIn(plan).size
+    assert(globalWindows <= 2, // one Exchange node, named at most twice in formatted output
+      s"data-path window must not be single-partition:\n${plan.linesIterator.take(30).mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "offsets must join back via broadcast")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective fact join") {
+    // Spark 4's AQE runtime filters: a selective filter on one join side
+    // injects a bloom-filter semi-filter into the other side's scan. The
+    // size thresholds target cluster scale (10 GB probe side), so lower
+    // them to demonstrate the mechanism at fixture scale — at 100 TB the
+    // defaults fire on their own.
+    val c = spark.conf
+    val prev = (c.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+      c.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+      c.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
+      c.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      // at fixture scale the filtered orders side broadcasts, and the rule
+      // correctly declines (a broadcast join already prunes the probe side
+      // for free) — disable broadcast to get the shuffle-join shape the
+      // rule exists for
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.read.parquet(sf("orders"))
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000)
+      val lineitem = spark.read.parquet(sf("lineitem"))
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain")
+          || plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the probe side:\n${plan.take(2000)}")
+    } finally {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev._1)
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev._2)
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prev._3)
+      c.set("spark.sql.autoBroadcastJoinThreshold", prev._4)
+    }
+  }
 }
