@@ -127,4 +127,40 @@ class PlanShapeSpec extends SparkSpec {
       c.set("spark.sql.autoBroadcastJoinThreshold", prev._4)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // the automatic complement to q_join_salted's manual salting: a hot key
+    // concentrating 75% of the fact rows in one shuffle partition is split
+    // by OptimizeSkewedJoin after the map stage's sizes are known. Detection
+    // thresholds target cluster-scale partitions (256 MB), so lower them to
+    // fixture scale; at 100 TB the defaults fire on their own.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val prev = (c.get("spark.sql.autoBroadcastJoinThreshold", "10MB"),
+      c.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      c.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      val fact = spark.range(200000).select(
+        when(col("id") < 150000, 0L).otherwise(col("id") % 97).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(97).select(col("id").as("k"), (col("id") * 3).as("dv"))
+      // no operator after the join: a downstream requirement on hash
+      // distribution would make AQE decline the split (it won't add a
+      // shuffle to enable one, forceOptimizeSkewedJoin=false)
+      val joined = fact.join(dim, "k")
+      // collect() executes joined's OWN QueryExecution (write would spawn a
+      // fresh one and the inspected plan would never have run)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+        s"expected a runtime skew split:\n${plan.take(1500)}")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev._2)
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev._3)
+    }
+  }
 }
