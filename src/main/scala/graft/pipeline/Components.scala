@@ -45,7 +45,12 @@ object Components {
     var sig = checksum(edges)
     var converged = edges.isEmpty
     var rounds = 0
-    while (!converged && rounds < 64) { // 64 ≫ log²(any corpus); safety bound
+    // O(log² n) proven worst case ≈ 900 rounds at 10⁹ nodes (practice: a
+    // handful). Exhausting the bound means the edge set is STILL
+    // mid-contraction — returning it would hand dropIds a multi-labeled,
+    // non-minimal star set and silently drop wrong documents, so fail loud.
+    val maxRounds = 1024
+    while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nsig = checksum(next)
       converged = nsig == sig
@@ -53,6 +58,9 @@ object Components {
       sig = nsig
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
     // star forest: children point at the root; the root is the component min
     edges.select(col("u").as("doc_id"), col("v").as("comp"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("comp")))

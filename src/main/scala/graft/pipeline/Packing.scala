@@ -24,23 +24,36 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-bin packing summary at `budget` tokens per bin (tokens = the
-    * est_bpe ceil(chars/4) proxy, matching [[TextStats]]): bin id, docs,
-    * token total, id range. A document that straddles a boundary belongs to
-    * the bin where it STARTS (exclusive prefix sum), so bins can overflow by
-    * at most one document — the standard pre-tokenization packing contract
-    * (exact packing happens after real tokenization, inside the loader). */
+  /** Per-bin packing summary at `budget` tokens per bin (tokens =
+    * [[TextStats.estBpeTokens]]): bin id, docs, token total, id range. A
+    * document that straddles a boundary belongs to the bin where it STARTS
+    * (exclusive prefix sum), so bins can overflow by at most one document —
+    * the standard pre-tokenization packing contract (exact packing happens
+    * after real tokenization, inside the loader).
+    *
+    * The local cumsum deliberately runs as an in-partition `mapPartitions`
+    * pass, NOT a `Window.partitionBy(pid)` — RangePartitioning(doc_id)
+    * cannot satisfy a window's ClusteredDistribution(pid), so the window
+    * formulation re-shuffles the whole corpus a second time (hash on pid,
+    * with balls-in-bins skew to boot). The pass is linear, ordered by the
+    * in-partition sort, and keeps the data path at exactly ONE shuffle. */
   def packByBudget(docs: DataFrame, budget: Long, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val local = docs
       .select(col(idCol).as("doc_id"),
-        ceil(length(col(textCol)).cast("double") / 4.0).cast("long").as("toks"))
+        TextStats.estBpeTokens(col(textCol)).as("toks"))
       .repartitionByRange(nPart, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lcum",
-        sum("toks").over(Window.partitionBy("pid").orderBy("doc_id")))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = 0L
+        it.map { case (id, t) => cum += t; (pid, id, t, cum) }
+      }
+      .toDF("pid", "doc_id", "toks", "lcum")
       .persist()
     local.count() // materialize once; scanned by offsets + final join
     val offsets = local.groupBy("pid").agg(sum(col("toks")).as("psum"))

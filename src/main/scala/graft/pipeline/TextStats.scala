@@ -15,6 +15,13 @@ object TextStats {
     * only need SOME closed-class word list, frozen like the token grammar. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
 
+  /** BPE-ish subword token estimate: ceil(chars/4), the classic
+    * bytes-per-token approximation. THE shared definition — quality stats,
+    * token budgeting (q_pipeline_full, q_split_hash), and sequence packing
+    * ([[Packing]]) must all agree or bin/split boundaries silently drift. */
+  def estBpeTokens(textCol: Column): Column =
+    ceil(length(textCol).cast("double") / 4.0).cast("long")
+
   /** Per-doc quality/statistics row:
     * token counts, distinct ratio, mean token length, stopword ratio, and a
     * BPE-ish subword token estimate (chars/4 is the classic approximation;
@@ -32,7 +39,7 @@ object TextStats {
         .as("mean_tok_len"),
       round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 4)
         .as("stop_ratio"),
-      ceil(length(col(textCol)).cast("double") / 4.0).cast("long").as("est_bpe_tokens"),
+      estBpeTokens(col(textCol)).as("est_bpe_tokens"),
       // BPE-ish subword count: greedy ≤4-char pieces of alphanumeric runs —
       // a deterministic regex stand-in for a real subword vocabulary (the
       // actual BPE merge table is model-specific); cheap, engine-portable,

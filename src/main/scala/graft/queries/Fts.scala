@@ -185,7 +185,7 @@ object Fts extends QueryPack {
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
         graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
-          "/root/repo/target/qtmp/fts_index_sql")
+          graft.core.Scratch.dir("fts_index_sql"))
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixq")
         s.sql("""SELECT doc_id, lang FROM documents_ixq
                  WHERE fts_match(text, 'spark query')
@@ -204,7 +204,7 @@ object Fts extends QueryPack {
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
         graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
-          "/root/repo/target/qtmp/fts_index_sql")
+          graft.core.Scratch.dir("fts_index_sql"))
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixp")
         s.sql("""SELECT doc_id FROM documents_ixp
                  WHERE fts_phrase(text, 'data query')
@@ -220,7 +220,7 @@ object Fts extends QueryPack {
     Q("q_fts_bm25_persisted",
       (s, dir) => {
         val ix = graft.fts.Index.build(Tables(s, dir, "documents"))
-        val ixDir = "/root/repo/target/qtmp/fts_index"
+        val ixDir = graft.core.Scratch.dir("fts_index")
         graft.fts.Index.write(ix, ixDir)
         val persisted = graft.fts.Index.read(s, ixDir)
         val pruned = persisted.copy(postings = graft.fts.Index.lookup(persisted, Seq("spark", "query")))
@@ -235,7 +235,7 @@ object Fts extends QueryPack {
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
         graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
-          "/root/repo/target/qtmp/fts_index_sql")
+          graft.core.Scratch.dir("fts_index_sql"))
         Tables(s, dir, "documents").createOrReplaceTempView("documents_ixany")
         s.sql("""SELECT doc_id, lang FROM documents_ixany
                  WHERE fts_match_any(text, 'vector stream')
@@ -252,8 +252,8 @@ object Fts extends QueryPack {
     // the oracle recomputes from the raw table.
     Q("q_fts_incremental",
       (s, dir) => {
-        val ixDir = "/root/repo/target/qtmp/fts_index_incr"
-        ingestDocs(s, dir, "/root/repo/target/qtmp/docs_ingest_stream", ixDir)
+        val ixDir = graft.core.Scratch.dir("fts_index_incr")
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_ingest_stream"), ixDir)
         val ix = graft.fts.IncrementalIndex.read(s, ixDir)
         Search.scoreBm25(ix, Seq("spark", "query"), k = 10)
       },
@@ -266,12 +266,12 @@ object Fts extends QueryPack {
     // delta log only through its own fresh ingest here.
     Q("q_fts_compacted",
       (s, dir) => {
-        val deltaDir = "/root/repo/target/qtmp/fts_index_compact_delta"
-        val outDir = "/root/repo/target/qtmp/fts_index_compacted"
+        val deltaDir = graft.core.Scratch.dir("fts_index_compact_delta")
+        val outDir = graft.core.Scratch.dir("fts_index_compacted")
         new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(outDir), true)
-        ingestDocs(s, dir, "/root/repo/target/qtmp/docs_compact_stream", deltaDir)
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_compact_stream"), deltaDir)
         graft.fts.IncrementalIndex.compact(s, deltaDir, outDir)
         val ix = graft.fts.Index.read(s, outDir)
         val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))

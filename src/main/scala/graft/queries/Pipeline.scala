@@ -167,7 +167,7 @@ object Pipeline extends QueryPack {
         try {
           val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
           val ivf = Similarity.ivfTopKPersisted(clustered,
-            "/root/repo/target/qtmp/ivf_cells", 0L, 10).select("vec_id")
+            graft.core.Scratch.dir("ivf_cells"), 0L, 10).select("vec_id")
           val recall = exact.join(ivf, "vec_id")
             .agg((count(lit(1)) >= 8).as("ok"))
           s.createDataFrame(
@@ -292,8 +292,7 @@ object Pipeline extends QueryPack {
         stage2.join(dropIds, Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
-            sum(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
-              .as("token_budget"))
+            sum(TextStats.estBpeTokens(col("text"))).as("token_budget"))
           .orderBy("lang")
       },
       Some(s"""WITH toks AS (SELECT doc_id, text, lang, $DTOKS AS t FROM documents),
@@ -334,7 +333,7 @@ object Pipeline extends QueryPack {
           .select(col("lang"),
             when(h <= "c9", "train").when(h <= "e5", "val").otherwise("test")
               .as("split"),
-            ceil(length(col("text")).cast("double") / 4.0).cast("long").as("toks"))
+            TextStats.estBpeTokens(col("text")).as("toks"))
           .groupBy("split", "lang")
           .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("token_budget"))
           .orderBy("split", "lang")

@@ -186,13 +186,13 @@ object Relational extends QueryPack {
           .repartition(8, col("l_orderkey"))
           .write.mode("overwrite")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", "/root/repo/target/qtmp/lineitem_bucketed")
+          .option("path", graft.core.Scratch.dir("lineitem_bucketed"))
           .saveAsTable("lineitem_bucketed")
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
           .repartition(8, col("o_orderkey"))
           .write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", "/root/repo/target/qtmp/orders_bucketed")
+          .option("path", graft.core.Scratch.dir("orders_bucketed"))
           .saveAsTable("orders_bucketed")
         val l = s.table("lineitem_bucketed")
         val o = s.table("orders_bucketed")

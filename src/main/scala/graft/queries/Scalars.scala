@@ -252,7 +252,7 @@ object Scalars extends QueryPack {
         .orderBy("kmod"),
       Some("""WITH x AS (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                          FROM events)
-              SELECT k % 10 AS kmod, count(*) AS n,
+              SELECT (k % 10 + 10) % 10 AS kmod, count(*) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k
               FROM x WHERE k IS NOT NULL
               GROUP BY 1 ORDER BY 1""")),

@@ -38,7 +38,7 @@ object StreamOps {
   def runFileStream(spark: SparkSession, dir: String): DataFrame = {
     // FileStreamSource requires a directory to monitor; stage the fixture
     // file into one (in production the source IS a landing directory).
-    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_stream")
+    val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_stream"))
     val sink = s"graft_stream_sink_${sinkSeq.incrementAndGet()}"
     val q = windowedAgg(ev).writeStream
       .format("memory").queryName(sink)
@@ -77,7 +77,7 @@ object StreamOps {
     * plans it as a per-micro-batch broadcast join with no stream state.
     * Joined rows land in the sink; aggregation runs in batch over it. */
   def runStreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_join_stream")
+    val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_join_stream"))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val sink = s"graft_sjoin_sink_${sinkSeq.incrementAndGet()}"
@@ -101,7 +101,7 @@ object StreamOps {
     * single AvailableNow batch emits exactly one snapshot per user. */
   def runStreamStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_state_stream")
+    val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_state_stream"))
       .select(col("user_id"), col("event_type"), col("value"))
       .as[UserEvent]
     val sink = s"graft_state_sink_${sinkSeq.incrementAndGet()}"
@@ -132,13 +132,13 @@ object StreamOps {
     * output). Output + checkpoint dirs are wiped first so the query is
     * idempotent per run. */
   def runStreamFileSink(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/qtmp/events_filesink_out"
-    val ckpt = "/root/repo/target/qtmp/events_filesink_ckpt"
+    val out = graft.core.Scratch.dir("events_filesink_out")
+    val ckpt = graft.core.Scratch.dir("events_filesink_ckpt")
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(out, ckpt).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    val ev = eventsStream(spark, dir, "/root/repo/target/qtmp/events_filesink_stream")
+    val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_filesink_stream"))
     val q = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
       .writeStream
@@ -167,7 +167,7 @@ object StreamOps {
     * stream). */
   def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val deduped =
-      eventsStream(spark, dir, "/root/repo/target/qtmp/events_dedup_stream", copies = 2)
+      eventsStream(spark, dir, graft.core.Scratch.dir("events_dedup_stream"), copies = 2)
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("event_id")
     val sink = s"graft_dedup_sink_${sinkSeq.incrementAndGet()}"

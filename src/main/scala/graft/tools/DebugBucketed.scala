@@ -25,7 +25,7 @@ object DebugBucketed {
         .repartition(8, col("l_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", "/root/repo/target/qtmp/lineitem_bucketed")
+        .option("path", graft.core.Scratch.dir("lineitem_bucketed"))
         .saveAsTable("lineitem_bucketed")
     }
     time("write orders bucketed") {
@@ -34,7 +34,7 @@ object DebugBucketed {
         .repartition(8, col("o_orderkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", "/root/repo/target/qtmp/orders_bucketed")
+        .option("path", graft.core.Scratch.dir("orders_bucketed"))
         .saveAsTable("orders_bucketed")
     }
     time("join + agg") {

@@ -80,13 +80,18 @@ class PlanShapeSpec extends SparkSpec {
       "supplier/nation/region must broadcast")
   }
 
-  test("q_pipeline_pack: the data-path window is partitioned; only offsets use a global window") {
+  test("q_pipeline_pack: one full-data shuffle; cumsum in-partition; offsets broadcast") {
     val plan = planOf("q_pipeline_pack")
-    // exactly one single-partition window is acceptable — the
-    // #partitions-row offsets frame; the per-row cumsum must be partitioned
-    val globalWindows = "SinglePartition".r.findAllIn(plan).size
-    assert(globalWindows <= 2, // one Exchange node, named at most twice in formatted output
-      s"data-path window must not be single-partition:\n${plan.linesIterator.take(30).mkString("\n")}")
+    // the local cumsum must be the mapPartitions pass — a window partitioned
+    // by pid would insert a SECOND full-data Exchange (hashpartitioning(pid))
+    // because RangePartitioning(doc_id) can't satisfy its distribution
+    assert(plan.contains("MapPartitions"), "local cumsum must be in-partition")
+    // exactly ONE Window node — the #partitions-row offsets frame (the
+    // groupBy(pid) offsets aggregate ships nPart partial rows through its
+    // own tiny exchange, which is fine); a second Window would mean the
+    // cumsum regressed to the full-data window-on-pid shape
+    assert(plan.linesIterator.count(_.matches(".*\\(\\d+\\) Window.*")) == 1,
+      s"expected exactly the offsets window:\n${plan.linesIterator.take(30).mkString("\n")}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "offsets must join back via broadcast")
   }

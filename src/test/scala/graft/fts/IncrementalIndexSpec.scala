@@ -12,7 +12,7 @@ class IncrementalIndexSpec extends SparkSpec {
     import sparkS.implicits._
     implicit val sqlCtx = sparkS.sqlContext
 
-    val dir = "/root/repo/target/qtmp/incr_ix_test"
+    val dir = graft.core.Scratch.dir("incr_ix_test")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val input = MemoryStream[(Long, String)]
     val stream = input.toDF().toDF("doc_id", "text")
@@ -36,7 +36,7 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(canon(incr) == canon(batch))
 
     // compaction produces the canonical bucketed layout, scores unchanged
-    val compactDir = "/root/repo/target/qtmp/compact_ix_test"
+    val compactDir = graft.core.Scratch.dir("compact_ix_test")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(compactDir))
     IncrementalIndex.compact(spark, dir, compactDir)
     val persisted = Index.read(spark, compactDir)

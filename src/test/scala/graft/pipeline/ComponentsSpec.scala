@@ -10,8 +10,13 @@ class ComponentsSpec extends SparkSpec {
 
   private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    Components.connectedComponents(pairs.toDF("aid", "bid"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Components.connectedComponents(pairs.toDF("aid", "bid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a node must carry exactly ONE label — a non-converged star set would
+    // emit several, and .toMap alone would silently keep the last
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"multi-labeled output: ${rows.sorted.toSeq}")
+    rows.toMap
   }
 
   /** Reference union-find on the driver. */
