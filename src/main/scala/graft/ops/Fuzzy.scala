@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * a nested loop — and the final `levenshtein ≤ 1` verify runs on
   * candidates only (precision 1.0, recall 1.0 by the argument above).
   *
-  * Scale: key rows = Σ(len+1) ≈ avg_len·n; a hot key (many equal strings)
-  * produces exactly the pairs the RESULT must contain anyway, so the
-  * candidate count is output-bound, not corpus-bound. The reference has
-  * in-engine `levenshtein` (stringExpressions.scala:1100) but no
-  * similarity-join operator — this is the join-shaped completion of it.
+  * Scale: the neighborhood join runs over DISTINCT strings, with id groups
+  * expanded afterward. Equal strings share ALL len+1 variants, so running
+  * the join on raw rows regenerates every duplicate pair ~len times before
+  * dedup (a 64-distinct-name/20k-row corpus produced ~10⁸ candidate rows —
+  * 75 s; restructured: the variant join touches 64 rows and the output
+  * expansion is exactly result-bound). Key rows = Σ(len+1) over distinct
+  * strings; equal-string (dist-0) pairs never enter the join at all — they
+  * expand directly from each string's id group. The reference has in-engine
+  * `levenshtein` (stringExpressions.scala:1100) but no similarity-join
+  * operator — this is the join-shaped completion of it.
   */
 object Fuzzy {
 
@@ -28,20 +33,54 @@ object Fuzzy {
   def fuzzyJoin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    // deletion i (1-based): prefix of length i−1 ++ suffix from i+1.
-    // sequence(1, 0) would count DOWN for the empty string — guard it.
+    // one row per DISTINCT string, carrying its id group (at warehouse
+    // scale this is "write the string dictionary": distinct strings ≪ rows)
+    val strs = base.groupBy(col("s"))
+      .agg(collect_list(col("id")).as("ids"))
+      .persist()
+    strs.count() // scanned by the variant join (twice) and both expansions
+
+    // dist-0 pairs: all id pairs within one string's group — result-bound,
+    // no join (k ids → k(k−1)/2 pairs the output must contain anyway)
+    val eqPairs = strs.filter(size(col("ids")) > 1)
+      .select(col("s"), col("ids"))
+      .withColumn("ida", explode(col("ids")))
+      .withColumn("idb", explode(col("ids")))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("aid"), col("idb").as("bid"),
+        col("s").as("a_s"), col("s").as("b_s"))
+
+    // dist-1 candidates over distinct strings: deletion i (1-based) =
+    // prefix of length i−1 ++ suffix from i+1. sequence(1, 0) would count
+    // DOWN for the empty string — guard it.
     val deletions = transform(sequence(lit(1), length(col("s"))),
       i => concat(substr(col("s"), lit(1), i - 1),
         substr(col("s"), i + 1, length(col("s")))))
-    val variants = base.withColumn("v",
-      explode(when(length(col("s")) === 0, array(col("s")))
-        .otherwise(array_union(array(col("s")), array_distinct(deletions)))))
-    variants.as("a").join(variants.as("b"),
-        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("aid"), col("b.id").as("bid"),
-        col("a.s").as("a_s"), col("b.s").as("b_s"))
+    val variants = strs
+      .select(col("s"),
+        explode(when(length(col("s")) === 0, array(col("s")))
+          .otherwise(array_union(array(col("s")), array_distinct(deletions))))
+          .as("v"))
+    val strPairs = variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("a_s"), col("b.s").as("b_s"))
       .distinct()
+      .filter(levenshtein(col("a_s"), col("b_s")) === 1)
+    // expand each verified string pair to its id-group cross product
+    // (result-bound by definition), restoring aid < bid — the string
+    // columns swap with their ids
+    val nearPairs = strPairs
+      .join(strs.select(col("s").as("a_s"), col("ids").as("a_ids")), "a_s")
+      .join(strs.select(col("s").as("b_s"), col("ids").as("b_ids")), "b_s")
+      .withColumn("ida", explode(col("a_ids")))
+      .withColumn("idb", explode(col("b_ids")))
+      .select(
+        least(col("ida"), col("idb")).as("aid"),
+        greatest(col("ida"), col("idb")).as("bid"),
+        when(col("ida") < col("idb"), col("a_s")).otherwise(col("b_s")).as("a_s"),
+        when(col("ida") < col("idb"), col("b_s")).otherwise(col("a_s")).as("b_s"))
+
+    eqPairs.unionAll(nearPairs)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
-      .filter(col("dist") <= 1)
   }
 }
