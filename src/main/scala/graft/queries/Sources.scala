@@ -169,6 +169,20 @@ object Sources extends QueryPack {
               GROUP BY c_mktsegment, event_type
               ORDER BY c_mktsegment, event_type""")),
 
+    // STREAM-STREAM interval join: clicks ⋈ purchases within the following
+    // hour, watermarked on BOTH sides so join state is evictable — the
+    // event-time range bound is what makes an unbounded two-stream join
+    // finite-state. Inner join ⇒ identical rows to the batch join oracle.
+    Q("q_stream_stream_join",
+      (s, dir) => StreamOps.runStreamStreamJoin(s, dir),
+      Some("""SELECT c.user_id, count(*) AS n,
+              CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+              FROM (SELECT * FROM events WHERE event_type = 'click') c
+              JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+                ON c.user_id = p.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+              GROUP BY c.user_id ORDER BY 1""")),
+
     // mapGroupsWithState end-to-end: per-user running (count, max) state —
     // the snapshot after the single AvailableNow batch equals the batch
     // aggregate (count/max are fold-order independent, unlike double sums).

@@ -96,6 +96,43 @@ object StreamOps {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** STREAM-STREAM interval join — the capability the stream-static lookup
+    * can't cover: both sides arrive over time, so the join keeps per-side
+    * state and the event-time range condition + watermarks bound it (a
+    * click's state is droppable once the purchase-side watermark passes
+    * c_ts + 1 hour — without the range bound the state grows forever).
+    * Inner join: emitted rows are exactly the batch join's rows, so the
+    * DuckDB batch oracle applies directly. */
+  def runStreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks =
+      eventsStream(spark, dir, graft.core.Scratch.dir("events_ssj_clicks"))
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    val purchases =
+      eventsStream(spark, dir, graft.core.Scratch.dir("events_ssj_purchases"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val sink = s"graft_ssj_sink_${sinkSeq.incrementAndGet()}"
+    val q = joined.select(col("c_user"), col("value"))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .orderBy("user_id")
+  }
+
   /** Custom streaming state end-to-end: per-user running (count, max)
     * through mapGroupsWithState over the file stream; Update mode with a
     * single AvailableNow batch emits exactly one snapshot per user. */
