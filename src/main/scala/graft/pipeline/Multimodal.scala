@@ -85,10 +85,39 @@ object Multimodal {
       }
     }
   }
+
+  /** RESIZE stage: stride-downsample the payload to ≤ `target` bytes
+    * (stride k = ⌈n/target⌉, keep bytes 0, k, 2k, …) — the deterministic
+    * stand-in for an image resample (a real deployment decodes, resamples
+    * pixels, re-encodes; the sampling/batch shape is identical). Emits the
+    * resized size and the stub rolling checksum over the KEPT bytes so the
+    * oracle can recompute the exact resampled content. */
+  def resize(media: Dataset[MediaRecord], target: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition resampler init would happen here
+      it.map { r =>
+        val n = r.bytes.length
+        val k = math.max(1, math.ceil(n.toDouble / target).toInt)
+        var h = 0L
+        var cnt = 0
+        var i = 0
+        while (i < n) {
+          h = (h * 31 + (r.bytes(i) & 0xff)) % 2147483647L
+          cnt += 1
+          i += k
+        }
+        ResizedMedia(r.doc_id, n.toLong, cnt, h)
+      }
+    }
+  }
 }
 
 /** One sampled frame: which doc, which frame slot, stub checksum. */
 final case class FrameSample(doc_id: Long, frame_idx: Int, checksum: Long)
+
+/** A resized payload: original size, kept-byte count, stub checksum. */
+final case class ResizedMedia(doc_id: Long, n_in: Long, n_out: Int, checksum: Long)
 
 /** Extracted feature vector: a 16-bin byte histogram per media payload. */
 final case class MediaHistogram(doc_id: Long, hist: Array[Long])

@@ -415,6 +415,27 @@ object Pipeline extends QueryPack {
                   .mkString(", ") + """
               FROM codes ORDER BY doc_id""")),
 
+    // Resize stage: stride-downsample each payload to ≤ 64 kept bytes
+    // (stride ⌈n/64⌉) through the same batched decode path; the oracle
+    // recomputes the kept-byte rolling checksum from char codes (ASCII
+    // fixture: bytes == chars).
+    Q("q_multimodal_resize",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resize(
+            Multimodal.toMedia(Tables(s, dir, "documents")).as[graft.pipeline.MediaRecord])
+          .toDF().orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n,
+                GREATEST(1, CAST(ceil(strlen(text) / 64.0) AS INTEGER)) AS k, text
+              FROM documents)
+              SELECT doc_id, CAST(n AS BIGINT) AS n_in,
+                CAST(len(range(1, n + 1, k)) AS INTEGER) AS n_out,
+                list_reduce(list_prepend(0::BIGINT,
+                    [ascii(text[i])::BIGINT FOR i IN range(1, n + 1, k)]),
+                  (a, b) -> (a*31 + b) % 2147483647) AS checksum
+              FROM m ORDER BY doc_id""")),
+
     Q("q_multimodal",
       (s, dir) => Multimodal.features(s, Tables(s, dir, "documents"))
         .orderBy("doc_id"),
