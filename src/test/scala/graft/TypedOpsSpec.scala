@@ -62,4 +62,27 @@ class TypedOpsSpec extends SparkSpec {
     val show = spark.sql("SHOW FUNCTIONS LIKE 'approx*'").collect().map(_.getString(0))
     assert(show.contains("approx_count_distinct"))
   }
+
+  test("ANALYZE TABLE feeds CBO statistics the optimizer can read") {
+    // the reference's AnalyzeTableCommand (AnalyzeTableCommand.scala:35)
+    // populated sizeInBytes for broadcast decisions; Spark 4's CBO adds row
+    // counts and column stats. Catalog-table DDL + ANALYZE → stats visible
+    // on the optimized plan — what drives join-side selection at scale.
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    spark.read.parquet(sf("nation")).write.saveAsTable("nation_stats")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      // row counts surface in plan statistics only under CBO
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+      val stats = spark.table("nation_stats").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"stats: $stats")
+      val described = spark.sql("DESCRIBE EXTENDED nation_stats n_nationkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(described.get("distinct_count").contains("25"), described)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS nation_stats")
+    }
+  }
 }
