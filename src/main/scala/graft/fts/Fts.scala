@@ -98,6 +98,12 @@ object Index {
   def write(ix: FtsIndex, dir: String, buckets: Int = 64): Unit = {
     ix.postings
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      // term-sorted within each bucket: row-group min/max stats then prune
+      // range queries (prefix match, Search.matchPrefixIds) and runs of one
+      // term compress better; the bucket repartition also yields one file
+      // per bucket instead of nPart×buckets fragments
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/postings")
     ix.docLens.write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
@@ -160,6 +166,22 @@ object Search {
   def matchAnyIds(ix: FtsIndex, terms: Seq[String]): DataFrame =
     ix.postings.filter(col("term").isin(terms.distinct: _*))
       .select("doc_id").distinct()
+
+  /** doc_ids containing any term with the given PREFIX (`quer*`) — the
+    * standard FTS wildcard-suffix query. The filter is a RANGE on the term
+    * (`prefix ≤ term < prefix⁺`, the successor string), never a LIKE: a
+    * range pushes into parquet row-group min/max stats, so against a
+    * term-SORTED postings layout the scan skips every row group whose term
+    * range misses the prefix window (the hash-bucketed layout can't help
+    * here — hashing destroys prefix locality — which is why [[Index.write]]
+    * sorts postings within buckets). */
+  def matchPrefixIds(ix: FtsIndex, prefix: String): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix would match every posting")
+    val upper = prefix.init + (prefix.last + 1).toChar
+    ix.postings
+      .filter(col("term") >= prefix && col("term") < upper)
+      .select("doc_id").distinct()
+  }
 
   /** Docs matching all `must` terms and none of the `mustNot` terms —
     * semi-join + anti-join against the postings (reference join types,

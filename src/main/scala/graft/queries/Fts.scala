@@ -290,6 +290,22 @@ object Fts extends QueryPack {
       Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents)
                SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS n_docs
                FROM toks GROUP BY term
-               ORDER BY total_tf DESC, term LIMIT 20"""))
+               ORDER BY total_tf DESC, term LIMIT 20""")),
+
+    // Prefix (wildcard-suffix) term query `quer*` over the PERSISTED index:
+    // a RANGE filter on the term — against the term-sorted-within-bucket
+    // layout, parquet row-group min/max stats skip every group whose term
+    // range misses the prefix window (hash buckets can't prune here;
+    // sortedness restores the locality the hash destroyed).
+    Q("q_fts_prefix",
+      (s, dir) => {
+        val ixDir = graft.core.Scratch.dir("fts_index_prefix")
+        Index.write(Index.build(Tables(s, dir, "documents")), ixDir)
+        Search.matchPrefixIds(Index.read(s, ixDir), "quer").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> starts_with(x, 'quer'))) > 0
+               ORDER BY doc_id"""))
   )
 }
