@@ -63,6 +63,21 @@ class TypedOpsSpec extends SparkSpec {
     assert(show.contains("approx_count_distinct"))
   }
 
+  test("RDD bridge: createDataset/createDataFrame over an RDD and back") {
+    // §2.1 RDDScanExec / ExternalRDDScanExec (reference ExistingRDD.scala:
+    // 158/:106): an existing RDD enters the declarative engine and a
+    // Dataset exits to RDD land — the interop boundary, not a hot path.
+    val sparkS = spark
+    import sparkS.implicits._
+    val rdd = spark.sparkContext.parallelize(Seq((1L, "a"), (2L, "b"), (3L, "c")), 2)
+    val ds = spark.createDataset(rdd)
+    assert(ds.filter(_._1 > 1).count() == 2)
+    val df = spark.createDataFrame(rdd).toDF("id", "s")
+    assert(df.where($"s" === "b").select("id").as[Long].head() == 2L)
+    val back = df.rdd.map(_.getLong(0)).collect().sorted.toSeq
+    assert(back == Seq(1L, 2L, 3L))
+  }
+
   test("ANALYZE TABLE feeds CBO statistics the optimizer can read") {
     // the reference's AnalyzeTableCommand (AnalyzeTableCommand.scala:35)
     // populated sizeInBytes for broadcast decisions; Spark 4's CBO adds row
