@@ -176,10 +176,15 @@ object Search {
     * here — hashing destroys prefix locality — which is why [[Index.write]]
     * sorts postings within buckets). */
   def matchPrefixIds(ix: FtsIndex, prefix: String): DataFrame = {
-    require(prefix.nonEmpty, "empty prefix would match every posting")
-    val upper = prefix.init + (prefix.last + 1).toChar
+    // normalize through the frozen token grammar: indexed terms are
+    // lowercase [a-z0-9]+, so "Quer" must mean "quer", and anything the
+    // grammar can't produce is a caller error, not an empty result
+    val norm = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(norm.nonEmpty && norm.matches("[a-z0-9]+"),
+      s"prefix must normalize to a non-empty [a-z0-9]+ token, got '$prefix'")
+    val upper = norm.init + (norm.last + 1).toChar // safe: last ∈ [a-z0-9]
     ix.postings
-      .filter(col("term") >= prefix && col("term") < upper)
+      .filter(col("term") >= norm && col("term") < upper)
       .select("doc_id").distinct()
   }
 

@@ -39,7 +39,14 @@ object IndexCatalog {
     * as Spark's own file-index listing. */
   def tableFingerprint(tablePath: String): Long = {
     val path = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION's hadoop conf, not a bare new Configuration(): filesystem
+    // credentials/settings supplied via spark.hadoop.* (object stores)
+    // would otherwise make the listing throw — and get()'s staleness guard
+    // would silently deregister the index on that throw
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
     var acc = 0L
     val it = fs.listFiles(path, true)
     while (it.hasNext) {

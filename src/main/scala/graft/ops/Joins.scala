@@ -25,14 +25,20 @@ object Joins {
     * leftTime`. The classic feature-store/training-pipeline join ("what
     * was the user's state when the example was created").
     *
-    * Shape: tag both sides, UNION them, and run one `last_value(...)
-    * IGNORE NULLS` window per attached column ordered by (time, side-tag)
-    * within each key — right rows sort before left rows at equal times, so
-    * an exactly-simultaneous right row IS visible to the left row (the
-    * standard `<=` as-of contract). Then keep only left rows. Cost: ONE
-    * shuffle by key + a per-partition sort — no range predicate ever
-    * reaches a join operator, so there is nothing the planner can turn
-    * into a nested loop, and skew tooling (AQE) sees a plain window agg.
+    * Shape: tag both sides, UNION them, and run ONE `last_value(...)
+    * IGNORE NULLS` window over a STRUCT of all attached columns, ordered
+    * by (time, side-tag) within each key — right rows sort before left
+    * rows at equal times, so an exactly-simultaneous right row IS visible
+    * to the left row (the standard `<=` as-of contract). Then keep only
+    * left rows. The struct is the load-bearing detail: per-column
+    * `last(..., ignoreNulls)` would skip a GENUINE null in one attach
+    * column and backfill it from an older right row — mixing fields of
+    * different rows; the struct is null only for left placeholder rows, so
+    * all fields always come from the single latest right row, nulls
+    * included. Cost: ONE shuffle by key + a per-partition sort — no range
+    * predicate ever reaches a join operator, so there is nothing the
+    * planner can turn into a nested loop, and skew tooling (AQE) sees a
+    * plain window agg.
     *
     * Right-side dedup: among right rows sharing (key, time) the one with
     * the greatest `rightTiebreak` wins, making the result deterministic
@@ -43,28 +49,33 @@ object Joins {
   def asOf(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
            rightTiebreak: String, attach: Seq[String]): DataFrame = {
-    val reserved = Seq("_k", "_t", "_side", "_rn") ++ attach.map(c => s"_r_$c")
-    val clash = left.columns.intersect(reserved)
-    require(clash.isEmpty,
-      s"asOf reserves column names ${reserved.mkString(", ")}; left side carries ${clash.mkString(", ")}")
-    // canonical narrow right side: one row per (key, time)
+    require(attach.nonEmpty, "asOf needs at least one column to attach")
+    val reserved = Seq("_k", "_t", "_side", "_rn", "_r", "_asof")
+    val lClash = left.columns.intersect(reserved ++ attach.map(c => s"asof_$c"))
+    require(lClash.isEmpty,
+      s"asOf reserves ${(reserved ++ attach.map(c => s"asof_$c")).mkString(", ")}; left side carries ${lClash.mkString(", ")}")
+    val rClash = right.columns.intersect(reserved)
+    require(rClash.isEmpty,
+      s"asOf reserves column names ${reserved.mkString(", ")}; right side carries ${rClash.mkString(", ")}")
+    // canonical narrow right side: one row per (key, time); the attach
+    // columns travel as ONE struct so the window can never mix fields of
+    // different right rows
     val r = right
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col(rightKey), col(rightTime))
           .orderBy(col(rightTiebreak).desc)))
       .filter(col("_rn") === 1)
-      .select(Seq(col(rightKey).as("_k"), col(rightTime).cast("long").as("_t"),
-        lit(0).as("_side")) ++ attach.map(c => col(c).as(s"_r_$c")): _*)
+      .select(col(rightKey).as("_k"), col(rightTime).cast("long").as("_t"),
+        lit(0).as("_side"), struct(attach.map(col): _*).as("_r"))
 
     val leftCols = left.columns.toSeq
     val l = left.select(
       Seq(col(leftKey).as("_k"), col(leftTime).cast("long").as("_t"),
         lit(1).as("_side")) ++ leftCols.map(col): _*)
 
-    // align schemas for the union: left lacks _r_* columns, right lacks the
-    // left payload columns
-    val lAligned = attach.foldLeft(l)((d, c) =>
-      d.withColumn(s"_r_$c", lit(null).cast(r.schema(s"_r_$c").dataType)))
+    // align schemas for the union: left lacks the payload struct, right
+    // lacks the left columns
+    val lAligned = l.withColumn("_r", lit(null).cast(r.schema("_r").dataType))
     val rAligned = leftCols.foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
@@ -72,12 +83,11 @@ object Joins {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val projections = col("_side") +: (leftCols.map(col) ++
-      attach.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
-        .as(s"asof_$c")))
     lAligned.unionByName(rAligned)
-      .select(projections: _*)
-      .filter(col("_side") === 1).drop("_side")
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        attach.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** RANGE JOIN (interval containment): all (left, right) pairs with

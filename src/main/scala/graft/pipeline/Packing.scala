@@ -39,6 +39,7 @@ object Packing {
     * in-partition sort, and keeps the data path at exactly ONE shuffle. */
   def packByBudget(docs: DataFrame, budget: Long, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive") // div 0 → silent NULL bins
     val spark = docs.sparkSession
     import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt

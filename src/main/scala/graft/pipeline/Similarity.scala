@@ -75,6 +75,34 @@ object Similarity {
         - 1000.0) / 1000.0 + lit(noise) * x)
   }
 
+  /** Empty (idCol, cosim) result frame — the unknown-query-id contract
+    * shared by every top-k serving path. */
+  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      emb.schema(idCol),
+      org.apache.spark.sql.types.StructField(
+        "cosim", org.apache.spark.sql.types.DoubleType)))
+    emb.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Materialize the ≤ k result rows eagerly (the serving path does
+    * anyway) so scratch caches can be released in the caller's `finally` —
+    * a lazy return would either recompute after unpersist or pin executor
+    * memory for the session (round-3 advisory). */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** The query's `nprobe` nearest cells (1-based ids) by scaled dot against
+    * the centroids — shared by the in-memory and persisted IVF paths. */
+  private def nearestCells(qv: Array[Double], centroids: Seq[Array[Double]],
+                           cNorms: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.zip(cNorms).zipWithIndex
+      .map { case ((c, n), i) =>
+        (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+
   /** ANN top-k via query-directed multiprobe LSH: the corpus is bucketed by
     * `planes` hyperplane signs once; the query probes its own bucket plus
     * the XOR-subsets of its `probeDepth` LEAST-CONFIDENT planes (smallest
@@ -99,19 +127,11 @@ object Similarity {
       .persist()
     bucketed.count() // materialize before query-side + corpus-side scans
     try {
-      val emptyResult = {
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          bucketed.schema(idCol),
-          org.apache.spark.sql.types.StructField(
-            "cosim", org.apache.spark.sql.types.DoubleType)))
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      }
       val qRowOpt = bucketed.filter(col(idCol) === queryId)
         .select(col("bucket"), lshProjs(col("v"), planes))
         .limit(1).collect().headOption
-      if (qRowOpt.isEmpty) return emptyResult // unknown id → empty top-k,
-                                              // same contract as bruteForceTopK
+      if (qRowOpt.isEmpty) return emptyTopK(emb, idCol) // unknown id →
+        // empty top-k, same contract as bruteForceTopK
       val qRow = qRowOpt.get
       val qBucket = qRow.getLong(0)
       val uncertain = qRow.getSeq[Double](1).zipWithIndex
@@ -132,12 +152,7 @@ object Similarity {
         .select(col(idCol), col("cosim"))
         .orderBy(col("cosim").desc, col(idCol))
         .limit(k)
-      // Materialize the ≤ k result rows eagerly (the ANN serving path does
-      // anyway) so the bucketed scratch cache can be released in `finally` —
-      // a lazy return would either recompute after unpersist or pin executor
-      // memory for the session (round-3 advisory).
-      spark.createDataFrame(
-        java.util.Arrays.asList(topK.collect(): _*), topK.schema)
+      materialize(topK)
     } finally bucketed.unpersist()
   }
 
@@ -174,18 +189,9 @@ object Similarity {
     try {
       val qRow = celled.filter(col(idCol) === queryId)
         .select(col("v")).limit(1).collect().headOption
-      val emptySchema = org.apache.spark.sql.types.StructType(Seq(
-        celled.schema(idCol),
-        org.apache.spark.sql.types.StructField(
-          "cosim", org.apache.spark.sql.types.DoubleType)))
-      if (qRow.isEmpty)
-        return spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), emptySchema)
+      if (qRow.isEmpty) return emptyTopK(emb, idCol)
       val qv = qRow.get.getSeq[Double](0).toArray
-      val probes = centroids.zip(cNorms).zipWithIndex
-        .map { case ((c, n), i) =>
-          (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
-        .sortBy(-_._2).take(nprobe).map(_._1)
+      val probes = nearestCells(qv, centroids, cNorms, nprobe)
       val q = celled.filter(col(idCol) === queryId)
         .select(col("v").as("qv")).limit(1)
       val topK = celled
@@ -195,8 +201,7 @@ object Similarity {
         .select(col(idCol), col("cosim"))
         .orderBy(col("cosim").desc, col(idCol))
         .limit(k)
-      spark.createDataFrame(
-        java.util.Arrays.asList(topK.collect(): _*), topK.schema)
+      materialize(topK)
     } finally celled.unpersist()
   }
 
@@ -226,11 +231,19 @@ object Similarity {
     * nprobe/nlist of the files instead of the corpus (the vector analogue
     * of the FTS bucketed postings layout). Returns the probe-ready reader. */
   def writeCelled(emb: DataFrame, dir: String, nlist: Int = 16,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    writeCelledWith(emb, dir, nlist, idCol, vecCol)._1
+
+  /** [[writeCelled]] plus the quantizer artifact it trained — so a caller
+    * that needs the centroids (the persisted probe path) doesn't pay the
+    * full-corpus centroid collection a second time. */
+  private def writeCelledWith(emb: DataFrame, dir: String, nlist: Int,
+                              idCol: String, vecCol: String)
+      : (DataFrame, Seq[Array[Double]], Seq[Double]) = {
     val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
     emb.withColumn("cell", cellExpr(asDouble(col(vecCol)), centroids, cNorms))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    emb.sparkSession.read.parquet(dir)
+    (emb.sparkSession.read.parquet(dir), centroids, cNorms)
   }
 
   /** IVF top-k over the PERSISTED celled layout: probes are a literal cell
@@ -241,23 +254,12 @@ object Similarity {
   def ivfTopKPersisted(emb: DataFrame, dir: String, queryId: Long, k: Int,
                        nlist: Int = 16, nprobe: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    val celled = writeCelled(emb, dir, nlist, idCol, vecCol)
-    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
+    val (celled, centroids, cNorms) = writeCelledWith(emb, dir, nlist, idCol, vecCol)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).limit(1).collect().headOption
-    val emptySchema = org.apache.spark.sql.types.StructType(Seq(
-      emb.schema(idCol),
-      org.apache.spark.sql.types.StructField(
-        "cosim", org.apache.spark.sql.types.DoubleType)))
-    if (qRow.isEmpty)
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), emptySchema)
+    if (qRow.isEmpty) return emptyTopK(emb, idCol)
     val qv = qRow.get.getSeq[Double](0).toArray
-    val probes = centroids.zip(cNorms).zipWithIndex
-      .map { case ((c, n), i) =>
-        (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
-      .sortBy(-_._2).take(nprobe).map(_._1)
+    val probes = nearestCells(qv, centroids, cNorms, nprobe)
     val qLit = array(qv.map(lit): _*)
     celled.filter(col("cell").isin(probes: _*) && col(idCol) =!= queryId)
       .withColumn("cosim", round(cosine(asDouble(col(vecCol)), qLit), 4))

@@ -18,6 +18,27 @@ object Pipeline extends QueryPack {
   private val DTOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** Shared ANN recall harness: derive the clustered fixture, compare the
+    * candidate method's top-10 against exact brute force, emit ONE row with
+    * the recall@10 ≥ 0.8 verdict. The fixture is persisted for both scans
+    * and released before returning (rows materialized eagerly). */
+  private def recallCheck(s: org.apache.spark.sql.SparkSession, dir: String)(
+      ann: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val clustered = emb.select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist() // heavy interpreted zip_with chain; both paths scan it
+    clustered.count()
+    try {
+      val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
+      val recall = exact.join(ann(clustered).select("vec_id"), "vec_id")
+        .agg((count(lit(1)) >= 8).as("ok"))
+      s.createDataFrame(
+        java.util.Arrays.asList(recall.collect(): _*), recall.schema)
+    } finally clustered.unpersist()
+  }
+
   /** All-pairs 3-shingle Jaccard ≥ 0.8 in DuckDB (ground truth). */
   private val nearDupOracle: String =
     s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
@@ -112,23 +133,7 @@ object Pipeline extends QueryPack {
     // fixture derived from the embeddings table — on uniform-random vectors
     // no sublinear method beats a scan (see Similarity.clusteredVec).
     Q("q_sim_ann",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val clustered = emb.select(col("vec_id"),
-            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
-          .persist() // heavy interpreted zip_with chain; both paths scan it
-        clustered.count()
-        try {
-          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
-          val ann = Similarity.annTopK(clustered, 0L, 10).select("vec_id")
-          val recall = exact.join(ann, "vec_id")
-            .agg((count(lit(1)) >= 8).as("ok"))
-          // 1 row — materialize eagerly so the fixture cache can be dropped
-          // instead of pinning executor memory for the rest of the session
-          s.createDataFrame(
-            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
-        } finally clustered.unpersist()
-      },
+      (s, dir) => recallCheck(s, dir)(Similarity.annTopK(_, 0L, 10)),
       Some("SELECT true AS ok")),
 
     // IVF — the coarse-quantizer ANN scale path (cells instead of LSH
@@ -136,21 +141,7 @@ object Pipeline extends QueryPack {
     // as q_sim_ann. recall@10 ≥ 0.8 scanning nprobe/nlist = 4/16 of the
     // corpus' cells.
     Q("q_sim_ivf",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val clustered = emb.select(col("vec_id"),
-            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
-          .persist() // heavy interpreted zip_with chain; both paths scan it
-        clustered.count()
-        try {
-          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
-          val ivf = Similarity.ivfTopK(clustered, 0L, 10).select("vec_id")
-          val recall = exact.join(ivf, "vec_id")
-            .agg((count(lit(1)) >= 8).as("ok"))
-          s.createDataFrame(
-            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
-        } finally clustered.unpersist()
-      },
+      (s, dir) => recallCheck(s, dir)(Similarity.ivfTopK(_, 0L, 10)),
       Some("SELECT true AS ok")),
 
     // IVF over the PERSISTED cell-partitioned layout: the probe set is a
@@ -158,22 +149,8 @@ object Pipeline extends QueryPack {
     // corpus is never re-scanned (vector analogue of q_fts_bm25_persisted).
     // Same clustered fixture + recall contract as q_sim_ivf.
     Q("q_sim_ivf_persisted",
-      (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-        val clustered = emb.select(col("vec_id"),
-            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
-          .persist()
-        clustered.count()
-        try {
-          val exact = Similarity.bruteForceTopK(clustered, 0L, 10).select("vec_id")
-          val ivf = Similarity.ivfTopKPersisted(clustered,
-            graft.core.Scratch.dir("ivf_cells"), 0L, 10).select("vec_id")
-          val recall = exact.join(ivf, "vec_id")
-            .agg((count(lit(1)) >= 8).as("ok"))
-          s.createDataFrame(
-            java.util.Arrays.asList(recall.collect(): _*), recall.schema)
-        } finally clustered.unpersist()
-      },
+      (s, dir) => recallCheck(s, dir)(
+        Similarity.ivfTopKPersisted(_, graft.core.Scratch.dir("ivf_cells"), 0L, 10)),
       Some("SELECT true AS ok")),
 
     // Int8 quantization of the embedding column — pure map (no shuffle);
@@ -191,10 +168,13 @@ object Pipeline extends QueryPack {
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               sc AS (SELECT vec_id, v,
-                       127.0 / list_max(list_transform(v, x -> abs(x))) AS s
-                     FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0)
+                       CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                            THEN 127.0 / list_max(list_transform(v, x -> abs(x))) END AS s
+                     FROM e)
               SELECT vec_id, round(s, 6) AS scale,
-                CAST(list_sum(list_transform(v, x -> CAST(round(x * s) AS BIGINT))) AS BIGINT) AS checksum
+                CASE WHEN s IS NOT NULL THEN
+                  CAST(list_sum(list_transform(v, x -> CAST(round(x * s) AS BIGINT))) AS BIGINT)
+                END AS checksum
               FROM sc ORDER BY vec_id""")),
 
     // ---- text analysis ------------------------------------------------------

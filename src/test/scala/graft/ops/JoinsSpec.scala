@@ -46,6 +46,36 @@ class JoinsSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_rid")))
   }
 
+  test("asOf keeps a genuine NULL in an attach column (no backfill from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // latest right row has v = NULL; a per-column last(ignoreNulls) would
+    // wrongly backfill v=7.0 from the older row while taking rid=101 from
+    // the newer — fields of two different rows
+    val right = Seq((1L, 1L, 100L, Some(7.0)), (1L, 5L, 101L, None))
+      .toDF("k", "t", "rid", "v")
+    val out = Joins.asOf(left, "k", "t", right, "k", "t", "rid",
+      attach = Seq("rid", "v")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("asof_rid") == 101L)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_v")),
+      "NULL from the latest right row must survive, not be backfilled")
+  }
+
+  test("asOf rejects reserved column names on either side") {
+    import spark.implicits._
+    val l = Seq((1L, 1L)).toDF("k", "t")
+    val rBad = Seq((1L, 1L, 2L, 3L)).toDF("k", "t", "rid", "_rn")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(l, "k", "t", rBad, "k", "t", "rid", attach = Seq("_rn"))
+    }
+    val lBad = Seq((1L, 1L, 9L)).toDF("k", "t", "asof_v")
+    val r = Seq((1L, 1L, 2L, 3.0)).toDF("k", "t", "rid", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(lBad, "k", "t", r, "k", "t", "rid", attach = Seq("v"))
+    }
+  }
+
   test("asOf matches the naive per-row definition on randomized data") {
     import spark.implicits._
     for (seed <- Seq(3, 99)) {
