@@ -71,19 +71,26 @@ object Dedup {
   def minhashSignature(shingleHashes: Column, numHashes: Int = 64): Column =
     call_function("graft_minhash", shingleHashes)
 
-  /** LSH candidate pairs: signature split into `bands` bands of
-    * numHashes/bands rows; docs agreeing on any band's hash meet in that
+  /** LSH band keys per doc: signature split into `bands` bands of
+    * numHashes/bands rows, one (band, band-hash) row per band — the
+    * meeting keys for both the batch self-join ([[minhashCandidates]]) and
+    * the streaming store join ([[graft.streaming.StreamDedup]]). */
+  def bandKeys(sets: DataFrame, numHashes: Int = 64,
+               bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    sets.withColumn("sig", minhashSignature(col("hs"), numHashes))
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  /** LSH candidate pairs: docs agreeing on any band's hash meet in that
     * band's shuffle bucket. With 64 hashes, 16 bands × 4 rows:
     * P(miss | J=0.9) = (1 − 0.9⁴)¹⁶ ≈ 1e-8. */
   def minhashCandidates(sets: DataFrame, numHashes: Int = 64,
                         bands: Int = 16): DataFrame = {
-    val r = numHashes / bands
-    val sig = sets.withColumn("sig", minhashSignature(col("hs"), numHashes))
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      .persist()
+    val banded = bandKeys(sets, numHashes, bands).persist()
     banded.count() // materialize before the self-join scans it twice
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

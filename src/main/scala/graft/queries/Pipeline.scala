@@ -15,7 +15,7 @@ import graft.pipeline.{Components, Dedup, Multimodal, Packing, Similarity, TextS
   */
 object Pipeline extends QueryPack {
 
-  private val DTOKS =
+  private[queries] val DTOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
   /** Shared ANN recall harness: derive the clustered fixture, compare the

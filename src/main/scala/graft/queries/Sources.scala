@@ -15,7 +15,7 @@ import graft.streaming.StreamOps
   */
 object Sources extends QueryPack {
 
-  private def tmp(name: String): String = s"/root/repo/target/qtmp/$name"
+  private def tmp(name: String): String = graft.core.Scratch.dir(name)
 
   def queries: Seq[Q] = Seq(
 
@@ -168,6 +168,55 @@ object Sources extends QueryPack {
               FROM events JOIN customer ON user_id = c_custkey
               GROUP BY c_mktsegment, event_type
               ORDER BY c_mktsegment, event_type""")),
+
+    // Streaming NEAR-dup dedup at ingest: documents arrive in TWO id-ordered
+    // micro-batches (maxFilesPerTrigger=1); each batch drops docs dominated
+    // by an earlier near-dup — prior batches via the persisted signature
+    // store (LSH band join, never store-wide), own batch via the banded
+    // self-join. Kept set == batch rule "no smaller-id J≥0.8 near-dup", so
+    // the all-pairs oracle applies. Spanning pairs exercise the store path.
+    Q("q_stream_dedup_near",
+      (s, dir) => {
+        val root = tmp("stream_neardup")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        // batch order MUST be id order (the store holds "earlier" = smaller
+        // ids); FileStreamSource orders by mtime, so stamp them explicitly
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L // fixed: deterministic file order
+        stage(docs.filter(col("doc_id") <= half), "batch0", t0)
+        stage(docs.filter(col("doc_id") > half), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamDedup.start(stream, root).awaitTermination()
+        s.read.parquet(s"$root/kept")
+          .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${Pipeline.DTOKS} AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               dropped AS (
+                 SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                       len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+               SELECT lang, count(*) AS n FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+               GROUP BY lang ORDER BY lang""")),
 
     // STREAM-STREAM interval join: clicks ⋈ purchases within the following
     // hour, watermarked on BOTH sides so join state is evictable — the

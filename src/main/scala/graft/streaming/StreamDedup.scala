@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Dedup
+
+/** Streaming NEAR-duplicate dedup at ingest — the online half of the
+  * pipeline dedup story (`dropDuplicatesWithinWatermark` covers exact ids;
+  * this covers content similarity). Each micro-batch:
+  *
+  *  1. shingle/minhash signatures for the batch's docs (native kernels);
+  *  2. candidates against the persisted signature STORE of all previously
+  *     ingested docs — an equi-join on (band, band-hash), so a new doc
+  *     meets only the historical docs in its LSH buckets, never the whole
+  *     store;
+  *  3. candidates within the batch (the usual banded self-join);
+  *  4. exact-Jaccard verify on candidates only; a doc with a verified
+  *     near-dup among earlier docs (prior batches, or smaller id in its own
+  *     batch) is dropped;
+  *  5. the batch's signatures append to the store (kept AND dropped docs —
+  *     the drop rule is "dominated by ANY earlier doc", which keeps the
+  *     rule deterministic and batch-order-insensitive), survivors append to
+  *     the kept log.
+  *
+  * Store size grows with the corpus, not the duplicate rate — (doc_id,
+  * shingle hashes) + 16 band rows per doc, i.e. the same signature table a
+  * batch dedup would materialize, paid incrementally. Exactly-once comes
+  * from the checkpointed offsets; appends are idempotent per batch only if
+  * the batch is not replayed, which the offset WAL guarantees.
+  */
+object StreamDedup {
+
+  /** Start the ingest-dedup sink over `docsStream`; state and outputs live
+    * under `dir` (`store_sets`, `store_bands`, `kept`, `_checkpoint`). */
+  def start(docsStream: DataFrame, dir: String,
+            threshold: Double = 0.8): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupBatch(batch, dir, threshold)
+      }
+      .start()
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+                          like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
+  }
+
+  private def dedupBatch(batch: DataFrame, dir: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val sets = Dedup.shingleSets(batch) // persisted + counted inside
+    val bands = Dedup.bandKeys(sets).persist()
+    bands.count()
+    try {
+      val storeSets = readOrEmpty(spark, s"$dir/store_sets", sets)
+      val storeBands = readOrEmpty(spark, s"$dir/store_bands", bands)
+
+      // historical candidates: stored doc (aid, earlier by construction) ×
+      // new doc (bid) meeting in an LSH bucket
+      val crossCands = storeBands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+        .distinct()
+      // verify needs both sides' shingle sets: aid from the store, bid new
+      val crossDropped = Dedup.verifyJaccard(
+          crossCands, storeSets.unionByName(sets), threshold)
+        .select(col("bid").as("doc_id"))
+      // within-batch: smaller id wins, same verify
+      val batchDropped = Dedup.verifyJaccard(
+          Dedup.minhashCandidates(sets), sets, threshold)
+        .select(col("bid").as("doc_id"))
+
+      val dropped = crossDropped.union(batchDropped).distinct()
+      batch.join(dropped, Seq("doc_id"), "left_anti")
+        .write.mode(SaveMode.Append).parquet(s"$dir/kept")
+      // ALL signatures enter the store (drop rule: dominated by any
+      // earlier doc, kept or not)
+      sets.write.mode(SaveMode.Append).parquet(s"$dir/store_sets")
+      bands.write.mode(SaveMode.Append).parquet(s"$dir/store_bands")
+    } finally {
+      bands.unpersist()
+      sets.unpersist()
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup dedup: batches arrive in id order; a doc must be
+  * dropped when its near-dup lives in a PRIOR batch (store path), in its
+  * own batch (self-join path), and never for sub-threshold similarity. */
+class StreamDedupSpec extends SparkSpec {
+
+  test("drops cross-batch and in-batch near-dups, keeps distinct docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val other = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    val batch0 = Seq(
+      (1L, base),                    // kept (first)
+      (2L, base + " tailword"),      // near-dup of 1, SAME batch → dropped
+      (3L, other))                   // kept
+    val batch1 = Seq(
+      (10L, base + " othertail"),    // near-dup of 1, PRIOR batch → dropped
+      (11L, "completely different text about spark queries and engines running fast"))
+    val root = graft.core.Scratch.dir("stream_neardup_spec")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val landing = s"$root/landing"
+    def stage(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val stageDir = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+      fs.setTimes(dst, mtime, -1)
+    }
+    stage(batch0, "b0", 1700000000000L)
+    stage(batch1, "b1", 1700000060000L)
+
+    val schema = spark.read.parquet(s"$landing/b0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    StreamDedup.start(stream, root).awaitTermination()
+
+    val kept = spark.read.parquet(s"$root/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 11L),
+      s"expected cross-batch drop of 10 and in-batch drop of 2, got $kept")
+    // the store accumulated signatures for ALL five docs
+    assert(spark.read.parquet(s"$root/store_sets").count() == 5)
+  }
+}
