@@ -109,6 +109,29 @@ case class FtsPhrase(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_score(text, 'q terms')`: the document's BM25(k1=1.2, b=0.75) score
+  * for the query — RANKED retrieval on the SQL surface, so
+  * `SELECT doc_id, fts_score(text,'q') AS s FROM docs
+  *  WHERE fts_match_any(text,'q') ORDER BY s DESC LIMIT 10`
+  * plans as a partition-pruned postings scoring join + TakeOrderedAndProject
+  * (the reference's top-k primitive, sql/core/.../execution/limit.scala:114).
+  * Unevaluable: corpus statistics (df, avgdl, N) live in the persisted
+  * index, so [[RewriteFtsMatch]] lowers it — for a table registered in
+  * [[graft.fts.IndexCatalog]] — to a left-outer join against
+  * [[graft.fts.Search.scoreAllBm25]] over the pruned postings (docs with no
+  * query term score 0.0). There is no scan fallback: without an index the
+  * statistics don't exist, and the rewrite fails loud instead of silently
+  * scanning the corpus four times. */
+case class FtsScore(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false // coalesced to 0.0 by the rewrite
+  override def prettyName: String = "fts_score"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsScore =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -126,8 +149,8 @@ case class FtsPhrase(left: Expression, right: Expression)
   */
 object RewriteFtsMatch extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, Attribute, EqualTo, ExprId, Literal}
-  import org.apache.spark.sql.catalyst.plans.LeftSemi
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, Attribute, Coalesce, EqualTo, ExprId, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Project, SubqueryAlias}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import graft.fts.IndexCatalog
@@ -222,9 +245,79 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     ids.queryExecution.optimizedPlan
   }
 
+  /** Per-doc BM25 scores for `terms` as an optimized logical plan over the
+    * persisted index — postings pruned to the terms' buckets, doc lengths
+    * and corpus stats joined in ([[graft.fts.Search.scoreAllBm25]]).
+    * Output: (doc_id, score). */
+  private def scoringPlan(entry: IndexCatalog.Entry, terms: Seq[String]): LogicalPlan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val ix = graft.fts.Index.read(spark, entry.indexDir)
+    val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, terms, entry.buckets))
+    graft.fts.Search.scoreAllBm25(pruned, terms).queryExecution.optimizedPlan
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     var rewrote = false
-    val indexAware = plan.transformUp {
+    // Pass 0 — ranked retrieval: fts_score occurrences in a Project over a
+    // registered table become a LEFT-OUTER join against the per-doc BM25
+    // scoring subplan (pruned postings ⋈ doclens ⋈ stats), the expression
+    // replaced by coalesce(score, 0.0) — docs containing no query term
+    // score zero. Runs BEFORE the filter pass so the Project's child is
+    // still the clean Filter/SubqueryAlias/relation chain traceToBase
+    // models (the filter pass grafts joins into that chain).
+    // Graft the scoring join(s) under `child` and substitute each lowerable
+    // FtsScore in `exprs` with coalesce(score, 0.0). None if nothing lowers.
+    def lowerScores(exprs: Seq[Expression], child: LogicalPlan)
+        : Option[(Seq[Expression], LogicalPlan)] =
+      indexedTable(child).flatMap { case (entry, idAttr, isBaseText) =>
+        val queries = exprs.flatMap(_.collect {
+          case FtsScore(a: Attribute, Literal(q: UTF8String, StringType))
+              if isBaseText(a) => q
+        }).distinct
+        if (queries.isEmpty) None
+        else {
+          var cur: LogicalPlan = child
+          val repl = scala.collection.mutable.Map.empty[UTF8String, Expression]
+          queries.foreach { q =>
+            val terms = queryTerms(q)
+            if (terms.isEmpty) repl(q) = Literal(0.0)
+            else {
+              val sub = scoringPlan(entry, terms)
+              cur = Join(cur, sub, LeftOuter,
+                Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
+              repl(q) = Coalesce(Seq(sub.output(1), Literal(0.0)))
+            }
+          }
+          val newExprs = exprs.map(_.transform {
+            case FtsScore(a: Attribute, Literal(q: UTF8String, StringType))
+                if isBaseText(a) => repl(q)
+          })
+          Some((newExprs, cur))
+        }
+      }
+    val scoreAware = plan.transformUp {
+      case p @ Project(projectList, child)
+          if p.resolved && projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
+        lowerScores(projectList, child) match {
+          case Some((newList, cur)) =>
+            rewrote = true
+            Project(newList.map(_.asInstanceOf[NamedExpression]), cur)
+          case None => p
+        }
+      // filter pushdown may have INLINED a projected score alias into a
+      // Filter condition (`WHERE s <> 0` over `SELECT fts_score(..) AS s`) —
+      // lower it there too, projecting back to the child's schema so the
+      // grafted join's columns don't leak upward
+      case f @ Filter(cond, child)
+          if f.resolved && cond.exists(_.isInstanceOf[FtsScore]) =>
+        lowerScores(Seq(cond), child) match {
+          case Some((Seq(newCond), cur)) =>
+            rewrote = true
+            Project(child.output, Filter(newCond, cur))
+          case _ => f
+        }
+    }
+    val indexAware = scoreAware.transformUp {
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
           case Some((entry, idAttr, isBaseText)) =>
@@ -298,6 +391,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         s"fts_match_any requires a literal query string, got: ${m.right.sql}")
       case m: FtsPhrase => throw new IllegalArgumentException(
         s"fts_phrase requires a literal query string, got: ${m.right.sql}")
+      // fts_score that survived pass 0: no registered index, a computed (not
+      // base-column) text argument, a non-literal query, or use outside a
+      // SELECT list. Corpus statistics (df, avgdl, N) live in the persisted
+      // index, so there is no scan lowering — fail with the remedy.
+      case m: FtsScore => throw new IllegalArgumentException(
+        s"fts_score could not be lowered (got: ${m.sql}). It requires: a literal " +
+          "query string; the scored column to be the indexed text column of a " +
+          "table with a registered fresh index (graft.fts.Index.createIndex); " +
+          "and use in a SELECT list. BM25 needs corpus statistics, which live " +
+          "in the index — there is no scan fallback.")
     }
   }
 }
@@ -331,7 +434,10 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))),
       (new FunctionIdentifier("fts_phrase"),
         new ExpressionInfo(classOf[FtsPhrase].getName, "fts_phrase"),
-        (args: Seq[Expression]) => FtsPhrase(args(0), args(1)))
+        (args: Seq[Expression]) => FtsPhrase(args(0), args(1))),
+      (new FunctionIdentifier("fts_score"),
+        new ExpressionInfo(classOf[FtsScore].getName, "fts_score"),
+        (args: Seq[Expression]) => FtsScore(args(0), args(1)))
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

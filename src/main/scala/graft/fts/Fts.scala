@@ -277,10 +277,21 @@ object Search {
   }
 
   def scoreBm25(ix: FtsIndex, terms: Seq[String], k: Int,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreAllBm25(ix, terms, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** Per-doc BM25 scores (full precision, no ordering) for every doc
+    * containing at least one query term — the composable half of
+    * [[scoreBm25]], and the subplan [[graft.ext.RewriteFtsMatch]] grafts in
+    * when SQL `fts_score(text, 'q')` is lowered over a registered index.
+    * Output columns: `doc_id, score`. */
+  def scoreAllBm25(ix: FtsIndex, terms: Seq[String],
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
     val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val scored = qp
+    qp
       .join(broadcast(df), "term")
       .join(ix.docLens, "doc_id")
       .crossJoin(broadcast(ix.stats))
@@ -289,8 +300,7 @@ object Search {
       .withColumn("score_t",
         col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
           (col("tf").cast("double") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1))
-      .groupBy("doc_id").agg(round(sum(col("score_t")), 4).as("score"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
   }
 
   /** TF-IDF ranking (reference IDF semantics, ml/feature/IDF.scala:67:

@@ -215,6 +215,25 @@ object Fts extends QueryPack {
                WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
                ORDER BY doc_id""")),
 
+    // RANKED retrieval on the SQL surface: fts_score lowers (for the
+    // registered table) to a left-outer join against the per-doc BM25
+    // scoring subplan over partition-pruned postings, and ORDER BY score
+    // LIMIT 10 plans as TakeOrderedAndProject. fts_match_any supplies the
+    // candidate filter (docs with >=1 query term — exactly the set the
+    // oracle scores), so rows must equal q_fts_bm25's.
+    Q("q_fts_sql_bm25",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixsc")
+        s.sql("""SELECT doc_id, round(fts_score(text, 'spark query'), 4) AS score
+                 FROM documents_ixsc
+                 WHERE fts_match_any(text, 'spark query')
+                 ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      Some(bm25Oracle)),
+
     // BM25 again, but through the PERSISTED index layout (bucketed parquet
     // postings → partition-pruned lookup) — results must be identical.
     Q("q_fts_bm25_persisted",

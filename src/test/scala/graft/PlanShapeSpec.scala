@@ -52,6 +52,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_bm25 plans as pruned scoring join + TakeOrderedAndProject") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_bm25")
+    try {
+      assert(plan.contains("TakeOrderedAndProject"),
+        "ORDER BY score LIMIT k must plan as top-k, not a global sort")
+      assert(!plan.contains("fts_tokenize"),
+        "ranked retrieval must score from the index, not re-tokenize the corpus")
+      assert(plan.contains("PartitionFilters: [((bucket"),
+        "postings scans must prune to the query terms' buckets")
+      assert(plan.contains("LeftSemi"),
+        "the fts_match_any candidate filter must lower to the postings semi-join")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")

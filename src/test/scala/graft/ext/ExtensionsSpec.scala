@@ -112,6 +112,49 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_score: SQL ranked retrieval equals the library BM25 path") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_score_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_score_spec")
+      val df = spark.sql(
+        """SELECT doc_id, round(fts_score(text, 'spark query'), 4) AS score
+           FROM docs_score_spec WHERE fts_match_any(text, 'spark query')
+           ORDER BY score DESC, doc_id LIMIT 10""")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("fts_tokenize"),
+        "ranked retrieval must score from the index, not re-tokenize")
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val ix = graft.fts.Index.read(spark, ixDir)
+      val pruned = ix.copy(
+        postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))
+      val expect = graft.fts.Search.scoreBm25(pruned, Seq("spark", "query"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expect)
+      // docs containing no query term score 0.0 (coalesced outer join), so
+      // an unfiltered projection is total over the table
+      val zeros = spark.sql(
+        """SELECT count(*) FROM (
+             SELECT fts_score(text, 'zzzznotaterm') AS s FROM docs_score_spec)
+           WHERE s <> 0.0""").collect()(0).getLong(0)
+      assert(zeros == 0L, "unmatched docs must score exactly 0.0")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("fts_score without a registered index fails with the remedy") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_score_noix")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT fts_score(text, 'spark') AS s FROM docs_score_noix").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("fts_score") && msgs.contains("createIndex"), msgs)
+  }
+
   test("stale index (table files changed after registration) falls back to scan") {
     GraftExtensions.install(spark)
     val tmpTable = "/root/repo/target/ttmp/fts_stale_table"
@@ -199,7 +242,7 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
-      "fts_phrase",
+      "fts_phrase", "fts_score",
       "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))
