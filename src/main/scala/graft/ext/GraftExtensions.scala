@@ -62,6 +62,105 @@ object FtsTokenize {
   }
 }
 
+/** Scan-path kernel for `fts_prefix`: true iff ANY token of the document
+  * starts with `prefix` (already normalized through the token grammar by
+  * [[RewriteFtsMatch]], which is the only producer — not SQL-registered).
+  * Codegen'd like [[FtsTokenize]]; the index path replaces this with a
+  * term-RANGE postings semi-join ([[graft.fts.Search.matchPrefixIds]]). */
+case class FtsHasTokenPrefix(child: Expression, prefix: String)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_prefix requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_has_token_prefix"
+  override def nullSafeEval(input: Any): Any =
+    FtsHasTokenPrefix.eval(input.asInstanceOf[UTF8String],
+      UTF8String.fromString(prefix))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("prefix", UTF8String.fromString(prefix))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsHasTokenPrefix$$.MODULE$$.eval($c, $p);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FtsHasTokenPrefix =
+    copy(child = newChild)
+}
+
+object FtsHasTokenPrefix {
+  def eval(s: UTF8String, prefix: UTF8String): Boolean = {
+    val toks = FtsTokenize.tokenize(s)
+    var i = 0
+    while (i < toks.numElements()) {
+      if (toks.getUTF8String(i).startsWith(prefix)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Scan-path kernel for `fts_near`: true iff tokens `a` and `b` occur within
+  * `slop` positions of each other (either order). Single pass over the token
+  * stream tracking the most recent occurrence of each term — any qualifying
+  * pair (i, j), j < i, is caught at i because the latest other-term position
+  * is ≥ j. `a == b` degenerates to containment, matching
+  * [[graft.fts.Search.matchNear]]'s position-list semantics (|p − q| ≤ slop
+  * is satisfied by p = q). Produced only by [[RewriteFtsMatch]]. */
+case class FtsNearTokens(child: Expression, a: String, b: String, slop: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_near requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_near_tokens"
+  override def nullSafeEval(input: Any): Any =
+    FtsNearTokens.eval(input.asInstanceOf[UTF8String],
+      UTF8String.fromString(a), UTF8String.fromString(b), slop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("nearA", UTF8String.fromString(a))
+    val rb = ctx.addReferenceObj("nearB", UTF8String.fromString(b))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsNearTokens$$.MODULE$$.eval($c, $ra, $rb, $slop);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FtsNearTokens =
+    copy(child = newChild)
+}
+
+object FtsNearTokens {
+  def eval(s: UTF8String, a: UTF8String, b: UTF8String, slop: Int): Boolean = {
+    val toks = FtsTokenize.tokenize(s)
+    val n = toks.numElements()
+    if (a.equals(b)) { // |p − q| ≤ slop holds at p = q: containment
+      var i = 0
+      while (i < n) {
+        if (toks.getUTF8String(i).equals(a)) return true
+        i += 1
+      }
+      return false
+    }
+    var lastA = -1
+    var lastB = -1
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t.equals(a)) {
+        if (lastB >= 0 && i - lastB <= slop) return true
+        lastA = i
+      } else if (t.equals(b)) {
+        if (lastA >= 0 && i - lastA <= slop) return true
+        lastB = i
+      }
+      i += 1
+    }
+    false
+  }
+}
+
 /** `fts_match(text, 'q terms')`: true iff the document contains ALL query
   * terms (token-level AND). Left unevaluated at runtime on purpose: the
   * analyzer accepts it, and [[RewriteFtsMatch]] lowers it to plain
@@ -132,6 +231,40 @@ case class FtsScore(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_prefix(text, 'quer')`: true iff the document contains a token with
+  * the given prefix — the wildcard-suffix query `quer*`. Lowered by
+  * [[RewriteFtsMatch]]: index path = a term-RANGE semi-join against the
+  * term-sorted postings ([[graft.fts.Search.matchPrefixIds]]; row-group
+  * min/max pruning); scan path = the [[FtsHasTokenPrefix]] kernel. */
+case class FtsPrefix(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_prefix"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsPrefix =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** `fts_near(text, 'a', 'b', slop)`: true iff tokens a and b occur within
+  * `slop` positions of each other, either order — proximity search on the
+  * SQL surface. Lowered by [[RewriteFtsMatch]]: over a POSITIONAL index
+  * ([[graft.fts.Index.buildPositional]]) it is a pure postings plan
+  * ([[graft.fts.Search.matchNear]], text never re-read); over a
+  * non-positional index, an all-terms candidate semi-join with the
+  * [[FtsNearTokens]] kernel as residual; unindexed, the kernel alone. */
+case class FtsNear(text: Expression, termA: Expression, termB: Expression,
+                   slop: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(text, termA, termB, slop)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_near"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsNear =
+    copy(text = newChildren(0), termA = newChildren(1), termB = newChildren(2),
+      slop = newChildren(3))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -180,6 +313,40 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private val ModeAll = 0
   private val ModeAny = 1
   private val ModePhrase = 2
+
+  /** A Filter conjunct the index path can lower. */
+  private sealed trait FtsConjunct
+  private final case class TermsConj(attr: Attribute, q: UTF8String, mode: Int)
+      extends FtsConjunct
+  private final case class PrefixConj(prefix: String) extends FtsConjunct
+  private final case class NearConj(attr: Attribute, a: String, b: String,
+                                    slop: Int) extends FtsConjunct
+
+  /** Lowercased prefix; must normalize to a [a-z0-9]+ token fragment (the
+    * only shape the frozen grammar can index). */
+  private def normPrefix(p: UTF8String): String = {
+    val norm = p.toString.toLowerCase(Locale.ROOT)
+    if (norm.isEmpty || !norm.matches("[a-z0-9]+"))
+      throw new IllegalArgumentException(
+        s"fts_prefix requires a prefix that normalizes to [a-z0-9]+, got '$p'")
+    norm
+  }
+
+  /** The single token `t` normalizes to under the frozen grammar. */
+  private def singleTerm(t: UTF8String, fn: String): String = {
+    val ts = queryTerms(t)
+    if (ts.size != 1)
+      throw new IllegalArgumentException(
+        s"$fn requires terms that normalize to exactly one token, got '$t'")
+    ts.head
+  }
+
+  /** The persisted postings as a lookup-ready index handle (docLens/stats
+    * are not needed by the id-set plans). */
+  private def persistedIx(entry: IndexCatalog.Entry): graft.fts.FtsIndex =
+    graft.fts.FtsIndex(
+      org.apache.spark.sql.SparkSession.active.read
+        .parquet(s"${entry.indexDir}/postings"), null, null)
 
   /** The base-relation exprId that `attr` (an output of `plan`) carries,
     * traced through pass-through Projects (direct references and simple
@@ -321,34 +488,66 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
           case Some((entry, idAttr, isBaseText)) =>
-            // (text-attr, query-literal, mode) per rewritable fts conjunct
+            // classified rewritable fts conjuncts
             val (fts, rest) = splitConjunctivePredicates(cond).partitionMap {
               case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left((a, q, ModeAll))
+                  if isBaseText(a) => Left(TermsConj(a, q, ModeAll))
               case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left((a, q, ModeAny))
+                  if isBaseText(a) => Left(TermsConj(a, q, ModeAny))
               case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left((a, q, ModePhrase))
+                  if isBaseText(a) => Left(TermsConj(a, q, ModePhrase))
+              case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
+                  if isBaseText(a) => Left(PrefixConj(normPrefix(p)))
+              case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
+                           Literal(tb: UTF8String, StringType),
+                           Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
+                  if isBaseText(a) =>
+                Left(NearConj(a, singleTerm(ta, "fts_near"),
+                  singleTerm(tb, "fts_near"), sl))
               case other => Right(other)
             }
             if (fts.isEmpty) f
             else {
               rewrote = true
               val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
-              fts.foldLeft(base) { case (cur, (a, q, mode)) =>
-                val terms = queryTerms(q)
-                if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
-                else {
-                  val sub = matchingIds(entry, terms, requireAll = mode != ModeAny)
-                  val joined = Join(cur, sub, LeftSemi,
-                    Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
-                  // phrase: postings give the cheap candidate set (all terms
-                  // present); containment is verified as a residual filter
-                  // over the candidates only
-                  if (mode == ModePhrase)
-                    Filter(phraseContains(a, phraseTerms(q)), joined)
-                  else joined
-                }
+              def semi(cur: LogicalPlan, sub: LogicalPlan): LogicalPlan =
+                Join(cur, sub, LeftSemi,
+                  Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
+              fts.foldLeft(base) {
+                case (cur, TermsConj(a, q, mode)) =>
+                  val terms = queryTerms(q)
+                  if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
+                  else if (mode == ModePhrase && entry.positional)
+                    // a POSITIONAL index answers the phrase exactly from
+                    // position lists — no containment residual, text never
+                    // re-read (Search.matchPhrasePositional)
+                    semi(cur, graft.fts.Search.matchPhrasePositional(
+                      persistedIx(entry), phraseTerms(q), entry.buckets)
+                      .queryExecution.optimizedPlan)
+                  else {
+                    val joined = semi(cur,
+                      matchingIds(entry, terms, requireAll = mode != ModeAny))
+                    // phrase over tf-only postings: all-terms candidates +
+                    // containment verified as a residual over candidates
+                    if (mode == ModePhrase)
+                      Filter(phraseContains(a, phraseTerms(q)), joined)
+                    else joined
+                  }
+                case (cur, PrefixConj(p)) =>
+                  // term-RANGE over the sorted postings (row-group min/max
+                  // pruning; hash buckets can't help a prefix)
+                  semi(cur, graft.fts.Search.matchPrefixIds(persistedIx(entry), p)
+                    .queryExecution.optimizedPlan)
+                case (cur, NearConj(a, ta, tb, sl)) =>
+                  if (entry.positional)
+                    semi(cur, graft.fts.Search.matchNear(
+                      persistedIx(entry), ta, tb, sl, entry.buckets)
+                      .queryExecution.optimizedPlan)
+                  else
+                    // tf-only index: both-terms candidates, then the token
+                    // proximity kernel as residual over candidates only
+                    Filter(FtsNearTokens(a, ta, tb, sl),
+                      semi(cur, matchingIds(entry, Seq(ta, tb), requireAll = true)))
               }
             }
           case None => f
@@ -379,10 +578,24 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val terms = phraseTerms(q)
         if (terms.isEmpty) Literal.FalseLiteral
         else phraseContains(text, terms)
+      case FtsPrefix(text, Literal(p: UTF8String, StringType)) =>
+        FtsHasTokenPrefix(text, normPrefix(p))
+      case FtsNear(text, Literal(ta: UTF8String, StringType),
+                   Literal(tb: UTF8String, StringType),
+                   Literal(sl: Int, org.apache.spark.sql.types.IntegerType)) =>
+        if (sl < 0) throw new IllegalArgumentException(
+          s"fts_near requires a non-negative slop, got $sl")
+        FtsNearTokens(text, singleTerm(ta, "fts_near"),
+          singleTerm(tb, "fts_near"), sl)
       // NULL query literal: three-valued logic, same as every SQL predicate
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPhrase(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsPrefix(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsNear(_, a, b, s)
+          if Seq(a, b, s).exists {
+            case Literal(null, _) => true; case _ => false } =>
+        Literal(null, BooleanType)
       // anything else (non-literal query) would otherwise survive as an
       // Unevaluable and die in physical planning with an opaque error
       case m: FtsMatch => throw new IllegalArgumentException(
@@ -391,6 +604,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         s"fts_match_any requires a literal query string, got: ${m.right.sql}")
       case m: FtsPhrase => throw new IllegalArgumentException(
         s"fts_phrase requires a literal query string, got: ${m.right.sql}")
+      case m: FtsPrefix => throw new IllegalArgumentException(
+        s"fts_prefix requires a literal prefix string, got: ${m.right.sql}")
+      case m: FtsNear => throw new IllegalArgumentException(
+        "fts_near requires literal string terms and a literal INT slop, got: " +
+          s"${m.sql}")
       // fts_score that survived pass 0: no registered index, a computed (not
       // base-column) text argument, a non-literal query, or use outside a
       // SELECT list. Corpus statistics (df, avgdl, N) live in the persisted
@@ -437,7 +655,13 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsPhrase(args(0), args(1))),
       (new FunctionIdentifier("fts_score"),
         new ExpressionInfo(classOf[FtsScore].getName, "fts_score"),
-        (args: Seq[Expression]) => FtsScore(args(0), args(1)))
+        (args: Seq[Expression]) => FtsScore(args(0), args(1))),
+      (new FunctionIdentifier("fts_prefix"),
+        new ExpressionInfo(classOf[FtsPrefix].getName, "fts_prefix"),
+        (args: Seq[Expression]) => FtsPrefix(args(0), args(1))),
+      (new FunctionIdentifier("fts_near"),
+        new ExpressionInfo(classOf[FtsNear].getName, "fts_near"),
+        (args: Seq[Expression]) => FtsNear(args(0), args(1), args(2), args(3)))
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

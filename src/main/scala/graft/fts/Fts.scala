@@ -117,12 +117,17 @@ object Index {
     * Re-running overwrites the index (idempotent refresh). */
   def createIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                   indexDir: String, idCol: String = "doc_id",
-                  textCol: String = "text", buckets: Int = 64): Unit = {
-    write(build(spark.read.parquet(tablePath), idCol, textCol), indexDir, buckets)
-    IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets)
+                  textCol: String = "text", buckets: Int = 64,
+                  positional: Boolean = false): Unit = {
+    val docs = spark.read.parquet(tablePath)
+    val ix = if (positional) buildPositional(docs, idCol, textCol)
+             else build(docs, idCol, textCol)
+    write(ix, indexDir, buckets)
+    IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets, positional)
     // metadata travels with the index: a fresh session can
     // IndexCatalog.restore(spark, indexDir) instead of rebuilding
-    IndexCatalog.writeMeta(spark, tablePath, indexDir, idCol, textCol, buckets)
+    IndexCatalog.writeMeta(spark, tablePath, indexDir, idCol, textCol, buckets,
+      positional)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =
@@ -223,7 +228,8 @@ object Search {
     * full phrase occurrences. Document text is never re-read; the postings
     * filter prunes to the phrase's terms (and, against the persisted layout,
     * their buckets) before anything else runs. */
-  def matchPhrasePositional(ix: FtsIndex, phrase: Seq[String]): DataFrame = {
+  def matchPhrasePositional(ix: FtsIndex, phrase: Seq[String],
+                            buckets: Int = 64): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val spark = ix.postings.sparkSession
     import spark.implicits._
@@ -232,7 +238,7 @@ object Search {
     // the bucket predicate too, so a persisted positional index
     // partition-prunes to the phrase terms' buckets here.
     val order = phrase.zipWithIndex.toDF("term", "idx")
-    val slots = Index.lookup(ix, phrase.distinct)
+    val slots = Index.lookup(ix, phrase.distinct, buckets)
       .join(broadcast(order), "term")
       .select(col("doc_id"), col("idx"), col("positions"))
     slots.groupBy("doc_id")
@@ -256,10 +262,11 @@ object Search {
     * their buckets against the persisted layout) BEFORE the position check;
     * the pairwise exists runs only on docs containing both terms, arrays of
     * a few positions each. */
-  def matchNear(ix: FtsIndex, a: String, b: String, slop: Int): DataFrame = {
+  def matchNear(ix: FtsIndex, a: String, b: String, slop: Int,
+                buckets: Int = 64): DataFrame = {
     require(slop >= 0, "slop must be non-negative")
-    val pa = Index.lookup(ix, Seq(a)).select(col("doc_id"), col("positions").as("pa"))
-    val pb = Index.lookup(ix, Seq(b)).select(col("doc_id"), col("positions").as("pb"))
+    val pa = Index.lookup(ix, Seq(a), buckets).select(col("doc_id"), col("positions").as("pa"))
+    val pb = Index.lookup(ix, Seq(b), buckets).select(col("doc_id"), col("positions").as("pb"))
     pa.join(pb, "doc_id")
       .filter(exists(col("pa"), p => exists(col("pb"), q => abs(p - q) <= slop)))
       .select("doc_id")

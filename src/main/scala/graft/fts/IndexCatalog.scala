@@ -21,12 +21,15 @@ object IndexCatalog {
     * the bucket count the postings were partitioned with (must match the
     * writer's). The rewrite only fires for `fts_match` over `textCol` —
     * the index carries that column's tokens and no other's.
+    * `positional` records whether the postings carry per-doc position lists
+    * ([[Index.buildPositional]]) — the rewrite lowers `fts_phrase`/`fts_near`
+    * to pure index plans only when they do.
     * `fingerprint` is the indexed table's file listing at registration time
     * ([[tableFingerprint]]); [[get]] re-checks it so a table rewritten after
     * indexing falls back to the scan lowering instead of silently
     * semi-joining stale postings. */
   final case class Entry(indexDir: String, idCol: String, textCol: String,
-                         buckets: Int, fingerprint: Long)
+                         buckets: Int, positional: Boolean, fingerprint: Long)
 
   private val byPath = new ConcurrentHashMap[String, Entry]()
 
@@ -74,9 +77,10 @@ object IndexCatalog {
 
   def register(tablePath: String, indexDir: String,
                idCol: String = "doc_id", textCol: String = "text",
-               buckets: Int = 64): Unit =
+               buckets: Int = 64, positional: Boolean = false): Unit =
     byPath.put(canon(tablePath),
-      Entry(indexDir, idCol, textCol, buckets, tableFingerprint(tablePath)))
+      Entry(indexDir, idCol, textCol, buckets, positional,
+        tableFingerprint(tablePath)))
 
   /** Name of the metadata file [[Index.createIndex]] drops inside the index
     * directory — the association + build-time fingerprint, so a NEW session
@@ -89,12 +93,13 @@ object IndexCatalog {
   /** Persist the association alongside the index itself. */
   def writeMeta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                 indexDir: String, idCol: String, textCol: String,
-                buckets: Int): Unit = {
+                buckets: Int, positional: Boolean = false): Unit = {
     val props = new java.util.Properties()
     props.setProperty("tablePath", canon(tablePath))
     props.setProperty("idCol", idCol)
     props.setProperty("textCol", textCol)
     props.setProperty("buckets", buckets.toString)
+    props.setProperty("positional", positional.toString)
     props.setProperty("fingerprint", tableFingerprint(tablePath).toString)
     val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,6 +122,8 @@ object IndexCatalog {
     byPath.put(props.getProperty("tablePath"),
       Entry(indexDir, props.getProperty("idCol"), props.getProperty("textCol"),
         props.getProperty("buckets").toInt,
+        // absent in pre-positional metadata files → false
+        props.getProperty("positional", "false").toBoolean,
         props.getProperty("fingerprint").toLong))
   }
 

@@ -234,6 +234,67 @@ object Fts extends QueryPack {
       },
       Some(bm25Oracle)),
 
+    // Prefix search on the SQL surface: fts_prefix over the registered
+    // index lowers to a term-RANGE semi-join against the sorted postings
+    // (same plan as q_fts_prefix's library path; same oracle).
+    Q("q_fts_sql_prefix",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixpre")
+        s.sql("""SELECT doc_id FROM documents_ixpre
+                 WHERE fts_prefix(text, 'quer')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> starts_with(x, 'quer'))) > 0
+               ORDER BY doc_id""")),
+
+    // Proximity search on the SQL surface over a POSITIONAL index:
+    // fts_near lowers to the pure position-list plan (Search.matchNear) —
+    // candidate text is never re-read. Same rows/oracle as q_fts_near.
+    Q("q_fts_sql_near",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixnear")
+        s.sql("""SELECT doc_id FROM documents_ixnear
+                 WHERE fts_near(text, 'data', 'query', 3)
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(pa) > 0 AND len(pb) > 0
+                 AND len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
+               ORDER BY doc_id""")),
+
+    // Phrase over the POSITIONAL index through SQL: the rewrite uses the
+    // position-list adjacency plan instead of the containment residual —
+    // the plan re-reads no text (asserted in PlanShapeSpec). Same rows as
+    // q_fts_phrase.
+    Q("q_fts_sql_phrase_pos",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixpp")
+        s.sql("""SELECT doc_id FROM documents_ixpp
+                 WHERE fts_phrase(text, 'data query')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+               ORDER BY doc_id""")),
+
     // BM25 again, but through the PERSISTED index layout (bucketed parquet
     // postings → partition-pruned lookup) — results must be identical.
     Q("q_fts_bm25_persisted",

@@ -67,6 +67,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_near / q_fts_sql_phrase_pos answer from position lists alone") {
+    graft.fts.IndexCatalog.clear()
+    try {
+      for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos")) {
+        val plan = planOf(name)
+        assert(plan.contains("LeftSemi"), s"$name must semi-join the postings")
+        assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens"),
+          s"$name must never re-read document text")
+        assert("PartitionFilters: \\[.*\\(bucket".r.findFirstIn(plan).nonEmpty,
+          s"$name postings scan must prune to the terms' buckets")
+      }
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("q_fts_sql_prefix pushes the term range into the postings scan") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_prefix")
+    try {
+      assert(plan.contains("LeftSemi"))
+      assert(plan.contains("GreaterThanOrEqual(term,quer"),
+        "prefix must push as a term range (row-group min/max pruning)")
+      assert(!plan.contains("fts_tokenize"),
+        "prefix over the index must not re-tokenize the corpus")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")

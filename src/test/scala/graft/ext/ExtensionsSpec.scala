@@ -155,6 +155,76 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs.contains("fts_score") && msgs.contains("createIndex"), msgs)
   }
 
+  test("fts_prefix: scan and index lowerings agree with the library path") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_prefix_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    spark.read.parquet(docsPath).createOrReplaceTempView("docs_prefix_sql")
+    val expect = graft.fts.Search.matchPrefixIds(
+        graft.fts.Index.read(spark, ixDir), "quer")
+      .collect().map(_.getLong(0)).toSet
+    // scan path: the token-prefix kernel, no semi-join
+    val scan = spark.sql(
+      "SELECT doc_id FROM docs_prefix_sql WHERE fts_prefix(text, 'Quer')")
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    // index path: range semi-join, range pushed into the postings scan
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      val ixq = spark.sql(
+        "SELECT doc_id FROM docs_prefix_sql WHERE fts_prefix(text, 'quer')")
+      val plan = ixq.queryExecution.executedPlan.toString
+      assert(ixq.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "registered table must take the index path")
+      assert(plan.contains("GreaterThanOrEqual(term,quer"),
+        s"prefix range must push into the postings scan:\n${plan.take(1200)}")
+      assert(ixq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("fts_near: scan, tf-index residual, and positional lowerings agree") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val docs = spark.read.parquet(docsPath)
+    docs.createOrReplaceTempView("docs_near_sql")
+    val expect = graft.fts.Search.matchNear(
+        graft.fts.Index.buildPositional(docs), "data", "query", 3)
+      .collect().map(_.getLong(0)).toSet
+    // scan path: single-pass token kernel
+    val scan = spark.sql(
+      "SELECT doc_id FROM docs_near_sql WHERE fts_near(text, 'data', 'query', 3)")
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    // tf-only index: candidates semi-join + kernel residual
+    val tfDir = "/root/repo/target/ttmp/fts_index_near_tf_spec"
+    graft.fts.Index.write(graft.fts.Index.build(docs), tfDir)
+    graft.fts.IndexCatalog.register(docsPath, tfDir)
+    try {
+      val tfq = spark.sql(
+        "SELECT doc_id FROM docs_near_sql WHERE fts_near(text, 'data', 'query', 3)")
+      assert(tfq.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(tfq.queryExecution.optimizedPlan.toString.contains("fts_near_tokens"),
+        "tf-only index must verify with the residual kernel")
+      assert(tfq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+    // positional index: pure position-list plan, no kernel, no re-read
+    val posDir = "/root/repo/target/ttmp/fts_index_near_pos_spec"
+    graft.fts.Index.write(graft.fts.Index.buildPositional(docs), posDir)
+    graft.fts.IndexCatalog.register(docsPath, posDir, positional = true)
+    try {
+      val posq = spark.sql(
+        "SELECT doc_id FROM docs_near_sql WHERE fts_near(text, 'data', 'query', 3)")
+      val s = posq.queryExecution.optimizedPlan.toString
+      assert(s.contains("LeftSemi") && !s.contains("fts_near_tokens")
+          && !s.contains("fts_tokenize"),
+        s"positional index must answer from position lists alone:\n${s.take(1500)}")
+      assert(posq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("stale index (table files changed after registration) falls back to scan") {
     GraftExtensions.install(spark)
     val tmpTable = "/root/repo/target/ttmp/fts_stale_table"
@@ -242,7 +312,7 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
-      "fts_phrase", "fts_score",
+      "fts_phrase", "fts_score", "fts_prefix", "fts_near",
       "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))
