@@ -25,10 +25,15 @@ object IncrementalIndex {
       .option("checkpointLocation", s"$dir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Index.build(batch, idCol, textCol).postings
+        // ONE build per batch: docLens derives from the same postings frame,
+        // so a second Index.build would re-run scan→tokenize→explode→groupBy
+        // for a frame the first call already produced (2× tokenize on the
+        // ingest path)
+        val ix = Index.build(batch, idCol, textCol)
+        ix.postings
           .withColumn("batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
-        Index.build(batch, idCol, textCol).docLens
+        ix.docLens
           .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
       }
       .start()
@@ -48,4 +53,18 @@ object IncrementalIndex {
   def compact(spark: SparkSession, dir: String, outDir: String,
               buckets: Int = 64): Unit =
     Index.write(read(spark, dir), outDir, buckets)
+
+  /** [[compact]] plus the other half of the lifecycle [[Index.createIndex]]
+    * performs: register the compacted index for `tablePath` (the table the
+    * stream ingested) and persist the association metadata — so SQL
+    * `fts_match`/`fts_score`/… over that table serves through the compacted
+    * bucketed postings without a manual registration step. Deltas carry tf
+    * only, so the compacted index is non-positional. */
+  def compactAndRegister(spark: SparkSession, dir: String, outDir: String,
+                         tablePath: String, idCol: String = "doc_id",
+                         textCol: String = "text", buckets: Int = 64): Unit = {
+    compact(spark, dir, outDir, buckets)
+    IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets)
+    IndexCatalog.writeMeta(spark, tablePath, outDir, idCol, textCol, buckets)
+  }
 }

@@ -359,6 +359,33 @@ object Fts extends QueryPack {
       },
       Some(bm25Oracle)),
 
+    // Compaction's OTHER output: catalog registration. compactAndRegister
+    // folds the delta log into the bucketed layout AND registers it for the
+    // ingested table, so plain SQL fts_match over that table serves through
+    // the compacted postings' pruned semi-join (plan-asserted in
+    // PlanShapeSpec) — the full streaming-ingest → compaction → SQL-serving
+    // lifecycle with no manual registration step.
+    Q("q_fts_compacted_sql",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val deltaDir = graft.core.Scratch.dir("fts_index_csql_delta")
+        val outDir = graft.core.Scratch.dir("fts_index_csql_out")
+        val landing = graft.core.Scratch.dir("docs_csql_stream")
+        new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(outDir), true)
+        ingestDocs(s, dir, landing, deltaDir)
+        graft.fts.IncrementalIndex.compactAndRegister(s, deltaDir, outDir, landing)
+        s.read.parquet(landing).createOrReplaceTempView("documents_csql")
+        s.sql("""SELECT doc_id FROM documents_csql
+                 WHERE fts_match(text, 'spark query')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+               ORDER BY doc_id""")),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {

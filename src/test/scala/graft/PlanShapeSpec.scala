@@ -93,6 +93,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_compacted_sql serves fts_match through the compacted index") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_compacted_sql")
+    try {
+      assert(plan.contains("LeftSemi"),
+        "compacted+registered index must serve the semi-join path")
+      assert(!plan.contains("fts_tokenize") && !plan.contains("array_contains"),
+        "registered compacted index must not fall back to the scan lowering")
+      assert(plan.contains("PartitionFilters: [((bucket"),
+        "compacted postings scan must prune to the query terms' buckets")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
