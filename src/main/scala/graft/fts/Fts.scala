@@ -93,6 +93,53 @@ object Index {
     FtsIndex(postings, docLens, stats)
   }
 
+  /** Build with a document-frequency cap — the skew guard for stopword-like
+    * terms (SURVEY §7 risk 6). A term appearing in more than
+    * `maxDfFrac`·n_docs documents is EXCLUDED from the index entirely —
+    * standard stopword semantics: capped terms cannot match, and queries
+    * drop them up front via [[Search.effectiveTerms]]. Without the cap a
+    * stopword's postings bucket dwarfs every other at 100 TB and any match
+    * over it degenerates to a near-corpus scan; with it, per-term postings
+    * are bounded by maxDfFrac·n_docs rows by construction. The stop set is
+    * small by the same argument (≤ Σtf/(maxDfFrac·n_docs) terms can exceed
+    * the cap), so it broadcasts. Doc lengths/stats are recomputed over the
+    * SURVIVING postings, so BM25 normalization sees the same corpus the
+    * scorer scans (a doc of only stop terms drops out of n_docs).
+    * Returns (capped index, stop terms as a 1-column `term` frame).
+    * Reference seed for the stop-band idea: StopWordsRemover
+    * (ml/feature/StopWordsRemover.scala:35). */
+  def buildWithDfCap(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", maxDfFrac: Double = 0.5)
+      : (FtsIndex, DataFrame) = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"maxDfFrac in (0,1], got $maxDfFrac")
+    val full = build(docs, idCol, textCol)
+    // one cheap metadata-friendly action: the cap is a build-time constant
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val cap = math.floor(maxDfFrac * nDocs).toLong
+    val df = full.postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stop = df.filter(col("df") > cap).select("term")
+    val postings = full.postings.join(broadcast(stop), Seq("term"), "left_anti")
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    (FtsIndex(postings, docLens, stats), stop)
+  }
+
+  /** Persist a capped index: the bucketed layout PLUS its stop-term table —
+    * the band travels with the index, so query-side term dropping
+    * ([[Search.effectiveTerms]]) in a fresh session uses exactly the
+    * build-time stop set. */
+  def writeCapped(ix: FtsIndex, stopTerms: DataFrame, dir: String,
+                  buckets: Int = 64): Unit = {
+    write(ix, dir, buckets)
+    stopTerms.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/stopterms")
+  }
+
+  def readStopTerms(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stopterms")
+
   /** Persist: postings partitioned by term-hash bucket (queries prune to
     * their terms' buckets); doc lengths and stats alongside. */
   def write(ix: FtsIndex, dir: String, buckets: Int = 64): Unit = {
@@ -158,6 +205,16 @@ object Index {
   * reference limit.scala:114 pattern; no global sort at any scale).
   */
 object Search {
+
+  /** Query terms minus the index's capped stop terms — the query-side half
+    * of the df-cap contract ([[Index.buildWithDfCap]]): capped terms are
+    * IGNORED, the standard stopword behavior ("the query" matches docs
+    * containing "query"). The stop set is small by construction, so the
+    * collect is a few hundred strings at worst. */
+  def effectiveTerms(terms: Seq[String], stopTerms: DataFrame): Seq[String] = {
+    val stop = stopTerms.collect().map(_.getString(0)).toSet
+    terms.filterNot(stop)
+  }
 
   /** doc_ids containing ALL of the terms (boolean AND = postings intersect:
     * filter to the query's terms, count distinct matched terms per doc). */

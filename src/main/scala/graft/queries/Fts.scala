@@ -386,6 +386,32 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
                ORDER BY doc_id""")),
 
+    // Skew guard at index build (SURVEY §7 risk 6): terms in more than 78%
+    // of documents are CAPPED out of the index — bounded per-term postings
+    // by construction — and capped query terms are ignored (standard
+    // stopword behavior). Here 'data' (df 395/500 at sf0.01) is capped,
+    // 'vector' (382) survives, so the query degrades to "docs containing
+    // vector". The oracle recomputes the same df band from scratch.
+    Q("q_fts_skew",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val (ix, stop) = Index.buildWithDfCap(docs, maxDfFrac = 0.78)
+        val eff = Search.effectiveTerms(Seq("data", "vector"), stop)
+        Search.matchAllIds(ix, eff).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+               tdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                       GROUP BY term),
+               q(term) AS (SELECT unnest(['data', 'vector'])),
+               eff AS (SELECT q.term FROM q JOIN tdf USING(term) CROSS JOIN n
+                       WHERE tdf.df <= floor(0.78 * n.n))
+               SELECT doc_id FROM toks
+               WHERE NOT EXISTS (SELECT 1 FROM eff WHERE NOT list_contains(t, eff.term))
+                 AND (SELECT count(*) FROM eff) > 0
+               ORDER BY doc_id""")),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {

@@ -64,6 +64,33 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(res(3L) - s(1, 5)) < 1e-9)
   }
 
+  test("df cap: stopword band is exact, persisted, and ignored at query time") {
+    // 'data' appears in 3/4 docs (df .75), 'big' in 2/4; cap at 0.6 stops
+    // exactly the terms with df > 2.4 — only 'data'
+    val (capped, stop) = Index.buildWithDfCap(docs, maxDfFrac = 0.6)
+    assert(stop.collect().map(_.getString(0)).toSet == Set("data"))
+    assert(capped.postings.filter(col("term") === "data").isEmpty,
+      "capped term must leave the postings entirely")
+    // bounded by construction: every surviving term's df <= cap
+    val maxDf = capped.postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    assert(maxDf <= 2L)
+    // doc lengths follow the surviving postings (doc 2 "big data big
+    // results" loses its one 'data' token: dl 4 -> 3)
+    assert(capped.docLens.filter(col("doc_id") === 2).collect()(0).getLong(1) == 3L)
+    // query-side: capped terms are IGNORED, not required
+    val eff = Search.effectiveTerms(Seq("data", "big"), stop)
+    assert(eff == Seq("big"))
+    assert(Search.matchAllIds(capped, eff).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    // the band travels with the persisted index
+    val dir = "/root/repo/target/ttmp/fts_capped_spec"
+    Index.writeCapped(capped, stop, dir)
+    assert(Index.readStopTerms(spark, dir).collect().map(_.getString(0)).toSet
+      == Set("data"))
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
