@@ -32,10 +32,28 @@ import graft.pipeline.Dedup
   */
 object StreamDedup {
 
+  /** Bucket count of the band store — writer and re-register DDL agree. */
+  private val StoreBuckets = 16
+
+  /** Catalog name for `dir`'s band store (deterministic per state dir, so a
+    * restarted stream finds its own table and two streams don't collide). */
+  private[streaming] def storeTableName(dir: String): String =
+    "graft_sd_store_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+
   /** Start the ingest-dedup sink over `docsStream`; state and outputs live
     * under `dir` (`store_sets`, `store_bands`, `kept`, `_checkpoint`). */
   def start(docsStream: DataFrame, dir: String,
-            threshold: Double = 0.8): StreamingQuery =
+            threshold: Double = 0.8): StreamingQuery = {
+    // a previous run over the same dir may have been wiped on disk — drop
+    // the then-dangling catalog entry so the store restarts empty
+    val spark = docsStream.sparkSession
+    val name = storeTableName(dir)
+    if (spark.catalog.tableExists(name)) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/store_bands")
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        spark.sql(s"DROP TABLE $name")
+    }
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$dir/_checkpoint")
@@ -44,6 +62,7 @@ object StreamDedup {
         dedupBatch(batch, dir, threshold)
       }
       .start()
+  }
 
   private def readOrEmpty(spark: SparkSession, path: String,
                           like: DataFrame): DataFrame = {
@@ -54,6 +73,39 @@ object StreamDedup {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
   }
 
+  /** The band store, read as a BUCKETED catalog table on the join key
+    * (band, bh). Bucketing is what keeps the per-batch candidate join
+    * O(batch): the ever-growing store is read co-located in its buckets —
+    * no Exchange on the store side — and only the new batch's bands shuffle
+    * into the store's bucketing (the q_join_bucketed layout applied to
+    * streaming state; plain appended parquet re-shuffled the WHOLE store
+    * every micro-batch). A resume whose catalog lost the entry (fresh
+    * session over surviving files) re-registers the same bucketed DDL. */
+  private def readStoreBands(spark: SparkSession, dir: String,
+                             like: DataFrame): DataFrame = {
+    val name = storeTableName(dir)
+    val path = s"$dir/store_bands"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!spark.catalog.tableExists(name) && fs.exists(p)) {
+      val cols = like.schema
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"""CREATE TABLE $name ($cols) USING parquet
+        CLUSTERED BY (band, bh) SORTED BY (band, bh)
+        INTO $StoreBuckets BUCKETS LOCATION '$path'""")
+    }
+    if (spark.catalog.tableExists(name))
+      spark.table(name).select(like.columns.map(col): _*)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
+  }
+
+  private def appendStoreBands(bands: DataFrame, dir: String): Unit =
+    bands.write.mode(SaveMode.Append)
+      .option("path", s"$dir/store_bands")
+      .bucketBy(StoreBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(storeTableName(dir))
+
   private def dedupBatch(batch: DataFrame, dir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
     val sets = Dedup.shingleSets(batch) // persisted + counted inside
@@ -61,7 +113,7 @@ object StreamDedup {
     bands.count()
     try {
       val storeSets = readOrEmpty(spark, s"$dir/store_sets", sets)
-      val storeBands = readOrEmpty(spark, s"$dir/store_bands", bands)
+      val storeBands = readStoreBands(spark, dir, bands)
 
       // historical candidates: stored doc (aid, earlier by construction) ×
       // new doc (bid) meeting in an LSH bucket
@@ -84,7 +136,7 @@ object StreamDedup {
       // ALL signatures enter the store (drop rule: dominated by any
       // earlier doc, kept or not)
       sets.write.mode(SaveMode.Append).parquet(s"$dir/store_sets")
-      bands.write.mode(SaveMode.Append).parquet(s"$dir/store_bands")
+      appendStoreBands(bands, dir)
     } finally {
       bands.unpersist()
       sets.unpersist()

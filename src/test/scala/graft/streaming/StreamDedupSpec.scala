@@ -50,5 +50,26 @@ class StreamDedupSpec extends SparkSpec {
       s"expected cross-batch drop of 10 and in-batch drop of 2, got $kept")
     // the store accumulated signatures for ALL five docs
     assert(spark.read.parquet(s"$root/store_sets").count() == 5)
+
+    // THE scale property: the band store is a bucketed table on the join
+    // key, so a batch's candidate join reads the store co-located — the
+    // only Exchange is the (small) batch side shuffling into the store's
+    // bucketing. Plain appended parquet re-shuffled the whole store per
+    // micro-batch.
+    import org.apache.spark.sql.functions.col
+    val store = spark.table(StreamDedup.storeTableName(root))
+    val probe = Seq((99L, 0, 123L)).toDF("doc_id", "band", "bh")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = store.as("a").join(probe.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      val plan = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("Bucketed: true"),
+        s"store scan must be bucketed:\n${plan.linesIterator.take(30).mkString("\n")}")
+      assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 1,
+        s"only the batch side may shuffle:\n${plan.linesIterator.take(30).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 }
