@@ -156,6 +156,54 @@ object Similarity {
     } finally bucketed.unpersist()
   }
 
+  /** Persist the corpus partitioned BY LSH BUCKET (hyperplane sign pattern)
+    * — the layout where [[annTopKPersisted]]'s probe set becomes a PARTITION
+    * filter, so a query reads 2^probeDepth of 2^planes partitions instead
+    * of scanning the corpus (the FTS bucketed-postings / IVF-cell trick
+    * applied to hyperplane LSH). Bucket assignment is a pure map (native
+    * kernel, no shuffle); returns the probe-ready reader. */
+  def writeBucketed(emb: DataFrame, dir: String, planes: Int = 12,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    emb.withColumn("bucket", lshBucket(asDouble(col(vecCol)), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    emb.sparkSession.read.parquet(dir)
+  }
+
+  /** [[annTopK]] over the PERSISTED bucketed layout: same query-directed
+    * multiprobe (own bucket + XOR-flips of the probeDepth least-confident
+    * planes), but the probe set is a literal partition filter on the
+    * persisted corpus — 16 of 4096 buckets read at the defaults, no
+    * in-memory re-bucketing of the corpus per query. The query vector is
+    * driver-resident (any serving path's contract) and ships as a literal,
+    * so the whole query is one pruned scan + TakeOrderedAndProject. */
+  def annTopKPersisted(emb: DataFrame, dir: String, queryId: Long, k: Int,
+                       planes: Int = 12, probeDepth: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val celled = writeBucketed(emb, dir, planes, idCol, vecCol)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("v"))
+      .select(col("v"), lshBucket(col("v"), planes).as("bucket"),
+        lshProjs(col("v"), planes).as("projs"))
+      .limit(1).collect().headOption
+    if (qRow.isEmpty) return emptyTopK(emb, idCol)
+    val qv = qRow.get.getSeq[Double](0).toArray
+    val qBucket = qRow.get.getLong(1)
+    val uncertain = qRow.get.getSeq[Double](2).zipWithIndex
+      .map { case (proj, p) => p -> math.abs(proj) }
+      .sortBy(_._2).take(probeDepth).map(_._1)
+    val probes = (0 until (1 << probeDepth)).map { mask =>
+      uncertain.zipWithIndex.foldLeft(qBucket) { case (b, (p, i)) =>
+        if ((mask & (1 << i)) != 0) b ^ (1L << p) else b
+      }
+    }.distinct
+    val qLit = array(qv.map(lit): _*)
+    celled.filter(col("bucket").isin(probes: _*) && col(idCol) =!= queryId)
+      .withColumn("cosim", round(cosine(asDouble(col(vecCol)), qLit), 4))
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) top-k — the OTHER standard ANN scale path next to
     * LSH ([[annTopK]]): the corpus is coarse-quantized into `nlist` cells
     * (each vector assigned to its nearest centroid), and a query scans only

@@ -136,6 +136,17 @@ object Pipeline extends QueryPack {
       (s, dir) => recallCheck(s, dir)(Similarity.annTopK(_, 0L, 10)),
       Some("SELECT true AS ok")),
 
+    // ANN over the PERSISTED LSH-bucketed layout: the corpus is written
+    // partitioned by hyperplane-sign bucket, so the query's 16-probe set is
+    // a PARTITION filter — 16/4096 of the bucket space read, the corpus
+    // never re-bucketed per query (the FTS bucketed-postings layout for
+    // vectors; plan-asserted in PlanShapeSpec). Same clustered fixture and
+    // recall@10 >= 0.8 contract as q_sim_ann.
+    Q("q_sim_ann_persisted",
+      (s, dir) => recallCheck(s, dir)(
+        Similarity.annTopKPersisted(_, graft.core.Scratch.dir("ann_buckets"), 0L, 10)),
+      Some("SELECT true AS ok")),
+
     // IVF — the coarse-quantizer ANN scale path (cells instead of LSH
     // buckets): same clustered fixture and self-contained recall contract
     // as q_sim_ann. recall@10 ≥ 0.8 scanning nprobe/nlist = 4/16 of the

@@ -112,6 +112,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("LeftSemi"))
   }
 
+  test("persisted ANN probes are a partition filter + top-k, no corpus scan") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val topk = graft.pipeline.Similarity.annTopKPersisted(
+      emb, "/root/repo/target/ttmp/ann_buckets_spec", 0L, 10)
+    val plan = topk.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[.*bucket".r.findFirstIn(plan).nonEmpty,
+      s"probe set must partition-prune:\n${plan.linesIterator.take(30).mkString("\n")}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as per-partition heaps, not a global sort")
+  }
+
   test("q_join_asof plans as window aggregation, never a nested-loop join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
