@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity (fuzzy) string join — EXACT at edit distance ≤ 1 — via
@@ -30,7 +30,32 @@ object Fuzzy {
   /** All (aid < bid) pairs whose `strCol` values are within edit distance
     * 1, with the distance. Column names in the result: aid, bid, a_s, b_s,
     * dist. */
-  def fuzzyJoin1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def fuzzyJoin1(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    fuzzyJoinK(df, idCol, strCol, 1)
+
+  /** Every single-character deletion of `c` (1-based position i removed),
+    * deduped; empty array for the empty string (`sequence(1, 0)` would
+    * count DOWN, not produce an empty range). */
+  private def deletionsOf(c: Column): Column = {
+    val dels = transform(sequence(lit(1), length(c)),
+      i => concat(substr(c, lit(1), i - 1), substr(c, i + 1, length(c))))
+    when(length(c) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(dels))
+  }
+
+  /** All (aid < bid) pairs within edit distance `k` (1 or 2), with the
+    * distance — FastSS generalized: the blocking keys are the deletion
+    * neighborhood of depth k (the string, every ≤1-deletion variant, and
+    * for k=2 every ≤2-deletion variant). Two strings within k edits share
+    * a depth-k variant (delete the edited positions on both sides), so the
+    * equi-join on the variant has recall 1.0; precision comes from the
+    * levenshtein ≤ k verify on candidates only. LENGTH BANDING —
+    * ||a|−|b|| ≤ k is necessary for ed ≤ k — sits in the join condition,
+    * so impossible pairs never enter the candidate shuffle. Neighborhood
+    * size is ~len^k/k! per distinct string (k=2, len 30 → ~450 keys): the
+    * entity-resolution sweet spot, still never all-pairs. */
+  def fuzzyJoinK(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k == 1 || k == 2, s"supported neighborhood depths: 1 or 2, got $k")
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
     // one row per DISTINCT string, carrying its id group (at warehouse
@@ -50,22 +75,21 @@ object Fuzzy {
       .select(col("ida").as("aid"), col("idb").as("bid"),
         col("s").as("a_s"), col("s").as("b_s"))
 
-    // dist-1 candidates over distinct strings: deletion i (1-based) =
-    // prefix of length i−1 ++ suffix from i+1. sequence(1, 0) would count
-    // DOWN for the empty string — guard it.
-    val deletions = transform(sequence(lit(1), length(col("s"))),
-      i => concat(substr(col("s"), lit(1), i - 1),
-        substr(col("s"), i + 1, length(col("s")))))
-    val variants = strs
-      .select(col("s"),
-        explode(when(length(col("s")) === 0, array(col("s")))
-          .otherwise(array_union(array(col("s")), array_distinct(deletions))))
-          .as("v"))
+    // deletion neighborhood of depth k over distinct strings
+    val d1 = deletionsOf(col("s"))
+    val varSet =
+      if (k == 1) array_union(array(col("s")), d1)
+      else array_union(
+        array_union(array(col("s")), d1),
+        array_distinct(flatten(transform(d1, v => deletionsOf(v)))))
+    val variants = strs.select(col("s"), explode(varSet).as("v"))
     val strPairs = variants.as("a").join(variants.as("b"),
-        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+        col("a.v") === col("b.v") && col("a.s") < col("b.s") &&
+          // length band: ||a|−|b|| ≤ k is necessary for ed ≤ k
+          abs(length(col("a.s")) - length(col("b.s"))) <= k)
       .select(col("a.s").as("a_s"), col("b.s").as("b_s"))
       .distinct()
-      .filter(levenshtein(col("a_s"), col("b_s")) === 1)
+      .filter(levenshtein(col("a_s"), col("b_s")).between(1, k))
     // expand each verified string pair to its id-group cross product
     // (result-bound by definition), restoring aid < bid — the string
     // columns swap with their ids

@@ -92,6 +92,21 @@ object Temporal extends QueryPack {
               WHERE levenshtein(a.p_name, b.p_name) <= 1
               ORDER BY aid, bid""")),
 
+    // FUZZY at k=2: depth-2 deletion neighborhoods with length banding —
+    // the entity-resolution workhorse setting. Same exact contract as
+    // q_join_fuzzy (recall 1.0 by the deletion argument, precision 1.0 by
+    // the candidates-only levenshtein verify) against the brute-force
+    // all-pairs oracle.
+    Q("q_join_fuzzy2",
+      (s, dir) => Fuzzy.fuzzyJoinK(Tables(s, dir, "part"), "p_partkey", "p_name", 2)
+        .select("aid", "bid", "dist")
+        .orderBy("aid", "bid"),
+      Some("""SELECT a.p_partkey AS aid, b.p_partkey AS bid,
+                levenshtein(a.p_name, b.p_name) AS dist
+              FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 2
+              ORDER BY aid, bid""")),
+
     // FUNNEL: ordered event-sequence matching (first view → first
     // subsequent click → first subsequent purchase, per user). Each stage
     // is an equi-join on user_id with the time ordering as a RESIDUAL
