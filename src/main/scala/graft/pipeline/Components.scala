@@ -31,17 +31,28 @@ object Components {
   /** (doc_id, comp) for every node appearing in `pairs`, where `comp` is the
     * minimum doc_id of the node's connected component. Nodes with no pairs
     * are their own singleton components and are not emitted (the caller's
-    * anti-join treats absence as "keep"). */
+    * anti-join treats absence as "keep").
+    *
+    * `checkpointDir`: per-round lineage truncation mode. None (default) uses
+    * `localCheckpoint` — executor-resident blocks, fastest, but an executor
+    * loss mid-loop kills the job. For the 100 TB dedup-clustering run pass a
+    * reliable location (HDFS/object store): rounds then truncate through
+    * `checkpoint()` and survive executor loss at the cost of a per-round
+    * write (reference semantics: RDD.checkpoint,
+    * core/src/main/scala/org/apache/spark/rdd/RDD.scala:1660). */
   def connectedComponents(pairs: DataFrame, aCol: String = "aid",
-                          bCol: String = "bid"): DataFrame = {
+                          bCol: String = "bid",
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // canonical directed form: every edge points from the larger id (u) to
     // the smaller (v) — the invariant both star operations preserve
-    var edges = pairs
+    var edges = truncate(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var sig = checksum(edges)
     var converged = edges.isEmpty
     var rounds = 0
@@ -51,7 +62,7 @@ object Components {
     // non-minimal star set and silently drop wrong documents, so fail loud.
     val maxRounds = 1024
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(edges)))
       val nsig = checksum(next)
       converged = nsig == sig
       edges = next
@@ -70,8 +81,9 @@ object Components {
   /** Dedup policy over components: per cluster keep the minimum doc_id.
     * Returns the ids to DROP — every clustered node except its root. */
   def dropIds(pairs: DataFrame, aCol: String = "aid",
-              bCol: String = "bid"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+              bCol: String = "bid",
+              checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, aCol, bCol, checkpointDir)
       .filter(col("doc_id") =!= col("comp"))
       .select("doc_id")
 

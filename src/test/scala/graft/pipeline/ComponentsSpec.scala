@@ -73,6 +73,30 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(pairs) == expected)
   }
 
+  test("reliable-checkpoint mode computes identical components") {
+    import spark.implicits._
+    // same contraction, but per-round truncation goes through a RELIABLE
+    // checkpoint dir (the executor-loss story for the 100 TB run) — results
+    // must be identical to the localCheckpoint default, and the checkpoint
+    // dir must actually receive data
+    val ckDir = graft.core.Scratch.dir("cc_reliable_spec")
+    val fs = new org.apache.hadoop.fs.Path(ckDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckDir), true)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("aid", "bid")
+    val reliable = Components.connectedComponents(
+        pairs, checkpointDir = Some(ckDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = Components.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reliable == local)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val ckFiles = fs.listFiles(new org.apache.hadoop.fs.Path(ckDir), true)
+    assert(ckFiles.hasNext, "reliable mode must write checkpoint data")
+  }
+
   test("dropIds keeps exactly one doc (the min) per cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("aid", "bid")
