@@ -127,17 +127,38 @@ object IndexCatalog {
         props.getProperty("fingerprint").toLong))
   }
 
+  /** Freshness-check TTL in ms. 0 (default) = re-list the table's files on
+    * every optimizer pass — correctness-first staleness detection. On an
+    * object store with millions of files that LIST is real planning
+    * latency; set a small TTL (e.g. 30000) to amortize it across queries,
+    * accepting a ≤ TTL window in which a just-rewritten table could still
+    * be answered from the old index. */
+  @volatile var freshnessTtlMs: Long = 0L
+
+  private val lastChecked = new ConcurrentHashMap[String, java.lang.Long]()
+
   /** The entry for `tablePath`, or None if unregistered OR the table's data
     * files changed since registration (stale index — callers must fall back
-    * to non-index semantics). */
+    * to non-index semantics). Within [[freshnessTtlMs]] of the last
+    * successful check the listing is skipped. */
   def get(tablePath: String): Option[Entry] =
     Option(byPath.get(canon(tablePath))).filter { e =>
-      val fresh = scala.util.Try(tableFingerprint(tablePath) == e.fingerprint)
-        .getOrElse(false)
-      if (!fresh) byPath.remove(canon(tablePath), e) // drop so later queries
-                                                     // skip the re-listing
+      val key = canon(tablePath)
+      val now = System.currentTimeMillis()
+      val recent = freshnessTtlMs > 0 &&
+        Option(lastChecked.get(key)).exists(now - _ < freshnessTtlMs)
+      val fresh = recent || {
+        val ok = scala.util.Try(tableFingerprint(tablePath) == e.fingerprint)
+          .getOrElse(false)
+        if (ok) lastChecked.put(key, now)
+        ok
+      }
+      if (!fresh) {
+        byPath.remove(key, e) // drop so later queries skip the re-listing
+        lastChecked.remove(key)
+      }
       fresh
     }
 
-  def clear(): Unit = byPath.clear()
+  def clear(): Unit = { byPath.clear(); lastChecked.clear() }
 }

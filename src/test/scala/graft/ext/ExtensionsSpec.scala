@@ -257,6 +257,31 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("freshness TTL (opt-in) skips the re-listing, default stays exact") {
+    GraftExtensions.install(spark)
+    val tmpTable = "/root/repo/target/ttmp/fts_ttl_table"
+    val ixDir = "/root/repo/target/ttmp/fts_ttl_index"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.write.mode("overwrite").parquet(tmpTable)
+    graft.fts.Index.createIndex(spark, tmpTable, ixDir)
+    try {
+      graft.fts.IndexCatalog.freshnessTtlMs = 60000
+      assert(graft.fts.IndexCatalog.get(tmpTable).nonEmpty) // caches the check
+      // rewrite the table: within the TTL the stale index is still served —
+      // the documented trade-off of enabling the TTL
+      docs.limit(10).write.mode("overwrite").parquet(tmpTable)
+      assert(graft.fts.IndexCatalog.get(tmpTable).nonEmpty,
+        "within the TTL the listing must be skipped")
+      // TTL off (the default): the very next lookup detects staleness
+      graft.fts.IndexCatalog.freshnessTtlMs = 0
+      assert(graft.fts.IndexCatalog.get(tmpTable).isEmpty,
+        "with TTL disabled staleness must be detected immediately")
+    } finally {
+      graft.fts.IndexCatalog.freshnessTtlMs = 0
+      graft.fts.IndexCatalog.clear()
+    }
+  }
+
   test("fts_phrase: scan and index lowerings agree with the library path") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()
