@@ -30,6 +30,38 @@ object Analyzer {
       graft.ext.FtsTokenize(
         org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** The S-stemmer as a column expression over one token (see
+    * [[AnalyzerConfig]] for the rule set and provenance). */
+  private def sStemCol(t: Column): Column = {
+    val len = length(t)
+    when(t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"),
+      concat(t.substr(lit(1), len - 3), lit("y")))
+      .when(t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees")
+        && !t.endsWith("oes"), t.substr(lit(1), len - 1))
+      .when(t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"),
+        t.substr(lit(1), len - 1))
+      .otherwise(t)
+  }
+
+  /** Tokenize with a CONFIGURED analyzer: the frozen v1 grammar first
+    * (native [[graft.ext.FtsTokenize]] kernel), then the configured stages
+    * as array operations over the token stream — stopword removal, Harman
+    * S-stemming, min-length filter, in that fixed order (the order is part
+    * of the contract [[AnalyzerConfig.normalizeTerms]] mirrors). Duplicate
+    * tokens are PRESERVED (tf must survive; `array_except` would dedup). */
+  def tokenizeWith(c: Column, cfg: AnalyzerConfig): Column = {
+    var toks = tokenize(c)
+    if (cfg.stopWords.nonEmpty)
+      toks = filter(toks, t => !t.isin(cfg.stopWords: _*))
+    if (cfg.sStem) toks = transform(toks, sStemCol(_))
+    // post-stem guard: stemming "s" alone yields "", which no index may
+    // carry; fold it into the min-length filter
+    val minLen = math.max(1, cfg.minTokenLen)
+    if (cfg.sStem || cfg.minTokenLen > 1)
+      toks = filter(toks, t => length(t) >= minLen)
+    toks
+  }
+
   /** Distinct n-token shingles ("a b c") — the unit of near-dup similarity.
     * Docs shorter than n tokens produce an empty set (guarded: Spark's
     * `sequence(0, -1)` would count DOWN, not produce an empty range). */
@@ -39,6 +71,64 @@ object Analyzer {
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(joined))
+  }
+}
+
+/** A versioned analyzer CONFIGURATION — the answer to SURVEY §7 risk 3
+  * (index and query must tokenize identically) once the grammar stops being
+  * one frozen function: the configuration is DATA, persisted next to the
+  * index ([[Index.writeAnalyzerConfig]]) and replayed on the query side
+  * ([[AnalyzerConfig.normalizeTerms]]). All configs compose ON TOP of the
+  * frozen v1 token grammar (lowercase, split [^a-z0-9]+), in a fixed
+  * documented order: stopword removal (raw tokens) → S-stemming →
+  * min-length filter. The stemmer is Harman's S-stemmer ("How Effective Is
+  * Suffixing?", JASIS 1991 — public domain rules): ies→y (unless
+  * eies/aies), es→e (unless aes/ees/oes), s→∅ (unless us/ss). The
+  * reference's configurable analyzer seeds: RegexTokenizer
+  * (ml/feature/Tokenizer.scala:66), StopWordsRemover
+  * (ml/feature/StopWordsRemover.scala:35). */
+final case class AnalyzerConfig(
+    stopWords: Seq[String] = Nil,
+    sStem: Boolean = false,
+    minTokenLen: Int = 1) {
+
+  /** Stable textual form, recorded in the index-side properties file. */
+  def describe: String =
+    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen"
+
+  /** The S-stemmer on a plain string — the query-side mirror of the column
+    * pipeline (property-tested equal in AnalyzerSpec). */
+  def sStemString(t: String): String =
+    if (!sStem) t
+    else if (t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"))
+      t.dropRight(3) + "y"
+    else if (t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees")
+        && !t.endsWith("oes")) t.dropRight(1)
+    else if (t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"))
+      t.dropRight(1)
+    else t
+
+  /** Query terms through the SAME pipeline the index was built with —
+    * stopwords dropped, stemmed, short tokens dropped. Input is assumed
+    * v1-tokenized already (lowercase single tokens). */
+  def normalizeTerms(terms: Seq[String]): Seq[String] = {
+    val stop = stopWords.toSet
+    terms.filterNot(stop)
+      .map(sStemString)
+      .filter(t => t.length >= math.max(1, minTokenLen))
+  }
+}
+
+object AnalyzerConfig {
+  /** Parse [[AnalyzerConfig.describe]] back (index-side properties file). */
+  def parse(s: String): AnalyzerConfig = {
+    val kv = s.split(";").drop(1).map { p =>
+      val Array(k, v) = p.split("=", 2); k -> v
+    }.toMap
+    AnalyzerConfig(
+      stopWords = kv.getOrElse("stop", "").split("\\|").filter(_.nonEmpty).toSeq,
+      sStem = kv.getOrElse("sstem", "false").toBoolean,
+      minTokenLen = kv.getOrElse("min", "1").toInt)
   }
 }
 
@@ -91,6 +181,49 @@ object Index {
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     FtsIndex(postings, docLens, stats)
+  }
+
+  /** Build through a CONFIGURED analyzer ([[AnalyzerConfig]]): same shape as
+    * [[build]], tokens through [[Analyzer.tokenizeWith]]. The config must be
+    * persisted with the index ([[writeAnalyzerConfig]]) and query terms must
+    * pass [[AnalyzerConfig.normalizeTerms]] — an index is only answerable
+    * under the analyzer that built it. NOTE: custom-analyzer indexes are a
+    * LIBRARY surface; the SQL `fts_match` rewrite assumes the frozen v1
+    * grammar and must not be registered against one ([[createIndex]] only
+    * ever builds v1). */
+  def buildWithAnalyzer(docs: DataFrame, cfg: AnalyzerConfig,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): FtsIndex = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Analyzer.tokenizeWith(col(textCol), cfg)).as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
+  /** Persist the analyzer configuration next to the index — a fresh session
+    * reads it back ([[readAnalyzerConfig]]) and normalizes queries with the
+    * exact build-time pipeline. */
+  def writeAnalyzerConfig(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, cfg: AnalyzerConfig): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_analyzer.properties")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((cfg.describe + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readAnalyzerConfig(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): AnalyzerConfig = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_analyzer.properties")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try AnalyzerConfig.parse(
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim)
+    finally in.close()
   }
 
   /** Build with a document-frequency cap — the skew guard for stopword-like

@@ -412,6 +412,40 @@ object Fts extends QueryPack {
                  AND (SELECT count(*) FROM eff) > 0
                ORDER BY doc_id""")),
 
+    // CONFIGURED analyzer (SURVEY §7 risk 3 generalized): stopword removal
+    // + Harman S-stemming + min-length, applied identically at build time
+    // (Analyzer.tokenizeWith) and query time (cfg.normalizeTerms) — the raw
+    // user query "the queries window" normalizes to ('query', 'window'):
+    // 'the' is stopped, 'queries' stems to the corpus term 'query'. The
+    // oracle replays the same pipeline in SQL.
+    Q("q_fts_analyzer",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cfg = graft.fts.AnalyzerConfig(
+          stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+        val ix = Index.buildWithAnalyzer(docs, cfg)
+        val eff = cfg.normalizeTerms(Seq("the", "queries", "window"))
+        Search.matchAllIds(ix, eff).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks)
+               SELECT doc_id FROM an
+               WHERE list_contains(t, 'query') AND list_contains(t, 'window')
+               ORDER BY doc_id""")),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {

@@ -51,6 +51,48 @@ class AnalyzerSpec extends SparkSpec {
     forAll(text) { s => assert(tokensOf(s) == tokensOf(s.toUpperCase)) }
   }
 
+  private def tokensWith(s: String, cfg: AnalyzerConfig): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Analyzer.tokenizeWith(col("t"), cfg).as("toks"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("configured analyzer: stop -> stem -> minlen, known answers") {
+    val cfg = AnalyzerConfig(stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+    // the→stopped; QuerIes→query; windows→window; a→len 1 dropped;
+    // ss/us endings excluded from stemming; es→e dropped; bare s→'' dropped
+    assert(tokensWith("The QuerIes windows a ss bus es s", cfg)
+      == Seq("query", "window", "ss", "bus"))
+    // duplicates survive (tf must not collapse)
+    assert(tokensWith("tables tables", AnalyzerConfig(sStem = true))
+      == Seq("table", "table"))
+  }
+
+  test("column S-stemmer equals the query-side string mirror (property)") {
+    val cfg = AnalyzerConfig(sStem = true)
+    val suffixed = for {
+      w <- word
+      suf <- Gen.oneOf("", "s", "es", "ies", "ss", "us", "aes", "ees", "oes",
+        "eies", "aies")
+    } yield w + suf
+    forAll(Gen.listOf(suffixed).map(_.mkString(" "))) { s =>
+      val viaColumns = tokensWith(s, cfg)
+      val viaStrings = tokensOf(s).map(cfg.sStemString).filter(_.nonEmpty)
+      assert(viaColumns == viaStrings, s"input: '$s'")
+    }
+  }
+
+  test("analyzer config persists with the index and normalizes queries") {
+    val cfg = AnalyzerConfig(stopWords = Seq("the", "a"), sStem = true,
+      minTokenLen = 2)
+    val dir = graft.core.Scratch.dir("analyzer_cfg_spec")
+    Index.writeAnalyzerConfig(spark, dir, cfg)
+    val back = Index.readAnalyzerConfig(spark, dir)
+    assert(back == cfg)
+    assert(back.normalizeTerms(Seq("the", "queries", "window", "a"))
+      == Seq("query", "window"))
+  }
+
   test("shingles: count and guard for short docs") {
     import spark.implicits._
     def sh(toks: Seq[String], n: Int): Seq[String] =
