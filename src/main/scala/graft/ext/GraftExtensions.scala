@@ -62,6 +62,79 @@ object FtsTokenize {
   }
 }
 
+/** CJK-aware tokenizer kernel: Latin/digit runs become lowercase word
+  * tokens (v1 grammar), runs of CJK codepoints (unified ideographs,
+  * kana, hangul, compatibility + extension blocks) become overlapping
+  * CHARACTER BIGRAMS — the standard no-dictionary segmentation for
+  * languages without word delimiters (the approach of Lucene's CJKAnalyzer;
+  * the reference's own `Sentences` expression is locale-aware but
+  * word-oriented, stringExpressions.scala:1393). A 1-character CJK run
+  * emits the single character. Used by [[graft.fts.Analyzer.tokenizeWith]]
+  * when `AnalyzerConfig.cjkBigrams` is set; not SQL-registered. */
+case class FtsTokenizeCjk(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_tokenize_cjk requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_tokenize_cjk"
+  override def nullSafeEval(input: Any): Any =
+    FtsTokenizeCjk.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsTokenizeCjk$$.MODULE$$.tokenize($c);")
+  override protected def withNewChildInternal(newChild: Expression): FtsTokenizeCjk =
+    copy(child = newChild)
+}
+
+object FtsTokenizeCjk {
+  /** CJK codepoint test: unified ideographs + radicals (2E80–9FFF covers
+    * kana at 3040–30FF too), hangul syllables, compatibility ideographs,
+    * extension planes. */
+  def isCjk(cp: Int): Boolean =
+    (cp >= 0x2E80 && cp <= 0x9FFF) ||
+      (cp >= 0xAC00 && cp <= 0xD7AF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) ||
+      (cp >= 0x20000 && cp <= 0x2FA1F)
+
+  /** String-level kernel (shared with the query-side mirror
+    * [[graft.fts.AnalyzerConfig.tokenizeQuery]]). */
+  def tokenizeString(s: String): Seq[String] = {
+    val lower = s.toLowerCase(Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val word = new java.lang.StringBuilder()
+    val cjkRun = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushWord(): Unit =
+      if (word.length > 0) { out += word.toString; word.setLength(0) }
+    def flushCjk(): Unit = {
+      if (cjkRun.length == 1) out += new String(Character.toChars(cjkRun(0)))
+      else (0 until cjkRun.length - 1).foreach { i =>
+        out += new String(
+          Character.toChars(cjkRun(i)) ++ Character.toChars(cjkRun(i + 1)))
+      }
+      cjkRun.clear()
+    }
+    var i = 0
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      if (isCjk(cp)) { flushWord(); cjkRun += cp }
+      else if ((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')) {
+        flushCjk(); word.appendCodePoint(cp)
+      } else { flushWord(); flushCjk() }
+      i += Character.charCount(cp)
+    }
+    flushWord(); flushCjk()
+    out.toSeq
+  }
+
+  def tokenize(s: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenizeString(s.toString).map(UTF8String.fromString).toArray[Any])
+}
+
 /** Scan-path kernel for `fts_prefix`: true iff ANY token of the document
   * starts with `prefix` (already normalized through the token grammar by
   * [[RewriteFtsMatch]], which is the only producer — not SQL-registered).

@@ -50,7 +50,12 @@ object Analyzer {
     * of the contract [[AnalyzerConfig.normalizeTerms]] mirrors). Duplicate
     * tokens are PRESERVED (tf must survive; `array_except` would dedup). */
   def tokenizeWith(c: Column, cfg: AnalyzerConfig): Column = {
-    var toks = tokenize(c)
+    var toks =
+      if (cfg.cjkBigrams)
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.ext.FtsTokenizeCjk(
+            org.apache.spark.sql.GraftColumnBridge.expression(c)))
+      else tokenize(c)
     if (cfg.stopWords.nonEmpty)
       toks = filter(toks, t => !t.isin(cfg.stopWords: _*))
     if (cfg.sStem) toks = transform(toks, sStemCol(_))
@@ -90,11 +95,12 @@ object Analyzer {
 final case class AnalyzerConfig(
     stopWords: Seq[String] = Nil,
     sStem: Boolean = false,
-    minTokenLen: Int = 1) {
+    minTokenLen: Int = 1,
+    cjkBigrams: Boolean = false) {
 
   /** Stable textual form, recorded in the index-side properties file. */
   def describe: String =
-    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen"
+    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams"
 
   /** The S-stemmer on a plain string — the query-side mirror of the column
     * pipeline (property-tested equal in AnalyzerSpec). */
@@ -110,12 +116,23 @@ final case class AnalyzerConfig(
 
   /** Query terms through the SAME pipeline the index was built with —
     * stopwords dropped, stemmed, short tokens dropped. Input is assumed
-    * v1-tokenized already (lowercase single tokens). */
+    * base-tokenized already (lowercase single tokens / CJK bigrams). */
   def normalizeTerms(terms: Seq[String]): Seq[String] = {
     val stop = stopWords.toSet
     terms.filterNot(stop)
       .map(sStemString)
       .filter(t => t.length >= math.max(1, minTokenLen))
+  }
+
+  /** A RAW query string through the full pipeline: the config's base
+    * tokenizer (v1 grammar, or the CJK-bigram kernel when `cjkBigrams`),
+    * then [[normalizeTerms]] — '東京都' becomes bigrams ('東京', '京都'). */
+  def tokenizeQuery(raw: String): Seq[String] = {
+    val base =
+      if (cjkBigrams) graft.ext.FtsTokenizeCjk.tokenizeString(raw)
+      else raw.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    normalizeTerms(base)
   }
 }
 
@@ -128,7 +145,8 @@ object AnalyzerConfig {
     AnalyzerConfig(
       stopWords = kv.getOrElse("stop", "").split("\\|").filter(_.nonEmpty).toSeq,
       sStem = kv.getOrElse("sstem", "false").toBoolean,
-      minTokenLen = kv.getOrElse("min", "1").toInt)
+      minTokenLen = kv.getOrElse("min", "1").toInt,
+      cjkBigrams = kv.getOrElse("cjk", "false").toBoolean)
   }
 }
 

@@ -446,6 +446,40 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'query') AND list_contains(t, 'window')
                ORDER BY doc_id""")),
 
+    // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
+    // cjkBigrams base tokenizer emits character bigrams for CJK runs and
+    // v1 word tokens for Latin runs. The query '東京都' becomes bigrams
+    // ('東京','京都'); only a doc containing the contiguous phrase carries
+    // BOTH. Inline corpus on both sides (the fixture tables are ASCII);
+    // the oracle replays bigram segmentation with a DuckDB list
+    // comprehension.
+    Q("q_fts_cjk",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Seq(
+          (1L, "東京都に住む"),
+          (2L, "東京タワーの近く"),
+          (3L, "spark query engine"),
+          (4L, "京都市は静か"),
+          (5L, "場所は東京")
+        ).toDF("doc_id", "text")
+        val cfg = graft.fts.AnalyzerConfig(cjkBigrams = true)
+        val ix = Index.buildWithAnalyzer(docs, cfg)
+        Search.matchAllIds(ix, cfg.tokenizeQuery("東京都")).orderBy("doc_id")
+      },
+      Some("""WITH docs(doc_id, text) AS (VALUES
+                 (1, '東京都に住む'), (2, '東京タワーの近く'),
+                 (3, 'spark query engine'), (4, '京都市は静か'),
+                 (5, '場所は東京')),
+               an AS (SELECT doc_id::BIGINT AS doc_id,
+                 CASE WHEN regexp_matches(text, '^[a-z0-9 ]+$')
+                   THEN string_split(text, ' ')
+                   ELSE [substr(text, i, 2) FOR i IN range(1, len(text))]
+                 END AS t FROM docs)
+               SELECT doc_id FROM an
+               WHERE list_contains(t, '東京') AND list_contains(t, '京都')
+               ORDER BY doc_id""")),
+
     // Postings/index build itself: corpus term frequencies (explode → agg).
     Q("q_fts_postings",
       (s, dir) => {

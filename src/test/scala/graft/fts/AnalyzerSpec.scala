@@ -82,6 +82,22 @@ class AnalyzerSpec extends SparkSpec {
     }
   }
 
+  test("CJK bigrams: runs segment to bigrams, Latin stays word tokens") {
+    import graft.ext.FtsTokenizeCjk.tokenizeString
+    assert(tokenizeString("東京都") == Seq("東京", "京都"))
+    assert(tokenizeString("spark東京query") == Seq("spark", "東京", "query"))
+    assert(tokenizeString("spark 中 query") == Seq("spark", "中", "query"))
+    assert(tokenizeString("한국어") == Seq("한국", "국어"))
+    assert(tokenizeString("Hello, WORLD 42") == Seq("hello", "world", "42"))
+    assert(tokenizeString("") == Seq.empty)
+    // column kernel agrees with the string mirror
+    val cfg = AnalyzerConfig(cjkBigrams = true)
+    assert(tokensWith("東京都に住む spark", cfg)
+      == tokenizeString("東京都に住む spark"))
+    // query tokenization rides the same kernel
+    assert(cfg.tokenizeQuery("東京都") == Seq("東京", "京都"))
+  }
+
   test("analyzer config persists with the index and normalizes queries") {
     val cfg = AnalyzerConfig(stopWords = Seq("the", "a"), sStem = true,
       minTokenLen = 2)
