@@ -143,6 +143,37 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("two fts_score queries in one SELECT fold into two scoring joins") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_score2_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_score2_spec")
+      val df = spark.sql(
+        """SELECT doc_id, round(fts_score(text, 'spark'), 4) AS s1,
+                  round(fts_score(text, 'vector'), 4) AS s2
+           FROM docs_score2_spec ORDER BY doc_id LIMIT 50""")
+      val rows = df.collect()
+      assert(rows.length == 50)
+      val ix = graft.fts.Index.read(spark, ixDir)
+      def scoresFor(term: String): Map[Long, Double] =
+        graft.fts.Search.scoreAllBm25(
+            ix.copy(postings = graft.fts.Index.lookup(ix, Seq(term))), Seq(term))
+          .collect().map(r => r.getLong(0) ->
+            BigDecimal(r.getDouble(1)).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      val s1 = scoresFor("spark")
+      val s2 = scoresFor("vector")
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getDouble(1) == s1.getOrElse(id, 0.0), s"s1 for doc $id")
+        assert(r.getDouble(2) == s2.getOrElse(id, 0.0), s"s2 for doc $id")
+      }
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("fts_score without a registered index fails with the remedy") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()
