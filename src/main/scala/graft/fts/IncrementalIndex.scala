@@ -15,9 +15,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalIndex {
 
-  /** Start a foreachBatch sink that appends per-batch postings deltas. */
+  /** Start a foreachBatch sink that appends per-batch postings deltas.
+    * `positional = true` captures per-doc position lists in the deltas
+    * ([[Index.buildPositional]]) — downstream readers/compaction detect the
+    * positions column automatically, and a compacted positional index
+    * serves SQL `fts_near`/`fts_phrase` from position lists alone. */
   def start(docsStream: DataFrame, dir: String,
-            idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+            idCol: String = "doc_id", textCol: String = "text",
+            positional: Boolean = false): StreamingQuery =
     docsStream.writeStream
       .outputMode("append")
       // durable offsets: a restarted ingest must NOT replay batches into the
@@ -29,7 +34,8 @@ object IncrementalIndex {
         // so a second Index.build would re-run scan→tokenize→explode→groupBy
         // for a frame the first call already produced (2× tokenize on the
         // ingest path)
-        val ix = Index.build(batch, idCol, textCol)
+        val ix = if (positional) Index.buildPositional(batch, idCol, textCol)
+                 else Index.build(batch, idCol, textCol)
         ix.postings
           .withColumn("batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
@@ -39,10 +45,17 @@ object IncrementalIndex {
       .start()
 
   /** Merge-on-read view over the accumulated deltas. Re-aggregation is safe
-    * because a doc appears in exactly one batch (append-only ingest). */
+    * because a doc appears in exactly one batch (append-only ingest); a
+    * positions column in the deltas (positional ingest) is detected from
+    * the schema and carried through (one batch per doc → flatten of a
+    * 1-element list group is the doc's own sorted list). */
   def read(spark: SparkSession, dir: String): FtsIndex = {
-    val postings = spark.read.parquet(s"$dir/postings_delta")
-      .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
+    val raw = spark.read.parquet(s"$dir/postings_delta")
+    val postings =
+      if (raw.columns.contains("positions"))
+        raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"),
+          sort_array(flatten(collect_list(col("positions")))).as("positions"))
+      else raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
     val docLens = spark.read.parquet(s"$dir/doclens_delta")
       .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
     val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -58,13 +71,18 @@ object IncrementalIndex {
     * performs: register the compacted index for `tablePath` (the table the
     * stream ingested) and persist the association metadata — so SQL
     * `fts_match`/`fts_score`/… over that table serves through the compacted
-    * bucketed postings without a manual registration step. Deltas carry tf
-    * only, so the compacted index is non-positional. */
+    * bucketed postings without a manual registration step. A POSITIONAL
+    * ingest ([[start]] with positional=true) is detected from the delta
+    * schema and registered as such, so `fts_near`/`fts_phrase` lower to
+    * pure position-list plans over the compacted index. */
   def compactAndRegister(spark: SparkSession, dir: String, outDir: String,
                          tablePath: String, idCol: String = "doc_id",
                          textCol: String = "text", buckets: Int = 64): Unit = {
     compact(spark, dir, outDir, buckets)
-    IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets)
-    IndexCatalog.writeMeta(spark, tablePath, outDir, idCol, textCol, buckets)
+    val positional = spark.read.parquet(s"$dir/postings_delta")
+      .columns.contains("positions")
+    IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets, positional)
+    IndexCatalog.writeMeta(spark, tablePath, outDir, idCol, textCol, buckets,
+      positional)
   }
 }

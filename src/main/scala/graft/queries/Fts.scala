@@ -21,7 +21,8 @@ object Fts extends QueryPack {
     * stale deltas would double-count). Shared by the merge-on-read and
     * compaction lifecycle queries. */
   private def ingestDocs(s: org.apache.spark.sql.SparkSession, dir: String,
-                         landing: String, deltaDir: String): Unit = {
+                         landing: String, deltaDir: String,
+                         positional: Boolean = false): Unit = {
     val path = s"$dir/documents.parquet"
     val schema = s.read.parquet(path).schema
     val fs = new org.apache.hadoop.fs.Path(deltaDir)
@@ -34,7 +35,8 @@ object Fts extends QueryPack {
       streamDir.resolve("documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
-    graft.fts.IncrementalIndex.start(docsStream, deltaDir).awaitTermination()
+    graft.fts.IncrementalIndex.start(docsStream, deltaDir, positional = positional)
+      .awaitTermination()
   }
 
   /** BM25(k1=1.2, b=0.75) over ('spark','query'), reimplemented from scratch
@@ -410,6 +412,38 @@ object Fts extends QueryPack {
                SELECT doc_id FROM toks
                WHERE NOT EXISTS (SELECT 1 FROM eff WHERE NOT list_contains(t, eff.term))
                  AND (SELECT count(*) FROM eff) > 0
+               ORDER BY doc_id""")),
+
+    // The positional half of the streaming lifecycle: ingest with position
+    // capture → compact → register (positional detected from the delta
+    // schema) → SQL fts_near serves from position lists over the COMPACTED
+    // index — proximity search over a streaming-built index, no batch
+    // rebuild anywhere. Same oracle as q_fts_near.
+    Q("q_fts_compacted_near",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val deltaDir = graft.core.Scratch.dir("fts_index_cnear_delta")
+        val outDir = graft.core.Scratch.dir("fts_index_cnear_out")
+        val landing = graft.core.Scratch.dir("docs_cnear_stream")
+        new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(outDir), true)
+        ingestDocs(s, dir, landing, deltaDir, positional = true)
+        graft.fts.IncrementalIndex.compactAndRegister(s, deltaDir, outDir, landing)
+        s.read.parquet(landing).createOrReplaceTempView("documents_cnear")
+        s.sql("""SELECT doc_id FROM documents_cnear
+                 WHERE fts_near(text, 'data', 'query', 3)
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(pa) > 0 AND len(pb) > 0
+                 AND len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
     // CONFIGURED analyzer (SURVEY §7 risk 3 generalized): stopword removal

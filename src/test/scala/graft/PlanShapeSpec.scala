@@ -70,7 +70,8 @@ class PlanShapeSpec extends SparkSpec {
   test("q_fts_sql_near / q_fts_sql_phrase_pos answer from position lists alone") {
     graft.fts.IndexCatalog.clear()
     try {
-      for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos")) {
+      for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos",
+          "q_fts_compacted_near")) {
         val plan = planOf(name)
         assert(plan.contains("LeftSemi"), s"$name must semi-join the postings")
         assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens"),

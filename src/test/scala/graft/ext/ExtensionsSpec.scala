@@ -174,6 +174,33 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("match+prefix+near conjuncts all lower over one positional index") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val docs = spark.read.parquet(docsPath)
+    val posDir = "/root/repo/target/ttmp/fts_index_combo_spec"
+    graft.fts.Index.write(graft.fts.Index.buildPositional(docs), posDir)
+    graft.fts.IndexCatalog.register(docsPath, posDir, positional = true)
+    try {
+      docs.createOrReplaceTempView("docs_combo_spec")
+      val df = spark.sql(
+        """SELECT doc_id FROM docs_combo_spec
+           WHERE fts_match(text, 'spark') AND fts_prefix(text, 'quer')
+             AND fts_near(text, 'data', 'query', 3)""")
+      val s = df.queryExecution.optimizedPlan.toString
+      assert("LeftSemi".r.findAllIn(s).size == 3,
+        s"each conjunct must fold into its own semi-join:\n${s.take(2000)}")
+      assert(!s.contains("fts_tokenize") && !s.contains("fts_near_tokens"),
+        "positional index must serve every conjunct without re-reading text")
+      val ix = graft.fts.Index.buildPositional(docs)
+      val expect = graft.fts.Search.matchAllIds(ix, Seq("spark"))
+        .join(graft.fts.Search.matchPrefixIds(ix, "quer"), "doc_id")
+        .join(graft.fts.Search.matchNear(ix, "data", "query", 3), "doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(df.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("fts_score without a registered index fails with the remedy") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()

@@ -44,4 +44,36 @@ class IncrementalIndexSpec extends SparkSpec {
     val s2 = Search.scoreBm25(batch, Seq("spark"), 5).collect().map(_.toSeq)
     assert(s1.toSeq == s2.toSeq)
   }
+
+  test("positional ingest: merge-on-read position lists == batch positional") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_pos_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rows = Seq(
+      (1L, "big data big query engine"),
+      (2L, "data and more data then a query"),
+      (3L, "query before data"))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData(rows(0), rows(1))
+    IncrementalIndex.start(stream, dir, positional = true).awaitTermination()
+    input.addData(rows(2))
+    IncrementalIndex.start(stream, dir, positional = true).awaitTermination()
+
+    val incr = IncrementalIndex.read(spark, dir)
+    val batch = Index.buildPositional(rows.toDF("doc_id", "text"))
+    def canonPos(ix: FtsIndex) = ix.postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toList)).toSet
+    assert(canonPos(incr) == canonPos(batch))
+    // proximity straight off the merged deltas equals the batch answer
+    val a = Search.matchNear(incr, "data", "query", 3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Search.matchNear(batch, "data", "query", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
