@@ -44,6 +44,16 @@ object IncrementalIndex {
       }
       .start()
 
+  /** Append document TOMBSTONES: the deleted docs disappear from every
+    * subsequent merge-on-read view ([[read]] anti-joins them) and from the
+    * next compaction (which reads through [[read]]) — the merge-on-read
+    * DELETE pattern: base postings stay immutable, removal is data, not
+    * mutation. Idempotent (re-deleting an id is harmless). */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$dir/deletes_delta")
+
   /** Merge-on-read view over the accumulated deltas. Re-aggregation is safe
     * because a doc appears in exactly one batch (append-only ingest); a
     * positions column in the deltas (positional ingest) is detected from
@@ -51,13 +61,26 @@ object IncrementalIndex {
     * 1-element list group is the doc's own sorted list). */
   def read(spark: SparkSession, dir: String): FtsIndex = {
     val raw = spark.read.parquet(s"$dir/postings_delta")
-    val postings =
+    var postings =
       if (raw.columns.contains("positions"))
         raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"),
           sort_array(flatten(collect_list(col("positions")))).as("positions"))
       else raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
-    val docLens = spark.read.parquet(s"$dir/doclens_delta")
+    var docLens = spark.read.parquet(s"$dir/doclens_delta")
       .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
+    // tombstones ([[delete]]): anti-join both sides; stats re-derive from
+    // the surviving doc lengths, so n_docs/avgdl shrink with the corpus
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes_delta")
+    if (delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(delPath)) {
+      val dels = spark.read.parquet(s"$dir/deletes_delta")
+      // using-column joins move doc_id to the front — restore the layout
+      val pCols = postings.columns
+      postings = postings.join(dels, Seq("doc_id"), "left_anti")
+        .select(pCols.map(col): _*)
+      docLens = docLens.join(dels, Seq("doc_id"), "left_anti")
+        .select("doc_id", "dl")
+    }
     val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     FtsIndex(postings, docLens, stats)
   }

@@ -40,10 +40,11 @@ object Fts extends QueryPack {
   }
 
   /** BM25(k1=1.2, b=0.75) over ('spark','query'), reimplemented from scratch
-    * in DuckDB — shared by the in-memory and persisted-index variants. */
-  private[queries] val bm25Oracle: String =
+    * in DuckDB over an arbitrary source relation (so the tombstone query can
+    * score the corpus minus its deleted docs). */
+  private[queries] def bm25OracleOver(src: String): String =
     s"""WITH toks AS (
-         SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+         SELECT doc_id, unnest($DTOKS) AS term FROM $src),
        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
@@ -57,6 +58,9 @@ object Fts extends QueryPack {
          GROUP BY tf.doc_id)
        SELECT doc_id, round(s, 4) AS score FROM sc
        ORDER BY round(s, 4) DESC, doc_id LIMIT 10"""
+
+  /** The shared fixture-table instantiation of [[bm25OracleOver]]. */
+  private[queries] val bm25Oracle: String = bm25OracleOver("documents")
 
   def queries: Seq[Q] = Seq(
 
@@ -413,6 +417,24 @@ object Fts extends QueryPack {
                WHERE NOT EXISTS (SELECT 1 FROM eff WHERE NOT list_contains(t, eff.term))
                  AND (SELECT count(*) FROM eff) > 0
                ORDER BY doc_id""")),
+
+    // DELETES in the streaming index lifecycle: tombstones append to the
+    // delta log (merge-on-read DELETE — base postings stay immutable) and
+    // every read/compaction anti-joins them, with corpus stats re-derived
+    // from the survivors. BM25 over the tombstoned index must equal BM25
+    // over a corpus that never contained the deleted docs.
+    Q("q_fts_deleted",
+      (s, dir) => {
+        val deltaDir = graft.core.Scratch.dir("fts_index_del_delta")
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_del_stream"), deltaDir)
+        val evens = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0).select("doc_id")
+        graft.fts.IncrementalIndex.delete(s, deltaDir, evens)
+        val ix = graft.fts.IncrementalIndex.read(s, deltaDir)
+        Search.scoreBm25(ix, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25OracleOver(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1) documents"))),
 
     // The positional half of the streaming lifecycle: ingest with position
     // capture → compact → register (positional detected from the delta

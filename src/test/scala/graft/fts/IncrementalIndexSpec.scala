@@ -45,6 +45,43 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("tombstones remove docs from reads, stats, and compaction") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_del_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rows = Seq(
+      (1L, "spark makes big data simple"),
+      (2L, "big data big results"),
+      (3L, "spark streaming of data streams"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows: _*)
+    IncrementalIndex.start(input.toDF().toDF("doc_id", "text"), dir)
+      .awaitTermination()
+    IncrementalIndex.delete(spark, dir, Seq(2L).toDF("doc_id"))
+
+    val incr = IncrementalIndex.read(spark, dir)
+    val batch = Index.build(
+      Seq(rows(0), rows(2)).toDF("doc_id", "text"))
+    def canon(ix: FtsIndex) = (
+      ix.postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      ix.stats.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+    assert(canon(incr) == canon(batch),
+      "tombstoned read must equal a build over the surviving docs")
+    // compaction reads through the tombstones: the compacted layout is
+    // clean (no residual deleted postings, stats already shrunk)
+    val outDir = graft.core.Scratch.dir("incr_ix_del_compact")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    IncrementalIndex.compact(spark, dir, outDir)
+    val persisted = Index.read(spark, outDir)
+    assert(persisted.postings.filter(
+      org.apache.spark.sql.functions.col("doc_id") === 2L).isEmpty)
+    assert(persisted.stats.collect()(0).getLong(0) == 2L)
+  }
+
   test("positional ingest: merge-on-read position lists == batch positional") {
     val sparkS = spark
     import sparkS.implicits._
