@@ -40,47 +40,86 @@ object IncrementalIndex {
           .withColumn("batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
         ix.docLens
+          .withColumn("batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
       }
       .start()
 
-  /** Append document TOMBSTONES: the deleted docs disappear from every
-    * subsequent merge-on-read view ([[read]] anti-joins them) and from the
-    * next compaction (which reads through [[read]]) — the merge-on-read
-    * DELETE pattern: base postings stay immutable, removal is data, not
-    * mutation. Idempotent (re-deleting an id is harmless). */
+  private def maxBatchId(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings_delta")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val r = spark.read.parquet(s"$dir/postings_delta")
+        .agg(max(col("batch_id"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** Append document TOMBSTONES as of the latest ingested batch: the
+    * deleted docs' CURRENT versions disappear from every subsequent
+    * merge-on-read view ([[read]] anti-joins `batch_id ≤ as_of`) and from
+    * the next compaction — the merge-on-read DELETE pattern: base postings
+    * stay immutable, removal is data, not mutation. Versioning the
+    * tombstone ("delete what exists now") is what lets a later [[upsert]]
+    * re-add the same doc id. Idempotent; a delete before any ingest is a
+    * no-op. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).as("doc_id")).distinct()
-      .write.mode(SaveMode.Append).parquet(s"$dir/deletes_delta")
+    maxBatchId(spark, dir).foreach { asOf =>
+      ids.select(col(idCol).as("doc_id")).distinct()
+        .withColumn("as_of", lit(asOf))
+        .write.mode(SaveMode.Append).parquet(s"$dir/deletes_delta")
+    }
 
-  /** Merge-on-read view over the accumulated deltas. Re-aggregation is safe
-    * because a doc appears in exactly one batch (append-only ingest); a
-    * positions column in the deltas (positional ingest) is detected from
-    * the schema and carried through (one batch per doc → flatten of a
-    * 1-element list group is the doc's own sorted list). */
+  /** UPSERT: tombstone the docs' current versions and append the
+    * replacements as a new delta batch (positional if the log is) — an
+    * update costs one tombstone + one doc-sized append, never an index
+    * rewrite. Single-writer like the streaming sink (the next batch id is
+    * read from the log; concurrent writers need external coordination). */
+  def upsert(spark: SparkSession, dir: String, docs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val nextBatch = maxBatchId(spark, dir).map(_ + 1).getOrElse(0L)
+    delete(spark, dir, docs.select(col(idCol)), idCol)
+    val positional = maxBatchId(spark, dir).isDefined &&
+      spark.read.parquet(s"$dir/postings_delta").columns.contains("positions")
+    val ix = if (positional) Index.buildPositional(docs, idCol, textCol)
+             else Index.build(docs, idCol, textCol)
+    ix.postings.withColumn("batch_id", lit(nextBatch))
+      .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
+    ix.docLens.withColumn("batch_id", lit(nextBatch))
+      .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
+  }
+
+  /** Merge-on-read view over the accumulated deltas. TOMBSTONES
+    * ([[delete]]/[[upsert]]) are applied to the RAW rows first — a
+    * tombstone kills rows with `batch_id ≤ as_of`, so an upserted doc's
+    * old version dies while its replacement (a later batch) survives —
+    * then rows aggregate per (term, doc_id): safe because a doc LIVES in
+    * exactly one surviving batch (append-only ingest + upsert's
+    * tombstone-then-append). A positions column (positional ingest) is
+    * detected from the schema and carried through; corpus stats re-derive
+    * from the surviving doc lengths. */
   def read(spark: SparkSession, dir: String): FtsIndex = {
-    val raw = spark.read.parquet(s"$dir/postings_delta")
-    var postings =
-      if (raw.columns.contains("positions"))
-        raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"),
-          sort_array(flatten(collect_list(col("positions")))).as("positions"))
-      else raw.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
-    var docLens = spark.read.parquet(s"$dir/doclens_delta")
-      .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
-    // tombstones ([[delete]]): anti-join both sides; stats re-derive from
-    // the surviving doc lengths, so n_docs/avgdl shrink with the corpus
+    var rawP = spark.read.parquet(s"$dir/postings_delta")
+    var rawL = spark.read.parquet(s"$dir/doclens_delta")
     val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes_delta")
     if (delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(delPath)) {
       val dels = spark.read.parquet(s"$dir/deletes_delta")
-      // using-column joins move doc_id to the front — restore the layout
-      val pCols = postings.columns
-      postings = postings.join(dels, Seq("doc_id"), "left_anti")
-        .select(pCols.map(col): _*)
-      docLens = docLens.join(dels, Seq("doc_id"), "left_anti")
-        .select("doc_id", "dl")
+        .select(col("doc_id").as("del_id"), col("as_of"))
+      rawP = rawP.join(dels,
+        rawP("doc_id") === dels("del_id") && rawP("batch_id") <= dels("as_of"),
+        "left_anti")
+      rawL = rawL.join(dels,
+        rawL("doc_id") === dels("del_id") && rawL("batch_id") <= dels("as_of"),
+        "left_anti")
     }
+    val postings =
+      if (rawP.columns.contains("positions"))
+        rawP.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"),
+          sort_array(flatten(collect_list(col("positions")))).as("positions"))
+      else rawP.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
+    val docLens = rawL.groupBy("doc_id").agg(sum(col("dl")).as("dl"))
     val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     FtsIndex(postings, docLens, stats)
   }

@@ -436,6 +436,28 @@ object Fts extends QueryPack {
       Some(bm25OracleOver(
         "(SELECT * FROM documents WHERE doc_id % 2 = 1) documents"))),
 
+    // UPSERT completes the index CRUD: the doc's current version is
+    // tombstoned as-of the latest batch and the replacement appends as a
+    // NEW batch, so the versioned anti-join kills only the old rows — an
+    // update costs one tombstone + one doc-sized append, never a rewrite.
+    // BM25 over the upserted index must equal a corpus that always had the
+    // new text.
+    Q("q_fts_upsert",
+      (s, dir) => {
+        val deltaDir = graft.core.Scratch.dir("fts_index_ups_delta")
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_ups_stream"), deltaDir)
+        val updated = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 10)
+          .withColumn("text", concat(col("text"), lit(" zzzupdated")))
+        graft.fts.IncrementalIndex.upsert(s, deltaDir, updated)
+        val ix = graft.fts.IncrementalIndex.read(s, deltaDir)
+        Search.scoreBm25(ix, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25OracleOver(
+        """(SELECT doc_id,
+              CASE WHEN doc_id < 10 THEN text || ' zzzupdated' ELSE text END AS text
+            FROM documents) documents"""))),
+
     // The positional half of the streaming lifecycle: ingest with position
     // capture → compact → register (positional detected from the delta
     // schema) → SQL fts_near serves from position lists over the COMPACTED

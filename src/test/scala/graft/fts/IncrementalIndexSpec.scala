@@ -82,6 +82,41 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(persisted.stats.collect()(0).getLong(0) == 2L)
   }
 
+  test("upsert replaces a doc's version; delete-after-upsert removes it") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_ups_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "spark makes big data simple"),
+      (2L, "big data big results"), (3L, "spark streaming of data streams"))
+    IncrementalIndex.start(input.toDF().toDF("doc_id", "text"), dir)
+      .awaitTermination()
+
+    // replace doc 2's content — only the NEW version may be visible
+    IncrementalIndex.upsert(spark, dir,
+      Seq((2L, "fresh vector content")).toDF("doc_id", "text"))
+    val afterUpsert = IncrementalIndex.read(spark, dir)
+    val expect = Index.build(Seq(
+      (1L, "spark makes big data simple"),
+      (2L, "fresh vector content"),
+      (3L, "spark streaming of data streams")).toDF("doc_id", "text"))
+    def canon(ix: FtsIndex) = (
+      ix.postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(canon(afterUpsert) == canon(expect),
+      "upserted read must equal a corpus that always had the new text")
+
+    // deleting the doc AFTER the upsert kills the new version too
+    IncrementalIndex.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    val afterDelete = IncrementalIndex.read(spark, dir)
+    assert(afterDelete.docLens.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(afterDelete.postings.filter(
+      org.apache.spark.sql.functions.col("doc_id") === 2L).isEmpty)
+  }
+
   test("positional ingest: merge-on-read position lists == batch positional") {
     val sparkS = spark
     import sparkS.implicits._
