@@ -234,6 +234,76 @@ object FtsNearTokens {
   }
 }
 
+/** `fts_snippet(text, 'q terms', width)`: the token window of ±`width`
+  * tokens around the FIRST occurrence of any query term, space-joined —
+  * the result-page snippet every search surface renders next to a hit.
+  * NULL when no term occurs. Directly evaluable (plain per-row kernel, no
+  * corpus state), codegen'd, deterministic: first occurrence in token
+  * order, query terms normalized through the frozen grammar. */
+case class FtsSnippet(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (first.dataType == StringType && second.dataType == StringType &&
+        third.dataType == org.apache.spark.sql.types.IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "fts_snippet requires (STRING, STRING, INT), got " +
+          Seq(first, second, third).map(_.dataType.catalogString).mkString(", "))
+  override def prettyName: String = "fts_snippet"
+  override def nullSafeEval(s: Any, q: Any, w: Any): Any =
+    FtsSnippet.eval(s.asInstanceOf[UTF8String], q.asInstanceOf[UTF8String],
+      w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, q, w) => {
+      val res = ctx.freshName("snip")
+      s"""Object $res = graft.ext.FtsSnippet$$.MODULE$$.eval($s, $q, $w);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $res; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FtsSnippet =
+    copy(first = f, second = s, third = t)
+}
+
+object FtsSnippet {
+  /** Null when no query term occurs (distinguishes "no match" from an
+    * empty document). */
+  def eval(s: UTF8String, q: UTF8String, width: Int): UTF8String = {
+    val toks = FtsTokenize.tokenize(s)
+    val terms = FtsTokenize.tokenize(q)
+    val n = toks.numElements()
+    val m = terms.numElements()
+    var hit = -1
+    var i = 0
+    while (i < n && hit < 0) {
+      var j = 0
+      while (j < m && hit < 0) {
+        if (toks.getUTF8String(i).equals(terms.getUTF8String(j))) hit = i
+        j += 1
+      }
+      i += 1
+    }
+    if (hit < 0) null
+    else {
+      val w = math.max(0, width)
+      val from = math.max(0, hit - w)
+      val to = math.min(n - 1, hit + w)
+      val sb = new java.lang.StringBuilder()
+      var k = from
+      while (k <= to) {
+        if (k > from) sb.append(' ')
+        sb.append(toks.getUTF8String(k).toString)
+        k += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+}
+
 /** `fts_match(text, 'q terms')`: true iff the document contains ALL query
   * terms (token-level AND). Left unevaluated at runtime on purpose: the
   * analyzer accepts it, and [[RewriteFtsMatch]] lowers it to plain
@@ -734,7 +804,10 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsPrefix(args(0), args(1))),
       (new FunctionIdentifier("fts_near"),
         new ExpressionInfo(classOf[FtsNear].getName, "fts_near"),
-        (args: Seq[Expression]) => FtsNear(args(0), args(1), args(2), args(3)))
+        (args: Seq[Expression]) => FtsNear(args(0), args(1), args(2), args(3))),
+      (new FunctionIdentifier("fts_snippet"),
+        new ExpressionInfo(classOf[FtsSnippet].getName, "fts_snippet"),
+        (args: Seq[Expression]) => FtsSnippet(args(0), args(1), args(2)))
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

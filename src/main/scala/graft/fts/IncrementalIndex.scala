@@ -75,7 +75,11 @@ object IncrementalIndex {
     * replacements as a new delta batch (positional if the log is) — an
     * update costs one tombstone + one doc-sized append, never an index
     * rewrite. Single-writer like the streaming sink (the next batch id is
-    * read from the log; concurrent writers need external coordination). */
+    * read from the log; concurrent writers need external coordination), and
+    * upserts must not interleave with an ACTIVE streaming ingest — the
+    * stream's checkpointed batch counter does not know about upsert
+    * batches, so quiesce the stream first (AvailableNow ingests make that
+    * natural). */
   def upsert(spark: SparkSession, dir: String, docs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val nextBatch = maxBatchId(spark, dir).map(_ + 1).getOrElse(0L)

@@ -490,6 +490,27 @@ object Fts extends QueryPack {
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
+    // Result-page snippets: fts_snippet extracts the ±3-token window
+    // around the first query-term occurrence — the highlight every search
+    // surface renders next to a hit, composed here with the index-backed
+    // fts_match filter (snippet evaluates only on matching docs). Oracle
+    // replays the window arithmetic with DuckDB list slicing.
+    Q("q_fts_snippet",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_snip")
+        s.sql("""SELECT doc_id, fts_snippet(text, 'vector', 3) AS snip
+                 FROM documents_snip WHERE fts_match(text, 'vector')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               hit AS (SELECT doc_id, t, list_position(t, 'vector') AS p FROM toks)
+               SELECT doc_id,
+                 array_to_string(t[greatest(1, p - 3):least(len(t), p + 3)], ' ') AS snip
+               FROM hit WHERE coalesce(p, 0) > 0 ORDER BY doc_id""")),
+
     // CONFIGURED analyzer (SURVEY §7 risk 3 generalized): stopword removal
     // + Harman S-stemming + min-length, applied identically at build time
     // (Analyzer.tokenizeWith) and query time (cfg.normalizeTerms) — the raw

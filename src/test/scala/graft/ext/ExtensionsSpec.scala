@@ -201,6 +201,25 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_snippet: first-occurrence window, clipping, null on no match") {
+    GraftExtensions.install(spark)
+    def snip(text: String, q: String, w: Int): Option[String] = {
+      val r = spark.sql(
+        s"SELECT fts_snippet('$text', '$q', $w) AS s").collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(snip("one two three FOUR five six seven", "four", 2)
+      == Some("two three four five six"))
+    // first occurrence of ANY term in token order wins, not term order
+    assert(snip("b c a d", "a b", 1) == Some("b c"))
+    // window clips at both document edges
+    assert(snip("alpha beta gamma", "alpha", 5) == Some("alpha beta gamma"))
+    assert(snip("alpha beta gamma", "gamma", 1) == Some("beta gamma"))
+    // width 0 = just the hit token; no match = NULL
+    assert(snip("alpha beta", "beta", 0) == Some("beta"))
+    assert(snip("alpha beta", "zzz", 3) == None)
+  }
+
   test("fts_score without a registered index fails with the remedy") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()
@@ -395,7 +414,7 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
-      "fts_phrase", "fts_score", "fts_prefix", "fts_near",
+      "fts_phrase", "fts_score", "fts_prefix", "fts_near", "fts_snippet",
       "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))
