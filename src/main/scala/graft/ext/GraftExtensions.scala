@@ -174,6 +174,48 @@ object FtsHasTokenPrefix {
   }
 }
 
+/** Scan-path kernel for `fts_wildcard`: true iff ANY token starts with
+  * `head`, ends with `tail`, and is long enough that head and tail do not
+  * overlap (the exact semantics of the single-star pattern `head*tail`).
+  * Produced only by [[RewriteFtsMatch]]; not SQL-registered. */
+case class FtsHasTokenWildcard(child: Expression, head: String, tail: String)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_wildcard requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_has_token_wildcard"
+  override def nullSafeEval(input: Any): Any =
+    FtsHasTokenWildcard.eval(input.asInstanceOf[UTF8String],
+      UTF8String.fromString(head), UTF8String.fromString(tail))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("wcHead", UTF8String.fromString(head))
+    val t = ctx.addReferenceObj("wcTail", UTF8String.fromString(tail))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsHasTokenWildcard$$.MODULE$$.eval($c, $h, $t);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FtsHasTokenWildcard =
+    copy(child = newChild)
+}
+
+object FtsHasTokenWildcard {
+  def eval(s: UTF8String, head: UTF8String, tail: UTF8String): Boolean = {
+    val toks = FtsTokenize.tokenize(s)
+    val need = head.numChars() + tail.numChars()
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      if (t.numChars() >= need && t.startsWith(head) && t.endsWith(tail))
+        return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** Scan-path kernel for `fts_near`: true iff tokens `a` and `b` occur within
   * `slop` positions of each other (either order). Single pass over the token
   * stream tracking the most recent occurrence of each term — any qualifying
@@ -408,6 +450,22 @@ case class FtsNear(text: Expression, termA: Expression, termB: Expression,
       slop = newChildren(3))
 }
 
+/** `fts_wildcard(text, 'qu*ry')`: true iff the document contains a token
+  * matching the single-star pattern. Lowered by [[RewriteFtsMatch]]: index
+  * path = head-range + suffix-residual semi-join over the sorted postings
+  * ([[graft.fts.Search.matchWildcardIds]]); scan path = the
+  * [[FtsHasTokenWildcard]] kernel. `fts_prefix` is the tail-less special
+  * case with its own simpler lowering. */
+case class FtsWildcard(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_wildcard"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsWildcard =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -462,8 +520,23 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private final case class TermsConj(attr: Attribute, q: UTF8String, mode: Int)
       extends FtsConjunct
   private final case class PrefixConj(prefix: String) extends FtsConjunct
+  private final case class WildcardConj(head: String, tail: String)
+      extends FtsConjunct
   private final case class NearConj(attr: Attribute, a: String, b: String,
                                     slop: Int) extends FtsConjunct
+
+  /** Validated (head, tail) of a single-star wildcard pattern. */
+  private def parseWildcard(p: UTF8String): (String, String) = {
+    val norm = p.toString.toLowerCase(Locale.ROOT)
+    if (norm.count(_ == '*') != 1)
+      throw new IllegalArgumentException(
+        s"fts_wildcard requires exactly one '*', got '$p'")
+    val Array(head, tail) = norm.split("\\*", -1)
+    if ((head + tail).isEmpty || !(head + tail).matches("[a-z0-9]*"))
+      throw new IllegalArgumentException(
+        s"fts_wildcard parts must normalize to [a-z0-9], got '$p'")
+    (head, tail)
+  }
 
   /** Lowercased prefix; must normalize to a [a-z0-9]+ token fragment (the
     * only shape the frozen grammar can index). */
@@ -641,6 +714,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if isBaseText(a) => Left(TermsConj(a, q, ModePhrase))
               case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
                   if isBaseText(a) => Left(PrefixConj(normPrefix(p)))
+              case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
+                  if isBaseText(a) =>
+                val (h, t) = parseWildcard(p)
+                Left(WildcardConj(h, t))
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
@@ -680,6 +757,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   // term-RANGE over the sorted postings (row-group min/max
                   // pruning; hash buckets can't help a prefix)
                   semi(cur, graft.fts.Search.matchPrefixIds(persistedIx(entry), p)
+                    .queryExecution.optimizedPlan)
+                case (cur, WildcardConj(h, t)) =>
+                  semi(cur, graft.fts.Search.matchWildcardIds(
+                      persistedIx(entry), s"$h*$t")
                     .queryExecution.optimizedPlan)
                 case (cur, NearConj(a, ta, tb, sl)) =>
                   if (entry.positional)
@@ -723,6 +804,9 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else phraseContains(text, terms)
       case FtsPrefix(text, Literal(p: UTF8String, StringType)) =>
         FtsHasTokenPrefix(text, normPrefix(p))
+      case FtsWildcard(text, Literal(p: UTF8String, StringType)) =>
+        val (h, t) = parseWildcard(p)
+        FtsHasTokenWildcard(text, h, t)
       case FtsNear(text, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType)) =>
@@ -735,6 +819,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPhrase(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPrefix(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsWildcard(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsNear(_, a, b, s)
           if Seq(a, b, s).exists {
             case Literal(null, _) => true; case _ => false } =>
@@ -749,6 +834,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         s"fts_phrase requires a literal query string, got: ${m.right.sql}")
       case m: FtsPrefix => throw new IllegalArgumentException(
         s"fts_prefix requires a literal prefix string, got: ${m.right.sql}")
+      case m: FtsWildcard => throw new IllegalArgumentException(
+        s"fts_wildcard requires a literal pattern string, got: ${m.right.sql}")
       case m: FtsNear => throw new IllegalArgumentException(
         "fts_near requires literal string terms and a literal INT slop, got: " +
           s"${m.sql}")
@@ -807,7 +894,10 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsNear(args(0), args(1), args(2), args(3))),
       (new FunctionIdentifier("fts_snippet"),
         new ExpressionInfo(classOf[FtsSnippet].getName, "fts_snippet"),
-        (args: Seq[Expression]) => FtsSnippet(args(0), args(1), args(2)))
+        (args: Seq[Expression]) => FtsSnippet(args(0), args(1), args(2))),
+      (new FunctionIdentifier("fts_wildcard"),
+        new ExpressionInfo(classOf[FtsWildcard].getName, "fts_wildcard"),
+        (args: Seq[Expression]) => FtsWildcard(args(0), args(1)))
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

@@ -401,6 +401,31 @@ object Search {
       .select("doc_id").distinct()
   }
 
+  /** doc_ids containing a token that matches a single-star WILDCARD
+    * pattern (`qu*ry`, `quer*`, `*ery`). The head (before the star) pushes
+    * as a term RANGE into the sorted postings exactly like
+    * [[matchPrefixIds]]; the tail is a residual suffix filter on the term
+    * plus a length guard (head and tail must not overlap inside one
+    * token). A LEADING star has no range to push — the filter runs over
+    * the term dictionary (still the postings, never the corpus); the
+    * standard index-side fix at scale is a reversed-term layout. */
+  def matchWildcardIds(ix: FtsIndex, pattern: String): DataFrame = {
+    val norm = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(norm.count(_ == '*') == 1,
+      s"wildcard pattern needs exactly one '*', got '$pattern'")
+    val Array(head, tail) = norm.split("\\*", -1)
+    require((head + tail).nonEmpty && (head + tail).matches("[a-z0-9]*"),
+      s"wildcard parts must normalize to [a-z0-9], got '$pattern'")
+    var p = ix.postings
+    if (head.nonEmpty) {
+      val upper = head.init + (head.last + 1).toChar
+      p = p.filter(col("term") >= head && col("term") < upper)
+    }
+    if (tail.nonEmpty) p = p.filter(col("term").endsWith(tail))
+    p.filter(length(col("term")) >= head.length + tail.length)
+      .select("doc_id").distinct()
+  }
+
   /** Docs matching all `must` terms and none of the `mustNot` terms —
     * semi-join + anti-join against the postings (reference join types,
     * catalyst/.../plans/logical/basicLogicalOperators.scala:270). */

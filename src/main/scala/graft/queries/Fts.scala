@@ -490,6 +490,26 @@ object Fts extends QueryPack {
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
+    // Single-star wildcard term query through SQL: 'c*er' pushes the head
+    // as a term RANGE into the sorted postings with the suffix + length
+    // guard as residuals (matchWildcardIds). Oracle mirrors the exact
+    // semantics (LIKE + the non-overlap length guard).
+    Q("q_fts_sql_wildcard",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixwc")
+        s.sql("""SELECT doc_id FROM documents_ixwc
+                 WHERE fts_wildcard(text, 'c*er')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x ->
+                       x LIKE 'c%er' AND len(x) >= 3)) > 0
+               ORDER BY doc_id""")),
+
     // Result-page snippets: fts_snippet extracts the ±3-token window
     // around the first query-term occurrence — the highlight every search
     // surface renders next to a hit, composed here with the index-backed

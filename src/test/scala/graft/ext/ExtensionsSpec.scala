@@ -261,6 +261,29 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_wildcard: scan and index lowerings agree with the library path") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_wc_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    spark.read.parquet(docsPath).createOrReplaceTempView("docs_wc_sql")
+    val expect = graft.fts.Search.matchWildcardIds(
+        graft.fts.Index.read(spark, ixDir), "c*er")
+      .collect().map(_.getLong(0)).toSet
+    val scan = spark.sql(
+      "SELECT doc_id FROM docs_wc_sql WHERE fts_wildcard(text, 'C*er')")
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      val ixq = spark.sql(
+        "SELECT doc_id FROM docs_wc_sql WHERE fts_wildcard(text, 'c*er')")
+      assert(ixq.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(ixq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("fts_near: scan, tf-index residual, and positional lowerings agree") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()
@@ -415,6 +438,7 @@ class ExtensionsSpec extends SparkSpec {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
       "fts_phrase", "fts_score", "fts_prefix", "fts_near", "fts_snippet",
+      "fts_wildcard",
       "graft_dot", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))

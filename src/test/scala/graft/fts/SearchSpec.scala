@@ -91,6 +91,27 @@ class SearchSpec extends SparkSpec {
       == Set("data"))
   }
 
+  test("wildcard: head range + suffix + overlap guard; leading star works") {
+    import spark.implicits._
+    val wdocs = Seq(
+      (1L, "query quarry"), (2L, "quay"), (3L, "qy cert"),
+      (4L, "query only here")).toDF("doc_id", "text")
+    val wix = Index.build(wdocs)
+    def ids(p: String): Set[Long] =
+      Search.matchWildcardIds(wix, p).collect().map(_.getLong(0)).toSet
+    // 'qy' (len 2) fails the qu*y length guard AND the 'qu' head
+    assert(ids("qu*y") == Set(1L, 2L, 4L))   // query, quarry, quay
+    // head 'q' + tail 'y' need len >= 2: qy now matches too
+    assert(ids("q*y") == Set(1L, 2L, 3L, 4L))
+    // leading star: suffix-only over the term dictionary
+    assert(ids("*ert") == Set(3L))           // cert
+    assert(ids("quer*") == Set(1L, 4L))      // prefix special case
+    // overlap guard: 'qu*uay' must NOT match 'quay' (head+tail len 6 > 4)
+    assert(ids("qu*uay") == Set.empty[Long])
+    intercept[IllegalArgumentException](Search.matchWildcardIds(wix, "a*b*c"))
+    intercept[IllegalArgumentException](Search.matchWildcardIds(wix, "*"))
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
