@@ -280,6 +280,74 @@ object Relational extends QueryPack {
                 AND r_regionkey < 3
               GROUP BY n_name ORDER BY n_name""")),
 
+    // TPC-H Q3 (shipping-priority): customer⋈orders⋈lineitem with selective
+    // filters on both fact sides, revenue per unshipped order, top-10 by
+    // revenue — the classic filter-pushdown + partial-agg + top-k shape
+    // (TakeOrderedAndProject, never a global sort). Timestamps render as
+    // strings per the determinism contract.
+    Q("q_join_q3",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_orderpriority"))
+          .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND l_shipdate > TIMESTAMP '1997-01-01'
+              GROUP BY l_orderkey, o_date, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    // customer over a quarter, top-20 — fact⋈fact join with a broadcast
+    // dimension tail, the other canonical ad-hoc reporting shape.
+    Q("q_join_q10",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(d(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+                AND l_returnflag = 'R'
+              GROUP BY c_custkey, c_name, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",

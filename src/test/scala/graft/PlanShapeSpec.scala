@@ -107,6 +107,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_wildcard pushes head range and suffix into the term scan") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_wildcard")
+    try {
+      assert(plan.contains("LeftSemi"))
+      assert(plan.contains("GreaterThanOrEqual(term,c"),
+        "wildcard head must push as a term range")
+      assert(plan.contains("StringEndsWith(term,er"),
+        "wildcard tail must push as a suffix filter on the term")
+      assert(!plan.contains("fts_tokenize"),
+        "wildcard over the index must not re-tokenize the corpus")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
