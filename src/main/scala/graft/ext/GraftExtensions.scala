@@ -519,6 +519,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private sealed trait FtsConjunct
   private final case class TermsConj(attr: Attribute, q: UTF8String, mode: Int)
       extends FtsConjunct
+  /** `NOT fts_match(_any)` — lowered as a LEFT-ANTI join on the same id
+    * sets the positive forms semi-join (the library's mustNot semantics,
+    * [[graft.fts.Search.matchBoolean]]). `requireAll` mirrors the inner
+    * predicate: NOT match = anti on the all-terms ids, NOT match_any =
+    * anti on the any-term ids. */
+  private final case class NotTermsConj(q: UTF8String, requireAll: Boolean)
+      extends FtsConjunct
   private final case class PrefixConj(prefix: String) extends FtsConjunct
   private final case class WildcardConj(head: String, tail: String)
       extends FtsConjunct
@@ -712,6 +719,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if isBaseText(a) => Left(TermsConj(a, q, ModeAny))
               case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
                   if isBaseText(a) => Left(TermsConj(a, q, ModePhrase))
+              case org.apache.spark.sql.catalyst.expressions.Not(
+                  FtsMatch(a: Attribute, Literal(q: UTF8String, StringType)))
+                  if isBaseText(a) => Left(NotTermsConj(q, requireAll = true))
+              case org.apache.spark.sql.catalyst.expressions.Not(
+                  FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType)))
+                  if isBaseText(a) => Left(NotTermsConj(q, requireAll = false))
               case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
                   if isBaseText(a) => Left(PrefixConj(normPrefix(p)))
               case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
@@ -752,6 +765,15 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     if (mode == ModePhrase)
                       Filter(phraseContains(a, phraseTerms(q)), joined)
                     else joined
+                  }
+                case (cur, NotTermsConj(q, requireAll)) =>
+                  val terms = queryTerms(q)
+                  // NOT over no usable terms is NOT(false) = true: keep all
+                  if (terms.isEmpty) cur
+                  else {
+                    val sub = matchingIds(entry, terms, requireAll)
+                    Join(cur, sub, org.apache.spark.sql.catalyst.plans.LeftAnti,
+                      Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
                   }
                 case (cur, PrefixConj(p)) =>
                   // term-RANGE over the sorted postings (row-group min/max

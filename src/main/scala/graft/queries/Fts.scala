@@ -490,6 +490,27 @@ object Fts extends QueryPack {
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
+    // Boolean must/mustNot through SQL: NOT fts_match_any lowers to a
+    // LEFT-ANTI join on the any-term id set (the library's matchBoolean
+    // mustNot), composed with the positive semi-join — same rows/oracle as
+    // q_fts_match_not, no scan lowering anywhere (plan-asserted).
+    Q("q_fts_sql_not",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixnot")
+        s.sql("""SELECT doc_id FROM documents_ixnot
+                 WHERE fts_match(text, 'vector')
+                   AND NOT fts_match_any(text, 'slow batch')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'vector')
+                 AND NOT list_contains(t, 'slow') AND NOT list_contains(t, 'batch')
+               ORDER BY doc_id""")),
+
     // Single-star wildcard term query through SQL: 'c*er' pushes the head
     // as a term RANGE into the sorted postings with the suffix + length
     // guard as residuals (matchWildcardIds). Oracle mirrors the exact

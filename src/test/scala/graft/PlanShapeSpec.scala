@@ -121,6 +121,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_not lowers NOT fts_match_any to an anti-join, no scan") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_not")
+    try {
+      assert(plan.contains("LeftSemi"), "positive conjunct must semi-join")
+      assert(plan.contains("LeftAnti"), "negated conjunct must anti-join")
+      assert(!plan.contains("fts_tokenize") && !plan.contains("array_contains"),
+        "neither conjunct may fall back to the scan lowering")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
