@@ -308,6 +308,26 @@ object Index {
     ix.stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }
 
+  /** REVERSED-term postings layout: `(term = reverse(original), doc_id)`,
+    * bucketed and term-sorted exactly like [[write]] — the standard fix for
+    * leading-star wildcards: a SUFFIX query over the original terms is a
+    * PREFIX range over the reversed dictionary, so
+    * [[Search.matchSuffixIds]] gets the same row-group min/max pruning
+    * [[Search.matchPrefixIds]] enjoys, instead of scanning the whole term
+    * dictionary. Storage cost: one extra (term, doc_id) projection of the
+    * postings — no tf/positions (suffix match needs ids only). */
+  def writeReversed(ix: FtsIndex, dir: String, buckets: Int = 64): Unit =
+    ix.postings
+      .select(reverse(col("term")).as("term"), col("doc_id"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/postings_rev")
+
+  def readReversed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/postings_rev")
+
   /** One-call provisioning: build the index from the parquet table, persist
     * it in the bucketed layout, and register the table→index association —
     * after this, SQL `fts_match`/`fts_match_any` over the table lowers to
@@ -400,6 +420,15 @@ object Search {
       .filter(col("term") >= norm && col("term") < upper)
       .select("doc_id").distinct()
   }
+
+  /** doc_ids containing a token with the given SUFFIX (`*ery`), answered
+    * from a REVERSED-term layout ([[Index.writeReversed]]): the suffix
+    * reverses into a prefix over the reversed dictionary, so the whole
+    * query is [[matchPrefixIds]] — a pushed term RANGE with row-group
+    * pruning — instead of the term-dictionary scan a leading-star wildcard
+    * otherwise costs. */
+  def matchSuffixIds(revPostings: DataFrame, suffix: String): DataFrame =
+    matchPrefixIds(FtsIndex(revPostings, null, null), suffix.reverse)
 
   /** doc_ids containing a token that matches a single-star WILDCARD
     * pattern (`qu*ry`, `quer*`, `*ery`). The head (before the star) pushes

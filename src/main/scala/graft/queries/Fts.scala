@@ -490,6 +490,23 @@ object Fts extends QueryPack {
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
+    // Suffix (leading-star) term query over the REVERSED-term layout: the
+    // suffix reverses into a prefix over the reversed dictionary, so the
+    // query is a pushed term RANGE (row-group pruning) instead of the
+    // term-dictionary scan fts_wildcard('*er') costs. Oracle = tokens
+    // ending in 'er'.
+    Q("q_fts_suffix",
+      (s, dir) => {
+        val ixDir = graft.core.Scratch.dir("fts_index_rev")
+        Index.writeReversed(Index.build(Tables(s, dir, "documents")), ixDir)
+        Search.matchSuffixIds(Index.readReversed(s, ixDir), "er")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> x LIKE '%er')) > 0
+               ORDER BY doc_id""")),
+
     // Boolean must/mustNot through SQL: NOT fts_match_any lowers to a
     // LEFT-ANTI join on the any-term id set (the library's matchBoolean
     // mustNot), composed with the positive semi-join — same rows/oracle as

@@ -110,6 +110,12 @@ class SearchSpec extends SparkSpec {
     assert(ids("qu*uay") == Set.empty[Long])
     intercept[IllegalArgumentException](Search.matchWildcardIds(wix, "a*b*c"))
     intercept[IllegalArgumentException](Search.matchWildcardIds(wix, "*"))
+    // reversed layout answers the same leading-star query as a prefix range
+    val revDir = "/root/repo/target/ttmp/fts_rev_spec"
+    Index.writeReversed(wix, revDir)
+    val viaRev = Search.matchSuffixIds(Index.readReversed(spark, revDir), "ert")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaRev == ids("*ert"))
   }
 
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
