@@ -526,6 +526,56 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * anti on the any-term ids. */
   private final case class NotTermsConj(q: UTF8String, requireAll: Boolean)
       extends FtsConjunct
+  /** A DISJUNCTION whose every branch is exactly answerable from the index
+    * — lowered as one semi-join against the UNION of the branches' id
+    * sets. Branches needing a text residual (phrase/near over a tf-only
+    * index) disqualify the whole disjunction (the residual would have to
+    * apply per-branch, which a union of ids cannot express) and it falls
+    * back to the scan lowering instead. */
+  private final case class OrConj(ids: Seq[org.apache.spark.sql.DataFrame])
+      extends FtsConjunct
+
+  /** The exact doc-id set for one positive fts predicate over the persisted
+    * index, or None when the predicate is not index-exact here. */
+  private def exactIdsDf(entry: IndexCatalog.Entry, e: Expression,
+                         isBaseText: Attribute => Boolean)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    // type-correct empty id frame (optimizes to an empty LocalRelation)
+    def emptyIds = persistedIx(entry).postings
+      .filter(org.apache.spark.sql.GraftColumnBridge.column(Literal.FalseLiteral))
+      .select("doc_id")
+    e match {
+      case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
+          if isBaseText(a) =>
+        val ts = queryTerms(q)
+        Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = true))
+      case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
+          if isBaseText(a) =>
+        val ts = queryTerms(q)
+        Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = false))
+      case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
+          if isBaseText(a) && entry.positional =>
+        val ts = phraseTerms(q)
+        Some(if (ts.isEmpty) emptyIds
+          else graft.fts.Search.matchPhrasePositional(
+            persistedIx(entry), ts, entry.buckets))
+      case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
+                   Literal(tb: UTF8String, StringType),
+                   Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
+          if isBaseText(a) && entry.positional =>
+        Some(graft.fts.Search.matchNear(persistedIx(entry),
+          singleTerm(ta, "fts_near"), singleTerm(tb, "fts_near"), sl,
+          entry.buckets))
+      case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
+          if isBaseText(a) =>
+        Some(graft.fts.Search.matchPrefixIds(persistedIx(entry), normPrefix(p)))
+      case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
+          if isBaseText(a) =>
+        val (h, t) = parseWildcard(p)
+        Some(graft.fts.Search.matchWildcardIds(persistedIx(entry), s"$h*$t"))
+      case _ => None
+    }
+  }
   private final case class PrefixConj(prefix: String) extends FtsConjunct
   private final case class WildcardConj(head: String, tail: String)
       extends FtsConjunct
@@ -620,20 +670,20 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * (optimized eagerly so partition pruning + pushdown have already run by
     * the time it is grafted into the outer tree — the later optimizer
     * batches of the outer query won't revisit it). */
-  private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String],
-                          requireAll: Boolean): LogicalPlan = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val postings = spark.read.parquet(s"${entry.indexDir}/postings")
+  private def matchingIdsDf(entry: IndexCatalog.Entry, terms: Seq[String],
+                            requireAll: Boolean): org.apache.spark.sql.DataFrame = {
     // bucket-pruned postings slice, then the same AND/OR match shapes the
     // library API exposes — one implementation of the match semantics
     val pruned = graft.fts.FtsIndex(
-      graft.fts.Index.lookup(graft.fts.FtsIndex(postings, null, null), terms, entry.buckets),
+      graft.fts.Index.lookup(persistedIx(entry), terms, entry.buckets),
       null, null)
-    val ids =
-      if (requireAll) graft.fts.Search.matchAllIds(pruned, terms)
-      else graft.fts.Search.matchAnyIds(pruned, terms)
-    ids.queryExecution.optimizedPlan
+    if (requireAll) graft.fts.Search.matchAllIds(pruned, terms)
+    else graft.fts.Search.matchAnyIds(pruned, terms)
   }
+
+  private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String],
+                          requireAll: Boolean): LogicalPlan =
+    matchingIdsDf(entry, terms, requireAll).queryExecution.optimizedPlan
 
   /** Per-doc BM25 scores for `terms` as an optimized logical plan over the
     * persisted index — postings pruned to the terms' buckets, doc lengths
@@ -731,6 +781,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if isBaseText(a) =>
                 val (h, t) = parseWildcard(p)
                 Left(WildcardConj(h, t))
+              case or: org.apache.spark.sql.catalyst.expressions.Or =>
+                val branchIds = splitDisjunctivePredicates(or)
+                  .map(b => exactIdsDf(entry, b, isBaseText))
+                if (branchIds.forall(_.isDefined))
+                  Left(OrConj(branchIds.flatten))
+                else Right(or)
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
@@ -775,6 +831,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     Join(cur, sub, org.apache.spark.sql.catalyst.plans.LeftAnti,
                       Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
                   }
+                case (cur, OrConj(ids)) =>
+                  // one semi-join against the UNION of the branch id sets
+                  semi(cur, ids.reduce(_ unionByName _).distinct()
+                    .queryExecution.optimizedPlan)
                 case (cur, PrefixConj(p)) =>
                   // term-RANGE over the sorted postings (row-group min/max
                   // pruning; hash buckets can't help a prefix)

@@ -490,6 +490,27 @@ object Fts extends QueryPack {
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                ORDER BY doc_id""")),
 
+    // DISJUNCTIONS through the index: every branch of the OR is exactly
+    // answerable from the positional index (phrase via position lists,
+    // match via postings), so the whole predicate lowers to ONE semi-join
+    // against the union of the branch id sets — no scan lowering
+    // (plan-asserted).
+    Q("q_fts_sql_or",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixor")
+        s.sql("""SELECT doc_id FROM documents_ixor
+                 WHERE fts_phrase(text, 'data query') OR fts_match(text, 'vector')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+                  OR list_contains(t, 'vector')
+               ORDER BY doc_id""")),
+
     // Suffix (leading-star) term query over the REVERSED-term layout: the
     // suffix reverses into a prefix over the reversed dictionary, so the
     // query is a pushed term RANGE (row-group pruning) instead of the

@@ -132,6 +132,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_or lowers the whole disjunction to one union semi-join") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_or")
+    try {
+      assert(plan.contains("LeftSemi"), "disjunction must semi-join the id union")
+      assert(plan.contains("Union"), "branch id sets must union")
+      // array_contains legitimately appears INSIDE the positional adjacency
+      // fold; re-tokenization is the scan-lowering marker
+      assert(!plan.contains("fts_tokenize"),
+        "no branch may fall back to the scan lowering")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
