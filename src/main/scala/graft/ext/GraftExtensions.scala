@@ -756,6 +756,22 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             Project(child.output, Filter(newCond, cur))
           case _ => f
         }
+      // `ORDER BY fts_score(text,'q') DESC` without projecting the score:
+      // graft the scoring join below the Sort, rewrite the sort keys, and
+      // project the original schema back on top — with LIMIT the whole
+      // thing still plans as TakeOrderedAndProject
+      case srt @ org.apache.spark.sql.catalyst.plans.logical.Sort(
+            order, global, child, hint)
+          if srt.resolved && order.exists(_.exists(_.isInstanceOf[FtsScore])) =>
+        lowerScores(order, child) match {
+          case Some((newOrder, cur)) =>
+            rewrote = true
+            Project(child.output,
+              org.apache.spark.sql.catalyst.plans.logical.Sort(
+                newOrder.map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder]),
+                global, cur, hint))
+          case None => srt
+        }
     }
     val indexAware = scoreAware.transformUp {
       case f @ Filter(cond, child) if f.resolved =>
@@ -865,7 +881,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     // shrinks to the projected columns instead of shipping the fat text
     // column through the join.
     val pruned =
-      if (rewrote) org.apache.spark.sql.catalyst.optimizer.ColumnPruning(indexAware)
+      if (rewrote)
+        // CollapseProject after the prune: the rewrites insert schema-restoring
+        // Projects that stack with the query's own — a Limit(Project(Project(
+        // Sort))) would no longer pattern-match TakeOrderedAndProject
+        org.apache.spark.sql.catalyst.optimizer.CollapseProject(
+          org.apache.spark.sql.catalyst.optimizer.ColumnPruning(indexAware))
       else indexAware
     pruned.transformAllExpressions {
       case FtsMatch(text, Literal(q: UTF8String, StringType)) =>

@@ -220,6 +220,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(snip("alpha beta", "zzz", 3) == None)
   }
 
+  test("fts_score directly in ORDER BY lowers and stays top-k") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_scoresort_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_ssort_spec")
+      val df = spark.sql(
+        """SELECT doc_id FROM docs_ssort_spec
+           WHERE fts_match_any(text, 'spark query')
+           ORDER BY fts_score(text, 'spark query') DESC, doc_id LIMIT 10""")
+      assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        "ORDER BY score LIMIT k must stay top-k")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      val ix = graft.fts.Index.read(spark, ixDir)
+      val pruned = ix.copy(
+        postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))
+      // full-precision ordering here (no round in the SQL) — compare against
+      // the unrounded scoring frame
+      val expect = graft.fts.Search.scoreAllBm25(pruned, Seq("spark", "query"))
+        .orderBy(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col("doc_id"))
+        .limit(10).collect().map(_.getLong(0)).toSeq
+      assert(got == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("fts_score without a registered index fails with the remedy") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()
