@@ -572,7 +572,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
           if isBaseText(a) =>
         val (h, t) = parseWildcard(p)
-        Some(graft.fts.Search.matchWildcardIds(persistedIx(entry), s"$h*$t"))
+        Some(wildcardIdsDf(entry, h, t))
       case _ => None
     }
   }
@@ -684,6 +684,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private def matchingIds(entry: IndexCatalog.Entry, terms: Seq[String],
                           requireAll: Boolean): LogicalPlan =
     matchingIdsDf(entry, terms, requireAll).queryExecution.optimizedPlan
+
+  /** Wildcard id set: a LEADING star over an index persisted WITH the
+    * reversed-term projection answers as a prefix range over the reversed
+    * dictionary ([[graft.fts.Search.matchSuffixIds]] — row-group pruning)
+    * instead of a term-dictionary scan; every other shape takes the
+    * head-range + suffix-residual path. */
+  private def wildcardIdsDf(entry: IndexCatalog.Entry, head: String,
+                            tail: String): org.apache.spark.sql.DataFrame =
+    if (head.isEmpty && entry.reversed)
+      graft.fts.Search.matchSuffixIds(
+        graft.fts.Index.readReversed(
+          org.apache.spark.sql.SparkSession.active, entry.indexDir), tail)
+    else graft.fts.Search.matchWildcardIds(persistedIx(entry), s"$head*$tail")
 
   /** Per-doc BM25 scores for `terms` as an optimized logical plan over the
     * persisted index — postings pruned to the terms' buckets, doc lengths
@@ -857,8 +870,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   semi(cur, graft.fts.Search.matchPrefixIds(persistedIx(entry), p)
                     .queryExecution.optimizedPlan)
                 case (cur, WildcardConj(h, t)) =>
-                  semi(cur, graft.fts.Search.matchWildcardIds(
-                      persistedIx(entry), s"$h*$t")
+                  semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan)
                 case (cur, NearConj(a, ta, tb, sl)) =>
                   if (entry.positional)

@@ -336,16 +336,22 @@ object Index {
   def createIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                   indexDir: String, idCol: String = "doc_id",
                   textCol: String = "text", buckets: Int = 64,
-                  positional: Boolean = false): Unit = {
+                  positional: Boolean = false,
+                  reversed: Boolean = false): Unit = {
     val docs = spark.read.parquet(tablePath)
     val ix = if (positional) buildPositional(docs, idCol, textCol)
              else build(docs, idCol, textCol)
     write(ix, indexDir, buckets)
-    IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets, positional)
+    // the reversed-term projection: leading-star wildcards become prefix
+    // ranges over the reversed dictionary (SQL fts_wildcard('*ery') uses it
+    // when registered)
+    if (reversed) writeReversed(ix, indexDir, buckets)
+    IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets,
+      positional, reversed)
     // metadata travels with the index: a fresh session can
     // IndexCatalog.restore(spark, indexDir) instead of rebuilding
     IndexCatalog.writeMeta(spark, tablePath, indexDir, idCol, textCol, buckets,
-      positional)
+      positional, reversed)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =

@@ -29,7 +29,8 @@ object IndexCatalog {
     * indexing falls back to the scan lowering instead of silently
     * semi-joining stale postings. */
   final case class Entry(indexDir: String, idCol: String, textCol: String,
-                         buckets: Int, positional: Boolean, fingerprint: Long)
+                         buckets: Int, positional: Boolean, fingerprint: Long,
+                         reversed: Boolean = false)
 
   private val byPath = new ConcurrentHashMap[String, Entry]()
 
@@ -77,10 +78,11 @@ object IndexCatalog {
 
   def register(tablePath: String, indexDir: String,
                idCol: String = "doc_id", textCol: String = "text",
-               buckets: Int = 64, positional: Boolean = false): Unit =
+               buckets: Int = 64, positional: Boolean = false,
+               reversed: Boolean = false): Unit =
     byPath.put(canon(tablePath),
       Entry(indexDir, idCol, textCol, buckets, positional,
-        tableFingerprint(tablePath)))
+        tableFingerprint(tablePath), reversed))
 
   /** Name of the metadata file [[Index.createIndex]] drops inside the index
     * directory — the association + build-time fingerprint, so a NEW session
@@ -93,13 +95,15 @@ object IndexCatalog {
   /** Persist the association alongside the index itself. */
   def writeMeta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                 indexDir: String, idCol: String, textCol: String,
-                buckets: Int, positional: Boolean = false): Unit = {
+                buckets: Int, positional: Boolean = false,
+                reversed: Boolean = false): Unit = {
     val props = new java.util.Properties()
     props.setProperty("tablePath", canon(tablePath))
     props.setProperty("idCol", idCol)
     props.setProperty("textCol", textCol)
     props.setProperty("buckets", buckets.toString)
     props.setProperty("positional", positional.toString)
+    props.setProperty("reversed", reversed.toString)
     props.setProperty("fingerprint", tableFingerprint(tablePath).toString)
     val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,7 +128,8 @@ object IndexCatalog {
         props.getProperty("buckets").toInt,
         // absent in pre-positional metadata files → false
         props.getProperty("positional", "false").toBoolean,
-        props.getProperty("fingerprint").toLong))
+        props.getProperty("fingerprint").toLong,
+        props.getProperty("reversed", "false").toBoolean))
   }
 
   /** Freshness-check TTL in ms. 0 (default) = re-list the table's files on

@@ -528,6 +528,25 @@ object Fts extends QueryPack {
                WHERE len(list_filter(t, x -> x LIKE '%er')) > 0
                ORDER BY doc_id""")),
 
+    // Leading-star wildcard through SQL over an index registered WITH the
+    // reversed-term projection: '*er' answers as a prefix range over the
+    // reversed dictionary (row-group pruning) instead of a term-dictionary
+    // scan — same rows as q_fts_suffix, plan-asserted.
+    Q("q_fts_sql_suffix",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_rev"), reversed = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixsuf")
+        s.sql("""SELECT doc_id FROM documents_ixsuf
+                 WHERE fts_wildcard(text, '*er')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> x LIKE '%er')) > 0
+               ORDER BY doc_id""")),
+
     // Boolean must/mustNot through SQL: NOT fts_match_any lowers to a
     // LEFT-ANTI join on the any-term id set (the library's matchBoolean
     // mustNot), composed with the positive semi-join — same rows/oracle as

@@ -145,6 +145,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_suffix answers the leading star from the reversed layout") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_suffix")
+    try {
+      assert(plan.contains("LeftSemi"))
+      assert(plan.contains("GreaterThanOrEqual(term,re"),
+        "the suffix must push as a prefix range over the REVERSED dictionary")
+      assert(!plan.contains("fts_tokenize"),
+        "leading star over the reversed layout must not re-tokenize")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql (unregistered) falls back to the codegen scan lowering") {
     val plan = planOf("q_fts_sql")
     assert(plan.contains("array_contains"), "scan path must lower to array_contains")
