@@ -292,9 +292,22 @@ object Index {
     spark.read.parquet(s"$dir/stopterms")
 
   /** Persist: postings partitioned by term-hash bucket (queries prune to
-    * their terms' buckets); doc lengths and stats alongside. */
+    * their terms' buckets); doc lengths and stats alongside.
+    *
+    * The doc length `dl` is DENORMALIZED onto every posting row (standard
+    * doc-values practice; ≤8 bytes per posting before parquet dictionary
+    * encoding): BM25/TF-IDF serving then reads everything it needs from the
+    * query terms' pruned buckets alone, never joining the corpus-sized
+    * doclens table
+    * ([[Search.scoreAllBm25]] skips the join when the column is present).
+    * `dl` is recomputed from the postings themselves (window over doc_id)
+    * rather than joined from `ix.docLens` — one shuffle, no re-derivation
+    * of the docLens aggregation, and consistency with the stored postings
+    * by construction. */
   def write(ix: FtsIndex, dir: String, buckets: Int = 64): Unit = {
+    val dlWin = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     ix.postings
+      .withColumn("dl", sum(col("tf")).over(dlWin))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
       // term-sorted within each bucket: row-group min/max stats then prune
       // range queries (prefix match, Search.matchPrefixIds) and runs of one
@@ -566,9 +579,13 @@ object Search {
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
     val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    qp
-      .join(broadcast(df), "term")
-      .join(ix.docLens, "doc_id")
+    // a persisted layout carries dl on the posting rows ([[Index.write]]
+    // denormalizes it), so scoring reads ONLY the query terms' pruned
+    // buckets — the O(corpus) doclens join is the in-memory fallback
+    val withDl =
+      if (qp.columns.contains("dl")) qp.join(broadcast(df), "term")
+      else qp.join(broadcast(df), "term").join(ix.docLens, "doc_id")
+    withDl
       .crossJoin(broadcast(ix.stats))
       .withColumn("idf",
         log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -583,10 +600,19 @@ object Search {
   def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ix = Index.build(docs, idCol, textCol)
+    tfidfScoreTopK(ix, terms, k)
+  }
+
+  /** TF-IDF over a prebuilt index — like [[scoreAllBm25]], postings that
+    * carry a denormalized `dl` (persisted layout) score without touching
+    * the corpus-sized doclens table. */
+  def tfidfScoreTopK(ix: FtsIndex, terms: Seq[String], k: Int): DataFrame = {
     val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
     val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    qp.join(broadcast(df), "term")
-      .join(ix.docLens, "doc_id")
+    val withDl =
+      if (qp.columns.contains("dl")) qp.join(broadcast(df), "term")
+      else qp.join(broadcast(df), "term").join(ix.docLens, "doc_id")
+    withDl
       .crossJoin(broadcast(ix.stats))
       .withColumn("w",
         (col("tf").cast("double") / col("dl").cast("double")) *

@@ -64,7 +64,21 @@ class PlanShapeSpec extends SparkSpec {
         "postings scans must prune to the query terms' buckets")
       assert(plan.contains("LeftSemi"),
         "the fts_match_any candidate filter must lower to the postings semi-join")
+      // the 100× guarantee: dl is denormalized onto the posting rows at
+      // Index.write, so scoring never scans the O(corpus) doclens table —
+      // the only corpus-wide input left is the 1-row stats broadcast
+      assert(!plan.contains("doclens"),
+        "scoring must read dl from the pruned postings, not the doclens table")
     } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("q_fts_bm25_persisted scores without touching the doclens table") {
+    val plan = planOf("q_fts_bm25_persisted")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("PartitionFilters: [((bucket"),
+      "postings scan must prune to the query terms' buckets")
+    assert(!plan.contains("doclens"),
+      "persisted-layout scoring must use the denormalized dl column")
   }
 
   test("q_fts_sql_near / q_fts_sql_phrase_pos answer from position lists alone") {
