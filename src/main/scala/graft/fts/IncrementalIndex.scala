@@ -1,5 +1,6 @@
 package graft.fts
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -12,8 +13,83 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * layout. The reference snapshot had no watermark/late-data story
   * (pre-watermark StreamExecution.scala:174); bounding state by delta files
   * + compaction sidesteps unbounded streaming aggregation state entirely.
+  *
+  * EPOCHS: the delta log does not grow forever. [[compact]] records a
+  * WATERMARK (the highest folded batch id) plus the compacted base's
+  * location in `_graft_compaction.properties` inside the delta dir, then
+  * physically TRUNCATES the folded delta partitions and the tombstones they
+  * absorbed. [[read]] is then compacted base + post-watermark deltas only —
+  * the base rows participate in the merge as one pseudo-batch at the
+  * watermark, so later tombstones (`batch_id ≤ as_of`, watermark ≤ as_of)
+  * still kill base versions. The delta layout is PARTITIONED by batch id
+  * (deltas) / as_of (tombstones), so the post-watermark filter is a
+  * partition filter, truncation is a directory delete, and a crash-replayed
+  * micro-batch idempotently overwrites only its own partition (dynamic
+  * partition overwrite) — the lifecycle the reference's state store manages
+  * with checkpoint versions (HDFSBackedStateStoreProvider.scala:68).
   */
 object IncrementalIndex {
+
+  /** Compaction-epoch metadata dropped inside the delta dir. */
+  val CompactionFile = "_graft_compaction.properties"
+
+  /** Marker file [[upsert]] drops inside its delta partition: a resumed
+    * stream whose checkpointed batch counter collides with an upsert-minted
+    * batch id fails LOUD instead of silently merging two writers' batches
+    * under one id (the versioned tombstone anti-join would then kill new
+    * stream rows or resurrect upserted docs). */
+  val UpsertMarker = "_graft_upsert"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (baseDir, watermark) of the last compaction, if any. */
+  def compactionInfo(spark: SparkSession, dir: String): Option[(String, Long)] = {
+    val p = new Path(dir, CompactionFile)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      Some((props.getProperty("baseDir"),
+        props.getProperty("watermark").toLong))
+    }
+  }
+
+  private def writeCompactionInfo(spark: SparkSession, dir: String,
+                                  baseDir: String, watermark: Long): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("baseDir", baseDir)
+    props.setProperty("watermark", watermark.toString)
+    val p = new Path(dir, CompactionFile)
+    val out = fsOf(spark, p).create(p, true)
+    try props.store(out, "graft delta-log compaction epoch")
+    finally out.close()
+  }
+
+  /** The live partition values of a partitioned delta directory (parsed
+    * from `col=value` child dirs) — one LIST, no parquet footer reads. */
+  private def partitionIds(spark: SparkSession, dir: String,
+                           colName: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$colName=") =>
+        n.stripPrefix(s"$colName=").toLong }
+  }
+
+  /** A partitioned delta directory as a DataFrame with its partition column
+    * cast to LONG (partition-value inference yields INT for small ids), or
+    * None when the directory has no live partitions. */
+  private def loadDelta(spark: SparkSession, dir: String,
+                        colName: String): Option[DataFrame] =
+    if (partitionIds(spark, dir, colName).isEmpty) None
+    else Some(spark.read.parquet(dir)
+      .withColumn(colName, col(colName).cast("long")))
 
   /** Start a foreachBatch sink that appends per-batch postings deltas.
     * `positional = true` captures per-doc position lists in the deltas
@@ -26,90 +102,147 @@ object IncrementalIndex {
     docsStream.writeStream
       .outputMode("append")
       // durable offsets: a restarted ingest must NOT replay batches into the
-      // append-only delta log (exactly-once = offset WAL + idempotent append)
+      // delta log (exactly-once = offset WAL + per-partition idempotent
+      // overwrite below)
       .option("checkpointLocation", s"$dir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // an existing partition for this id is either (a) a crash-replayed
+        // batch — overwritten idempotently below — or (b) an UPSERT batch
+        // the stream's checkpoint doesn't know about: fail loud, the two
+        // writers' id spaces have collided (ADVICE r5)
+        val part = new Path(s"$dir/postings_delta/batch_id=$batchId")
+        if (fsOf(spark, part).exists(new Path(part, UpsertMarker)))
+          throw new IllegalStateException(
+            s"delta batch $batchId at $dir was minted by upsert(); the " +
+              "stream's checkpointed batch counter has fallen behind the " +
+              "delta log. Restart the ingest with a fresh checkpoint, or " +
+              "quiesce upserts while a stream checkpoint is live.")
         // ONE build per batch: docLens derives from the same postings frame,
         // so a second Index.build would re-run scan→tokenize→explode→groupBy
         // for a frame the first call already produced (2× tokenize on the
         // ingest path)
         val ix = if (positional) Index.buildPositional(batch, idCol, textCol)
                  else Index.build(batch, idCol, textCol)
-        ix.postings
-          .withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
-        ix.docLens
-          .withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
+        writeDeltaBatch(ix, dir, batchId)
       }
       .start()
 
-  private def maxBatchId(spark: SparkSession, dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/postings_delta")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else {
-      val r = spark.read.parquet(s"$dir/postings_delta")
-        .agg(max(col("batch_id"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+  /** Write one batch's postings + doclens as `batch_id=N` partitions.
+    * Dynamic partition overwrite: a replayed batch replaces ONLY its own
+    * partition — idempotent without read-modify-write. */
+  private def writeDeltaBatch(ix: FtsIndex, dir: String, batchId: Long): Unit = {
+    ix.postings
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$dir/postings_delta")
+    ix.docLens
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$dir/doclens_delta")
+  }
+
+  /** Highest batch id the log has EVER carried: live delta partitions or,
+    * when compaction truncated them all, the recorded watermark. One
+    * directory listing, no data read. */
+  private def currentMaxBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val live = partitionIds(spark, s"$dir/postings_delta", "batch_id")
+    val wm = compactionInfo(spark, dir).map(_._2)
+    (live ++ wm) match {
+      case Nil => None
+      case ids => Some(ids.max)
     }
   }
 
   /** Append document TOMBSTONES as of the latest ingested batch: the
     * deleted docs' CURRENT versions disappear from every subsequent
-    * merge-on-read view ([[read]] anti-joins `batch_id ≤ as_of`) and from
-    * the next compaction — the merge-on-read DELETE pattern: base postings
-    * stay immutable, removal is data, not mutation. Versioning the
-    * tombstone ("delete what exists now") is what lets a later [[upsert]]
-    * re-add the same doc id. Idempotent; a delete before any ingest is a
-    * no-op. */
+    * merge-on-read view ([[read]] anti-joins `batch_id ≤ as_of` — the
+    * compacted base counts as batch `watermark`) and from the next
+    * compaction — the merge-on-read DELETE pattern: base postings stay
+    * immutable, removal is data, not mutation. Versioning the tombstone
+    * ("delete what exists now") is what lets a later [[upsert]] re-add the
+    * same doc id. Idempotent; a delete before any ingest is a no-op. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String = "doc_id"): Unit =
-    maxBatchId(spark, dir).foreach { asOf =>
-      ids.select(col(idCol).as("doc_id")).distinct()
-        .withColumn("as_of", lit(asOf))
-        .write.mode(SaveMode.Append).parquet(s"$dir/deletes_delta")
-    }
+    currentMaxBatch(spark, dir).foreach(asOf =>
+      writeTombstones(spark, dir, ids, idCol, asOf))
+
+  private def writeTombstones(spark: SparkSession, dir: String, ids: DataFrame,
+                              idCol: String, asOf: Long): Unit =
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("as_of", lit(asOf))
+      .write.mode(SaveMode.Append).partitionBy("as_of")
+      .parquet(s"$dir/deletes_delta")
 
   /** UPSERT: tombstone the docs' current versions and append the
     * replacements as a new delta batch (positional if the log is) — an
     * update costs one tombstone + one doc-sized append, never an index
-    * rewrite. Single-writer like the streaming sink (the next batch id is
-    * read from the log; concurrent writers need external coordination), and
-    * upserts must not interleave with an ACTIVE streaming ingest — the
-    * stream's checkpointed batch counter does not know about upsert
-    * batches, so quiesce the stream first (AvailableNow ingests make that
-    * natural). */
+    * rewrite. Single-writer like the streaming sink; the batch partition is
+    * stamped with [[UpsertMarker]] so a stream resumed from an older
+    * checkpoint fails loud instead of colliding with the upserted id. */
   def upsert(spark: SparkSession, dir: String, docs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val nextBatch = maxBatchId(spark, dir).map(_ + 1).getOrElse(0L)
-    delete(spark, dir, docs.select(col(idCol)), idCol)
-    val positional = maxBatchId(spark, dir).isDefined &&
-      spark.read.parquet(s"$dir/postings_delta").columns.contains("positions")
+    // ONE metadata pass over the log: live partitions + epoch info
+    val maxBatch = currentMaxBatch(spark, dir)
+    val nextBatch = maxBatch.map(_ + 1).getOrElse(0L)
+    maxBatch.foreach(asOf =>
+      writeTombstones(spark, dir, docs.select(col(idCol)), idCol, asOf))
+    // positional? — from the live deltas' schema, else the compacted base's
+    val positional =
+      loadDelta(spark, s"$dir/postings_delta", "batch_id")
+        .orElse(compactionInfo(spark, dir).map { case (base, _) =>
+          spark.read.parquet(s"$base/postings") })
+        .exists(_.columns.contains("positions"))
     val ix = if (positional) Index.buildPositional(docs, idCol, textCol)
              else Index.build(docs, idCol, textCol)
-    ix.postings.withColumn("batch_id", lit(nextBatch))
-      .write.mode(SaveMode.Append).parquet(s"$dir/postings_delta")
-    ix.docLens.withColumn("batch_id", lit(nextBatch))
-      .write.mode(SaveMode.Append).parquet(s"$dir/doclens_delta")
+    writeDeltaBatch(ix, dir, nextBatch)
+    val marker = new Path(s"$dir/postings_delta/batch_id=$nextBatch/$UpsertMarker")
+    fsOf(spark, marker).create(marker, true).close()
   }
 
-  /** Merge-on-read view over the accumulated deltas. TOMBSTONES
-    * ([[delete]]/[[upsert]]) are applied to the RAW rows first — a
-    * tombstone kills rows with `batch_id ≤ as_of`, so an upserted doc's
-    * old version dies while its replacement (a later batch) survives —
+  /** Merge-on-read view: the compacted base (if any) + POST-WATERMARK
+    * deltas. TOMBSTONES ([[delete]]/[[upsert]]) are applied to the RAW rows
+    * first — a tombstone kills rows with `batch_id ≤ as_of`, and base rows
+    * carry `batch_id = watermark` so post-compaction deletes reach them —
     * then rows aggregate per (term, doc_id): safe because a doc LIVES in
     * exactly one surviving batch (append-only ingest + upsert's
     * tombstone-then-append). A positions column (positional ingest) is
     * detected from the schema and carried through; corpus stats re-derive
-    * from the surviving doc lengths. */
+    * from the surviving doc lengths. Tombstones at or below the watermark
+    * were folded by compaction and truncated with their partitions. */
   def read(spark: SparkSession, dir: String): FtsIndex = {
-    var rawP = spark.read.parquet(s"$dir/postings_delta")
-    var rawL = spark.read.parquet(s"$dir/doclens_delta")
-    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deletes_delta")
-    if (delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(delPath)) {
-      val dels = spark.read.parquet(s"$dir/deletes_delta")
+    val comp = compactionInfo(spark, dir)
+    val watermark = comp.map(_._2)
+    // live deltas, restricted to post-watermark (truncation already removed
+    // the folded partitions; the filter guards the crash window between the
+    // epoch write and the directory deletes — and it is a PARTITION filter)
+    def liveDelta(sub: String): Option[DataFrame] =
+      loadDelta(spark, s"$dir/$sub", "batch_id")
+        .map(d => watermark.fold(d)(w => d.filter(col("batch_id") > w)))
+    val base = comp.map { case (baseDir, w) =>
+      val ix = Index.read(spark, baseDir)
+      // the base participates as one pseudo-batch AT the watermark: later
+      // tombstones (as_of ≥ watermark) kill base versions, earlier ones
+      // are already folded in. The persisted layout's denormalized dl and
+      // bucket columns are layout details, not delta-schema columns.
+      (ix.postings.drop("dl", "bucket").withColumn("batch_id", lit(w)),
+        ix.docLens.withColumn("batch_id", lit(w)))
+    }
+    val rawP0 = (base.map(_._1) ++ liveDelta("postings_delta"))
+      .reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(
+        s"no delta log (and no compacted base) at $dir"))
+    val rawL0 = (base.map(_._2) ++ liveDelta("doclens_delta"))
+      .reduceOption(_ unionByName _).get
+    var rawP = rawP0
+    var rawL = rawL0
+    loadDelta(spark, s"$dir/deletes_delta", "as_of").foreach { allDels =>
+      val dels = watermark.fold(allDels)(w => allDels.filter(col("as_of") >= w))
         .select(col("doc_id").as("del_id"), col("as_of"))
       rawP = rawP.join(dels,
         rawP("doc_id") === dels("del_id") && rawP("batch_id") <= dels("as_of"),
@@ -128,24 +261,54 @@ object IncrementalIndex {
     FtsIndex(postings, docLens, stats)
   }
 
-  /** Fold deltas into the canonical bucketed layout (Index.write format). */
+  /** Fold the current merge-on-read view into the canonical bucketed layout
+    * (Index.write format) at `outDir`, advance the epoch, and TRUNCATE the
+    * folded delta partitions + absorbed tombstones. `outDir` must be a NEW
+    * directory each epoch — the current base is an INPUT of this compaction
+    * (readers mid-flight may also still hold the old base). The epoch write
+    * is ordered last-of-the-metadata: base data first, then the properties
+    * flip, then truncation — a crash in between leaves a readable log
+    * (read()'s post-watermark filter tolerates un-truncated partitions). */
   def compact(spark: SparkSession, dir: String, outDir: String,
-              buckets: Int = 64): Unit =
+              buckets: Int = 64): Unit = {
+    compactionInfo(spark, dir).foreach { case (base, _) =>
+      require(new Path(base).toUri.getPath != new Path(outDir).toUri.getPath,
+        s"compact target $outDir is the CURRENT base — fold into a new " +
+          "directory each epoch (the old base is an input of this compaction)")
+    }
+    val newWatermark = currentMaxBatch(spark, dir).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $dir"))
     Index.write(read(spark, dir), outDir, buckets)
+    writeCompactionInfo(spark, dir, outDir, newWatermark)
+    // physical truncation: folded delta partitions and the tombstones they
+    // absorbed are directory deletes (the partitioned layout's payoff) —
+    // the log stays bounded by one epoch of deltas
+    val fs = fsOf(spark, new Path(dir))
+    def drop(sub: String, colName: String, keepAbove: Long): Unit =
+      partitionIds(spark, s"$dir/$sub", colName)
+        .filter(_ <= keepAbove)
+        .foreach(id => fs.delete(new Path(s"$dir/$sub/$colName=$id"), true))
+    drop("postings_delta", "batch_id", newWatermark)
+    drop("doclens_delta", "batch_id", newWatermark)
+    // a tombstone at as_of = watermark must SURVIVE: the base rows now carry
+    // batch_id = watermark, and a delete issued after the fold (same max
+    // batch) must still kill them on read
+    drop("deletes_delta", "as_of", newWatermark - 1)
+  }
 
   /** [[compact]] plus the other half of the lifecycle [[Index.createIndex]]
     * performs: register the compacted index for `tablePath` (the table the
     * stream ingested) and persist the association metadata — so SQL
     * `fts_match`/`fts_score`/… over that table serves through the compacted
     * bucketed postings without a manual registration step. A POSITIONAL
-    * ingest ([[start]] with positional=true) is detected from the delta
-    * schema and registered as such, so `fts_near`/`fts_phrase` lower to
-    * pure position-list plans over the compacted index. */
+    * ingest ([[start]] with positional=true) is detected from the compacted
+    * layout itself, so `fts_near`/`fts_phrase` lower to pure position-list
+    * plans over the compacted index. */
   def compactAndRegister(spark: SparkSession, dir: String, outDir: String,
                          tablePath: String, idCol: String = "doc_id",
                          textCol: String = "text", buckets: Int = 64): Unit = {
     compact(spark, dir, outDir, buckets)
-    val positional = spark.read.parquet(s"$dir/postings_delta")
+    val positional = spark.read.parquet(s"$outDir/postings")
       .columns.contains("positions")
     IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets, positional)
     IndexCatalog.writeMeta(spark, tablePath, outDir, idCol, textCol, buckets,

@@ -458,6 +458,39 @@ object Fts extends QueryPack {
               CASE WHEN doc_id < 10 THEN text || ' zzzupdated' ELSE text END AS text
             FROM documents) documents"""))),
 
+    // EPOCH management closes the delta-log lifecycle: compaction records a
+    // watermark and physically truncates the folded partitions, so the log
+    // is bounded by one epoch of deltas and a read never re-aggregates
+    // history. Two full cycles here — ingest → compact → upsert (a
+    // post-watermark delta whose tombstone kills the BASE version) →
+    // compact again into a fresh base — and BM25 over the final epoch must
+    // equal a corpus that always had the new text (same oracle as
+    // q_fts_upsert).
+    Q("q_fts_epochs",
+      (s, dir) => {
+        val deltaDir = graft.core.Scratch.dir("fts_index_epoch_delta")
+        val base1 = graft.core.Scratch.dir("fts_index_epoch_base1")
+        val base2 = graft.core.Scratch.dir("fts_index_epoch_base2")
+        val fs = new org.apache.hadoop.fs.Path(deltaDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(base1, base2).foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_epoch_stream"), deltaDir)
+        graft.fts.IncrementalIndex.compact(s, deltaDir, base1)
+        val updated = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 10)
+          .withColumn("text", concat(col("text"), lit(" zzzupdated")))
+        graft.fts.IncrementalIndex.upsert(s, deltaDir, updated)
+        graft.fts.IncrementalIndex.compact(s, deltaDir, base2)
+        val ix = graft.fts.Index.read(s, base2)
+        val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, Seq("spark", "query")))
+        Search.scoreBm25(pruned, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25OracleOver(
+        """(SELECT doc_id,
+              CASE WHEN doc_id < 10 THEN text || ' zzzupdated' ELSE text END AS text
+            FROM documents) documents"""))),
+
     // The positional half of the streaming lifecycle: ingest with position
     // capture → compact → register (positional detected from the delta
     // schema) → SQL fts_near serves from position lists over the COMPACTED

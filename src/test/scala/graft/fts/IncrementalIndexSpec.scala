@@ -117,6 +117,74 @@ class IncrementalIndexSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("doc_id") === 2L).isEmpty)
   }
 
+  test("compaction epochs: watermark recorded, folded partitions truncated, " +
+      "two cycles stay correct") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_epoch_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "spark makes big data simple"), (2L, "big data big results"))
+    IncrementalIndex.start(stream, dir).awaitTermination()
+    input.addData((3L, "spark streaming of data streams"))
+    IncrementalIndex.start(stream, dir).awaitTermination()
+
+    def livePartitions(sub: String): Set[String] = {
+      val d = new java.io.File(s"$dir/$sub")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    }
+    assert(livePartitions("postings_delta") == Set("batch_id=0", "batch_id=1"))
+
+    // epoch 1: fold batches 0..1, record watermark, truncate them
+    val base1 = graft.core.Scratch.dir("incr_ix_epoch_base1")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base1))
+    IncrementalIndex.compact(spark, dir, base1)
+    assert(IncrementalIndex.compactionInfo(spark, dir).exists(_._2 == 1L),
+      "compaction must record the folded watermark")
+    assert(livePartitions("postings_delta").isEmpty &&
+      livePartitions("doclens_delta").isEmpty,
+      "folded delta partitions must be physically truncated")
+
+    // post-epoch deltas: an upsert replaces doc 2 (tombstone lands at the
+    // watermark, killing the BASE version; replacement is batch 2)
+    IncrementalIndex.upsert(spark, dir,
+      Seq((2L, "fresh vector content")).toDF("doc_id", "text"))
+    assert(livePartitions("postings_delta") == Set("batch_id=2"),
+      "the log after epoch 1 must hold ONLY post-watermark partitions")
+    val expect = Index.build(Seq(
+      (1L, "spark makes big data simple"),
+      (2L, "fresh vector content"),
+      (3L, "spark streaming of data streams")).toDF("doc_id", "text"))
+    def canon(ix: FtsIndex) = (
+      ix.postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(canon(IncrementalIndex.read(spark, dir)) == canon(expect),
+      "read = compacted base + post-watermark deltas must equal the batch build")
+
+    // epoch 2: fold base1 + batch 2 into a NEW base; same view, log empty
+    val base2 = graft.core.Scratch.dir("incr_ix_epoch_base2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base2))
+    IncrementalIndex.compact(spark, dir, base2)
+    assert(IncrementalIndex.compactionInfo(spark, dir)
+      .exists { case (b, w) => b == base2 && w == 2L })
+    assert(livePartitions("postings_delta").isEmpty)
+    assert(canon(IncrementalIndex.read(spark, dir)) == canon(expect),
+      "the second epoch's merged view must be unchanged")
+    assert(canon(FtsIndex(Index.read(spark, base2).postings
+        .select("term", "doc_id", "tf"), Index.read(spark, base2).docLens, null))
+      == canon(expect), "the epoch-2 base itself must hold the merged corpus")
+
+    // folding INTO the live base is refused — it is an input of the fold
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalIndex.compact(spark, dir, base2)
+    }
+    assert(ex.getMessage.contains("new"))
+  }
+
   test("positional ingest: merge-on-read position lists == batch positional") {
     val sparkS = spark
     import sparkS.implicits._
