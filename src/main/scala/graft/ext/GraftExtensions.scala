@@ -483,7 +483,7 @@ case class FtsWildcard(left: Expression, right: Expression)
   */
 object RewriteFtsMatch extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
-  import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, Attribute, Coalesce, EqualTo, ExprId, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, ArrayContains, Attribute, Coalesce, EqualTo, ExprId, IsNotNull, Literal, NamedExpression}
   import org.apache.spark.sql.catalyst.plans.{LeftOuter, LeftSemi}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Project, SubqueryAlias}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -492,6 +492,15 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private def queryTerms(q: UTF8String): Seq[String] =
     q.toString.toLowerCase(Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+  /** Query terms normalized through the INDEX's analyzer pipeline — an
+    * analyzer-configured index (stemmed/stopworded/CJK) is only answerable
+    * by terms that went through the same stages the corpus did
+    * (AnalyzerConfig is persisted with the index for exactly this replay;
+    * for the default config this is [[queryTerms]]). */
+  private def entryTerms(entry: IndexCatalog.Entry, q: UTF8String): Seq[String] =
+    if (entry.analyzer.isV1) queryTerms(q)
+    else entry.analyzer.tokenizeQuery(q.toString).distinct
 
   /** Phrase tokens keep ORDER and REPETITION (unlike [[queryTerms]]). */
   private def phraseTerms(q: UTF8String): Seq[String] =
@@ -523,8 +532,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * sets the positive forms semi-join (the library's mustNot semantics,
     * [[graft.fts.Search.matchBoolean]]). `requireAll` mirrors the inner
     * predicate: NOT match = anti on the all-terms ids, NOT match_any =
-    * anti on the any-term ids. */
-  private final case class NotTermsConj(q: UTF8String, requireAll: Boolean)
+    * anti on the any-term ids. `attr` (the text column) rides along for the
+    * IsNotNull conjunct: a NULL-text doc has no postings, so the bare
+    * anti-join would KEEP it while the scan path's NOT(NULL) = NULL drops
+    * it — three-valued semantics must not depend on index registration. */
+  private final case class NotTermsConj(attr: Attribute, q: UTF8String,
+                                        requireAll: Boolean)
       extends FtsConjunct
   /** A DISJUNCTION whose every branch is exactly answerable from the index
     * — lowered as one semi-join against the UNION of the branches' id
@@ -547,14 +560,17 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     e match {
       case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
           if isBaseText(a) =>
-        val ts = queryTerms(q)
+        val ts = entryTerms(entry, q)
         Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = true))
       case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
           if isBaseText(a) =>
-        val ts = queryTerms(q)
+        val ts = entryTerms(entry, q)
         Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = false))
+      // phrase/near/prefix/wildcard keep frozen-v1 semantics: over an
+      // analyzer-configured index their token shapes don't exist, so they
+      // are only index-exact against a v1 index
       case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-          if isBaseText(a) && entry.positional =>
+          if isBaseText(a) && entry.positional && entry.analyzer.isV1 =>
         val ts = phraseTerms(q)
         Some(if (ts.isEmpty) emptyIds
           else graft.fts.Search.matchPhrasePositional(
@@ -562,15 +578,15 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-          if isBaseText(a) && entry.positional =>
+          if isBaseText(a) && entry.positional && entry.analyzer.isV1 =>
         Some(graft.fts.Search.matchNear(persistedIx(entry),
           singleTerm(ta, "fts_near"), singleTerm(tb, "fts_near"), sl,
           entry.buckets))
       case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
-          if isBaseText(a) =>
+          if isBaseText(a) && entry.analyzer.isV1 =>
         Some(graft.fts.Search.matchPrefixIds(persistedIx(entry), normPrefix(p)))
       case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
-          if isBaseText(a) =>
+          if isBaseText(a) && entry.analyzer.isV1 =>
         val (h, t) = parseWildcard(p)
         Some(wildcardIdsDf(entry, h, t))
       case _ => None
@@ -614,12 +630,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     ts.head
   }
 
-  /** The persisted postings as a lookup-ready index handle (docLens/stats
-    * are not needed by the id-set plans). */
+  /** The persisted index as a lookup-ready handle, cached per (session,
+    * indexDir) in [[IndexCatalog.cachedIndex]] — re-opening the parquet on
+    * every optimizer pass cost a file LISTING per query even when the TTL
+    * fingerprint check passed. */
   private def persistedIx(entry: IndexCatalog.Entry): graft.fts.FtsIndex =
-    graft.fts.FtsIndex(
-      org.apache.spark.sql.SparkSession.active.read
-        .parquet(s"${entry.indexDir}/postings"), null, null)
+    IndexCatalog.cachedIndex(
+      org.apache.spark.sql.SparkSession.active, entry)
 
   /** The base-relation exprId that `attr` (an output of `plan`) carries,
     * traced through pass-through Projects (direct references and simple
@@ -703,8 +720,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * and corpus stats joined in ([[graft.fts.Search.scoreAllBm25]]).
     * Output: (doc_id, score). */
   private def scoringPlan(entry: IndexCatalog.Entry, terms: Seq[String]): LogicalPlan = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val ix = graft.fts.Index.read(spark, entry.indexDir)
+    val ix = persistedIx(entry)
     val pruned = ix.copy(postings = graft.fts.Index.lookup(ix, terms, entry.buckets))
     graft.fts.Search.scoreAllBm25(pruned, terms).queryExecution.optimizedPlan
   }
@@ -732,7 +748,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           var cur: LogicalPlan = child
           val repl = scala.collection.mutable.Map.empty[UTF8String, Expression]
           queries.foreach { q =>
-            val terms = queryTerms(q)
+            val terms = entryTerms(entry, q)
             if (terms.isEmpty) repl(q) = Literal(0.0)
             else {
               val sub = scoringPlan(entry, terms)
@@ -797,17 +813,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
               case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
                   if isBaseText(a) => Left(TermsConj(a, q, ModeAny))
               case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left(TermsConj(a, q, ModePhrase))
+                  if isBaseText(a) && entry.analyzer.isV1 =>
+                Left(TermsConj(a, q, ModePhrase))
               case org.apache.spark.sql.catalyst.expressions.Not(
                   FtsMatch(a: Attribute, Literal(q: UTF8String, StringType)))
-                  if isBaseText(a) => Left(NotTermsConj(q, requireAll = true))
+                  if isBaseText(a) => Left(NotTermsConj(a, q, requireAll = true))
               case org.apache.spark.sql.catalyst.expressions.Not(
                   FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType)))
-                  if isBaseText(a) => Left(NotTermsConj(q, requireAll = false))
+                  if isBaseText(a) => Left(NotTermsConj(a, q, requireAll = false))
               case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
-                  if isBaseText(a) => Left(PrefixConj(normPrefix(p)))
+                  if isBaseText(a) && entry.analyzer.isV1 =>
+                Left(PrefixConj(normPrefix(p)))
               case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
-                  if isBaseText(a) =>
+                  if isBaseText(a) && entry.analyzer.isV1 =>
                 val (h, t) = parseWildcard(p)
                 Left(WildcardConj(h, t))
               case or: org.apache.spark.sql.catalyst.expressions.Or =>
@@ -819,7 +837,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-                  if isBaseText(a) =>
+                  if isBaseText(a) && entry.analyzer.isV1 =>
                 Left(NearConj(a, singleTerm(ta, "fts_near"),
                   singleTerm(tb, "fts_near"), sl))
               case other => Right(other)
@@ -833,7 +851,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
               fts.foldLeft(base) {
                 case (cur, TermsConj(a, q, mode)) =>
-                  val terms = queryTerms(q)
+                  val terms = entryTerms(entry, q)
                   if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
                   else if (mode == ModePhrase && entry.positional)
                     // a POSITIONAL index answers the phrase exactly from
@@ -851,13 +869,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                       Filter(phraseContains(a, phraseTerms(q)), joined)
                     else joined
                   }
-                case (cur, NotTermsConj(q, requireAll)) =>
-                  val terms = queryTerms(q)
+                case (cur, NotTermsConj(a, q, requireAll)) =>
+                  val terms = entryTerms(entry, q)
                   // NOT over no usable terms is NOT(false) = true: keep all
                   if (terms.isEmpty) cur
                   else {
                     val sub = matchingIds(entry, terms, requireAll)
-                    Join(cur, sub, org.apache.spark.sql.catalyst.plans.LeftAnti,
+                    // IsNotNull mirrors the scan path's three-valued logic:
+                    // NOT fts_match(NULL, …) is NULL there, so the doc drops
+                    Join(Filter(IsNotNull(a), cur), sub,
+                      org.apache.spark.sql.catalyst.plans.LeftAnti,
                       Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
                   }
                 case (cur, OrConj(ids)) =>

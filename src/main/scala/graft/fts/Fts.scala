@@ -98,6 +98,18 @@ final case class AnalyzerConfig(
     minTokenLen: Int = 1,
     cjkBigrams: Boolean = false) {
 
+  // the describe/parse round-trip is the persistence format — a stopword
+  // carrying a delimiter would replay a DIFFERENT pipeline at query time,
+  // the exact divergence the versioned config exists to prevent (and the
+  // frozen v1 grammar can never emit one as a term anyway)
+  require(stopWords.forall(w => !w.exists(";|=\n\r".contains(_))),
+    s"stopwords must not contain ';', '|', '=' or newlines: " +
+      stopWords.filter(_.exists(";|=\n\r".contains(_))).mkString(", "))
+
+  /** True for the empty config: the frozen v1 grammar with no extra stages
+    * — the only config the SQL scan fallback can evaluate. */
+  def isV1: Boolean = this == AnalyzerConfig()
+
   /** Stable textual form, recorded in the index-side properties file. */
   def describe: String =
     s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams"
@@ -345,26 +357,43 @@ object Index {
     * it in the bucketed layout, and register the table→index association —
     * after this, SQL `fts_match`/`fts_match_any` over the table lowers to
     * the partition-pruned postings semi-join ([[graft.ext.RewriteFtsMatch]]).
-    * Re-running overwrites the index (idempotent refresh). */
+    * Re-running overwrites the index (idempotent refresh).
+    *
+    * A non-default `analyzer` builds the index through the configured
+    * pipeline ([[buildWithAnalyzer]]) and persists the config with the
+    * index; the SQL rewrite then normalizes `fts_match`/`fts_match_any`/
+    * `fts_score` query strings through the SAME pipeline — stemmed,
+    * stopworded, or CJK search on the SQL surface. The analyzer is part of
+    * the index's semantics: predicates the config cannot answer (phrase,
+    * near, prefix, wildcard — their token positions/shapes predate the
+    * analyzer stages) keep their frozen-v1 scan semantics and are not
+    * index-lowered. Analyzer indexes are tf-only (position semantics under
+    * stopword removal are undefined) and carry no reversed projection. */
   def createIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                   indexDir: String, idCol: String = "doc_id",
                   textCol: String = "text", buckets: Int = 64,
                   positional: Boolean = false,
-                  reversed: Boolean = false): Unit = {
+                  reversed: Boolean = false,
+                  analyzer: AnalyzerConfig = AnalyzerConfig()): Unit = {
+    require(analyzer.isV1 || (!positional && !reversed),
+      "analyzer-configured indexes are tf-only and carry no reversed " +
+        "projection (positional/reversed require the frozen v1 grammar)")
     val docs = spark.read.parquet(tablePath)
-    val ix = if (positional) buildPositional(docs, idCol, textCol)
+    val ix = if (!analyzer.isV1) buildWithAnalyzer(docs, analyzer, idCol, textCol)
+             else if (positional) buildPositional(docs, idCol, textCol)
              else build(docs, idCol, textCol)
     write(ix, indexDir, buckets)
     // the reversed-term projection: leading-star wildcards become prefix
     // ranges over the reversed dictionary (SQL fts_wildcard('*ery') uses it
     // when registered)
     if (reversed) writeReversed(ix, indexDir, buckets)
+    if (!analyzer.isV1) writeAnalyzerConfig(spark, indexDir, analyzer)
     IndexCatalog.register(tablePath, indexDir, idCol, textCol, buckets,
-      positional, reversed)
+      positional, reversed, analyzer)
     // metadata travels with the index: a fresh session can
     // IndexCatalog.restore(spark, indexDir) instead of rebuilding
     IndexCatalog.writeMeta(spark, tablePath, indexDir, idCol, textCol, buckets,
-      positional, reversed)
+      positional, reversed, analyzer)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, dir: String, buckets: Int = 64): FtsIndex =

@@ -27,12 +27,41 @@ object IndexCatalog {
     * `fingerprint` is the indexed table's file listing at registration time
     * ([[tableFingerprint]]); [[get]] re-checks it so a table rewritten after
     * indexing falls back to the scan lowering instead of silently
-    * semi-joining stale postings. */
+    * semi-joining stale postings.
+    * `analyzer` is the configured analysis pipeline the index was built
+    * with (empty = frozen v1 grammar): the rewrite normalizes query terms
+    * through it, and predicates it cannot answer fall back to scan
+    * semantics. */
   final case class Entry(indexDir: String, idCol: String, textCol: String,
                          buckets: Int, positional: Boolean, fingerprint: Long,
-                         reversed: Boolean = false)
+                         reversed: Boolean = false,
+                         analyzer: AnalyzerConfig = AnalyzerConfig())
 
   private val byPath = new ConcurrentHashMap[String, Entry]()
+
+  /** Per-(session, indexDir) cache of the persisted index's DataFrames:
+    * `spark.read.parquet` LISTS the directory at construction, and the
+    * rewrite needs the postings handle on every optimizer pass — without
+    * the cache every query re-pays a file listing during planning
+    * (planning latency only, but real on object stores). Invalidated by
+    * [[register]] (an index rewrite registers again) and [[clear]]. */
+  private val ixCache = new ConcurrentHashMap[String, (AnyRef, FtsIndex)]()
+
+  /** The entry's persisted index handle, cached per (session, indexDir).
+    * Every call returns FRESH output exprIds over the SAME cached relation
+    * (file listing paid once): one query may graft the postings in as
+    * several subplans — scoring join + candidate semi-join, or two
+    * fts_score queries — and shared exprIds across join sides would make
+    * the plan ambiguous. */
+  def cachedIndex(spark: org.apache.spark.sql.SparkSession,
+                  entry: Entry): FtsIndex = {
+    val base = ixCache.compute(entry.indexDir, (_, cur) =>
+      if (cur != null && (cur._1 eq spark)) cur
+      else (spark, Index.read(spark, entry.indexDir, entry.buckets)))._2
+    import org.apache.spark.sql.GraftColumnBridge.freshCopy
+    FtsIndex(freshCopy(base.postings), freshCopy(base.docLens),
+      freshCopy(base.stats))
+  }
 
   /** Order-independent hash of the table's data files (path, length,
     * mtime) — any rewrite, compaction, append, or delete changes it. One
@@ -79,10 +108,13 @@ object IndexCatalog {
   def register(tablePath: String, indexDir: String,
                idCol: String = "doc_id", textCol: String = "text",
                buckets: Int = 64, positional: Boolean = false,
-               reversed: Boolean = false): Unit =
+               reversed: Boolean = false,
+               analyzer: AnalyzerConfig = AnalyzerConfig()): Unit = {
+    ixCache.remove(indexDir) // a re-register means the index was rewritten
     byPath.put(canon(tablePath),
       Entry(indexDir, idCol, textCol, buckets, positional,
-        tableFingerprint(tablePath), reversed))
+        tableFingerprint(tablePath), reversed, analyzer))
+  }
 
   /** Name of the metadata file [[Index.createIndex]] drops inside the index
     * directory — the association + build-time fingerprint, so a NEW session
@@ -96,7 +128,8 @@ object IndexCatalog {
   def writeMeta(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                 indexDir: String, idCol: String, textCol: String,
                 buckets: Int, positional: Boolean = false,
-                reversed: Boolean = false): Unit = {
+                reversed: Boolean = false,
+                analyzer: AnalyzerConfig = AnalyzerConfig()): Unit = {
     val props = new java.util.Properties()
     props.setProperty("tablePath", canon(tablePath))
     props.setProperty("idCol", idCol)
@@ -104,6 +137,7 @@ object IndexCatalog {
     props.setProperty("buckets", buckets.toString)
     props.setProperty("positional", positional.toString)
     props.setProperty("reversed", reversed.toString)
+    if (!analyzer.isV1) props.setProperty("analyzer", analyzer.describe)
     props.setProperty("fingerprint", tableFingerprint(tablePath).toString)
     val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,7 +163,9 @@ object IndexCatalog {
         // absent in pre-positional metadata files → false
         props.getProperty("positional", "false").toBoolean,
         props.getProperty("fingerprint").toLong,
-        props.getProperty("reversed", "false").toBoolean))
+        props.getProperty("reversed", "false").toBoolean,
+        Option(props.getProperty("analyzer"))
+          .map(AnalyzerConfig.parse).getOrElse(AnalyzerConfig())))
   }
 
   /** Freshness-check TTL in ms. 0 (default) = re-list the table's files on
@@ -165,5 +201,5 @@ object IndexCatalog {
       fresh
     }
 
-  def clear(): Unit = { byPath.clear(); lastChecked.clear() }
+  def clear(): Unit = { byPath.clear(); lastChecked.clear(); ixCache.clear() }
 }

@@ -175,11 +175,21 @@ object Similarity {
     * persisted corpus — 16 of 4096 buckets read at the defaults, no
     * in-memory re-bucketing of the corpus per query. The query vector is
     * driver-resident (any serving path's contract) and ships as a literal,
-    * so the whole query is one pruned scan + TakeOrderedAndProject. */
+    * so the whole query is one pruned scan + TakeOrderedAndProject.
+    *
+    * SERVE-ONLY: the layout must already exist ([[writeBucketed]] builds it
+    * once, the Index.write/read split) — a serving path that rewrote the
+    * corpus per query would cost a full corpus write per call. `emb` is
+    * consulted only to resolve the query id's vector. */
   def annTopKPersisted(emb: DataFrame, dir: String, queryId: Long, k: Int,
                        planes: Int = 12, probeDepth: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val celled = writeBucketed(emb, dir, planes, idCol, vecCol)
+    val spark = emb.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"no bucketed ANN layout at $dir — build it once with writeBucketed() " +
+        "(build and serve are separate steps)")
+    val celled = spark.read.parquet(dir)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("v"))
       .select(col("v"), lshBucket(col("v"), planes).as("bucket"),
@@ -291,18 +301,44 @@ object Similarity {
     val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
     emb.withColumn("cell", cellExpr(asDouble(col(vecCol)), centroids, cNorms))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    (emb.sparkSession.read.parquet(dir), centroids, cNorms)
+    // the quantizer artifact travels WITH the layout (underscore dir: data
+    // discovery skips it): serving reads nlist rows instead of re-training
+    // from the corpus per query
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_quantizer")
+    (spark.read.parquet(dir), centroids, cNorms)
+  }
+
+  /** The persisted quantizer ([[writeCelledWith]]): nlist rows. */
+  private def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (Seq[Array[Double]], Seq[Double]) = {
+    val cs: Seq[Array[Double]] = spark.read.parquet(s"$dir/_quantizer")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray).toSeq
+    (cs, cs.map(c => math.sqrt(c.map(x => x * x).sum)))
   }
 
   /** IVF top-k over the PERSISTED celled layout: probes are a literal cell
     * filter the reader turns into a PARTITION filter — nprobe/nlist of the
     * files read, corpus never scanned. The query vector is driver-resident
     * (as in any serving path) and ships as a literal, so the probe is a
-    * single pruned scan + TakeOrderedAndProject. */
+    * single pruned scan + TakeOrderedAndProject.
+    *
+    * SERVE-ONLY like [[annTopKPersisted]]: [[writeCelled]] builds the
+    * layout AND its quantizer once; serving reads the nlist persisted
+    * centroids for probe selection — never re-training from the corpus. */
   def ivfTopKPersisted(emb: DataFrame, dir: String, queryId: Long, k: Int,
                        nlist: Int = 16, nprobe: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (celled, centroids, cNorms) = writeCelledWith(emb, dir, nlist, idCol, vecCol)
+    val spark = emb.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"no celled IVF layout at $dir — build it once with writeCelled() " +
+        "(build and serve are separate steps)")
+    val celled = spark.read.parquet(dir)
+    val (centroids, cNorms) = readQuantizer(spark, dir)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).limit(1).collect().headOption
     if (qRow.isEmpty) return emptyTopK(emb, idCol)

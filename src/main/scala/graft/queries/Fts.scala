@@ -676,6 +676,56 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'query') AND list_contains(t, 'window')
                ORDER BY doc_id""")),
 
+    // The ANALYZER on the SQL surface: createIndex persists the configured
+    // pipeline with the index and the rewrite normalizes query strings
+    // through it — 'the queries window' reaches the postings semi-join as
+    // ('query','window'): 'the' stopped, 'queries' stemmed to the corpus
+    // term. fts_score ranks through the same pruned scoring join (BM25
+    // statistics are the ANALYZED corpus's). The oracle replays the full
+    // pipeline and the BM25 formula over the analyzed tokens.
+    Q("q_fts_sql_analyzer",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_an"),
+          analyzer = graft.fts.AnalyzerConfig(
+            stopWords = Seq("the"), sStem = true, minTokenLen = 2))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixan")
+        s.sql("""SELECT doc_id, round(fts_score(text, 'the queries window'), 4) AS score
+                 FROM documents_ixan
+                 WHERE fts_match_any(text, 'the queries window')
+                 ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t0 FROM documents),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t0, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks),
+               tk AS (SELECT doc_id, unnest(t) AS term FROM an),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tk GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('query', 'window') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

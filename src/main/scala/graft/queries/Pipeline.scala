@@ -143,8 +143,13 @@ object Pipeline extends QueryPack {
     // vectors; plan-asserted in PlanShapeSpec). Same clustered fixture and
     // recall@10 >= 0.8 contract as q_sim_ann.
     Q("q_sim_ann_persisted",
-      (s, dir) => recallCheck(s, dir)(
-        Similarity.annTopKPersisted(_, graft.core.Scratch.dir("ann_buckets"), 0L, 10)),
+      (s, dir) => recallCheck(s, dir) { emb =>
+        // build once, then serve — the lifecycle the split API enforces
+        // (the serving call refuses to rewrite the corpus)
+        val bucketsDir = graft.core.Scratch.dir("ann_buckets")
+        Similarity.writeBucketed(emb, bucketsDir)
+        Similarity.annTopKPersisted(emb, bucketsDir, 0L, 10)
+      },
       Some("SELECT true AS ok")),
 
     // IVF — the coarse-quantizer ANN scale path (cells instead of LSH
@@ -160,8 +165,11 @@ object Pipeline extends QueryPack {
     // corpus is never re-scanned (vector analogue of q_fts_bm25_persisted).
     // Same clustered fixture + recall contract as q_sim_ivf.
     Q("q_sim_ivf_persisted",
-      (s, dir) => recallCheck(s, dir)(
-        Similarity.ivfTopKPersisted(_, graft.core.Scratch.dir("ivf_cells"), 0L, 10)),
+      (s, dir) => recallCheck(s, dir) { emb =>
+        val cellsDir = graft.core.Scratch.dir("ivf_cells")
+        Similarity.writeCelled(emb, cellsDir)
+        Similarity.ivfTopKPersisted(emb, cellsDir, 0L, 10)
+      },
       Some("SELECT true AS ok")),
 
     // Int8 quantization of the embedding column — pure map (no shuffle);

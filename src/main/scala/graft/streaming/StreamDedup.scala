@@ -16,9 +16,12 @@ import graft.pipeline.Dedup
   *     meets only the historical docs in its LSH buckets, never the whole
   *     store;
   *  3. candidates within the batch (the usual banded self-join);
-  *  4. exact-Jaccard verify on candidates only; a doc with a verified
-  *     near-dup among earlier docs (prior batches, or smaller id in its own
-  *     batch) is dropped;
+  *  4. exact-Jaccard verify on candidates only — the historical side's
+  *     shingle sets are read PRUNED to the candidate aids' store partitions
+  *     (`store_sets` is partitioned by doc_id mod [[SetBuckets]]), so the
+  *     verify touches O(candidates) of the store, never O(corpus); a doc
+  *     with a verified near-dup among earlier docs (prior batches, or
+  *     smaller id in its own batch) is dropped;
   *  5. the batch's signatures append to the store (kept AND dropped docs —
   *     the drop rule is "dominated by ANY earlier doc", which keeps the
   *     rule deterministic and batch-order-insensitive), survivors append to
@@ -34,6 +37,19 @@ object StreamDedup {
 
   /** Bucket count of the band store — writer and re-register DDL agree. */
   private val StoreBuckets = 16
+
+  /** Partition count of the signature-set store: `store_sets` is laid out
+    * as `sbucket = doc_id mod SetBuckets` parquet partitions, so a batch's
+    * verify stage reads ONLY its candidate aids' partitions (partition
+    * filter) and, inside them, pushes the aid set into the parquet scan —
+    * never a store-wide read. 16 matches the fixture scale; at cluster
+    * scale use O(thousands) so a batch's candidates touch a small fraction
+    * of the partitions. */
+  private val SetBuckets = 16
+
+  /** Driver-side mirror of the `sbucket` write expression. */
+  private def setBucket(id: Long): Long =
+    java.lang.Math.floorMod(id, SetBuckets.toLong)
 
   /** Catalog name for `dir`'s band store (deterministic per state dir, so a
     * restarted stream finds its own table and two streams don't collide). */
@@ -64,13 +80,26 @@ object StreamDedup {
       .start()
   }
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-                          like: DataFrame): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path)
-    else spark.createDataFrame(
+  private def emptyLike(spark: SparkSession, like: DataFrame): DataFrame =
+    spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
+
+  /** The candidate aids' shingle sets from the partitioned store — a
+    * PRUNED read: the aid set restricts the scan to its `sbucket`
+    * partitions (partition filter — unmatched partitions are never read)
+    * and pushes into the parquet row groups inside them. The per-batch
+    * verify therefore touches O(candidates) of the store, not O(corpus):
+    * the fix for the r5 store-wide `store_sets` scan. */
+  private[streaming] def prunedStoreSets(spark: SparkSession, dir: String,
+                                         aids: Array[Long],
+                                         like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/store_sets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (aids.isEmpty || !fs.exists(p)) emptyLike(spark, like)
+    else spark.read.parquet(s"$dir/store_sets")
+      .filter(col("sbucket").isin(aids.map(setBucket).distinct.toSeq: _*) &&
+        col("doc_id").isin(aids.toSeq: _*))
+      .select("doc_id", "hs")
   }
 
   /** The band store, read as a BUCKETED catalog table on the join key
@@ -96,8 +125,7 @@ object StreamDedup {
     }
     if (spark.catalog.tableExists(name))
       spark.table(name).select(like.columns.map(col): _*)
-    else spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), like.schema)
+    else emptyLike(spark, like)
   }
 
   private def appendStoreBands(bands: DataFrame, dir: String): Unit =
@@ -111,19 +139,27 @@ object StreamDedup {
     val sets = Dedup.shingleSets(batch) // persisted + counted inside
     val bands = Dedup.bandKeys(sets).persist()
     bands.count()
+    // historical candidates: stored doc (aid, earlier by construction) ×
+    // new doc (bid) meeting in an LSH bucket — the store side reads
+    // co-located in its buckets, only the batch's bands shuffle
+    val crossCands = readStoreBands(spark, dir, bands).as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .distinct()
+      .persist() // reused: aid collect + verify join
     try {
-      val storeSets = readOrEmpty(spark, s"$dir/store_sets", sets)
-      val storeBands = readStoreBands(spark, dir, bands)
-
-      // historical candidates: stored doc (aid, earlier by construction) ×
-      // new doc (bid) meeting in an LSH bucket
-      val crossCands = storeBands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-        .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
-        .distinct()
-      // verify needs both sides' shingle sets: aid from the store, bid new
+      // the candidate aid set, collected to prune the store read. Bounded
+      // per batch by construction: |crossCands| ≤ the batch's band rows ×
+      // their store-bucket collisions — O(batch), never O(store) (the same
+      // bounded-driver-set pattern as Search.effectiveTerms).
+      val aids = crossCands.select("aid").distinct()
+        .collect().map(_.getLong(0))
+      // verify needs both sides' shingle sets: aid from the store — read
+      // PRUNED to the candidates' partitions — bid from the new batch
       val crossDropped = Dedup.verifyJaccard(
-          crossCands, storeSets.unionByName(sets), threshold)
+          crossCands, prunedStoreSets(spark, dir, aids, sets).unionByName(sets),
+          threshold)
         .select(col("bid").as("doc_id"))
       // within-batch: smaller id wins, same verify
       val batchDropped = Dedup.verifyJaccard(
@@ -134,10 +170,13 @@ object StreamDedup {
       batch.join(dropped, Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Append).parquet(s"$dir/kept")
       // ALL signatures enter the store (drop rule: dominated by any
-      // earlier doc, kept or not)
-      sets.write.mode(SaveMode.Append).parquet(s"$dir/store_sets")
+      // earlier doc, kept or not), partitioned for the pruned verify read
+      sets.withColumn("sbucket", pmod(col("doc_id"), lit(SetBuckets.toLong)))
+        .write.mode(SaveMode.Append).partitionBy("sbucket")
+        .parquet(s"$dir/store_sets")
       appendStoreBands(bands, dir)
     } finally {
+      crossCands.unpersist()
       bands.unpersist()
       sets.unpersist()
     }

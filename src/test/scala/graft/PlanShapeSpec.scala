@@ -72,6 +72,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_analyzer normalizes the query through the index's analyzer") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_analyzer")
+    try {
+      assert(plan.contains("LeftSemi"),
+        "the candidate filter must lower to the postings semi-join")
+      // 'the queries window' must reach the postings scan as the ANALYZED
+      // terms — stopword dropped, plural stemmed — or the semi-join would
+      // probe terms the stemmed index never carries
+      assert(plan.contains("In(term, [query,window])"),
+        s"query terms must be analyzer-normalized:\n${plan.linesIterator.take(40).mkString("\n")}")
+      assert(!plan.contains("fts_tokenize"),
+        "analyzer index path must not re-tokenize the corpus")
+      assert(plan.contains("TakeOrderedAndProject") && !plan.contains("doclens"),
+        "ranked retrieval must stay the pruned top-k shape")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_bm25_persisted scores without touching the doclens table") {
     val plan = planOf("q_fts_bm25_persisted")
     assert(plan.contains("TakeOrderedAndProject"))
@@ -179,6 +197,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("persisted ANN probes are a partition filter + top-k, no corpus scan") {
     val emb = spark.read.parquet(sf("embeddings"))
+    graft.pipeline.Similarity.writeBucketed(
+      emb, "/root/repo/target/ttmp/ann_buckets_spec")
     val topk = graft.pipeline.Similarity.annTopKPersisted(
       emb, "/root/repo/target/ttmp/ann_buckets_spec", 0L, 10)
     val plan = topk.queryExecution.explainString(

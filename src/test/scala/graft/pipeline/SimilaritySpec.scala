@@ -69,6 +69,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("persisted IVF probe partition-prunes to the probe cells") {
     val emb = spark.read.parquet(sf("embeddings"))
+    // serve-only contract: the layout (and its quantizer) must exist first
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKPersisted(emb,
+        "/root/repo/target/ttmp/ivf_spec_missing", 0L, 5)
+    }
+    assert(missing.getMessage.contains("writeCelled"))
+    Similarity.writeCelled(emb, "/root/repo/target/ttmp/ivf_spec_cells")
     val df = Similarity.ivfTopKPersisted(emb,
       "/root/repo/target/ttmp/ivf_spec_cells", 0L, 5)
     val plan = df.queryExecution.explainString(

@@ -71,5 +71,19 @@ class StreamDedupSpec extends SparkSpec {
       assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 1,
         s"only the batch side may shuffle:\n${plan.linesIterator.take(30).mkString("\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+
+    // THE other scale property (r5's weak spot): the verify stage's store
+    // read is PRUNED by the candidate aid set — a partition filter on the
+    // doc_id-modulo bucket plus a pushed id filter inside the surviving
+    // partitions. No full store_sets scan per micro-batch.
+    val like = spark.read.parquet(s"$root/store_sets").select("doc_id", "hs")
+    val pruned = StreamDedup.prunedStoreSets(spark, root, Array(1L, 3L), like)
+    val prunedPlan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[.*sbucket".r.findFirstIn(prunedPlan).nonEmpty,
+      s"candidate buckets must partition-prune the store:\n$prunedPlan")
+    assert(prunedPlan.contains("PushedFilters: [In(doc_id"),
+      s"the aid set must push into the parquet scan:\n$prunedPlan")
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 }
