@@ -524,9 +524,18 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private val ModeAny = 1
   private val ModePhrase = 2
 
-  /** A Filter conjunct the index path can lower. */
+  /** An attribute's resolved index binding: the entry serving it plus the
+    * child-level id attribute to semi-join on. A table can carry SEVERAL
+    * indexes (one per text column), so every conjunct resolves its OWN
+    * binding from the attribute it scores/filters. */
+  private type EntryFor = Attribute => Option[(IndexCatalog.Entry, Attribute)]
+
+  /** A Filter conjunct the index path can lower, bound to the entry that
+    * answers it (and the id attribute its id set joins on). */
   private sealed trait FtsConjunct
-  private final case class TermsConj(attr: Attribute, q: UTF8String, mode: Int)
+  private final case class TermsConj(entry: IndexCatalog.Entry,
+                                     idAttr: Attribute, attr: Attribute,
+                                     q: UTF8String, mode: Int)
       extends FtsConjunct
   /** `NOT fts_match(_any)` — lowered as a LEFT-ANTI join on the same id
     * sets the positive forms semi-join (the library's mustNot semantics,
@@ -536,67 +545,86 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * IsNotNull conjunct: a NULL-text doc has no postings, so the bare
     * anti-join would KEEP it while the scan path's NOT(NULL) = NULL drops
     * it — three-valued semantics must not depend on index registration. */
-  private final case class NotTermsConj(attr: Attribute, q: UTF8String,
-                                        requireAll: Boolean)
+  private final case class NotTermsConj(entry: IndexCatalog.Entry,
+                                        idAttr: Attribute, attr: Attribute,
+                                        q: UTF8String, requireAll: Boolean)
       extends FtsConjunct
   /** A DISJUNCTION whose every branch is exactly answerable from the index
     * — lowered as one semi-join against the UNION of the branches' id
-    * sets. Branches needing a text residual (phrase/near over a tf-only
-    * index) disqualify the whole disjunction (the residual would have to
-    * apply per-branch, which a union of ids cannot express) and it falls
-    * back to the scan lowering instead. */
-  private final case class OrConj(ids: Seq[org.apache.spark.sql.DataFrame])
+    * sets (branches may target DIFFERENT indexed columns of the table, as
+    * long as they share the id attribute the union joins on). Branches
+    * needing a text residual (phrase/near over a tf-only index)
+    * disqualify the whole disjunction (the residual would have to apply
+    * per-branch, which a union of ids cannot express) and it falls back
+    * to the scan lowering instead. */
+  private final case class OrConj(idAttr: Attribute,
+                                  ids: Seq[org.apache.spark.sql.DataFrame])
       extends FtsConjunct
 
-  /** The exact doc-id set for one positive fts predicate over the persisted
-    * index, or None when the predicate is not index-exact here. */
-  private def exactIdsDf(entry: IndexCatalog.Entry, e: Expression,
-                         isBaseText: Attribute => Boolean)
-      : Option[org.apache.spark.sql.DataFrame] = {
+  /** The exact doc-id set for one positive fts predicate over its resolved
+    * entry's persisted index — with the id attribute the set joins on — or
+    * None when the predicate is not index-exact here. */
+  private def exactIdsDf(e: Expression, entryFor: EntryFor)
+      : Option[(org.apache.spark.sql.DataFrame, Attribute)] = {
     // type-correct empty id frame (optimizes to an empty LocalRelation)
-    def emptyIds = persistedIx(entry).postings
+    def emptyIds(entry: IndexCatalog.Entry) = persistedIx(entry).postings
       .filter(org.apache.spark.sql.GraftColumnBridge.column(Literal.FalseLiteral))
       .select("doc_id")
     e match {
       case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
-          if isBaseText(a) =>
+          if entryFor(a).isDefined =>
+        val (entry, idAttr) = entryFor(a).get
         val ts = entryTerms(entry, q)
-        Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = true))
+        Some((if (ts.isEmpty) emptyIds(entry)
+          else matchingIdsDf(entry, ts, requireAll = true), idAttr))
       case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
-          if isBaseText(a) =>
+          if entryFor(a).isDefined =>
+        val (entry, idAttr) = entryFor(a).get
         val ts = entryTerms(entry, q)
-        Some(if (ts.isEmpty) emptyIds else matchingIdsDf(entry, ts, requireAll = false))
+        Some((if (ts.isEmpty) emptyIds(entry)
+          else matchingIdsDf(entry, ts, requireAll = false), idAttr))
       // phrase/near/prefix/wildcard keep frozen-v1 semantics: over an
       // analyzer-configured index their token shapes don't exist, so they
       // are only index-exact against a v1 index
       case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-          if isBaseText(a) && entry.positional && entry.analyzer.isV1 =>
+          if entryFor(a).exists(e => e._1.positional && e._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
         val ts = phraseTerms(q)
-        Some(if (ts.isEmpty) emptyIds
+        Some((if (ts.isEmpty) emptyIds(entry)
           else graft.fts.Search.matchPhrasePositional(
-            persistedIx(entry), ts, entry.buckets))
+            persistedIx(entry), ts, entry.buckets), idAttr))
       case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-          if isBaseText(a) && entry.positional && entry.analyzer.isV1 =>
-        Some(graft.fts.Search.matchNear(persistedIx(entry),
+          if entryFor(a).exists(e => e._1.positional && e._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
+        Some((graft.fts.Search.matchNear(persistedIx(entry),
           singleTerm(ta, "fts_near"), singleTerm(tb, "fts_near"), sl,
-          entry.buckets))
+          entry.buckets), idAttr))
       case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
-          if isBaseText(a) && entry.analyzer.isV1 =>
-        Some(graft.fts.Search.matchPrefixIds(persistedIx(entry), normPrefix(p)))
+          if entryFor(a).exists(_._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
+        Some((graft.fts.Search.matchPrefixIds(persistedIx(entry), normPrefix(p)),
+          idAttr))
       case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
-          if isBaseText(a) && entry.analyzer.isV1 =>
+          if entryFor(a).exists(_._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
         val (h, t) = parseWildcard(p)
-        Some(wildcardIdsDf(entry, h, t))
+        Some((wildcardIdsDf(entry, h, t), idAttr))
       case _ => None
     }
   }
-  private final case class PrefixConj(prefix: String) extends FtsConjunct
-  private final case class WildcardConj(head: String, tail: String)
+  private final case class PrefixConj(entry: IndexCatalog.Entry,
+                                      idAttr: Attribute, prefix: String)
       extends FtsConjunct
-  private final case class NearConj(attr: Attribute, a: String, b: String,
-                                    slop: Int) extends FtsConjunct
+  private final case class WildcardConj(entry: IndexCatalog.Entry,
+                                        idAttr: Attribute, head: String,
+                                        tail: String)
+      extends FtsConjunct
+  private final case class NearConj(entry: IndexCatalog.Entry,
+                                    idAttr: Attribute, attr: Attribute,
+                                    a: String, b: String, slop: Int)
+      extends FtsConjunct
 
   /** Validated (head, tail) of a single-star wildcard pattern. */
   private def parseWildcard(p: UTF8String): (String, String) = {
@@ -659,26 +687,30 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case _ => None
     }
 
-  /** Registered FRESH index for a plan rooted at exactly one file-source
-    * relation, plus: the child-level attribute that IS the base id column
-    * (semi-join key), and a semantic test for "this attribute IS the base
-    * text column" — both by exprId lineage, never by name. */
-  private def indexedTable(child: LogicalPlan)
-      : Option[(IndexCatalog.Entry, Attribute, Attribute => Boolean)] =
+  /** ALL registered FRESH indexes for a plan rooted at exactly one
+    * file-source relation, as a resolver from an attribute to its serving
+    * entry + the child-level id attribute (semi-join key) — by exprId
+    * lineage, never by name. One table may carry several indexes (one per
+    * text column: title + body), so resolution is per attribute. */
+  private def indexedTable(child: LogicalPlan): Option[EntryFor] =
     child.collectLeaves() match {
       case Seq(lr: LogicalRelation) =>
-        for {
-          path <- lr.relation match {
+        val resolved: Map[ExprId, (IndexCatalog.Entry, Attribute)] =
+          (lr.relation match {
             case fs: HadoopFsRelation => fs.location.rootPaths.headOption
             case _ => None
-          }
-          entry <- IndexCatalog.get(path.toString)
-          baseText <- lr.output.find(_.name.equalsIgnoreCase(entry.textCol))
-          baseIdCol <- lr.output.find(_.name.equalsIgnoreCase(entry.idCol))
-          idAttr <- child.output.find(a =>
-            traceToBase(a, child).contains(baseIdCol.exprId))
-        } yield (entry, idAttr,
-          (a: Attribute) => traceToBase(a, child).contains(baseText.exprId))
+          }).toSeq.flatMap { path =>
+            IndexCatalog.entriesFor(path.toString).flatMap { entry =>
+              for {
+                baseText <- lr.output.find(_.name.equalsIgnoreCase(entry.textCol))
+                baseIdCol <- lr.output.find(_.name.equalsIgnoreCase(entry.idCol))
+                idAttr <- child.output.find(a =>
+                  traceToBase(a, child).contains(baseIdCol.exprId))
+              } yield baseText.exprId -> (entry, idAttr)
+            }
+          }.toMap
+        if (resolved.isEmpty) None
+        else Some((a: Attribute) => traceToBase(a, child).flatMap(resolved.get))
       case _ => None
     }
 
@@ -738,28 +770,33 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     // FtsScore in `exprs` with coalesce(score, 0.0). None if nothing lowers.
     def lowerScores(exprs: Seq[Expression], child: LogicalPlan)
         : Option[(Seq[Expression], LogicalPlan)] =
-      indexedTable(child).flatMap { case (entry, idAttr, isBaseText) =>
+      indexedTable(child).flatMap { entryFor =>
+        // one scoring join per (index, query) — two scored COLUMNS of the
+        // same table resolve to different entries and get their own joins
         val queries = exprs.flatMap(_.collect {
           case FtsScore(a: Attribute, Literal(q: UTF8String, StringType))
-              if isBaseText(a) => q
+              if entryFor(a).isDefined =>
+            val (entry, idAttr) = entryFor(a).get
+            ((entry.indexDir, q), (entry, idAttr))
         }).distinct
         if (queries.isEmpty) None
         else {
           var cur: LogicalPlan = child
-          val repl = scala.collection.mutable.Map.empty[UTF8String, Expression]
-          queries.foreach { q =>
+          val repl = scala.collection.mutable.Map.empty[(String, UTF8String), Expression]
+          queries.foreach { case ((dirKey, q), (entry, idAttr)) =>
             val terms = entryTerms(entry, q)
-            if (terms.isEmpty) repl(q) = Literal(0.0)
+            if (terms.isEmpty) repl((dirKey, q)) = Literal(0.0)
             else {
               val sub = scoringPlan(entry, terms)
               cur = Join(cur, sub, LeftOuter,
                 Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
-              repl(q) = Coalesce(Seq(sub.output(1), Literal(0.0)))
+              repl((dirKey, q)) = Coalesce(Seq(sub.output(1), Literal(0.0)))
             }
           }
           val newExprs = exprs.map(_.transform {
             case FtsScore(a: Attribute, Literal(q: UTF8String, StringType))
-                if isBaseText(a) => repl(q)
+                if entryFor(a).isDefined =>
+              repl((entryFor(a).get._1.indexDir, q))
           })
           Some((newExprs, cur))
         }
@@ -805,40 +842,62 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     val indexAware = scoreAware.transformUp {
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
-          case Some((entry, idAttr, isBaseText)) =>
-            // classified rewritable fts conjuncts
+          case Some(entryFor) =>
+            // classified rewritable fts conjuncts, each bound to the entry
+            // resolved from ITS OWN attribute — one WHERE clause may probe
+            // several indexed columns (title AND body) of the same table
             val (fts, rest) = splitConjunctivePredicates(cond).partitionMap {
               case FtsMatch(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left(TermsConj(a, q, ModeAll))
+                  if entryFor(a).isDefined =>
+                val (e, id) = entryFor(a).get
+                Left(TermsConj(e, id, a, q, ModeAll))
               case FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) => Left(TermsConj(a, q, ModeAny))
+                  if entryFor(a).isDefined =>
+                val (e, id) = entryFor(a).get
+                Left(TermsConj(e, id, a, q, ModeAny))
               case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-                  if isBaseText(a) && entry.analyzer.isV1 =>
-                Left(TermsConj(a, q, ModePhrase))
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(TermsConj(e, id, a, q, ModePhrase))
               case org.apache.spark.sql.catalyst.expressions.Not(
                   FtsMatch(a: Attribute, Literal(q: UTF8String, StringType)))
-                  if isBaseText(a) => Left(NotTermsConj(a, q, requireAll = true))
+                  if entryFor(a).isDefined =>
+                val (e, id) = entryFor(a).get
+                Left(NotTermsConj(e, id, a, q, requireAll = true))
               case org.apache.spark.sql.catalyst.expressions.Not(
                   FtsMatchAny(a: Attribute, Literal(q: UTF8String, StringType)))
-                  if isBaseText(a) => Left(NotTermsConj(a, q, requireAll = false))
+                  if entryFor(a).isDefined =>
+                val (e, id) = entryFor(a).get
+                Left(NotTermsConj(e, id, a, q, requireAll = false))
               case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
-                  if isBaseText(a) && entry.analyzer.isV1 =>
-                Left(PrefixConj(normPrefix(p)))
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(PrefixConj(e, id, normPrefix(p)))
               case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
-                  if isBaseText(a) && entry.analyzer.isV1 =>
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
                 val (h, t) = parseWildcard(p)
-                Left(WildcardConj(h, t))
+                Left(WildcardConj(e, id, h, t))
               case or: org.apache.spark.sql.catalyst.expressions.Or =>
                 val branchIds = splitDisjunctivePredicates(or)
-                  .map(b => exactIdsDf(entry, b, isBaseText))
-                if (branchIds.forall(_.isDefined))
-                  Left(OrConj(branchIds.flatten))
-                else Right(or)
+                  .map(b => exactIdsDf(b, entryFor))
+                if (branchIds.forall(_.isDefined)) {
+                  val resolved = branchIds.flatten
+                  // one union semi-join has ONE join key: branches over
+                  // different indexed columns are fine (same doc id), but
+                  // mixed id attributes cannot union
+                  resolved.map(_._2.exprId).distinct match {
+                    case Seq(_) =>
+                      Left(OrConj(resolved.head._2, resolved.map(_._1)))
+                    case _ => Right(or)
+                  }
+                } else Right(or)
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-                  if isBaseText(a) && entry.analyzer.isV1 =>
-                Left(NearConj(a, singleTerm(ta, "fts_near"),
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(NearConj(e, id, a, singleTerm(ta, "fts_near"),
                   singleTerm(tb, "fts_near"), sl))
               case other => Right(other)
             }
@@ -846,11 +905,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             else {
               rewrote = true
               val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
-              def semi(cur: LogicalPlan, sub: LogicalPlan): LogicalPlan =
+              def semi(cur: LogicalPlan, sub: LogicalPlan,
+                       idAttr: Attribute): LogicalPlan =
                 Join(cur, sub, LeftSemi,
                   Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
               fts.foldLeft(base) {
-                case (cur, TermsConj(a, q, mode)) =>
+                case (cur, TermsConj(entry, idAttr, a, q, mode)) =>
                   val terms = entryTerms(entry, q)
                   if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
                   else if (mode == ModePhrase && entry.positional)
@@ -859,17 +919,18 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     // re-read (Search.matchPhrasePositional)
                     semi(cur, graft.fts.Search.matchPhrasePositional(
                       persistedIx(entry), phraseTerms(q), entry.buckets)
-                      .queryExecution.optimizedPlan)
+                      .queryExecution.optimizedPlan, idAttr)
                   else {
                     val joined = semi(cur,
-                      matchingIds(entry, terms, requireAll = mode != ModeAny))
+                      matchingIds(entry, terms, requireAll = mode != ModeAny),
+                      idAttr)
                     // phrase over tf-only postings: all-terms candidates +
                     // containment verified as a residual over candidates
                     if (mode == ModePhrase)
                       Filter(phraseContains(a, phraseTerms(q)), joined)
                     else joined
                   }
-                case (cur, NotTermsConj(a, q, requireAll)) =>
+                case (cur, NotTermsConj(entry, idAttr, a, q, requireAll)) =>
                   val terms = entryTerms(entry, q)
                   // NOT over no usable terms is NOT(false) = true: keep all
                   if (terms.isEmpty) cur
@@ -881,28 +942,29 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                       org.apache.spark.sql.catalyst.plans.LeftAnti,
                       Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
                   }
-                case (cur, OrConj(ids)) =>
+                case (cur, OrConj(idAttr, ids)) =>
                   // one semi-join against the UNION of the branch id sets
                   semi(cur, ids.reduce(_ unionByName _).distinct()
-                    .queryExecution.optimizedPlan)
-                case (cur, PrefixConj(p)) =>
+                    .queryExecution.optimizedPlan, idAttr)
+                case (cur, PrefixConj(entry, idAttr, p)) =>
                   // term-RANGE over the sorted postings (row-group min/max
                   // pruning; hash buckets can't help a prefix)
                   semi(cur, graft.fts.Search.matchPrefixIds(persistedIx(entry), p)
-                    .queryExecution.optimizedPlan)
-                case (cur, WildcardConj(h, t)) =>
+                    .queryExecution.optimizedPlan, idAttr)
+                case (cur, WildcardConj(entry, idAttr, h, t)) =>
                   semi(cur, wildcardIdsDf(entry, h, t)
-                    .queryExecution.optimizedPlan)
-                case (cur, NearConj(a, ta, tb, sl)) =>
+                    .queryExecution.optimizedPlan, idAttr)
+                case (cur, NearConj(entry, idAttr, a, ta, tb, sl)) =>
                   if (entry.positional)
                     semi(cur, graft.fts.Search.matchNear(
                       persistedIx(entry), ta, tb, sl, entry.buckets)
-                      .queryExecution.optimizedPlan)
+                      .queryExecution.optimizedPlan, idAttr)
                   else
                     // tf-only index: both-terms candidates, then the token
                     // proximity kernel as residual over candidates only
                     Filter(FtsNearTokens(a, ta, tb, sl),
-                      semi(cur, matchingIds(entry, Seq(ta, tb), requireAll = true)))
+                      semi(cur, matchingIds(entry, Seq(ta, tb),
+                        requireAll = true), idAttr))
               }
             }
           case None => f

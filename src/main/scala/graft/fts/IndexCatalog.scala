@@ -2,8 +2,9 @@ package graft.fts
 
 import java.util.concurrent.ConcurrentHashMap
 
-/** Registry of persisted full-text indexes, keyed by the canonical path of
-  * the indexed table. [[graft.ext.RewriteFtsMatch]] consults it during
+/** Registry of persisted full-text indexes, keyed by (canonical path of
+  * the indexed table, indexed column) — a table can carry one index per
+  * text column. [[graft.ext.RewriteFtsMatch]] consults it during
   * optimization: a `fts_match` predicate over a registered table is lowered
   * to a left-semi join against the index's bucketed postings (the scan then
   * partition-prunes to the query terms' buckets) instead of a full-corpus
@@ -37,7 +38,11 @@ object IndexCatalog {
                          reversed: Boolean = false,
                          analyzer: AnalyzerConfig = AnalyzerConfig())
 
-  private val byPath = new ConcurrentHashMap[String, Entry]()
+  // keyed by (canonical table path, lowercased indexed column): one table
+  // can carry several indexes — title + body is the first thing a document
+  // search user asks for — and a second column's registration must not
+  // overwrite the first's
+  private val byPathCol = new ConcurrentHashMap[(String, String), Entry]()
 
   /** Per-(session, indexDir) cache of the persisted index's DataFrames:
     * `spark.read.parquet` LISTS the directory at construction, and the
@@ -111,7 +116,7 @@ object IndexCatalog {
                reversed: Boolean = false,
                analyzer: AnalyzerConfig = AnalyzerConfig()): Unit = {
     ixCache.remove(indexDir) // a re-register means the index was rewritten
-    byPath.put(canon(tablePath),
+    byPathCol.put((canon(tablePath), textCol.toLowerCase(java.util.Locale.ROOT)),
       Entry(indexDir, idCol, textCol, buckets, positional,
         tableFingerprint(tablePath), reversed, analyzer))
   }
@@ -157,7 +162,9 @@ object IndexCatalog {
     val in = fs.open(p)
     val props = new java.util.Properties()
     try props.load(in) finally in.close()
-    byPath.put(props.getProperty("tablePath"),
+    byPathCol.put(
+      (props.getProperty("tablePath"),
+        props.getProperty("textCol").toLowerCase(java.util.Locale.ROOT)),
       Entry(indexDir, props.getProperty("idCol"), props.getProperty("textCol"),
         props.getProperty("buckets").toInt,
         // absent in pre-positional metadata files → false
@@ -178,28 +185,38 @@ object IndexCatalog {
 
   private val lastChecked = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** The entry for `tablePath`, or None if unregistered OR the table's data
-    * files changed since registration (stale index — callers must fall back
-    * to non-index semantics). Within [[freshnessTtlMs]] of the last
-    * successful check the listing is skipped. */
-  def get(tablePath: String): Option[Entry] =
-    Option(byPath.get(canon(tablePath))).filter { e =>
-      val key = canon(tablePath)
+  /** ALL fresh entries for `tablePath` (one per indexed column, textCol
+    * order for determinism). Freshness is per table: one listing checks
+    * every entry's stored fingerprint — an entry whose fingerprint differs
+    * (table rewritten after indexing) is dropped so callers fall back to
+    * non-index semantics. Within [[freshnessTtlMs]] of the last successful
+    * check the listing is skipped. */
+  def entriesFor(tablePath: String): Seq[Entry] = {
+    val key = canon(tablePath)
+    import scala.jdk.CollectionConverters._
+    val es = byPathCol.asScala.filter(_._1._1 == key).toSeq
+    if (es.isEmpty) Nil
+    else {
       val now = System.currentTimeMillis()
       val recent = freshnessTtlMs > 0 &&
         Option(lastChecked.get(key)).exists(now - _ < freshnessTtlMs)
-      val fresh = recent || {
-        val ok = scala.util.Try(tableFingerprint(tablePath) == e.fingerprint)
-          .getOrElse(false)
-        if (ok) lastChecked.put(key, now)
-        ok
+      val fp: Option[Long] =
+        if (recent) None // all entries passed within the TTL
+        else scala.util.Try(tableFingerprint(tablePath)).toOption
+      val (fresh, stale) =
+        if (recent) (es, Nil)
+        else es.partition { case (_, e) => fp.contains(e.fingerprint) }
+      stale.foreach { case (k, e) => byPathCol.remove(k, e) }
+      if (!recent) {
+        if (stale.isEmpty && fresh.nonEmpty) lastChecked.put(key, now)
+        else lastChecked.remove(key)
       }
-      if (!fresh) {
-        byPath.remove(key, e) // drop so later queries skip the re-listing
-        lastChecked.remove(key)
-      }
-      fresh
+      fresh.map(_._2).sortBy(_.textCol)
     }
+  }
 
-  def clear(): Unit = { byPath.clear(); lastChecked.clear(); ixCache.clear() }
+  /** The first fresh entry for `tablePath` (single-index convenience). */
+  def get(tablePath: String): Option[Entry] = entriesFor(tablePath).headOption
+
+  def clear(): Unit = { byPathCol.clear(); lastChecked.clear(); ixCache.clear() }
 }

@@ -686,11 +686,17 @@ object Fts extends QueryPack {
     Q("q_fts_sql_analyzer",
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
-        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+        // a SCRATCH COPY of the table: the catalog keys on (table, column),
+        // so registering the stemmed index for the shared fixture path
+        // would replace the v1 (documents, text) entry the other SQL
+        // queries race for within one harness session
+        val tbl = graft.core.Scratch.dir("docs_an_table")
+        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        graft.fts.Index.createIndex(s, tbl,
           graft.core.Scratch.dir("fts_index_sql_an"),
           analyzer = graft.fts.AnalyzerConfig(
             stopWords = Seq("the"), sStem = true, minTokenLen = 2))
-        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixan")
+        s.read.parquet(tbl).createOrReplaceTempView("documents_ixan")
         s.sql("""SELECT doc_id, round(fts_score(text, 'the queries window'), 4) AS score
                  FROM documents_ixan
                  WHERE fts_match_any(text, 'the queries window')
@@ -725,6 +731,32 @@ object Fts extends QueryPack {
                  GROUP BY tf.doc_id)
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
+    // MULTI-INDEX per table: the catalog keys on (table, column), so a
+    // second indexed column registers ALONGSIDE the first — title + body
+    // is the first thing a document search user asks for. One WHERE clause
+    // probes both indexes: each conjunct resolves its own entry from its
+    // attribute's lineage and lowers to a semi-join against THAT index's
+    // postings (both plan-asserted in PlanShapeSpec). `source` values are
+    // single tokens, so its oracle predicate is plain equality.
+    Q("q_fts_multicol",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val path = s"$dir/documents.parquet"
+        graft.fts.Index.createIndex(s, path,
+          graft.core.Scratch.dir("fts_index_sql"))
+        graft.fts.Index.createIndex(s, path,
+          graft.core.Scratch.dir("fts_index_src"), textCol = "source")
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_mc")
+        s.sql("""SELECT doc_id FROM documents_mc
+                 WHERE fts_match(text, 'spark query') AND fts_match(source, 'src3')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+                 AND source = 'src3'
+               ORDER BY doc_id""")),
 
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and

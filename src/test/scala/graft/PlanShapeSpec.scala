@@ -90,6 +90,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_multicol lowers both columns' conjuncts to their own semi-joins") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_multicol")
+    try {
+      assert("LeftSemi".r.findAllIn(plan).size >= 2,
+        s"both indexed columns must semi-join their own postings:\n${plan.linesIterator.take(40).mkString("\n")}")
+      assert(plan.contains("In(term, [query,spark])") || plan.contains("In(term, [spark,query])"),
+        "the text conjunct must probe the text index")
+      assert(plan.contains("In(term, [src3])") || plan.contains("EqualTo(term,src3)"),
+        s"the source conjunct must probe the source index:\n${plan.linesIterator.take(40).mkString("\n")}")
+      assert(!plan.contains("fts_tokenize"),
+        "neither conjunct may fall back to the scan lowering")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_bm25_persisted scores without touching the doclens table") {
     val plan = planOf("q_fts_bm25_persisted")
     assert(plan.contains("TakeOrderedAndProject"))
