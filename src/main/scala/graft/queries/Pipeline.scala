@@ -104,9 +104,25 @@ object Pipeline extends QueryPack {
                SELECT id AS doc_id, min(r) AS comp FROM reach
                GROUP BY id ORDER BY doc_id""")),
 
+    // The raw embeddings fixture has NO cosine-0.8 pairs (uniform random
+    // directions), which made this oracle match vacuously empty — so SEED
+    // true near-dups on both sides: exact clones of the five lowest ids at
+    // vec_id+100000. Identical vectors land in identical LSH buckets by
+    // construction (every hyperplane projection has the same sign), so the
+    // candidate path, the verify kernel, AND the non-empty result are all
+    // proven against the all-pairs oracle.
     Q("q_dedup_embed",
-      (s, dir) => Similarity.nearDupPairs(Tables(s, dir, "embeddings"), 0.8),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val seeded = emb.unionByName(
+          emb.filter(col("vec_id") < 5)
+            .withColumn("vec_id", col("vec_id") + 100000L))
+        Similarity.nearDupPairs(seeded, 0.8)
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              e AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000, v FROM base WHERE vec_id < 5),
               p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
                       list_dot_product(a.v, b.v) /
                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
