@@ -22,6 +22,7 @@ object Explain {
       else Seq("q_filter", "q_join_inner", "q_join_bucketed", "q_join_star",
         "q_join_asof", "q_join_range", "q_agg",
         "q_sort_limit", "q_fts_bm25", "q_fts_sql", "q_fts_sql_indexed",
+        "q_fts_sql_bm25", "q_fts_sql_analyzer", "q_fts_multicol",
         "q_dedup_minhash", "q_sim_cosine", "q_pipeline_pack", "q_funnel")
     names.foreach { n =>
       println(s"\n================ $n ================")

@@ -687,30 +687,60 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case _ => None
     }
 
+  /** Thread `needed` base attributes through the pass-through chain
+    * [[traceToBase]] models, so a column ColumnPruning dropped (doc_id
+    * under an Aggregate that only needs lang+text) is available again as a
+    * join key. Only ADDS columns to pass-through Projects — callers that
+    * use the returned plan must restore the original schema on top. */
+  private def ensureCols(plan: LogicalPlan, needed: Seq[Attribute]): LogicalPlan =
+    plan match {
+      case p: Project =>
+        val c = ensureCols(p.child, needed)
+        val missing = needed.filterNot(n =>
+          p.projectList.exists(_.exprId == n.exprId))
+          .filter(c.outputSet.contains)
+        Project(p.projectList ++ missing, c)
+      case f: Filter => Filter(f.condition, ensureCols(f.child, needed))
+      case s: SubqueryAlias => SubqueryAlias(s.identifier, ensureCols(s.child, needed))
+      case other => other // a relation exposes everything already
+    }
+
   /** ALL registered FRESH indexes for a plan rooted at exactly one
     * file-source relation, as a resolver from an attribute to its serving
-    * entry + the child-level id attribute (semi-join key) — by exprId
-    * lineage, never by name. One table may carry several indexes (one per
-    * text column: title + body), so resolution is per attribute. */
-  private def indexedTable(child: LogicalPlan): Option[EntryFor] =
+    * entry + the id attribute (semi-join key) — by exprId lineage, never
+    * by name. One table may carry several indexes (one per text column:
+    * title + body), so resolution is per attribute. Returns the resolver
+    * plus the EFFECTIVE child to graft joins onto: identical to `child`
+    * unless the id column had been pruned below it, in which case it is
+    * re-threaded through the pass-through chain (callers restore the
+    * original schema on top — all of them already wrap in a Project or an
+    * Aggregate whose output is the declared one). */
+  private def indexedTable(child: LogicalPlan): Option[(EntryFor, LogicalPlan)] =
     child.collectLeaves() match {
       case Seq(lr: LogicalRelation) =>
+        val entries = (lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.headOption
+          case _ => None
+        }).toSeq.flatMap(path => IndexCatalog.entriesFor(path.toString))
+        val baseIds = entries
+          .flatMap(e => lr.output.find(_.name.equalsIgnoreCase(e.idCol)))
+          .distinct
+        val effChild =
+          if (baseIds.forall(b => child.output.exists(a =>
+              traceToBase(a, child).contains(b.exprId)))) child
+          else ensureCols(child, baseIds)
         val resolved: Map[ExprId, (IndexCatalog.Entry, Attribute)] =
-          (lr.relation match {
-            case fs: HadoopFsRelation => fs.location.rootPaths.headOption
-            case _ => None
-          }).toSeq.flatMap { path =>
-            IndexCatalog.entriesFor(path.toString).flatMap { entry =>
-              for {
-                baseText <- lr.output.find(_.name.equalsIgnoreCase(entry.textCol))
-                baseIdCol <- lr.output.find(_.name.equalsIgnoreCase(entry.idCol))
-                idAttr <- child.output.find(a =>
-                  traceToBase(a, child).contains(baseIdCol.exprId))
-              } yield baseText.exprId -> (entry, idAttr)
-            }
+          entries.flatMap { entry =>
+            for {
+              baseText <- lr.output.find(_.name.equalsIgnoreCase(entry.textCol))
+              baseIdCol <- lr.output.find(_.name.equalsIgnoreCase(entry.idCol))
+              idAttr <- effChild.output.find(a =>
+                traceToBase(a, effChild).contains(baseIdCol.exprId))
+            } yield baseText.exprId -> (entry, idAttr)
           }.toMap
         if (resolved.isEmpty) None
-        else Some((a: Attribute) => traceToBase(a, child).flatMap(resolved.get))
+        else Some(((a: Attribute) => traceToBase(a, effChild).flatMap(resolved.get),
+          effChild))
       case _ => None
     }
 
@@ -770,7 +800,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     // FtsScore in `exprs` with coalesce(score, 0.0). None if nothing lowers.
     def lowerScores(exprs: Seq[Expression], child: LogicalPlan)
         : Option[(Seq[Expression], LogicalPlan)] =
-      indexedTable(child).flatMap { entryFor =>
+      indexedTable(child).flatMap { case (entryFor, effChild) =>
         // one scoring join per (index, query) — two scored COLUMNS of the
         // same table resolve to different entries and get their own joins
         val queries = exprs.flatMap(_.collect {
@@ -781,7 +811,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         }).distinct
         if (queries.isEmpty) None
         else {
-          var cur: LogicalPlan = child
+          var cur: LogicalPlan = effChild
           val repl = scala.collection.mutable.Map.empty[(String, UTF8String), Expression]
           queries.foreach { case ((dirKey, q), (entry, idAttr)) =>
             val terms = entryTerms(entry, q)
@@ -838,11 +868,28 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 global, cur, hint))
           case None => srt
         }
+      // AGGREGATE positions — `GROUP BY lang … max(fts_score(text,'q'))`
+      // or a HAVING over one (parsed as an agg expression): graft the
+      // scoring join below the Aggregate and rewrite both grouping and
+      // aggregate expressions; the Aggregate's declared output is
+      // unchanged, so the join's columns don't leak upward
+      case agg @ org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+            grouping, aggExprs, child, hint)
+          if agg.resolved &&
+            (grouping ++ aggExprs).exists(_.exists(_.isInstanceOf[FtsScore])) =>
+        lowerScores(grouping ++ aggExprs, child) match {
+          case Some((newAll, cur)) =>
+            rewrote = true
+            val (newG, newA) = newAll.splitAt(grouping.size)
+            org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+              newG, newA.map(_.asInstanceOf[NamedExpression]), cur, hint)
+          case None => agg
+        }
     }
     val indexAware = scoreAware.transformUp {
       case f @ Filter(cond, child) if f.resolved =>
         indexedTable(child) match {
-          case Some(entryFor) =>
+          case Some((entryFor, effChild)) =>
             // classified rewritable fts conjuncts, each bound to the entry
             // resolved from ITS OWN attribute — one WHERE clause may probe
             // several indexed columns (title AND body) of the same table
@@ -904,12 +951,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             if (fts.isEmpty) f
             else {
               rewrote = true
-              val base = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+              val base = rest.reduceOption(And).map(Filter(_, effChild))
+                .getOrElse(effChild)
               def semi(cur: LogicalPlan, sub: LogicalPlan,
                        idAttr: Attribute): LogicalPlan =
                 Join(cur, sub, LeftSemi,
                   Some(EqualTo(idAttr, sub.output.head)), JoinHint.NONE)
-              fts.foldLeft(base) {
+              val folded = fts.foldLeft(base) {
                 case (cur, TermsConj(entry, idAttr, a, q, mode)) =>
                   val terms = entryTerms(entry, q)
                   if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
@@ -966,6 +1014,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                       semi(cur, matchingIds(entry, Seq(ta, tb),
                         requireAll = true), idAttr))
               }
+              // an id column re-threaded for the join must not leak upward
+              if (effChild eq child) folded else Project(child.output, folded)
             }
           case None => f
         }
@@ -1038,15 +1088,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         "fts_near requires literal string terms and a literal INT slop, got: " +
           s"${m.sql}")
       // fts_score that survived pass 0: no registered index, a computed (not
-      // base-column) text argument, a non-literal query, or use outside a
-      // SELECT list. Corpus statistics (df, avgdl, N) live in the persisted
+      // base-column) text argument, a non-literal query, or an unsupported
+      // position. Corpus statistics (df, avgdl, N) live in the persisted
       // index, so there is no scan lowering — fail with the remedy.
       case m: FtsScore => throw new IllegalArgumentException(
         s"fts_score could not be lowered (got: ${m.sql}). It requires: a literal " +
           "query string; the scored column to be the indexed text column of a " +
           "table with a registered fresh index (graft.fts.Index.createIndex); " +
-          "and use in a SELECT list. BM25 needs corpus statistics, which live " +
-          "in the index — there is no scan fallback.")
+          "and use in a SELECT list, WHERE, ORDER BY, GROUP BY, or aggregate. " +
+          "BM25 needs corpus statistics, which live in the index — there is " +
+          "no scan fallback.")
     }
   }
 }

@@ -92,12 +92,18 @@ object Dedup {
                         bands: Int = 16): DataFrame = {
     val banded = bandKeys(sets, numHashes, bands).persist()
     banded.count() // materialize before the self-join scans it twice
+    minhashCandidatesFromBands(banded)
+  }
+
+  /** The banded self-join over an ALREADY-materialized band-key frame — a
+    * caller that holds the band rows (the streaming dedup keeps them for
+    * its store append) must not re-pay the minhash kernel. */
+  def minhashCandidatesFromBands(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
       .distinct()
-  }
 
   /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum
     * over shingles of ±1 (sign of bit j of the shingle's hash) is positive.

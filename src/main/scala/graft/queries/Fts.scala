@@ -732,6 +732,38 @@ object Fts extends QueryPack {
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
 
+    // fts_score in AGGREGATE position: the scoring join grafts below the
+    // Aggregate and the agg expressions rewrite in place — per-language
+    // best-BM25 without projecting per-doc scores first. Docs containing
+    // no query term score 0.0 (the coalesce contract), so every lang
+    // appears. The oracle left-joins per-doc scores and takes the max.
+    Q("q_fts_score_agg",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixagg")
+        s.sql("""SELECT lang, round(max(fts_score(text, 'spark query')), 4) AS best
+                 FROM documents_ixagg
+                 GROUP BY lang ORDER BY lang""")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT d.lang, round(max(coalesce(sc.s, 0.0)), 4) AS best
+               FROM documents d LEFT JOIN sc USING(doc_id)
+               GROUP BY d.lang ORDER BY d.lang""")),
+
     // MULTI-INDEX per table: the catalog keys on (table, column), so a
     // second indexed column registers ALONGSIDE the first — title + body
     // is the first thing a document search user asks for. One WHERE clause

@@ -147,36 +147,50 @@ object StreamDedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
       .distinct()
-      .persist() // reused: aid collect + verify join
     try {
-      // the candidate aid set, collected to prune the store read. Bounded
-      // per batch by construction: |crossCands| ≤ the batch's band rows ×
-      // their store-bucket collisions — O(batch), never O(store) (the same
-      // bounded-driver-set pattern as Search.effectiveTerms).
-      val aids = crossCands.select("aid").distinct()
-        .collect().map(_.getLong(0))
+      // ONE action materializes the candidate pairs to the driver: they
+      // are bounded per batch by construction — ≤ the batch's band rows ×
+      // their store-bucket collisions, O(batch) never O(store) (the same
+      // bounded-driver-set pattern as Search.effectiveTerms) — and both
+      // downstream uses (the store-pruning aid set, and the verify join's
+      // candidate side as a broadcast local relation) want them small.
+      val candRows = crossCands.collect()
+      val aids = candRows.map(_.getLong(0)).distinct
       // verify needs both sides' shingle sets: aid from the store — read
       // PRUNED to the candidates' partitions — bid from the new batch
-      val crossDropped = Dedup.verifyJaccard(
-          crossCands, prunedStoreSets(spark, dir, aids, sets).unionByName(sets),
-          threshold)
-        .select(col("bid").as("doc_id"))
-      // within-batch: smaller id wins, same verify
+      val crossDropped =
+        if (candRows.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType))))
+        else Dedup.verifyJaccard(
+            spark.createDataFrame(java.util.Arrays.asList(candRows: _*),
+              crossCands.schema),
+            prunedStoreSets(spark, dir, aids, sets).unionByName(sets),
+            threshold)
+          .select(col("bid").as("doc_id"))
+      // within-batch: smaller id wins, same verify — over the band rows
+      // already materialized above (no second minhash pass)
       val batchDropped = Dedup.verifyJaccard(
-          Dedup.minhashCandidates(sets), sets, threshold)
+          Dedup.minhashCandidatesFromBands(bands), sets, threshold)
         .select(col("bid").as("doc_id"))
 
       val dropped = crossDropped.union(batchDropped).distinct()
       batch.join(dropped, Seq("doc_id"), "left_anti")
         .write.mode(SaveMode.Append).parquet(s"$dir/kept")
       // ALL signatures enter the store (drop rule: dominated by any
-      // earlier doc, kept or not), partitioned for the pruned verify read
+      // earlier doc, kept or not), partitioned for the pruned verify read.
+      // Repartition ON the partition column first: each partition dir is
+      // then written by exactly one task (16 files per batch, not
+      // tasks × partitions file fragments).
       sets.withColumn("sbucket", pmod(col("doc_id"), lit(SetBuckets.toLong)))
+        .repartition(col("sbucket"))
         .write.mode(SaveMode.Append).partitionBy("sbucket")
         .parquet(s"$dir/store_sets")
       appendStoreBands(bands, dir)
     } finally {
-      crossCands.unpersist()
       bands.unpersist()
       sets.unpersist()
     }

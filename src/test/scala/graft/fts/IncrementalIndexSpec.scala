@@ -185,6 +185,29 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("new"))
   }
 
+  test("a stream resumed over an upsert-minted batch id fails loud") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_collide_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "spark makes big data simple"))
+    IncrementalIndex.start(stream, dir).awaitTermination() // batch 0
+    // upsert mints batch 1 — the stream's checkpoint still thinks the next
+    // batch is 1, so resuming it would merge two writers under one id
+    IncrementalIndex.upsert(spark, dir,
+      Seq((2L, "fresh vector content")).toDF("doc_id", "text"))
+    input.addData((3L, "spark streaming of data streams"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalIndex.start(stream, dir).awaitTermination()
+    }
+    assert(ex.getMessage.contains("upsert"),
+      s"collision must name the upsert, got: ${ex.getMessage.take(300)}")
+  }
+
   test("positional ingest: merge-on-read position lists == batch positional") {
     val sparkS = spark
     import sparkS.implicits._
