@@ -105,6 +105,20 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_score_agg grafts the scoring join below the Aggregate") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_score_agg")
+    try {
+      assert(plan.contains("HashAggregate"), "the GROUP BY must survive")
+      assert(!plan.contains("fts_tokenize"),
+        "aggregate-position scoring must come from the index, not a re-tokenize")
+      assert(!plan.contains("doclens"),
+        "scoring must use the denormalized dl, not the doclens table")
+      assert(plan.contains("PartitionFilters: [((bucket"),
+        "the scoring join's postings scan must prune to the terms' buckets")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_bm25_persisted scores without touching the doclens table") {
     val plan = planOf("q_fts_bm25_persisted")
     assert(plan.contains("TakeOrderedAndProject"))
