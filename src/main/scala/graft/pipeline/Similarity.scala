@@ -352,6 +352,101 @@ object Similarity {
       .limit(k)
   }
 
+  /** PRODUCT-QUANTIZATION codebooks: deterministic — the sub-vectors of
+    * the `ncent` lowest-id corpus vectors (the same convention as the IVF
+    * centroids: codebook QUALITY is orthogonal to the encode/serve
+    * machinery this exercises; a real deployment k-means-trains each
+    * sub-space). `codebooks(s)(c)` = centroid c's slice of sub-space s. */
+  def pqCodebooks(emb: DataFrame, m: Int = 8, ncent: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Array[Double]]] = {
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(ncent)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray).toSeq
+    val sub = cents.head.length / m
+    (0 until m).map(s => cents.map(c => c.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ ENCODE: per sub-space, the 0-based index of the L2-nearest
+    * codebook centroid — an `array<int>` of m codes per vector (D float32
+    * dims compress to m small ints; at the defaults 64×4 B → 8 codes, the
+    * 32× storage step between int8 and raw). Statically UNROLLED into
+    * plain arithmetic over literal centroids — no higher-order lambdas, so
+    * the whole encode stays inside whole-stage codegen, and left-to-right
+    * summation matches the sequential oracle. Distances are ROUNDED to 9
+    * decimals before the argmin (near-equidistant centroids must not flip
+    * assignment on last-ulp summation differences across engines); ties
+    * then break to the lowest centroid index (array_position returns the
+    * first min). */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.length
+    array((0 until m).map { s =>
+      val dists = array(codebooks(s).map { cent =>
+        round((0 until sub).map { i =>
+          val d = element_at(vec, s * sub + i + 1) - lit(cent(i))
+          d * d
+        }.reduce(_ + _), 9)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** The PQ BUILD step: every vector encoded to its m codes —
+    * `(idCol, pq_codes array<int>)`. At 100 TB this frame is written once
+    * (32× smaller than the raw vectors at the defaults) and serving scans
+    * IT, never the raw corpus; pure map, no shuffle. */
+  def pqEncodeAll(emb: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+      pqEncode(asDouble(col(vecCol)), codebooks).as("pq_codes"))
+
+  /** ADC (asymmetric-distance) top-k over a PRE-ENCODED codes frame: the
+    * query stays full-precision; each candidate costs m table lookups —
+    * score = Σ_s LUT[s][code_s] with LUT[s][c] = ‖q_sub(s) − codebook(s)(c)‖²,
+    * the m×ncent LUT built driver-side per query and shipped as literals.
+    * The scan reads CODES only (m small ints per doc), not raw vectors —
+    * the PQ serving property; rank quality is a recall contract against
+    * exact L2 (asserted by q_sim_pq on the clustered fixture), not an
+    * identity. */
+  def pqTopKOnCodes(codes: DataFrame, qv: Array[Double],
+                    codebooks: Seq[Seq[Array[Double]]], queryId: Long,
+                    k: Int, idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.size
+    val sub = qv.length / m
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      codebooks(s).map { cent =>
+        (0 until sub).map { i =>
+          val d = qv(s * sub + i) - cent(i); d * d
+        }.sum
+      }
+    }
+    val adc = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        element_at(col("pq_codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    codes.filter(col(idCol) =!= queryId)
+      .withColumn("adc", round(adc, 6))
+      .select(col(idCol), col("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build-and-serve convenience (the bm25TopK-style demo path: a real
+    * deployment runs [[pqEncodeAll]] once and serves [[pqTopKOnCodes]]
+    * over the stored codes). */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
+             ncent: Int = 16, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val codebooks = pqCodebooks(emb, m, ncent, idCol, vecCol)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect().headOption
+    if (qRow.isEmpty) return emptyTopK(emb, idCol)
+    pqTopKOnCodes(pqEncodeAll(emb, codebooks, idCol, vecCol),
+      qRow.get.getSeq[Double](0).toArray, codebooks, queryId, k, idCol)
+  }
+
   /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the
     * storage-compression step a 100 TB embedding corpus ships with (4×
     * smaller than float32; dot products stay rank-preserving to ~1e-2).

@@ -188,6 +188,70 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // PRODUCT QUANTIZATION encode — the 32× compression step between int8
+    // and raw vectors (8 sub-space codes per 64-dim vector, 16 centroids
+    // per sub-space, deterministic codebooks). The code assignment is
+    // exactly reproducible (distances rounded to 9 dp before the argmin,
+    // ties to the lowest centroid), so the oracle replays the nearest-
+    // centroid argmin per sub-space in SQL and the code CHECKSUM must
+    // hash-match — the q_embed_quant contract applied to PQ.
+    Q("q_embed_pq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val codebooks = Similarity.pqCodebooks(emb)
+        Similarity.pqEncodeAll(emb, codebooks)
+          .select(col("vec_id"),
+            aggregate(col("pq_codes"), lit(0L),
+              (a, c) => a + c.cast("long")).as("code_sum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+                        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+              sd AS (SELECT e.vec_id, s.s, c.code,
+                       round(list_sum(list_transform(range(1, 9),
+                         i -> (e.v[s.s*8 + i] - c.cv[s.s*8 + i])
+                              * (e.v[s.s*8 + i] - c.cv[s.s*8 + i]))), 9) AS dist
+                     FROM e CROSS JOIN range(8) s(s) CROSS JOIN cents c),
+              picked AS (SELECT vec_id, s, code,
+                           row_number() OVER (PARTITION BY vec_id, s
+                                              ORDER BY dist, code) AS rn
+                         FROM sd)
+              SELECT vec_id, sum(code)::BIGINT AS code_sum
+              FROM picked WHERE rn = 1
+              GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ADC serving over the PQ codes: per-candidate cost is 8 LUT lookups
+    // over the m-int code row — the raw vectors are never scanned at
+    // serve time. The contract matches the codebook's RESOLUTION: 16
+    // deterministic centroids per sub-space resolve cluster-level
+    // geometry (every member of the query's cluster ties on ADC; rank
+    // within the cluster is below quantization resolution), so the
+    // assertion is neighborhood recovery — every ADC top-k result lies in
+    // the query's cluster, and k results exist (the ANN pattern: the
+    // CONTRACT is portable, approximate ranks are not).
+    Q("q_sim_pq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val inCluster = clustered
+            .filter(pmod(col("vec_id"), lit(24)) === 0).count()
+          val k = math.min(10L, inCluster - 1).toInt
+          val approx = Similarity.pqTopK(clustered, 0L, k)
+          val verdict = approx.agg(
+            (count(lit(1)) === k &&
+              sum(when(pmod(col("vec_id"), lit(24)) === 0, 0)
+                .otherwise(1)) === 0).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // Int8 quantization of the embedding column — pure map (no shuffle);
     // checksum is an exact integer sum, so the oracle hash proves the codes
     // are bit-reproducible across engines, not just approximately close.
