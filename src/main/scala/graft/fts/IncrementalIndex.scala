@@ -95,10 +95,22 @@ object IncrementalIndex {
     * `positional = true` captures per-doc position lists in the deltas
     * ([[Index.buildPositional]]) — downstream readers/compaction detect the
     * positions column automatically, and a compacted positional index
-    * serves SQL `fts_near`/`fts_phrase` from position lists alone. */
+    * serves SQL `fts_near`/`fts_phrase` from position lists alone.
+    * A non-default `analyzer` runs every batch through the configured
+    * pipeline ([[Index.buildWithAnalyzer]]) and persists the config in the
+    * delta dir — [[upsert]] replays it for replacements and
+    * [[compactAndRegister]] registers the compacted index under it, so a
+    * STREAMED corpus serves stemmed/stopworded/CJK SQL search end to end.
+    * Analyzer ingests are tf-only (same contract as [[Index.createIndex]]). */
   def start(docsStream: DataFrame, dir: String,
             idCol: String = "doc_id", textCol: String = "text",
-            positional: Boolean = false): StreamingQuery =
+            positional: Boolean = false,
+            analyzer: AnalyzerConfig = AnalyzerConfig()): StreamingQuery = {
+    require(analyzer.isV1 || !positional,
+      "analyzer-configured ingests are tf-only (position semantics under " +
+        "stopword removal are undefined)")
+    if (!analyzer.isV1)
+      Index.writeAnalyzerConfig(docsStream.sparkSession, dir, analyzer)
     docsStream.writeStream
       .outputMode("append")
       // durable offsets: a restarted ingest must NOT replay batches into the
@@ -123,11 +135,21 @@ object IncrementalIndex {
         // so a second Index.build would re-run scan→tokenize→explode→groupBy
         // for a frame the first call already produced (2× tokenize on the
         // ingest path)
-        val ix = if (positional) Index.buildPositional(batch, idCol, textCol)
+        val ix = if (!analyzer.isV1)
+                   Index.buildWithAnalyzer(batch, analyzer, idCol, textCol)
+                 else if (positional) Index.buildPositional(batch, idCol, textCol)
                  else Index.build(batch, idCol, textCol)
         writeDeltaBatch(ix, dir, batchId)
       }
       .start()
+  }
+
+  /** The delta log's persisted analyzer config (v1 when none recorded). */
+  private def logAnalyzer(spark: SparkSession, dir: String): AnalyzerConfig = {
+    val p = new Path(dir, "_graft_analyzer.properties")
+    if (fsOf(spark, p).exists(p)) Index.readAnalyzerConfig(spark, dir)
+    else AnalyzerConfig()
+  }
 
   /** Write one batch's postings + doclens as `batch_id=N` partitions.
     * Dynamic partition overwrite: a replayed batch replaces ONLY its own
@@ -198,7 +220,11 @@ object IncrementalIndex {
         .orElse(compactionInfo(spark, dir).map { case (base, _) =>
           spark.read.parquet(s"$base/postings") })
         .exists(_.columns.contains("positions"))
-    val ix = if (positional) Index.buildPositional(docs, idCol, textCol)
+    // replacements MUST go through the same pipeline the log was built with
+    val analyzer = logAnalyzer(spark, dir)
+    val ix = if (!analyzer.isV1)
+               Index.buildWithAnalyzer(docs, analyzer, idCol, textCol)
+             else if (positional) Index.buildPositional(docs, idCol, textCol)
              else Index.build(docs, idCol, textCol)
     writeDeltaBatch(ix, dir, nextBatch)
     val marker = new Path(s"$dir/postings_delta/batch_id=$nextBatch/$UpsertMarker")
@@ -310,8 +336,13 @@ object IncrementalIndex {
     compact(spark, dir, outDir, buckets)
     val positional = spark.read.parquet(s"$outDir/postings")
       .columns.contains("positions")
-    IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets, positional)
+    // an analyzer-configured ingest's compacted index registers (and
+    // persists) under the SAME pipeline, so SQL queries normalize through it
+    val analyzer = logAnalyzer(spark, dir)
+    if (!analyzer.isV1) Index.writeAnalyzerConfig(spark, outDir, analyzer)
+    IndexCatalog.register(tablePath, outDir, idCol, textCol, buckets,
+      positional, analyzer = analyzer)
     IndexCatalog.writeMeta(spark, tablePath, outDir, idCol, textCol, buckets,
-      positional)
+      positional, analyzer = analyzer)
   }
 }

@@ -22,7 +22,9 @@ object Fts extends QueryPack {
     * compaction lifecycle queries. */
   private def ingestDocs(s: org.apache.spark.sql.SparkSession, dir: String,
                          landing: String, deltaDir: String,
-                         positional: Boolean = false): Unit = {
+                         positional: Boolean = false,
+                         analyzer: graft.fts.AnalyzerConfig =
+                           graft.fts.AnalyzerConfig()): Unit = {
     val path = s"$dir/documents.parquet"
     val schema = s.read.parquet(path).schema
     val fs = new org.apache.hadoop.fs.Path(deltaDir)
@@ -35,7 +37,8 @@ object Fts extends QueryPack {
       streamDir.resolve("documents.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
-    graft.fts.IncrementalIndex.start(docsStream, deltaDir, positional = positional)
+    graft.fts.IncrementalIndex.start(docsStream, deltaDir,
+      positional = positional, analyzer = analyzer)
       .awaitTermination()
   }
 
@@ -763,6 +766,49 @@ object Fts extends QueryPack {
                SELECT d.lang, round(max(coalesce(sc.s, 0.0)), 4) AS best
                FROM documents d LEFT JOIN sc USING(doc_id)
                GROUP BY d.lang ORDER BY d.lang""")),
+
+    // The analyzer through the STREAMING lifecycle: documents ingest
+    // through the configured pipeline (deltas carry ANALYZED terms), the
+    // compaction registers the bucketed index under the same persisted
+    // config, and SQL fts_match normalizes its query through it — stemmed
+    // search over a streamed corpus, no batch rebuild anywhere. Oracle =
+    // q_fts_analyzer's pipeline replay for ('query','window').
+    Q("q_fts_stream_analyzer",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val deltaDir = graft.core.Scratch.dir("fts_index_san_delta")
+        val outDir = graft.core.Scratch.dir("fts_index_san_out")
+        val landing = graft.core.Scratch.dir("docs_san_stream")
+        new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(outDir), true)
+        ingestDocs(s, dir, landing, deltaDir,
+          analyzer = graft.fts.AnalyzerConfig(
+            stopWords = Seq("the"), sStem = true, minTokenLen = 2))
+        graft.fts.IncrementalIndex.compactAndRegister(s, deltaDir, outDir, landing)
+        s.read.parquet(landing).createOrReplaceTempView("documents_san")
+        s.sql("""SELECT doc_id FROM documents_san
+                 WHERE fts_match(text, 'the queries window')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks)
+               SELECT doc_id FROM an
+               WHERE list_contains(t, 'query') AND list_contains(t, 'window')
+               ORDER BY doc_id""")),
 
     // MULTI-INDEX per table: the catalog keys on (table, column), so a
     // second indexed column registers ALONGSIDE the first — title + body
