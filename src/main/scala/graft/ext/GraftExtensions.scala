@@ -831,14 +831,113 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           Some((newExprs, cur))
         }
       }
+    // INDEX-ONLY (covering) ranked retrieval: when the projection touches
+    // nothing but the id column and fts_score, and every WHERE conjunct is
+    // index-exact — with at least one conjunct BOUNDING the rows to the
+    // score's term domain — the corpus scan is unnecessary: the answer is
+    // the scoring subplan semi-joined with the conjuncts' id sets. At
+    // 100 TB this is the difference between a per-query corpus-wide
+    // doc_id scan and a plan that touches only the query terms' pruned
+    // postings buckets (the covering-index property).
+    def indexOnly(projectList: Seq[NamedExpression], child: LogicalPlan)
+        : Option[LogicalPlan] = child match {
+      case Filter(cond, grandchild) =>
+        indexedTable(grandchild).flatMap { case (entryFor, _) =>
+          val allScores = projectList.flatMap(_.collect {
+            case fs: FtsScore => fs
+          })
+          val resolved = allScores.flatMap {
+            case FtsScore(a: Attribute, Literal(q: UTF8String, StringType)) =>
+              entryFor(a).map { case (e, id) => (e, id, q) }
+            case _ => Seq.empty
+          }
+          // every score occurrence must resolve, to ONE (index, query)
+          if (allScores.isEmpty || resolved.size != allScores.size ||
+              resolved.map(r => (r._1.indexDir, r._3)).distinct.size != 1)
+            None
+          else {
+            val (entry, idAttr, q) = resolved.head
+            val scoreTerms = entryTerms(entry, q)
+            // the projection may reference nothing beyond the id column
+            // (everything else would need the corpus row)
+            val projRefsOk = scoreTerms.nonEmpty && projectList.forall { ne =>
+              ne.transform { case _: FtsScore => Literal(0.0) }
+                .references.subsetOf(
+                  org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(idAttr)))
+            }
+            // classify conjuncts: each is an exact id set on the same id
+            // attribute, an ignorable IsNotNull (implied by index-domain
+            // membership), or disqualifying
+            var bounding = false
+            var ok = projRefsOk
+            val idSets = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+            splitConjunctivePredicates(cond).foreach {
+              case IsNotNull(a: Attribute)
+                  if a.exprId == idAttr.exprId ||
+                    entryFor(a).exists(_._1.indexDir == entry.indexDir) =>
+                () // postings rows have non-null ids and indexed text
+              case conj =>
+                exactIdsDf(conj, entryFor) match {
+                  case Some((df, conjId)) if conjId.exprId == idAttr.exprId =>
+                    idSets += df.queryExecution.optimizedPlan
+                    // does this conjunct imply membership in the score's
+                    // term domain (≥1 score term present)?
+                    conj match {
+                      case FtsMatch(a: Attribute, Literal(q2: UTF8String, StringType))
+                          if entryFor(a).exists(_._1.indexDir == entry.indexDir) &&
+                            entryTerms(entry, q2).exists(scoreTerms.contains) =>
+                        bounding = true
+                      case FtsMatchAny(a: Attribute, Literal(q2: UTF8String, StringType))
+                          if entryFor(a).exists(_._1.indexDir == entry.indexDir) && {
+                            val ts = entryTerms(entry, q2)
+                            ts.nonEmpty && ts.forall(scoreTerms.contains)
+                          } => bounding = true
+                      case _ => ()
+                    }
+                  case _ => ok = false
+                }
+            }
+            if (!ok || !bounding) None
+            else {
+              var cur: LogicalPlan = scoringPlan(entry, scoreTerms)
+              val scoreIdAttr = cur.output.head
+              val scoreAttr = cur.output(1)
+              idSets.foreach { ids =>
+                cur = Join(cur, ids, LeftSemi,
+                  Some(EqualTo(scoreIdAttr, ids.output.head)), JoinHint.NONE)
+              }
+              val newList = projectList.map { ne =>
+                val t = ne.transform {
+                  case _: FtsScore => Coalesce(Seq(scoreAttr, Literal(0.0)))
+                  case a: Attribute if a.exprId == idAttr.exprId => scoreIdAttr
+                }
+                t match {
+                  // a bare id reference must KEEP its exprId for consumers
+                  // above this Project
+                  case a: Attribute if a.exprId != ne.exprId =>
+                    Alias(a, ne.name)(exprId = ne.exprId)
+                  case other => other.asInstanceOf[NamedExpression]
+                }
+              }
+              Some(Project(newList, cur))
+            }
+          }
+        }
+      case _ => None
+    }
     val scoreAware = plan.transformUp {
       case p @ Project(projectList, child)
           if p.resolved && projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
-        lowerScores(projectList, child) match {
-          case Some((newList, cur)) =>
+        indexOnly(projectList, child) match {
+          case Some(covered) =>
             rewrote = true
-            Project(newList.map(_.asInstanceOf[NamedExpression]), cur)
-          case None => p
+            covered
+          case None => lowerScores(projectList, child) match {
+            case Some((newList, cur)) =>
+              rewrote = true
+              Project(newList.map(_.asInstanceOf[NamedExpression]), cur)
+            case None => p
+          }
         }
       // filter pushdown may have INLINED a projected score alias into a
       // Filter condition (`WHERE s <> 0` over `SELECT fts_score(..) AS s`) —

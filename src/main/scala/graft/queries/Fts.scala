@@ -243,6 +243,38 @@ object Fts extends QueryPack {
       },
       Some(bm25Oracle)),
 
+    // The NON-covered control for index-only ranked retrieval: projecting
+    // a corpus column (lang) genuinely needs the document row, so the
+    // scoring join against the table must SURVIVE (plan-asserted) while
+    // q_fts_sql_bm25's id+score-only shape drops the corpus scan entirely.
+    Q("q_fts_sql_bm25_cols",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixsc2")
+        s.sql("""SELECT doc_id, lang, round(fts_score(text, 'spark query'), 4) AS score
+                 FROM documents_ixsc2
+                 WHERE fts_match_any(text, 'spark query')
+                 ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT d.doc_id, d.lang, round(sc.s, 4) AS score
+               FROM sc JOIN documents d USING(doc_id)
+               ORDER BY round(sc.s, 4) DESC, d.doc_id LIMIT 10""")),
+
     // Prefix search on the SQL surface: fts_prefix over the registered
     // index lowers to a term-RANGE semi-join against the sorted postings
     // (same plan as q_fts_prefix's library path; same oracle).

@@ -69,6 +69,23 @@ class PlanShapeSpec extends SparkSpec {
       // the only corpus-wide input left is the 1-row stats broadcast
       assert(!plan.contains("doclens"),
         "scoring must read dl from the pruned postings, not the doclens table")
+      // COVERING-INDEX property: the projection touches only doc_id +
+      // fts_score and the filter is index-exact and domain-bounding, so
+      // the corpus table is not scanned AT ALL — the whole answer comes
+      // from the pruned postings buckets
+      assert(!plan.contains("documents.parquet"),
+        s"index-only ranked retrieval must not scan the corpus:\n${plan.linesIterator.take(40).mkString("\n")}")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
+  test("q_fts_sql_bm25_cols keeps the corpus join when a doc column is projected") {
+    graft.fts.IndexCatalog.clear()
+    val plan = planOf("q_fts_sql_bm25_cols")
+    try {
+      assert(plan.contains("documents.parquet"),
+        "projecting lang needs the document row — the corpus join must survive")
+      assert(plan.contains("TakeOrderedAndProject") && !plan.contains("doclens"),
+        "the generic scoring path must stay top-k with denormalized dl")
     } finally graft.fts.IndexCatalog.clear()
   }
 
