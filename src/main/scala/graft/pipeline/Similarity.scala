@@ -370,27 +370,17 @@ object Similarity {
   /** PQ ENCODE: per sub-space, the 0-based index of the L2-nearest
     * codebook centroid — an `array<int>` of m codes per vector (D float32
     * dims compress to m small ints; at the defaults 64×4 B → 8 codes, the
-    * 32× storage step between int8 and raw). Statically UNROLLED into
-    * plain arithmetic over literal centroids — no higher-order lambdas, so
-    * the whole encode stays inside whole-stage codegen, and left-to-right
-    * summation matches the sequential oracle. Distances are ROUNDED to 9
-    * decimals before the argmin (near-equidistant centroids must not flip
-    * assignment on last-ulp summation differences across engines); ties
-    * then break to the lowest centroid index (array_position returns the
-    * first min). */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column = {
-    val m = codebooks.size
-    val sub = codebooks.head.head.length
-    array((0 until m).map { s =>
-      val dists = array(codebooks(s).map { cent =>
-        round((0 until sub).map { i =>
-          val d = element_at(vec, s * sub + i + 1) - lit(cent(i))
-          d * d
-        }.reduce(_ + _), 9)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-  }
+    * 32× storage step between int8 and raw). Native kernel
+    * ([[graft.ext.PqEncodeExpr]]) — one compiled call per row; the
+    * declarative unroll it replaces was a ~1000-term expression whose
+    * codegen compilation cost ~10 s per plan. Distances are left-fold
+    * index-order sums ROUNDED to 9 decimals before the argmin
+    * (near-equidistant centroids must not flip assignment on last-ulp
+    * summation differences across engines); ties break to the lowest
+    * centroid index. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Array[Double]]]): Column =
+    kcol(graft.ext.PqEncodeExpr(kexp(vec),
+      codebooks.map(_.toArray).toArray))
 
   /** The PQ BUILD step: every vector encoded to its m codes —
     * `(idCol, pq_codes array<int>)`. At 100 TB this frame is written once

@@ -462,6 +462,34 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("an analyzer-configured registration round-trips through restore") {
+    GraftExtensions.install(spark)
+    val tmpTable = "/root/repo/target/ttmp/fts_restore_an_table"
+    val ixDir = "/root/repo/target/ttmp/fts_restore_an_index"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.write.mode("overwrite").parquet(tmpTable)
+    val cfg = graft.fts.AnalyzerConfig(
+      stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+    graft.fts.Index.createIndex(spark, tmpTable, ixDir, analyzer = cfg)
+    try {
+      graft.fts.IndexCatalog.clear() // "new session"
+      graft.fts.IndexCatalog.restore(spark, ixDir)
+      val e = graft.fts.IndexCatalog.get(tmpTable)
+      assert(e.exists(_.analyzer == cfg),
+        s"restore must carry the analyzer config, got ${e.map(_.analyzer)}")
+      // and the restored registration SERVES stemmed queries: 'queries'
+      // must reach the postings as the corpus term 'query'
+      spark.read.parquet(tmpTable).createOrReplaceTempView("docs_restore_an")
+      val served = spark.sql(
+        "SELECT doc_id FROM docs_restore_an WHERE fts_match(text, 'the queries window')")
+      val expect = graft.fts.Search.matchAllIds(
+          graft.fts.Index.buildWithAnalyzer(docs, cfg),
+          cfg.normalizeTerms(Seq("the", "queries", "window")))
+        .collect().map(_.getLong(0)).toSet
+      assert(served.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
