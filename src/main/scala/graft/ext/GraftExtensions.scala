@@ -839,93 +839,138 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     // 100 TB this is the difference between a per-query corpus-wide
     // doc_id scan and a plan that touches only the query terms' pruned
     // postings buckets (the covering-index property).
+    // The covered CORE for a set of expressions over Filter(cond, …): the
+    // scoring subplan semi-joined with the conjuncts' id sets, plus the
+    // attributes to rewrite with. None unless: every FtsScore in `exprs`
+    // resolves to ONE (index, query); every non-score reference in `exprs`
+    // is the id column; every conjunct is index-exact on the same id (or
+    // an IsNotNull implied by index-domain membership); and ≥1 conjunct
+    // BOUNDS the rows to the score's term domain.
+    def coveredCore(exprs: Seq[Expression], cond: Expression,
+                    grandchild: LogicalPlan)
+        : Option[(LogicalPlan, Attribute, Attribute, ExprId)] =
+      indexedTable(grandchild).flatMap { case (entryFor, _) =>
+        val allScores = exprs.flatMap(_.collect { case fs: FtsScore => fs })
+        val resolved = allScores.flatMap {
+          case FtsScore(a: Attribute, Literal(q: UTF8String, StringType)) =>
+            entryFor(a).map { case (e, id) => (e, id, q) }
+          case _ => Seq.empty
+        }
+        // every score occurrence must resolve, to ONE (index, query)
+        if (allScores.isEmpty || resolved.size != allScores.size ||
+            resolved.map(r => (r._1.indexDir, r._3)).distinct.size != 1)
+          None
+        else {
+          val (entry, idAttr, q) = resolved.head
+          val scoreTerms = entryTerms(entry, q)
+          // the expressions may reference nothing beyond the id column
+          // (everything else would need the corpus row)
+          val refsOk = scoreTerms.nonEmpty && exprs.forall { e =>
+            e.transform { case _: FtsScore => Literal(0.0) }
+              .references.subsetOf(
+                org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(idAttr)))
+          }
+          // classify conjuncts: each is an exact id set on the same id
+          // attribute, an ignorable IsNotNull (implied by index-domain
+          // membership), or disqualifying
+          var bounding = false
+          var ok = refsOk
+          val idSets = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+          splitConjunctivePredicates(cond).foreach {
+            case IsNotNull(a: Attribute)
+                if a.exprId == idAttr.exprId ||
+                  entryFor(a).exists(_._1.indexDir == entry.indexDir) =>
+              () // postings rows have non-null ids and indexed text
+            case conj =>
+              exactIdsDf(conj, entryFor) match {
+                case Some((df, conjId)) if conjId.exprId == idAttr.exprId =>
+                  idSets += df.queryExecution.optimizedPlan
+                  // does this conjunct imply membership in the score's
+                  // term domain (≥1 score term present)?
+                  conj match {
+                    case FtsMatch(a: Attribute, Literal(q2: UTF8String, StringType))
+                        if entryFor(a).exists(_._1.indexDir == entry.indexDir) &&
+                          entryTerms(entry, q2).exists(scoreTerms.contains) =>
+                      bounding = true
+                    case FtsMatchAny(a: Attribute, Literal(q2: UTF8String, StringType))
+                        if entryFor(a).exists(_._1.indexDir == entry.indexDir) && {
+                          val ts = entryTerms(entry, q2)
+                          ts.nonEmpty && ts.forall(scoreTerms.contains)
+                        } => bounding = true
+                    case _ => ()
+                  }
+                case _ => ok = false
+              }
+          }
+          if (!ok || !bounding) None
+          else {
+            var cur: LogicalPlan = scoringPlan(entry, scoreTerms)
+            val scoreIdAttr = cur.output.head
+            val scoreAttr = cur.output(1)
+            idSets.foreach { ids =>
+              cur = Join(cur, ids, LeftSemi,
+                Some(EqualTo(scoreIdAttr, ids.output.head)), JoinHint.NONE)
+            }
+            Some((cur, scoreIdAttr, scoreAttr, idAttr.exprId))
+          }
+        }
+      }
+    // rewrite one expression against the covered core's attributes; a bare
+    // id reference keeps its exprId for consumers above (alias trick)
+    def coveredExpr(e: Expression, scoreIdAttr: Attribute,
+                    scoreAttr: Attribute, idExprId: ExprId): Expression =
+      e.transform {
+        case _: FtsScore => Coalesce(Seq(scoreAttr, Literal(0.0)))
+        case a: Attribute if a.exprId == idExprId => scoreIdAttr
+      }
+    // rewrite a projection list against the covered core, keeping output
+    // exprIds stable for consumers above
+    def coveredList(list: Seq[NamedExpression], scoreIdAttr: Attribute,
+                    scoreAttr: Attribute, idExprId: ExprId): Seq[NamedExpression] =
+      list.map { ne =>
+        coveredExpr(ne, scoreIdAttr, scoreAttr, idExprId) match {
+          case a: Attribute if a.exprId != ne.exprId =>
+            Alias(a, ne.name)(exprId = ne.exprId)
+          case other => other.asInstanceOf[NamedExpression]
+        }
+      }
     def indexOnly(projectList: Seq[NamedExpression], child: LogicalPlan)
         : Option[LogicalPlan] = child match {
       case Filter(cond, grandchild) =>
-        indexedTable(grandchild).flatMap { case (entryFor, _) =>
-          val allScores = projectList.flatMap(_.collect {
-            case fs: FtsScore => fs
-          })
-          val resolved = allScores.flatMap {
-            case FtsScore(a: Attribute, Literal(q: UTF8String, StringType)) =>
-              entryFor(a).map { case (e, id) => (e, id, q) }
-            case _ => Seq.empty
-          }
-          // every score occurrence must resolve, to ONE (index, query)
-          if (allScores.isEmpty || resolved.size != allScores.size ||
-              resolved.map(r => (r._1.indexDir, r._3)).distinct.size != 1)
-            None
-          else {
-            val (entry, idAttr, q) = resolved.head
-            val scoreTerms = entryTerms(entry, q)
-            // the projection may reference nothing beyond the id column
-            // (everything else would need the corpus row)
-            val projRefsOk = scoreTerms.nonEmpty && projectList.forall { ne =>
-              ne.transform { case _: FtsScore => Literal(0.0) }
-                .references.subsetOf(
-                  org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(idAttr)))
-            }
-            // classify conjuncts: each is an exact id set on the same id
-            // attribute, an ignorable IsNotNull (implied by index-domain
-            // membership), or disqualifying
-            var bounding = false
-            var ok = projRefsOk
-            val idSets = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-            splitConjunctivePredicates(cond).foreach {
-              case IsNotNull(a: Attribute)
-                  if a.exprId == idAttr.exprId ||
-                    entryFor(a).exists(_._1.indexDir == entry.indexDir) =>
-                () // postings rows have non-null ids and indexed text
-              case conj =>
-                exactIdsDf(conj, entryFor) match {
-                  case Some((df, conjId)) if conjId.exprId == idAttr.exprId =>
-                    idSets += df.queryExecution.optimizedPlan
-                    // does this conjunct imply membership in the score's
-                    // term domain (≥1 score term present)?
-                    conj match {
-                      case FtsMatch(a: Attribute, Literal(q2: UTF8String, StringType))
-                          if entryFor(a).exists(_._1.indexDir == entry.indexDir) &&
-                            entryTerms(entry, q2).exists(scoreTerms.contains) =>
-                        bounding = true
-                      case FtsMatchAny(a: Attribute, Literal(q2: UTF8String, StringType))
-                          if entryFor(a).exists(_._1.indexDir == entry.indexDir) && {
-                            val ts = entryTerms(entry, q2)
-                            ts.nonEmpty && ts.forall(scoreTerms.contains)
-                          } => bounding = true
-                      case _ => ()
-                    }
-                  case _ => ok = false
-                }
-            }
-            if (!ok || !bounding) None
-            else {
-              var cur: LogicalPlan = scoringPlan(entry, scoreTerms)
-              val scoreIdAttr = cur.output.head
-              val scoreAttr = cur.output(1)
-              idSets.foreach { ids =>
-                cur = Join(cur, ids, LeftSemi,
-                  Some(EqualTo(scoreIdAttr, ids.output.head)), JoinHint.NONE)
-              }
-              val newList = projectList.map { ne =>
-                val t = ne.transform {
-                  case _: FtsScore => Coalesce(Seq(scoreAttr, Literal(0.0)))
-                  case a: Attribute if a.exprId == idAttr.exprId => scoreIdAttr
-                }
-                t match {
-                  // a bare id reference must KEEP its exprId for consumers
-                  // above this Project
-                  case a: Attribute if a.exprId != ne.exprId =>
-                    Alias(a, ne.name)(exprId = ne.exprId)
-                  case other => other.asInstanceOf[NamedExpression]
-                }
-              }
-              Some(Project(newList, cur))
-            }
-          }
+        coveredCore(projectList, cond, grandchild).map {
+          case (core, scoreIdAttr, scoreAttr, idExprId) =>
+            Project(coveredList(projectList, scoreIdAttr, scoreAttr, idExprId),
+              core)
         }
       case _ => None
     }
-    val scoreAware = plan.transformUp {
+    // `SELECT id-only … WHERE <index-exact> ORDER BY fts_score(…) LIMIT k`
+    // plans as Project(id, Sort(score-order, Project([id, text], Filter)))
+    // — the inner Project carries text ONLY to feed the sort key, so the
+    // id-only-ness is visible at the OUTER Project. A pre-pass covers the
+    // whole chain (the inner list is discarded; the outer one is the real
+    // output): Project(ids, Sort(rewritten keys, core)) — with LIMIT this
+    // still pattern-matches TakeOrderedAndProject, and the corpus is never
+    // scanned.
+    val sortCovered = plan.transformUp {
+      case p @ Project(outerList,
+            org.apache.spark.sql.catalyst.plans.logical.Sort(
+              order, global, Project(_, Filter(cond, grandchild)), hint))
+          if p.resolved && order.exists(_.exists(_.isInstanceOf[FtsScore])) &&
+            !outerList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
+        coveredCore(order ++ outerList, cond, grandchild) match {
+          case Some((core, scoreIdAttr, scoreAttr, idExprId)) =>
+            rewrote = true
+            val newOrder = order.map(o =>
+              coveredExpr(o, scoreIdAttr, scoreAttr, idExprId)
+                .asInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder])
+            Project(coveredList(outerList, scoreIdAttr, scoreAttr, idExprId),
+              org.apache.spark.sql.catalyst.plans.logical.Sort(
+                newOrder, global, core, hint))
+          case None => p
+        }
+    }
+    val scoreAware = sortCovered.transformUp {
       case p @ Project(projectList, child)
           if p.resolved && projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
         indexOnly(projectList, child) match {

@@ -234,6 +234,10 @@ class ExtensionsSpec extends SparkSpec {
            ORDER BY fts_score(text, 'spark query') DESC, doc_id LIMIT 10""")
       assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
         "ORDER BY score LIMIT k must stay top-k")
+      // id-only projection + domain-bounding filter: this shape goes
+      // INDEX-ONLY too — the corpus table must not be scanned
+      assert(!df.queryExecution.executedPlan.toString.contains("documents.parquet"),
+        "covered ORDER BY fts_score must not scan the corpus")
       val got = df.collect().map(_.getLong(0)).toSeq
       val ix = graft.fts.Index.read(spark, ixDir)
       val pruned = ix.copy(
