@@ -944,6 +944,56 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         }
       case _ => None
     }
+    // PURE-MATCH covering: `SELECT id-only … WHERE <all index-exact
+    // conjuncts>` needs no corpus row either — the answer IS the
+    // conjuncts' id sets, semi-joined together. Same uniqueness contract
+    // as every covered plan: the id column identifies a document (the
+    // index aggregates per id; tombstone/upsert semantics already assume
+    // it).
+    def coveredMatch(projectList: Seq[NamedExpression], cond: Expression,
+                     grandchild: LogicalPlan): Option[LogicalPlan] =
+      indexedTable(grandchild).flatMap { case (entryFor, _) =>
+        val conjs = splitConjunctivePredicates(cond)
+        val exact = conjs.flatMap(c => exactIdsDf(c, entryFor).map(c -> _))
+        val exactConjs = exact.map(_._1).toSet
+        val idAttrs = exact.map(_._2._2.exprId).distinct
+        if (exact.isEmpty || idAttrs.size != 1) None
+        else {
+          val idAttr = exact.head._2._2
+          // attrs positively matched — an IsNotNull over one of them (or
+          // the id) is implied by index-domain membership
+          val positiveAttrs = exact.map(_._1).flatMap(_.collect {
+            case a: Attribute => a.exprId
+          }).toSet + idAttr.exprId
+          val leftovers = conjs.filterNot(exactConjs.contains).forall {
+            case IsNotNull(a: Attribute) => positiveAttrs.contains(a.exprId)
+            case _ => false
+          }
+          val projOk = projectList.forall(_.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(Seq(idAttr))))
+          if (!leftovers || !projOk) None
+          else {
+            var core = exact.head._2._1.queryExecution.optimizedPlan
+            exact.tail.foreach { case (_, (df, _)) =>
+              val p = df.queryExecution.optimizedPlan
+              core = Join(core, p, LeftSemi,
+                Some(EqualTo(core.output.head, p.output.head)), JoinHint.NONE)
+            }
+            val coreId = core.output.head
+            val newList = projectList.map { ne =>
+              val t = ne.transform {
+                case a: Attribute if a.exprId == idAttr.exprId => coreId
+              }
+              t match {
+                case a: Attribute if a.exprId != ne.exprId =>
+                  Alias(a, ne.name)(exprId = ne.exprId)
+                case other => other.asInstanceOf[NamedExpression]
+              }
+            }
+            Some(Project(newList, core))
+          }
+        }
+      }
     // `SELECT id-only … WHERE <index-exact> ORDER BY fts_score(…) LIMIT k`
     // plans as Project(id, Sort(score-order, Project([id, text], Filter)))
     // — the inner Project carries text ONLY to feed the sort key, so the
@@ -953,6 +1003,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     // still pattern-matches TakeOrderedAndProject, and the corpus is never
     // scanned.
     val sortCovered = plan.transformUp {
+      case p @ Project(projectList, Filter(cond, grandchild))
+          if p.resolved &&
+            cond.exists(e => e.isInstanceOf[FtsMatch] ||
+              e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsPhrase] ||
+              e.isInstanceOf[FtsPrefix] || e.isInstanceOf[FtsWildcard] ||
+              e.isInstanceOf[FtsNear]) &&
+            !projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
+        coveredMatch(projectList, cond, grandchild) match {
+          case Some(covered) =>
+            rewrote = true
+            covered
+          case None => p
+        }
       case p @ Project(outerList,
             org.apache.spark.sql.catalyst.plans.logical.Sort(
               order, global, Project(_, Filter(cond, grandchild)), hint))

@@ -42,6 +42,7 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_indexed")
     try {
+      // projects lang too → NOT covered: the corpus joins the id set
       assert(plan.contains("LeftSemi"), "index path must be a semi-join")
       assert(plan.contains("PartitionFilters: [((bucket"),
         "postings scan must prune to the query terms' buckets")
@@ -111,8 +112,10 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_multicol")
     try {
-      assert("LeftSemi".r.findAllIn(plan).size >= 2,
-        s"both indexed columns must semi-join their own postings:\n${plan.linesIterator.take(40).mkString("\n")}")
+      // covered: the two columns' id sets chain through ONE semi-join and
+      // the corpus is untouched
+      assert(plan.contains("LeftSemi") && !plan.contains("documents.parquet"),
+        s"both indexes' id sets must chain index-only:\n${plan.linesIterator.take(40).mkString("\n")}")
       assert(plan.contains("In(term, [query,spark])") || plan.contains("In(term, [spark,query])"),
         "the text conjunct must probe the text index")
       assert(plan.contains("In(term, [src3])") || plan.contains("EqualTo(term,src3)"),
@@ -151,7 +154,10 @@ class PlanShapeSpec extends SparkSpec {
       for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos",
           "q_fts_compacted_near")) {
         val plan = planOf(name)
-        assert(plan.contains("LeftSemi"), s"$name must semi-join the postings")
+        // covered: position lists alone, corpus (fixture table or the
+        // streaming landing dir) never scanned
+        assert(!plan.contains("documents.parquet") && !plan.contains("docs_cnear_stream"),
+          s"$name must answer index-only")
         assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens"),
           s"$name must never re-read document text")
         assert("PartitionFilters: \\[.*\\(bucket".r.findFirstIn(plan).nonEmpty,
@@ -164,7 +170,7 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_prefix")
     try {
-      assert(plan.contains("LeftSemi"))
+      assert(!plan.contains("documents.parquet"), "prefix must answer index-only")
       assert(plan.contains("GreaterThanOrEqual(term,quer"),
         "prefix must push as a term range (row-group min/max pruning)")
       assert(!plan.contains("fts_tokenize"),
@@ -176,8 +182,8 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_compacted_sql")
     try {
-      assert(plan.contains("LeftSemi"),
-        "compacted+registered index must serve the semi-join path")
+      assert(!plan.contains("docs_csql_stream"),
+        "compacted+registered index must serve index-only (no corpus scan)")
       assert(!plan.contains("fts_tokenize") && !plan.contains("array_contains"),
         "registered compacted index must not fall back to the scan lowering")
       assert(plan.contains("PartitionFilters: [((bucket"),
@@ -189,7 +195,7 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_wildcard")
     try {
-      assert(plan.contains("LeftSemi"))
+      assert(!plan.contains("documents.parquet"), "wildcard must answer index-only")
       assert(plan.contains("GreaterThanOrEqual(term,c"),
         "wildcard head must push as a term range")
       assert(plan.contains("StringEndsWith(term,er"),
@@ -227,7 +233,7 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_suffix")
     try {
-      assert(plan.contains("LeftSemi"))
+      assert(!plan.contains("documents.parquet"), "suffix must answer index-only")
       assert(plan.contains("GreaterThanOrEqual(term,re"),
         "the suffix must push as a prefix range over the REVERSED dictionary")
       assert(!plan.contains("fts_tokenize"),

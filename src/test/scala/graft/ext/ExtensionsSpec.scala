@@ -27,6 +27,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  /** COVERED index plans scan nothing but the index's own relations —
+    * every file scan in the plan carries the postings' `term` column (the
+    * corpus relation carries `text` and no `term`). */
+  private def scansOnlyPostings(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.forall(_.output.exists(_.name == "term"))
+
   test("fts_match rewrites to array_contains conjunction and filters correctly") {
     GraftExtensions.install(spark)
     spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_ext")
@@ -55,10 +63,10 @@ class ExtensionsSpec extends SparkSpec {
       val df = spark.sql(
         "SELECT doc_id FROM docs_ix_spec WHERE fts_match(text, 'spark query')")
       val optimized = df.queryExecution.optimizedPlan
-      assert(optimized.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-      }.nonEmpty, s"expected a left-semi join against the postings, got:\n$optimized")
+      // id-only match queries go INDEX-ONLY: the answer is built from the
+      // postings alone, the corpus is never scanned
+      assert(scansOnlyPostings(df),
+        s"expected an index-only postings plan, got:\n$optimized")
       assert(!optimized.toString.contains("array_contains"),
         "indexed path must not fall back to the scan lowering")
       // identical rows to the scan-based lowering on an unregistered view
@@ -88,8 +96,8 @@ class ExtensionsSpec extends SparkSpec {
       val renamed = spark.sql(
         """SELECT id FROM (SELECT doc_id AS id, text AS body FROM docs_lin_spec)
            WHERE fts_match(body, 'spark query')""")
-      assert(semiJoins(renamed) > 0,
-        s"rename must keep the index path:\n${renamed.queryExecution.optimizedPlan}")
+      assert(scansOnlyPostings(renamed),
+        s"rename must keep the index path (index-only here):\n${renamed.queryExecution.optimizedPlan}")
       val expect = graft.fts.Search.matchAllIds(
           graft.fts.Index.build(spark.read.parquet(docsPath)), Seq("spark", "query"))
         .collect().map(_.getLong(0)).toSet
@@ -188,8 +196,9 @@ class ExtensionsSpec extends SparkSpec {
            WHERE fts_match(text, 'spark') AND fts_prefix(text, 'quer')
              AND fts_near(text, 'data', 'query', 3)""")
       val s = df.queryExecution.optimizedPlan.toString
-      assert("LeftSemi".r.findAllIn(s).size == 3,
-        s"each conjunct must fold into its own semi-join:\n${s.take(2000)}")
+      // covered: three id sets chained by two semi-joins, corpus untouched
+      assert("LeftSemi".r.findAllIn(s).size == 2 && scansOnlyPostings(df),
+        s"conjunct id sets must chain index-only:\n${s.take(2000)}")
       assert(!s.contains("fts_tokenize") && !s.contains("fts_near_tokens"),
         "positional index must serve every conjunct without re-reading text")
       val ix = graft.fts.Index.buildPositional(docs)
@@ -285,8 +294,8 @@ class ExtensionsSpec extends SparkSpec {
       val ixq = spark.sql(
         "SELECT doc_id FROM docs_prefix_sql WHERE fts_prefix(text, 'quer')")
       val plan = ixq.queryExecution.executedPlan.toString
-      assert(ixq.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
-        "registered table must take the index path")
+      assert(scansOnlyPostings(ixq),
+        "registered table must take the (index-only) index path")
       assert(plan.contains("GreaterThanOrEqual(term,quer"),
         s"prefix range must push into the postings scan:\n${plan.take(1200)}")
       assert(ixq.collect().map(_.getLong(0)).toSet == expect)
@@ -311,7 +320,7 @@ class ExtensionsSpec extends SparkSpec {
     try {
       val ixq = spark.sql(
         "SELECT doc_id FROM docs_wc_sql WHERE fts_wildcard(text, 'c*er')")
-      assert(ixq.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(scansOnlyPostings(ixq), "wildcard over the index must be index-only")
       assert(ixq.collect().map(_.getLong(0)).toSet == expect)
     } finally graft.fts.IndexCatalog.clear()
   }
@@ -350,7 +359,7 @@ class ExtensionsSpec extends SparkSpec {
       val posq = spark.sql(
         "SELECT doc_id FROM docs_near_sql WHERE fts_near(text, 'data', 'query', 3)")
       val s = posq.queryExecution.optimizedPlan.toString
-      assert(s.contains("LeftSemi") && !s.contains("fts_near_tokens")
+      assert(scansOnlyPostings(posq) && !s.contains("fts_near_tokens")
           && !s.contains("fts_tokenize"),
         s"positional index must answer from position lists alone:\n${s.take(1500)}")
       assert(posq.collect().map(_.getLong(0)).toSet == expect)
@@ -368,10 +377,8 @@ class ExtensionsSpec extends SparkSpec {
       spark.read.parquet(tmpTable).createOrReplaceTempView("docs_stale_spec")
       val before = spark.sql(
         "SELECT doc_id FROM docs_stale_spec WHERE fts_match(text, 'spark query')")
-      assert(before.queryExecution.optimizedPlan.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-      }.nonEmpty, "fresh registration must take the index path")
+      assert(scansOnlyPostings(before),
+        "fresh registration must take the (index-only) index path")
 
       // rewrite the table: postings are now stale — the rewrite must notice
       docs.limit(10).write.mode("overwrite").parquet(tmpTable)
