@@ -473,6 +473,25 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("a stale table drops EVERY column's entry, not just one") {
+    GraftExtensions.install(spark)
+    val tmpTable = "/root/repo/target/ttmp/fts_stale_mc_table"
+    val docs = spark.read.parquet(sf("documents"))
+    docs.write.mode("overwrite").parquet(tmpTable)
+    graft.fts.Index.createIndex(spark, tmpTable,
+      "/root/repo/target/ttmp/fts_stale_mc_text")
+    graft.fts.Index.createIndex(spark, tmpTable,
+      "/root/repo/target/ttmp/fts_stale_mc_src", textCol = "source")
+    try {
+      assert(graft.fts.IndexCatalog.entriesFor(tmpTable).size == 2,
+        "both columns' indexes must register side by side")
+      // rewrite the table: ONE freshness listing must invalidate both
+      docs.limit(10).write.mode("overwrite").parquet(tmpTable)
+      assert(graft.fts.IndexCatalog.entriesFor(tmpTable).isEmpty,
+        "a stale table must drop every column's entry")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("an analyzer-configured registration round-trips through restore") {
     GraftExtensions.install(spark)
     val tmpTable = "/root/repo/target/ttmp/fts_restore_an_table"
