@@ -437,6 +437,63 @@ object Similarity {
       qRow.get.getSeq[Double](0).toArray, codebooks, queryId, k, idCol)
   }
 
+  /** IVF-PQ BUILD: the cell-partitioned layout + quantizer from
+    * [[writeCelled]], PLUS a cell-partitioned CODES projection
+    * (`$dir/_codes`: idCol, pq_codes — underscore dir, so the celled read
+    * skips it) and the PQ codebooks (`$dir/_pq`). The FAISS-standard
+    * composition: serving partition-prunes to the probe cells and scans m
+    * small ints per candidate — at 100 TB, nprobe/nlist of a corpus 32×
+    * smaller than the raw vectors. */
+  def writeCelledPq(emb: DataFrame, dir: String, nlist: Int = 16,
+                    m: Int = 8, ncent: Int = 16, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val celled = writeCelled(emb, dir, nlist, idCol, vecCol)
+    val codebooks = pqCodebooks(emb, m, ncent, idCol, vecCol)
+    celled.select(col(idCol), col("cell"),
+        pqEncode(asDouble(col(vecCol)), codebooks).as("pq_codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_pq")
+  }
+
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[Seq[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/_pq")
+      .orderBy("sub", "code").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2.toSeq
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+  }
+
+  /** IVF-PQ SERVE: probe the quantizer's `nprobe` nearest cells — a
+    * PARTITION filter on the codes layout — and rank the survivors by ADC
+    * over their code rows. Serve-only like the other persisted paths;
+    * `emb` is consulted only for the query id's vector. */
+  def ivfPqTopK(emb: DataFrame, dir: String, queryId: Long, k: Int,
+                nprobe: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_codes")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"no IVF-PQ layout at $dir — build it once with writeCelledPq() " +
+        "(build and serve are separate steps)")
+    val (centroids, cNorms) = readQuantizer(spark, dir)
+    val codebooks = readPqCodebooks(spark, dir)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect().headOption
+    if (qRow.isEmpty) return emptyTopK(emb, idCol)
+    val qv = qRow.get.getSeq[Double](0).toArray
+    val probes = nearestCells(qv, centroids, cNorms, nprobe)
+    pqTopKOnCodes(
+      spark.read.parquet(s"$dir/_codes").filter(col("cell").isin(probes: _*)),
+      qv, codebooks, queryId, k, idCol)
+  }
+
   /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the
     * storage-compression step a 100 TB embedding corpus ships with (4×
     * smaller than float32; dot products stay rank-preserving to ~1e-2).

@@ -252,6 +252,36 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // IVF-PQ — the canonical composition of both scale paths: coarse
+    // cells bound WHICH partitions are read (nprobe/nlist partition
+    // filter), PQ codes bound WHAT is read per candidate (m ints, not the
+    // raw vector). Build persists the celled layout + codes + both
+    // quantizer artifacts; serve never touches the raw corpus. Same
+    // neighborhood-recovery contract as q_sim_pq.
+    Q("q_sim_ivfpq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val layoutDir = graft.core.Scratch.dir("ivfpq_cells")
+          Similarity.writeCelledPq(clustered, layoutDir)
+          val inCluster = clustered
+            .filter(pmod(col("vec_id"), lit(24)) === 0).count()
+          val k = math.min(10L, inCluster - 1).toInt
+          val approx = Similarity.ivfPqTopK(clustered, layoutDir, 0L, k)
+          val verdict = approx.agg(
+            (count(lit(1)) === k &&
+              sum(when(pmod(col("vec_id"), lit(24)) === 0, 0)
+                .otherwise(1)) === 0).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // Int8 quantization of the embedding column — pure map (no shuffle);
     // checksum is an exact integer sum, so the oracle hash proves the codes
     // are bit-reproducible across engines, not just approximately close.

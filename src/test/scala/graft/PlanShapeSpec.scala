@@ -261,6 +261,22 @@ class PlanShapeSpec extends SparkSpec {
       "top-k must plan as per-partition heaps, not a global sort")
   }
 
+  test("IVF-PQ serve partition-prunes to probe cells and reads code rows only") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    graft.pipeline.Similarity.writeCelledPq(
+      emb, "/root/repo/target/ttmp/ivfpq_spec")
+    val topk = graft.pipeline.Similarity.ivfPqTopK(
+      emb, "/root/repo/target/ttmp/ivfpq_spec", 0L, 5)
+    val plan = topk.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[cell".r.findFirstIn(plan).nonEmpty,
+      s"probe cells must partition-prune the codes layout:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ADC top-k must stay per-partition heaps")
+    assert(!plan.contains("embedding"),
+      "serving must read code rows, never the raw vectors")
+  }
+
   test("q_join_asof plans as window aggregation, never a nested-loop join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
