@@ -134,6 +134,60 @@ object StreamDedup {
       .bucketBy(StoreBuckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(storeTableName(dir))
 
+  /** Fold the stores' per-batch file fragments: every micro-batch appends
+    * one file per touched bucket/partition, so after N batches each
+    * partition holds N small files — the same unbounded-fragment story the
+    * FTS delta log solves with epochs, solved here by an offline rewrite
+    * (run it between ingests, like any OPTIMIZE). `store_sets` partitions
+    * and the bucketed `store_bands` table are each rewritten to one file
+    * per partition/bucket via a staged directory swap (bucket ids live in
+    * the file NAMES, which a directory rename preserves). Quiesce the
+    * stream first — single-writer, like the index compaction. */
+  def compactStore(spark: SparkSession, dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    def swap(tmp: String, dst: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dst))
+    }
+    val setsPath = s"$dir/store_sets"
+    if (fs.exists(new org.apache.hadoop.fs.Path(setsPath))) {
+      val tmp = s"$dir/store_sets_compacting"
+      spark.read.parquet(setsPath)
+        .repartition(col("sbucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("sbucket").parquet(tmp)
+      swap(tmp, setsPath)
+    }
+    val name = storeTableName(dir)
+    // a fresh session over surviving files: re-register before compacting
+    if (!spark.catalog.tableExists(name) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/store_bands")))
+      readStoreBands(spark, dir, spark.read.parquet(s"$dir/store_bands"))
+    if (spark.catalog.tableExists(name)) {
+      val tmpName = name + "_compacting"
+      val tmpPath = s"$dir/store_bands_compacting"
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
+      spark.table(name)
+        // one task per bucket → one file per bucket (repartition hashing
+        // matches the bucketing's Murmur3 on the same columns)
+        .repartition(StoreBuckets, col("band"), col("bh"))
+        .write
+        .option("path", tmpPath)
+        .bucketBy(StoreBuckets, "band", "bh").sortBy("band", "bh")
+        .saveAsTable(tmpName)
+      spark.sql(s"DROP TABLE $name") // external: files survive the drop
+      swap(tmpPath, s"$dir/store_bands")
+      spark.sql(s"DROP TABLE $tmpName")
+      // re-register the canonical DDL over the swapped files: the next
+      // batch's readStoreBands would do the same, done here so a live
+      // session can keep querying the store
+      val like = spark.read.parquet(s"$dir/store_bands")
+      readStoreBands(spark, dir, like)
+    }
+  }
+
   private def dedupBatch(batch: DataFrame, dir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
     val sets = Dedup.shingleSets(batch) // persisted + counted inside

@@ -473,6 +473,43 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("covered match plans agree with the scan lowering across random queries") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val docs = spark.read.parquet(docsPath)
+    docs.createOrReplaceTempView("docs_cover_prop")
+    // a deterministic vocabulary drawn from the corpus itself
+    val vocab = graft.fts.Index.build(docs).postings
+      .groupBy("term").count().orderBy(org.apache.spark.sql.functions.desc("count"),
+        org.apache.spark.sql.functions.col("term"))
+      .limit(40).collect().map(_.getString(0))
+    val rnd = new scala.util.Random(42)
+    val predicates = (1 to 8).map { _ =>
+      val t1 = vocab(rnd.nextInt(vocab.length))
+      val t2 = vocab(rnd.nextInt(vocab.length))
+      rnd.nextInt(3) match {
+        case 0 => s"fts_match(text, '$t1 $t2')"
+        case 1 => s"fts_match_any(text, '$t1 $t2')"
+        case 2 => s"fts_match(text, '$t1') AND fts_prefix(text, '${t2.take(3)}')"
+      }
+    }
+    // scan-path ground truth first (unregistered)
+    val expected = predicates.map { p =>
+      spark.sql(s"SELECT doc_id FROM docs_cover_prop WHERE $p")
+        .collect().map(_.getLong(0)).toSet
+    }
+    val ixDir = "/root/repo/target/ttmp/fts_cover_prop_index"
+    graft.fts.Index.write(graft.fts.Index.build(docs), ixDir)
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try predicates.zip(expected).foreach { case (p, expect) =>
+      val covered = spark.sql(s"SELECT doc_id FROM docs_cover_prop WHERE $p")
+      assert(scansOnlyPostings(covered), s"'$p' must be covered")
+      assert(covered.collect().map(_.getLong(0)).toSet == expect,
+        s"covered rows diverge from the scan lowering for: $p")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("a stale table drops EVERY column's entry, not just one") {
     GraftExtensions.install(spark)
     val tmpTable = "/root/repo/target/ttmp/fts_stale_mc_table"

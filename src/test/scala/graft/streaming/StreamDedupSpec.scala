@@ -72,6 +72,33 @@ class StreamDedupSpec extends SparkSpec {
         s"only the batch side may shuffle:\n${plan.linesIterator.take(30).mkString("\n")}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
+    // store compaction (OPTIMIZE): per-batch file fragments fold to one
+    // file per partition/bucket, counts unchanged, and the store still
+    // serves — a third batch after compaction must keep deduping against
+    // the compacted history
+    StreamDedup.compactStore(spark, root)
+    assert(spark.read.parquet(s"$root/store_sets").count() == 5,
+      "compaction must preserve the signature rows")
+    assert(spark.table(StreamDedup.storeTableName(root)).count() == 5 * 16,
+      "compaction must preserve the band rows")
+    val setsFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/store_sets"))
+      .filter(_.isDirectory)
+      .flatMap(d => fs.listStatus(d.getPath))
+      .count(f => f.getPath.getName.startsWith("part-"))
+    val setsParts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/store_sets"))
+      .count(_.isDirectory)
+    assert(setsFiles == setsParts,
+      s"each surviving partition must hold ONE file, got $setsFiles files in $setsParts partitions")
+    stage(Seq((20L, base + " thirdtail"), // near-dup of 1 via compacted store
+      (21L, "unrelated words entirely about benchmarking storage engines")),
+      "b2", 1700000120000L)
+    StreamDedup.start(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing), root).awaitTermination()
+    val kept2 = spark.read.parquet(s"$root/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(1L, 3L, 11L, 21L),
+      s"post-compaction batch must still dedup against history, got $kept2")
+
     // THE other scale property (r5's weak spot): the verify stage's store
     // read is PRUNED by the candidate aid set — a partition filter on the
     // doc_id-modulo bucket plus a pushed id filter inside the surviving
