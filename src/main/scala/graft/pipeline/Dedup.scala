@@ -200,6 +200,60 @@ object Dedup {
       .orderBy("aid", "bid")
   }
 
+  /** DECONTAMINATION: corpus docs with a near-duplicate in `benchmark`
+    * (the eval-set-overlap removal every serious training pipeline runs
+    * before training). The CROSS-corpus variant of near-dup dedup: both
+    * sides shingle/band with the same kernels, candidates meet only in a
+    * shared (band, band-hash) LSH bucket — the benchmark side is tiny
+    * relative to the corpus, so the banded join broadcasts it — and
+    * exact-Jaccard verification runs on candidates only. Returns the
+    * CLEAN corpus (contaminated docs anti-joined away); use
+    * [[contaminatedIds]] for the audit list. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double = 0.8, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, benchmark, threshold, idCol, textCol),
+      corpus(idCol) === col("contaminated_id"), "left_anti")
+
+  /** The contaminated corpus ids: docs whose shingle-Jaccard against ANY
+    * benchmark doc reaches `threshold`. One column `contaminated_id`. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      threshold: Double = 0.8, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val corpusSets = shingleSets(corpus, idCol = idCol, textCol = textCol)
+    val benchSets = shingleSets(benchmark, idCol = idCol, textCol = textCol)
+    try {
+      val corpusBands = bandKeys(corpusSets)
+      val benchBands = bandKeys(benchSets)
+      // benchmark side broadcast: eval sets are thousands of docs, the
+      // corpus billions — the banded join must not shuffle the corpus
+      val cands = corpusBands.as("c")
+        .join(broadcast(benchBands.as("b")),
+          col("c.band") === col("b.band") && col("c.bh") === col("b.bh"))
+        .select(col("b.doc_id").as("aid"), col("c.doc_id").as("bid"))
+        .distinct()
+      // verify wants both sides' sets under one frame: benchmark ids are
+      // namespaced out of the corpus id space by the aid/bid columns, so
+      // a shared-id fixture (benchmark ⊂ corpus) stays unambiguous
+      val verified = cands.join(
+          benchSets.select(col("doc_id").as("aid"), col("hs").as("sha")), "aid")
+        .join(corpusSets.select(col("doc_id").as("bid"), col("hs").as("shb")), "bid")
+        .withColumn("inter", call_function("graft_intersect_card",
+          col("sha"), col("shb")).cast("double"))
+        .withColumn("jac",
+          col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("bid").as("contaminated_id")).distinct()
+      // materialize DISTRIBUTED (contamination can be corpus-scaled in the
+      // worst case — never a driver collect) before releasing the
+      // signature caches; the caller owns the returned frame's unpersist
+      val out = verified.persist()
+      out.count()
+      out
+    } finally { corpusSets.unpersist(); benchSets.unpersist() }
+  }
+
   /** Near-duplicate pairs at `threshold` via MinHash LSH + exact verify. */
   def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(docs)

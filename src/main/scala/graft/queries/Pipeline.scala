@@ -130,6 +130,34 @@ object Pipeline extends QueryPack {
               SELECT aid, bid, round(c, 4) AS cosim FROM p
               WHERE round(c, 4) >= 0.8 ORDER BY aid, bid""")),
 
+    // DECONTAMINATION — eval-set overlap removal, the step every serious
+    // training pipeline runs before training: corpus docs whose shingle
+    // Jaccard against ANY benchmark doc reaches 0.8 are dropped. Cross-
+    // corpus LSH (benchmark side broadcast — eval sets are tiny, the
+    // corpus is not) + exact verify on candidates. Fixture benchmark =
+    // every 7th doc, so those docs (J=1 with themselves) and their
+    // near-dups vanish; the oracle replays the all-pairs cross Jaccard.
+    Q("q_dedup_decontam",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        Dedup.decontaminate(docs, bench, 0.8)
+          .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               bench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+               contaminated AS (
+                 SELECT DISTINCT c.doc_id FROM sh c JOIN bench b ON true
+                 WHERE len(list_intersect(c.s, b.s))::DOUBLE /
+                       len(list_distinct(list_concat(c.s, b.s))) >= 0.8)
+               SELECT lang, count(*) AS n FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+               GROUP BY lang ORDER BY lang""")),
+
     // ---- similarity search --------------------------------------------------
     Q("q_sim_cosine",
       (s, dir) => Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), 0L, 10),
