@@ -22,6 +22,20 @@ object TextStats {
   def estBpeTokens(textCol: Column): Column =
     ceil(length(textCol).cast("double") / 4.0).cast("long")
 
+  /** Duplicate n-gram fraction — the Gopher-style REPETITION signal:
+    * (total n-grams − distinct n-grams) / total. Highly repetitive
+    * machine-generated or boilerplate text scores high and gets filtered;
+    * 0.0 for docs shorter than n tokens (nothing to repeat). Pure column
+    * expression over the frozen grammar — composes into any curation
+    * filter chain. */
+  def repetitionFrac(textCol: Column, n: Int = 3): Column = {
+    val toks = graft.fts.Analyzer.tokenize(textCol)
+    val total = size(toks) - (n - 1)
+    val distinct = size(graft.fts.Analyzer.shingles(toks, n))
+    when(total > 0,
+      round((total - distinct).cast("double") / total, 4)).otherwise(0.0)
+  }
+
   /** Per-doc quality/statistics row:
     * token counts, distinct ratio, mean token length, stopword ratio, and a
     * BPE-ish subword token estimate (chars/4 is the classic approximation;

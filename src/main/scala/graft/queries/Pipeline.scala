@@ -358,6 +358,25 @@ object Pipeline extends QueryPack {
                       THEN 'en' ELSE 'unk' END AS lang_guess FROM toks)
                SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY lang_guess""")),
 
+    // Gopher-style REPETITION signal: duplicate 3-gram fraction per doc —
+    // the quality filter that catches boilerplate/looped generations;
+    // every doc's fraction is pinned through the oracle hash.
+    Q("q_text_repetition",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.repetitionFrac(col("text")).as("rep3"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               r AS (SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN
+                   round((len(t) - 2 -
+                     len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                        FOR i IN range(1, len(t) - 1)])))::DOUBLE
+                     / (len(t) - 2), 4)
+                 ELSE 0.0 END AS rep3
+                 FROM toks)
+               SELECT doc_id, rep3 FROM r ORDER BY doc_id""")),
+
     Q("q_text_fingerprint",
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
