@@ -29,9 +29,17 @@ object TextStats {
     * expression over the frozen grammar — composes into any curation
     * filter chain. */
   def repetitionFrac(textCol: Column, n: Int = 3): Column = {
-    val toks = graft.fts.Analyzer.tokenize(textCol)
-    val total = size(toks) - (n - 1)
-    val distinct = size(graft.fts.Analyzer.shingles(toks, n))
+    // native kernels for both counts — the declarative shingle composition
+    // (transform over sequence + concat_ws) is interpreted per token and
+    // cost 18 s at sf0.1; the distinct-shingle-hash kernel is one compiled
+    // call per row (64-bit hash collisions ≈ 1e-9, same accepted basis as
+    // the dedup stack)
+    def k(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    def x(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    val total = size(k(graft.ext.FtsTokenize(x(textCol)))) - (n - 1)
+    val distinct = size(k(graft.ext.ShingleHashesExpr(x(textCol), n)))
     when(total > 0,
       round((total - distinct).cast("double") / total, 4)).otherwise(0.0)
   }
