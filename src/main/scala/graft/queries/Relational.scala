@@ -348,6 +348,42 @@ object Relational extends QueryPack {
               GROUP BY c_custkey, c_name, n_name
               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q18 (large-volume customer): the HAVING subquery becomes a
+    // semi-join against the per-order quantity aggregate — the same
+    // lineitem feeds both the aggregate and the detail join, so the probe
+    // side is bounded by the (selective) big-order keys before the
+    // customer join; top-100 by order value plans as
+    // TakeOrderedAndProject.
+    Q("q_join_q18",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bigOrders = li.groupBy("l_orderkey")
+          .agg(d(sum(dec(col("l_quantity")))).as("total_qty"))
+          .filter(col("total_qty") > 200.0)
+          .select(col("l_orderkey").as("big_okey"))
+        val ord = t(s, dir, "orders")
+          .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
+        val cust = t(s, dir, "customer")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+          .agg(d(sum(dec(col("l_quantity")))).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey,
+                CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+              GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",
