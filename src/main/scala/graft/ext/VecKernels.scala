@@ -183,10 +183,14 @@ case class PqEncodeExpr(child: Expression,
     VecKernels.pqEncode(input.asInstanceOf[ArrayData], codebooks)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    // fresh per call site: two pq_encode calls in one codegen scope must
+    // not collide on the local's name (a collision fails janino and drops
+    // the stage to interpreted execution)
+    val res = ctx.freshName("pqRes")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object pqRes = graft.ext.VecKernels$$.MODULE$$.pqEncode($c, (double[][][]) $cb);
-      if (pqRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) pqRes; }""")
+      Object $res = graft.ext.VecKernels$$.MODULE$$.pqEncode($c, (double[][][]) $cb);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }""")
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)

@@ -19,6 +19,11 @@ import graft.fts.Analyzer
   */
 object Dedup {
 
+  /** Contaminated-id result sets up to this size come back as a broadcast
+    * local relation (~8 MB of longs at the cap — well inside driver and
+    * broadcast budgets); larger sets stay distributed. */
+  private val MaxLocalContaminatedIds = 1L << 20
+
   /** Exact-dup corpus summary: one row — total docs, distinct texts, dups. */
   def exactStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.agg(
@@ -245,12 +250,24 @@ object Dedup {
           col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
         .filter(col("jac") >= threshold)
         .select(col("bid").as("contaminated_id")).distinct()
-      // materialize DISTRIBUTED (contamination can be corpus-scaled in the
-      // worst case — never a driver collect) before releasing the
-      // signature caches; the caller owns the returned frame's unpersist
+      // materialize while the signature caches are hot, then release the
+      // scratch cache before returning — nothing registered in the
+      // session's CacheManager outlives this call. The common case
+      // (contamination ≪ corpus) comes back as a broadcast-hinted local
+      // relation, so the caller's anti-join never shuffles the corpus; a
+      // pathological corpus-scaled id set falls back to the lazy
+      // distributed frame (recomputed once by the caller's single action).
       val out = verified.persist()
-      out.count()
-      out
+      val n = out.count()
+      if (n <= MaxLocalContaminatedIds) {
+        val rows = out.collect()
+        out.unpersist()
+        broadcast(corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema))
+      } else {
+        out.unpersist()
+        verified
+      }
     } finally { corpusSets.unpersist(); benchSets.unpersist() }
   }
 

@@ -47,6 +47,19 @@ object StreamDedup {
     * of the partitions. */
   private val SetBuckets = 16
 
+  /** Hot-band skew guard: up to this many distinct candidate aids are
+    * collected to the driver and pushed into the store_sets parquet scan
+    * as an id filter. Above it (a degenerate corpus — e.g. boilerplate
+    * docs piling into one (band, bh) bucket makes store collisions
+    * O(store), so the candidate set genuinely grows with the corpus) the
+    * driver never sees ids at all: only the distinct `sbucket` partition
+    * values are collected — bounded by [[SetBuckets]], never by the
+    * corpus — and per-id filtering happens in the distributed verify
+    * join. The FTS df-cap (fts/Fts.scala) bounds the same shape on the
+    * query side; here recall must stay exact, so the guard changes the
+    * execution strategy, not the candidate set. */
+  private[streaming] val AidPushdownCap = 10000L
+
   /** Driver-side mirror of the `sbucket` write expression. */
   private def setBucket(id: Long): Long =
     java.lang.Math.floorMod(id, SetBuckets.toLong)
@@ -102,6 +115,40 @@ object StreamDedup {
       .select("doc_id", "hs")
   }
 
+  /** The candidate-partition store read for the HOT-BAND fallback: pruned
+    * by `sbucket` partition values only (≤ [[SetBuckets]] of them), no
+    * per-id pushdown — the distributed verify join does the id filtering.
+    * Used when the candidate set is too large to collect ids. */
+  private[streaming] def storeSetsByBuckets(spark: SparkSession, dir: String,
+                                            buckets: Array[Long],
+                                            like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/store_sets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (buckets.isEmpty || !fs.exists(p)) emptyLike(spark, like)
+    else spark.read.parquet(s"$dir/store_sets")
+      .filter(col("sbucket").isin(buckets.toSeq: _*))
+      .select("doc_id", "hs")
+  }
+
+  /** Store-side shingle sets for the cross-batch verify, with the skew
+    * guard: ≤ [[AidPushdownCap]] candidates → collect the distinct aid set
+    * (the only driver-side materialization in the batch, bounded by the
+    * cap) and read the store pruned by partition AND id; above the cap →
+    * collect only the distinct partition buckets (≤ [[SetBuckets]] values
+    * regardless of corpus size) and keep all per-id work distributed. */
+  private[streaming] def storeSetsForVerify(spark: SparkSession, dir: String,
+                                            crossCands: DataFrame, nCand: Long,
+                                            like: DataFrame): DataFrame =
+    if (nCand <= AidPushdownCap) {
+      val aids = crossCands.select("aid").distinct().collect().map(_.getLong(0))
+      prunedStoreSets(spark, dir, aids, like)
+    } else {
+      val buckets = crossCands
+        .select(pmod(col("aid"), lit(SetBuckets.toLong)).as("sb"))
+        .distinct().collect().map(_.getLong(0))
+      storeSetsByBuckets(spark, dir, buckets, like)
+    }
+
   /** The band store, read as a BUCKETED catalog table on the join key
     * (band, bh). Bucketing is what keeps the per-batch candidate join
     * O(batch): the ever-growing store is read co-located in its buckets —
@@ -146,10 +193,17 @@ object StreamDedup {
   def compactStore(spark: SparkSession, dir: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    // crash-ordered swap: the live directory is renamed ASIDE before the
+    // compacted one renames in, so every crash window leaves a complete
+    // copy on disk (`dst` or `dst_old`) — delete-then-rename had a window
+    // where a crash lost the store entirely, with no recovery path
     def swap(tmp: String, dst: String): Unit = {
-      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dst))
+      val dstP = new org.apache.hadoop.fs.Path(dst)
+      val oldP = new org.apache.hadoop.fs.Path(dst + "_old")
+      fs.delete(oldP, true) // leftover from a previous crashed swap
+      if (fs.exists(dstP)) fs.rename(dstP, oldP)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dstP)
+      fs.delete(oldP, true)
     }
     val setsPath = s"$dir/store_sets"
     if (fs.exists(new org.apache.hadoop.fs.Path(setsPath))) {
@@ -201,28 +255,27 @@ object StreamDedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
       .distinct()
+      .persist() // feeds the count, the aid/bucket pruning, AND the verify
     try {
-      // ONE action materializes the candidate pairs to the driver: they
-      // are bounded per batch by construction — ≤ the batch's band rows ×
-      // their store-bucket collisions, O(batch) never O(store) (the same
-      // bounded-driver-set pattern as Search.effectiveTerms) — and both
-      // downstream uses (the store-pruning aid set, and the verify join's
-      // candidate side as a broadcast local relation) want them small.
-      val candRows = crossCands.collect()
-      val aids = candRows.map(_.getLong(0)).distinct
+      // the candidate PAIRS never land on the driver — they stay a
+      // distributed frame through the verify join. The driver sees at most
+      // the distinct aid set (≤ AidPushdownCap, for parquet id pushdown)
+      // or, on a hot band where candidates grow with the store, just the
+      // distinct partition buckets (≤ SetBuckets): see storeSetsForVerify.
+      val nCand = crossCands.count()
       // verify needs both sides' shingle sets: aid from the store — read
       // PRUNED to the candidates' partitions — bid from the new batch
       val crossDropped =
-        if (candRows.isEmpty)
+        if (nCand == 0L)
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("doc_id",
                 org.apache.spark.sql.types.LongType))))
         else Dedup.verifyJaccard(
-            spark.createDataFrame(java.util.Arrays.asList(candRows: _*),
-              crossCands.schema),
-            prunedStoreSets(spark, dir, aids, sets).unionByName(sets),
+            crossCands,
+            storeSetsForVerify(spark, dir, crossCands, nCand, sets)
+              .unionByName(sets),
             threshold)
           .select(col("bid").as("doc_id"))
       // within-batch: smaller id wins, same verify — over the band rows
@@ -245,6 +298,7 @@ object StreamDedup {
         .parquet(s"$dir/store_sets")
       appendStoreBands(bands, dir)
     } finally {
+      crossCands.unpersist()
       bands.unpersist()
       sets.unpersist()
     }

@@ -113,4 +113,67 @@ class StreamDedupSpec extends SparkSpec {
       s"the aid set must push into the parquet scan:\n$prunedPlan")
     assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
+
+  test("hot band: a batch of near-identical docs dedups correctly and the " +
+       "above-cap fallback never collects ids") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this website please " +
+      "read carefully before proceeding with registration " * 4
+    // a boilerplate-heavy corpus: every doc shares almost all shingles →
+    // every band hash collides → the store's (band, bh) buckets go HOT
+    val batch0 = (0L until 12L).map(i => (i, boiler + s" suffix$i"))
+    val batch1 = Seq((100L, boiler + " yetanothersuffix"), // dup of all 12
+      (101L, "genuinely novel content about distributed query planning today"))
+    val root = graft.core.Scratch.dir("stream_hotband_spec")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val landing = s"$root/landing"
+    def stage(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      val stageDir = s"$root/stage_$name"
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+      fs.setTimes(dst, mtime, -1)
+    }
+    stage(batch0, "b0", 1700000000000L)
+    stage(batch1, "b1", 1700000060000L)
+    val schema = spark.read.parquet(s"$landing/b0.parquet").schema
+    StreamDedup.start(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing), root)
+      .awaitTermination()
+    val kept = spark.read.parquet(s"$root/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // smallest id survives the hot band; 100 is dominated by prior batch
+    assert(kept == Set(0L, 101L),
+      s"hot-band corpus must keep only the first doc + the novel one, got $kept")
+
+    // the fallback path (candidate count above AidPushdownCap): the store
+    // read is pruned by sbucket partitions ONLY — no per-id parquet
+    // pushdown, so nothing driver-side scales with the candidate count
+    val like = spark.read.parquet(s"$root/store_sets").select("doc_id", "hs")
+    val cands = (0L until 12L).map(a => (a, 100L)).toDF("aid", "bid")
+    val fallback = StreamDedup.storeSetsForVerify(
+      spark, root, cands, StreamDedup.AidPushdownCap + 1, like)
+    val plan = fallback.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[.*sbucket".r.findFirstIn(plan).nonEmpty,
+      s"fallback must still partition-prune by bucket:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(doc_id"),
+      s"fallback must NOT push a per-id filter (ids never hit the driver):\n$plan")
+    // and it still feeds the verify join correctly: all 13 stored docs of
+    // the candidates' buckets come back (ids 0..11 + 100 span all buckets)
+    assert(fallback.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect((0L until 12L).toSet) == (0L until 12L).toSet)
+
+    // below the cap the id set IS pushed (the common fast path)
+    val fast = StreamDedup.storeSetsForVerify(spark, root, cands, 12L, like)
+    assert(fast.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .contains("PushedFilters: [In(doc_id"))
+  }
 }
