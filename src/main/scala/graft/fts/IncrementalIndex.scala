@@ -58,14 +58,47 @@ object IncrementalIndex {
   }
 
   private def writeCompactionInfo(spark: SparkSession, dir: String,
-                                  baseDir: String, watermark: Long): Unit = {
+                                  baseDir: String, watermark: Long,
+                                  upsertBatches: Set[Long]): Unit = {
     val props = new java.util.Properties()
     props.setProperty("baseDir", baseDir)
     props.setProperty("watermark", watermark.toString)
+    if (upsertBatches.nonEmpty)
+      props.setProperty("upsertBatches",
+        upsertBatches.toSeq.sorted.mkString(","))
     val p = new Path(dir, CompactionFile)
     val out = fsOf(spark, p).create(p, true)
     try props.store(out, "graft delta-log compaction epoch")
     finally out.close()
+  }
+
+  /** Upsert-minted batch ids whose delta partitions compaction has already
+    * folded and truncated. The physical [[UpsertMarker]] files die with
+    * their partitions, so [[compact]] carries the ids forward here —
+    * without this record, a stream resumed from a pre-upsert checkpoint
+    * would re-mint a folded upsert's batch id post-compaction and its
+    * documents would be silently dropped by [[read]]'s post-watermark
+    * filter (the exact silent two-writer merge the marker exists to catch). */
+  private def recordedUpsertBatches(spark: SparkSession, dir: String): Set[Long] = {
+    val p = new Path(dir, CompactionFile)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      Option(props.getProperty("upsertBatches")).toSet[String]
+        .flatMap(_.split(',').iterator.filter(_.nonEmpty).map(_.toLong))
+    }
+  }
+
+  /** Live delta partitions stamped with a physical [[UpsertMarker]]. */
+  private def liveUpsertBatches(spark: SparkSession, dir: String): Set[Long] = {
+    val fs = fsOf(spark, new Path(dir))
+    partitionIds(spark, s"$dir/postings_delta", "batch_id")
+      .filter(id => fs.exists(
+        new Path(s"$dir/postings_delta/batch_id=$id/$UpsertMarker")))
+      .toSet
   }
 
   /** The live partition values of a partitioned delta directory (parsed
@@ -125,7 +158,14 @@ object IncrementalIndex {
         // the stream's checkpoint doesn't know about: fail loud, the two
         // writers' id spaces have collided (ADVICE r5)
         val part = new Path(s"$dir/postings_delta/batch_id=$batchId")
-        if (fsOf(spark, part).exists(new Path(part, UpsertMarker)))
+        // the marker may be physical (live partition) or carried forward in
+        // the epoch record (compaction truncated the partition). A plain
+        // batchId ≤ watermark check would NOT do: a crash-replayed stream
+        // batch that compaction already folded legitimately re-lands under
+        // the watermark (read() correctly ignores it — the data is in the
+        // base); only an id minted by the OTHER writer means collision.
+        if (fsOf(spark, part).exists(new Path(part, UpsertMarker)) ||
+            recordedUpsertBatches(spark, dir).contains(batchId))
           throw new IllegalStateException(
             s"delta batch $batchId at $dir was minted by upsert(); the " +
               "stream's checkpointed batch counter has fallen behind the " +
@@ -304,8 +344,14 @@ object IncrementalIndex {
     }
     val newWatermark = currentMaxBatch(spark, dir).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $dir"))
+    // upsert-minted ids: the physical markers die with the truncated
+    // partitions below, so fold them into the epoch record (union with the
+    // previous epochs' record — the guard must survive ANY number of
+    // compactions)
+    val upserts = recordedUpsertBatches(spark, dir) ++
+      liveUpsertBatches(spark, dir)
     Index.write(read(spark, dir), outDir, buckets)
-    writeCompactionInfo(spark, dir, outDir, newWatermark)
+    writeCompactionInfo(spark, dir, outDir, newWatermark, upserts)
     // physical truncation: folded delta partitions and the tombstones they
     // absorbed are directory deletes (the partitioned layout's payoff) —
     // the log stays bounded by one epoch of deltas

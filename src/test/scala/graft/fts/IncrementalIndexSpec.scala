@@ -208,6 +208,56 @@ class IncrementalIndexSpec extends SparkSpec {
       s"collision must name the upsert, got: ${ex.getMessage.take(300)}")
   }
 
+  test("the upsert-collision guard survives compaction truncating the marker") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val dir = graft.core.Scratch.dir("incr_ix_collide_compact_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "spark makes big data simple"))
+    IncrementalIndex.start(stream, dir).awaitTermination() // batch 0
+    IncrementalIndex.upsert(spark, dir,                    // mints batch 1
+      Seq((2L, "fresh vector content")).toDF("doc_id", "text"))
+    // compaction folds batches 0–1 and TRUNCATES their partitions — the
+    // physical _graft_upsert marker dies with batch_id=1; the epoch record
+    // must carry the id forward or the resumed stream below would write
+    // batch 1 under the watermark and read() would silently drop it
+    val outDir = graft.core.Scratch.dir("incr_ix_collide_compact_base")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    IncrementalIndex.compact(spark, dir, outDir)
+    input.addData((3L, "spark streaming of data streams"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalIndex.start(stream, dir).awaitTermination()
+    }
+    assert(ex.getMessage.contains("upsert"),
+      s"post-compaction collision must still name the upsert, got: " +
+        ex.getMessage.take(300))
+
+    // and the record survives a SECOND compaction (union of the carried
+    // record with the new epoch's live markers, not an overwrite): a second
+    // upsert mints batch 2 (post-watermark, physical marker), compaction
+    // folds it, and BOTH ids must be recorded
+    IncrementalIndex.upsert(spark, dir,
+      Seq((4L, "another document entirely")).toDF("doc_id", "text"))
+    val outDir2 = graft.core.Scratch.dir("incr_ix_collide_compact_base2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir2))
+    IncrementalIndex.compact(spark, dir, outDir2)
+    val props = {
+      val p = new org.apache.hadoop.fs.Path(dir, IncrementalIndex.CompactionFile)
+      val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+      val pr = new java.util.Properties(); try pr.load(in) finally in.close(); pr
+    }
+    assert(props.getProperty("upsertBatches") == "1,2",
+      s"second compaction must union old + new upsert ids, got: " +
+        props.getProperty("upsertBatches"))
+    // the folded view still serves all surviving docs
+    assert(IncrementalIndex.read(spark, dir).docLens.collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("positional ingest: merge-on-read position lists == batch positional") {
     val sparkS = spark
     import sparkS.implicits._
