@@ -329,8 +329,20 @@ object Index {
       .sortWithinPartitions("bucket", "term")
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/postings")
-    ix.docLens.write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
-    ix.stats.write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
+    // doclens and stats from the postings JUST WRITTEN, not more passes
+    // over `ix`'s input: ix.docLens is sum(tf) per doc over ix.postings in
+    // every build variant (incl. the df-capped one), which is exactly the
+    // `dl` column the postings write denormalized — so the input corpus
+    // (or delta log) is scanned ONCE per write, and doclens re-derives
+    // from a two-column pruned read of the pre-aggregated index. The old
+    // shape re-ran scan→tokenize→aggregate once per output file.
+    val spark = ix.docLens.sparkSession
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
+    spark.read.parquet(s"$dir/doclens")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }
 
   /** REVERSED-term postings layout: `(term = reverse(original), doc_id)`,

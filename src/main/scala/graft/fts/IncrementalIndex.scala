@@ -195,13 +195,19 @@ object IncrementalIndex {
     * Dynamic partition overwrite: a replayed batch replaces ONLY its own
     * partition — idempotent without read-modify-write. */
   private def writeDeltaBatch(ix: FtsIndex, dir: String, batchId: Long): Unit = {
+    val spark = ix.postings.sparkSession
     ix.postings
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$dir/postings_delta")
-    ix.docLens
+    // the doclens delta re-derives from the postings partition JUST
+    // written (dl = Σtf per doc, the docLens definition in every build
+    // variant) — ix.docLens would re-run the batch's scan→tokenize→
+    // aggregate a second time, doubling per-batch ingest CPU
+    spark.read.parquet(s"$dir/postings_delta/batch_id=$batchId")
+      .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       .withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
