@@ -234,10 +234,11 @@ object Similarity {
     * materialized eagerly and scratch caches released. */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nlist: Int = 16,
               nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainIters: Int = DefaultTrainIters): DataFrame = {
     val spark = emb.sparkSession
     // nlist × dim doubles on the driver — the "trained quantizer" artifact
-    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
+    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol, trainIters)
     val celled = emb
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol))
       .withColumn("v", asDouble(col(vecCol)))
@@ -263,15 +264,67 @@ object Similarity {
     } finally celled.unpersist()
   }
 
-  /** The "trained quantizer" artifact: nlist centroids (+ norms) — the
-    * nlist lowest-id corpus vectors (selection is orthogonal to the
-    * partition/probe machinery; see [[ivfTopK]]). */
+  /** Lloyd iterations the quantizer trainers default to: enough to move
+    * the seeds onto the data's cluster structure (assignments are stable
+    * well before 5 on clustered corpora); each iteration costs one corpus
+    * pass. */
+  val DefaultTrainIters = 3
+
+  /** The "trained quantizer" artifact: nlist centroids (+ norms). Seeds
+    * are the nlist lowest-id corpus vectors (deterministic), refined by
+    * `trainIters` Lloyd iterations under the SERVING metric (cell = argmax
+    * dot(v,c)/‖c‖ — training and probing must agree on the assignment or
+    * the trained cells don't match the probed ones). */
   private def centroidsOf(emb: DataFrame, nlist: Int, idCol: String,
-                          vecCol: String): (Seq[Array[Double]], Seq[Double]) = {
-    val cs: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
+                          vecCol: String,
+                          trainIters: Int = DefaultTrainIters)
+      : (Seq[Array[Double]], Seq[Double]) = {
+    val seeds: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).toArray).toSeq
+    val cs =
+      if (trainIters <= 0) seeds
+      else trainCentroids(emb.select(asDouble(col(vecCol)).as("v")),
+        seeds, trainIters)
     (cs, cs.map(c => math.sqrt(c.map(x => x * x).sum)))
+  }
+
+  /** Distributed Lloyd's over `vv` (a 1-column `v: array<double>` frame):
+    * assign every vector to its cell under the serving metric, then move
+    * each centroid to the elementwise MEAN of its members — both steps as
+    * DataFrame operations. The update explodes (cell, dim, value) rows,
+    * but hash aggregation's map-side combine collapses them to
+    * cells×dim partials per task BEFORE the shuffle, so the shuffle and
+    * the driver state are nlist×dim regardless of corpus size — the same
+    * partial-agg shape the reference's Lloyd uses (reference
+    * mllib/clustering/KMeans.scala runAlgorithmWithWeight's per-partition
+    * sum accumulation). An emptied cell keeps its previous centroid
+    * (standard Lloyd degeneracy handling). */
+  private[pipeline] def trainCentroids(vv: DataFrame,
+                                       init: Seq[Array[Double]],
+                                       iters: Int): Seq[Array[Double]] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      val means = vv
+        .withColumn("cell", cellExpr(col("v"), cents, norms))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i + 1) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            // a zero mean has no direction under the dot/‖c‖ metric —
+            // keep the old centroid rather than divide by a zero norm
+            if (arr.exists(_ != 0.0)) arr else old
+          case None => old
+        }
+      }
+    }
+    cents
   }
 
   /** Cell-assignment column: argmax over per-cell scaled dot products
@@ -289,16 +342,18 @@ object Similarity {
     * nprobe/nlist of the files instead of the corpus (the vector analogue
     * of the FTS bucketed postings layout). Returns the probe-ready reader. */
   def writeCelled(emb: DataFrame, dir: String, nlist: Int = 16,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    writeCelledWith(emb, dir, nlist, idCol, vecCol)._1
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainIters: Int = DefaultTrainIters): DataFrame =
+    writeCelledWith(emb, dir, nlist, idCol, vecCol, trainIters)._1
 
   /** [[writeCelled]] plus the quantizer artifact it trained — so a caller
     * that needs the centroids (the persisted probe path) doesn't pay the
     * full-corpus centroid collection a second time. */
   private def writeCelledWith(emb: DataFrame, dir: String, nlist: Int,
-                              idCol: String, vecCol: String)
+                              idCol: String, vecCol: String,
+                              trainIters: Int = DefaultTrainIters)
       : (DataFrame, Seq[Array[Double]], Seq[Double]) = {
-    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol)
+    val (centroids, cNorms) = centroidsOf(emb, nlist, idCol, vecCol, trainIters)
     emb.withColumn("cell", cellExpr(asDouble(col(vecCol)), centroids, cNorms))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     // the quantizer artifact travels WITH the layout (underscore dir: data
@@ -367,6 +422,52 @@ object Similarity {
     (0 until m).map(s => cents.map(c => c.slice(s * sub, (s + 1) * sub)))
   }
 
+  /** K-means-trained PQ codebooks: [[pqCodebooks]]' deterministic seeds
+    * refined by per-sub-space Lloyd under the ENCODE metric (argmin
+    * rounded-L2 — training replays [[pqEncode]] itself for assignment, so
+    * trained codes and served codes agree by construction). Same
+    * map-side-combine shape as [[trainCentroids]]: the exploded
+    * (sub, code, dim) rows collapse to m×ncent×subdim partials per task,
+    * driver state = the codebooks. All m sub-spaces train in ONE corpus
+    * pass per iteration (the encode kernel emits all m codes per row).
+    * Emptied codes keep their previous centroid. NOT used by the
+    * exact-checksum contract (`q_embed_pq` replays the seeds in SQL);
+    * recall-contract paths ([[writeCelledPq]], [[pqTopK]]) default to it. */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 8, ncent: Int = 16,
+                       iters: Int = DefaultTrainIters,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Seq[Seq[Array[Double]]] = {
+    var books = pqCodebooks(emb, m, ncent, idCol, vecCol)
+    if (iters <= 0) return books
+    val sub = books.head.head.length
+    val vv = emb.select(asDouble(col(vecCol)).as("v")).persist()
+    vv.count()
+    try {
+      for (_ <- 1 to iters) {
+        val means = vv
+          .select(col("v"), posexplode(pqEncode(col("v"), books)).as(Seq("s", "code")))
+          .select(col("s"), col("code"),
+            posexplode(slice(col("v"), col("s") * sub + 1, lit(sub)))
+              .as(Seq("pos", "x")))
+          .groupBy("s", "code", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.zipWithIndex.map { case (cents, s) =>
+          cents.zipWithIndex.map { case (old, c) =>
+            means.get((s, c)) match {
+              case Some(rows) =>
+                val arr = new Array[Double](sub)
+                rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+                arr
+              case None => old
+            }
+          }
+        }
+      }
+      books
+    } finally vv.unpersist()
+  }
+
   /** PQ ENCODE: per sub-space, the 0-based index of the L2-nearest
     * codebook centroid — an `array<int>` of m codes per vector (D float32
     * dims compress to m small ints; at the defaults 64×4 B → 8 codes, the
@@ -428,8 +529,9 @@ object Similarity {
     * over the stored codes). */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int, m: Int = 8,
              ncent: Int = 16, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    val codebooks = pqCodebooks(emb, m, ncent, idCol, vecCol)
+             vecCol: String = "embedding",
+             trainIters: Int = DefaultTrainIters): DataFrame = {
+    val codebooks = trainPqCodebooks(emb, m, ncent, trainIters, idCol, vecCol)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).limit(1).collect().headOption
     if (qRow.isEmpty) return emptyTopK(emb, idCol)
@@ -446,9 +548,10 @@ object Similarity {
     * smaller than the raw vectors. */
   def writeCelledPq(emb: DataFrame, dir: String, nlist: Int = 16,
                     m: Int = 8, ncent: Int = 16, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
-    val celled = writeCelled(emb, dir, nlist, idCol, vecCol)
-    val codebooks = pqCodebooks(emb, m, ncent, idCol, vecCol)
+                    vecCol: String = "embedding",
+                    trainIters: Int = DefaultTrainIters): Unit = {
+    val celled = writeCelled(emb, dir, nlist, idCol, vecCol, trainIters)
+    val codebooks = trainPqCodebooks(emb, m, ncent, trainIters, idCol, vecCol)
     celled.select(col(idCol), col("cell"),
         pqEncode(asDouble(col(vecCol)), codebooks).as("pq_codes"))
       .repartition(col("cell"))

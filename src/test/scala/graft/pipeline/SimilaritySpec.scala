@@ -67,6 +67,28 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 8, s"recall too low: ${(exact & ivf).size}/10")
   }
 
+  test("k-means-trained IVF centroids beat (or saturate) the untrained seeds") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    try {
+      val exact = Similarity.bruteForceTopK(clustered, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      def recall(iters: Int): Int =
+        (exact & Similarity.ivfTopK(clustered, 0L, 10, trainIters = iters)
+          .collect().map(_.getLong(0)).toSet).size
+      val untrained = recall(0)
+      val trained = recall(Similarity.DefaultTrainIters)
+      // the centroid-quality contract: training strictly improves recall,
+      // or recall is already at/above 0.9 where seeds can't be beaten
+      assert(trained > untrained || trained >= 9,
+        s"trained recall@10 $trained must beat untrained $untrained or be >= 9")
+      assert(trained >= 8, s"trained recall must hold the 0.8 floor: $trained")
+    } finally clustered.unpersist()
+  }
+
   test("persisted IVF probe partition-prunes to the probe cells") {
     val emb = spark.read.parquet(sf("embeddings"))
     // serve-only contract: the layout (and its quantizer) must exist first
