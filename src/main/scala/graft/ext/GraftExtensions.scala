@@ -507,6 +507,29 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     q.toString.toLowerCase(Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
 
+  /** Phrase tokens through the entry's analyzer pipeline — order and
+    * repetition preserved (tokenizeQuery keeps both; only [[entryTerms]]
+    * dedups). A positional ANALYZER index stores positions in analyzed
+    * space ([[graft.fts.Index.buildPositionalWithAnalyzer]]), so the
+    * phrase's analyzed token sequence is exactly what adjacency means
+    * there — stemmed phrase search. */
+  private def entryPhraseTerms(entry: IndexCatalog.Entry,
+                               q: UTF8String): Seq[String] =
+    if (entry.analyzer.isV1) phraseTerms(q)
+    else entry.analyzer.tokenizeQuery(q.toString)
+
+  /** A near operand through the entry's pipeline: None when the analyzer
+    * drops it (stopword / min-length) or splits it (CJK bigrams of a
+    * multi-char operand) — a dropped term has no postings, so the
+    * proximity predicate can never hold. */
+  private def entryNearTerm(entry: IndexCatalog.Entry,
+                            t: String): Option[String] =
+    if (entry.analyzer.isV1) Some(t)
+    else entry.analyzer.tokenizeQuery(t) match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+
   /** Token-canonical phrase containment over `text`: the space-padded join
     * of the tokens contains the space-padded phrase — all codegen'd
     * built-ins, identical semantics to [[graft.fts.Search.matchPhrase]]'s
@@ -583,24 +606,28 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val ts = entryTerms(entry, q)
         Some((if (ts.isEmpty) emptyIds(entry)
           else matchingIdsDf(entry, ts, requireAll = false), idAttr))
-      // phrase/near/prefix/wildcard keep frozen-v1 semantics: over an
-      // analyzer-configured index their token shapes don't exist, so they
-      // are only index-exact against a v1 index
+      // phrase/near are index-exact on any POSITIONAL index: v1 positions
+      // under the frozen grammar, analyzer positions in analyzed space
+      // (query tokens replay the same pipeline). prefix/wildcard keep
+      // frozen-v1 semantics: their term SHAPES predate the analyzer
+      // stages, so they are only index-exact against a v1 index
       case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-          if entryFor(a).exists(e => e._1.positional && e._1.analyzer.isV1) =>
+          if entryFor(a).exists(_._1.positional) =>
         val (entry, idAttr) = entryFor(a).get
-        val ts = phraseTerms(q)
+        val ts = entryPhraseTerms(entry, q)
         Some((if (ts.isEmpty) emptyIds(entry)
           else graft.fts.Search.matchPhrasePositional(
             persistedIx(entry), ts, entry.buckets), idAttr))
       case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-          if entryFor(a).exists(e => e._1.positional && e._1.analyzer.isV1) =>
+          if entryFor(a).exists(_._1.positional) =>
         val (entry, idAttr) = entryFor(a).get
-        Some((graft.fts.Search.matchNear(persistedIx(entry),
-          singleTerm(ta, "fts_near"), singleTerm(tb, "fts_near"), sl,
-          entry.buckets), idAttr))
+        val (na, nb) = (entryNearTerm(entry, singleTerm(ta, "fts_near")),
+          entryNearTerm(entry, singleTerm(tb, "fts_near")))
+        Some((if (na.isEmpty || nb.isEmpty) emptyIds(entry)
+          else graft.fts.Search.matchNear(persistedIx(entry),
+            na.get, nb.get, sl, entry.buckets), idAttr))
       case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
           if entryFor(a).exists(_._1.analyzer.isV1) =>
         val (entry, idAttr) = entryFor(a).get
@@ -1110,7 +1137,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 val (e, id) = entryFor(a).get
                 Left(TermsConj(e, id, a, q, ModeAny))
               case FtsPhrase(a: Attribute, Literal(q: UTF8String, StringType))
-                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                  // v1: positional exact or containment residual; analyzer:
+                  // only a positional index can answer (the residual's v1
+                  // re-tokenize of text does not speak analyzed positions)
+                  if entryFor(a).exists(e => e._1.analyzer.isV1 || e._1.positional) =>
                 val (e, id) = entryFor(a).get
                 Left(TermsConj(e, id, a, q, ModePhrase))
               case org.apache.spark.sql.catalyst.expressions.Not(
@@ -1149,7 +1179,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
-                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                  if entryFor(a).exists(e => e._1.analyzer.isV1 || e._1.positional) =>
                 val (e, id) = entryFor(a).get
                 Left(NearConj(e, id, a, singleTerm(ta, "fts_near"),
                   singleTerm(tb, "fts_near"), sl))
@@ -1171,9 +1201,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   else if (mode == ModePhrase && entry.positional)
                     // a POSITIONAL index answers the phrase exactly from
                     // position lists — no containment residual, text never
-                    // re-read (Search.matchPhrasePositional)
+                    // re-read (Search.matchPhrasePositional). Analyzer
+                    // entries match in analyzed space: entryPhraseTerms
+                    // replays the pipeline ordered, and the stored
+                    // positions are analyzed-stream offsets
                     semi(cur, graft.fts.Search.matchPhrasePositional(
-                      persistedIx(entry), phraseTerms(q), entry.buckets)
+                      persistedIx(entry), entryPhraseTerms(entry, q),
+                      entry.buckets)
                       .queryExecution.optimizedPlan, idAttr)
                   else {
                     val joined = semi(cur,
@@ -1210,11 +1244,17 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan, idAttr)
                 case (cur, NearConj(entry, idAttr, a, ta, tb, sl)) =>
-                  if (entry.positional)
-                    semi(cur, graft.fts.Search.matchNear(
-                      persistedIx(entry), ta, tb, sl, entry.buckets)
+                  if (entry.positional) {
+                    val (na, nb) = (entryNearTerm(entry, ta),
+                      entryNearTerm(entry, tb))
+                    // an operand the analyzer drops has no postings: the
+                    // proximity can never hold
+                    if (na.isEmpty || nb.isEmpty)
+                      Filter(Literal.FalseLiteral, cur)
+                    else semi(cur, graft.fts.Search.matchNear(
+                      persistedIx(entry), na.get, nb.get, sl, entry.buckets)
                       .queryExecution.optimizedPlan, idAttr)
-                  else
+                  } else
                     // tf-only index: both-terms candidates, then the token
                     // proximity kernel as residual over candidates only
                     Filter(FtsNearTokens(a, ta, tb, sl),

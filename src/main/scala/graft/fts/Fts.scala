@@ -234,6 +234,31 @@ object Index {
     FtsIndex(postings, docLens, stats)
   }
 
+  /** [[buildPositional]] through a CONFIGURED analyzer: positions are
+    * offsets in the ANALYZED token stream (after stopword/stem/min-length),
+    * so adjacency means "adjacent surviving tokens" — a phrase query whose
+    * own tokens went through the same pipeline ([[AnalyzerConfig
+    * .tokenizeQuery]], order and repetition preserved) matches exactly the
+    * docs where its analyzed tokens appear consecutively. This is the
+    * contract that makes STEMMED phrase search work: index and query agree
+    * because both are positions/sequences in analyzed space (a
+    * stopworded term can never match — it has no postings). */
+  def buildPositionalWithAnalyzer(docs: DataFrame, cfg: AnalyzerConfig,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): FtsIndex = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(Analyzer.tokenizeWith(col(textCol), cfg)))
+      .withColumnRenamed("col", "term")
+    val postings = toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
   /** Persist the analyzer configuration next to the index — a fresh session
     * reads it back ([[readAnalyzerConfig]]) and normalizes queries with the
     * exact build-time pipeline. */
@@ -376,22 +401,26 @@ object Index {
     * index; the SQL rewrite then normalizes `fts_match`/`fts_match_any`/
     * `fts_score` query strings through the SAME pipeline — stemmed,
     * stopworded, or CJK search on the SQL surface. The analyzer is part of
-    * the index's semantics: predicates the config cannot answer (phrase,
-    * near, prefix, wildcard — their token positions/shapes predate the
-    * analyzer stages) keep their frozen-v1 scan semantics and are not
-    * index-lowered. Analyzer indexes are tf-only (position semantics under
-    * stopword removal are undefined) and carry no reversed projection. */
+    * the index's semantics: term-SHAPE predicates (prefix, wildcard —
+    * their patterns predate the analyzer stages) keep their frozen-v1
+    * scan semantics and are not index-lowered. A POSITIONAL analyzer
+    * index ([[buildPositionalWithAnalyzer]]) serves phrase/near in
+    * analyzed space — stemmed phrase search — since index positions and
+    * query tokens go through the same pipeline. Analyzer indexes carry
+    * no reversed projection. */
   def createIndex(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                   indexDir: String, idCol: String = "doc_id",
                   textCol: String = "text", buckets: Int = 64,
                   positional: Boolean = false,
                   reversed: Boolean = false,
                   analyzer: AnalyzerConfig = AnalyzerConfig()): Unit = {
-    require(analyzer.isV1 || (!positional && !reversed),
-      "analyzer-configured indexes are tf-only and carry no reversed " +
-        "projection (positional/reversed require the frozen v1 grammar)")
+    require(analyzer.isV1 || !reversed,
+      "analyzer-configured indexes carry no reversed projection (suffix " +
+        "patterns predate the analyzer stages)")
     val docs = spark.read.parquet(tablePath)
-    val ix = if (!analyzer.isV1) buildWithAnalyzer(docs, analyzer, idCol, textCol)
+    val ix = if (!analyzer.isV1 && positional)
+               buildPositionalWithAnalyzer(docs, analyzer, idCol, textCol)
+             else if (!analyzer.isV1) buildWithAnalyzer(docs, analyzer, idCol, textCol)
              else if (positional) buildPositional(docs, idCol, textCol)
              else build(docs, idCol, textCol)
     write(ix, indexDir, buckets)

@@ -139,9 +139,6 @@ object IncrementalIndex {
             idCol: String = "doc_id", textCol: String = "text",
             positional: Boolean = false,
             analyzer: AnalyzerConfig = AnalyzerConfig()): StreamingQuery = {
-    require(analyzer.isV1 || !positional,
-      "analyzer-configured ingests are tf-only (position semantics under " +
-        "stopword removal are undefined)")
     if (!analyzer.isV1)
       Index.writeAnalyzerConfig(docsStream.sparkSession, dir, analyzer)
     docsStream.writeStream
@@ -175,7 +172,9 @@ object IncrementalIndex {
         // so a second Index.build would re-run scan→tokenize→explode→groupBy
         // for a frame the first call already produced (2× tokenize on the
         // ingest path)
-        val ix = if (!analyzer.isV1)
+        val ix = if (!analyzer.isV1 && positional)
+                   Index.buildPositionalWithAnalyzer(batch, analyzer, idCol, textCol)
+                 else if (!analyzer.isV1)
                    Index.buildWithAnalyzer(batch, analyzer, idCol, textCol)
                  else if (positional) Index.buildPositional(batch, idCol, textCol)
                  else Index.build(batch, idCol, textCol)
@@ -268,7 +267,9 @@ object IncrementalIndex {
         .exists(_.columns.contains("positions"))
     // replacements MUST go through the same pipeline the log was built with
     val analyzer = logAnalyzer(spark, dir)
-    val ix = if (!analyzer.isV1)
+    val ix = if (!analyzer.isV1 && positional)
+               Index.buildPositionalWithAnalyzer(docs, analyzer, idCol, textCol)
+             else if (!analyzer.isV1)
                Index.buildWithAnalyzer(docs, analyzer, idCol, textCol)
              else if (positional) Index.buildPositional(docs, idCol, textCol)
              else Index.build(docs, idCol, textCol)

@@ -767,6 +767,51 @@ object Fts extends QueryPack {
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
 
+    // STEMMED PHRASE search — analyzer × positional composition: the index
+    // is built through the analyzer pipeline WITH positions, so positions
+    // are offsets in the ANALYZED stream and `fts_phrase` lowers to the
+    // pure position-list plan (plan-asserted in PlanShapeSpec) with the
+    // query phrase replayed through the same pipeline. 'the queries
+    // window' analyzes to ['query','window']; a doc matches when those
+    // are ADJACENT after stopword/stem/min-length — e.g. raw "query the
+    // window" matches (the stopword vanishes before positions are
+    // assigned). Scratch table copy: the catalog keys on (table, column)
+    // and the harness runs queries concurrently (see q_fts_sql_analyzer).
+    Q("q_fts_sql_analyzer_phrase",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val tbl = graft.core.Scratch.dir("docs_anp_table")
+        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        graft.fts.Index.createIndex(s, tbl,
+          graft.core.Scratch.dir("fts_index_sql_anp"),
+          positional = true,
+          analyzer = graft.fts.AnalyzerConfig(
+            stopWords = Seq("the"), sStem = true, minTokenLen = 2))
+        s.read.parquet(tbl).createOrReplaceTempView("documents_ixanp")
+        s.sql("""SELECT doc_id FROM documents_ixanp
+                 WHERE fts_phrase(text, 'the queries window')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t0 FROM documents),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t0, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks)
+               SELECT doc_id FROM an
+               WHERE len([i FOR i IN range(1, len(t))
+                          IF t[i] = 'query' AND t[i+1] = 'window']) > 0
+               ORDER BY doc_id""")),
+
     // fts_score in AGGREGATE position: the scoring join grafts below the
     // Aggregate and the agg expressions rewrite in place — per-language
     // best-BM25 without projecting per-doc scores first. Docs containing

@@ -152,11 +152,15 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     try {
       for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos",
-          "q_fts_compacted_near")) {
+          "q_fts_compacted_near",
+          // analyzer × positional: the stemmed phrase must take the SAME
+          // position-list plan (analyzed offsets), never a text residual
+          "q_fts_sql_analyzer_phrase")) {
         val plan = planOf(name)
-        // covered: position lists alone, corpus (fixture table or the
-        // streaming landing dir) never scanned
-        assert(!plan.contains("documents.parquet") && !plan.contains("docs_cnear_stream"),
+        // covered: position lists alone, corpus (fixture table, scratch
+        // copy, or the streaming landing dir) never scanned
+        assert(!plan.contains("documents.parquet") && !plan.contains("docs_cnear_stream")
+            && !plan.contains("docs_anp_table"),
           s"$name must answer index-only")
         assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens"),
           s"$name must never re-read document text")

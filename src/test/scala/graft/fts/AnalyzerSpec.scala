@@ -109,6 +109,49 @@ class AnalyzerSpec extends SparkSpec {
       == Seq("query", "window"))
   }
 
+  test("stemmed phrase and near serve from a positional analyzer index") {
+    import spark.implicits._
+    graft.ext.GraftExtensions.install(spark)
+    val docs = Seq(
+      (1L, "run the queries against the window manager"), // query,against,window,… → NOT adjacent
+      (2L, "query the window opens fast"),                 // the vanishes → query,window ADJACENT
+      (3L, "windows query everything"),                    // window BEFORE query → phrase no, near yes
+      (4L, "nothing relevant here at all"),
+      (5L, "many queries windows later"))                  // queries windows → query,window adjacent
+    val tbl = graft.core.Scratch.dir("anp_spec_table")
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(tbl)
+    val ixDir = graft.core.Scratch.dir("anp_spec_index")
+    graft.fts.IndexCatalog.clear()
+    try {
+      Index.createIndex(spark, tbl, ixDir, positional = true,
+        analyzer = AnalyzerConfig(stopWords = Seq("the"), sStem = true,
+          minTokenLen = 2))
+      spark.read.parquet(tbl).createOrReplaceTempView("anp_docs")
+      // phrase in ANALYZED space: 'the queries window' → [query, window]
+      val phrase = spark.sql(
+        """SELECT doc_id FROM anp_docs
+           WHERE fts_phrase(text, 'the queries window') ORDER BY doc_id""")
+      assert(phrase.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+      // and it is the position-list plan: no text re-read, no corpus scan
+      val plan = phrase.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("fts_tokenize"), s"must not re-tokenize text:\n$plan")
+      assert(!plan.contains("anp_spec_table"), s"must answer index-only:\n$plan")
+      // near with stemmed operands: 'queries'~'windows' within 2 — doc 3's
+      // reversed order is within slop, doc 1's gap (query against window)
+      // too after 'the' vanishes (analyzed distance 2)
+      val near = spark.sql(
+        """SELECT doc_id FROM anp_docs
+           WHERE fts_near(text, 'queries', 'windows', 2) ORDER BY doc_id""")
+      assert(near.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+      // an operand the analyzer drops (stopword) can never match
+      val dropped = spark.sql(
+        """SELECT doc_id FROM anp_docs
+           WHERE fts_near(text, 'the', 'window', 3)""")
+      assert(dropped.collect().isEmpty)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("shingles: count and guard for short docs") {
     import spark.implicits._
     def sh(toks: Seq[String], n: Int): Seq[String] =
