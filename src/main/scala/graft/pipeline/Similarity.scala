@@ -77,7 +77,7 @@ object Similarity {
 
   /** Empty (idCol, cosim) result frame — the unknown-query-id contract
     * shared by every top-k serving path. */
-  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame = {
+  private[graft] def emptyTopK(emb: DataFrame, idCol: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       emb.schema(idCol),
       org.apache.spark.sql.types.StructField(
@@ -96,8 +96,8 @@ object Similarity {
 
   /** The query's `nprobe` nearest cells (1-based ids) by scaled dot against
     * the centroids — shared by the in-memory and persisted IVF paths. */
-  private def nearestCells(qv: Array[Double], centroids: Seq[Array[Double]],
-                           cNorms: Seq[Double], nprobe: Int): Seq[Int] =
+  private[graft] def nearestCells(qv: Array[Double], centroids: Seq[Array[Double]],
+                                  cNorms: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.zip(cNorms).zipWithIndex
       .map { case ((c, n), i) =>
         (i + 1) -> qv.zip(c).map { case (a, b) => a * b }.sum / n }
@@ -329,8 +329,8 @@ object Similarity {
 
   /** Cell-assignment column: argmax over per-cell scaled dot products
     * (1-based, deterministic first-max). */
-  private def cellExpr(v: Column, centroids: Seq[Array[Double]],
-                       cNorms: Seq[Double]): Column = {
+  private[graft] def cellExpr(v: Column, centroids: Seq[Array[Double]],
+                              cNorms: Seq[Double]): Column = {
     val scores = array(centroids.zip(cNorms).map { case (c, n) =>
       dot(v, array(c.map(lit): _*)) / lit(n)
     }: _*)
@@ -359,17 +359,49 @@ object Similarity {
     // the quantizer artifact travels WITH the layout (underscore dir: data
     // discovery skips it): serving reads nlist rows instead of re-training
     // from the corpus per query
-    val spark = emb.sparkSession
+    writeCentroids(emb.sparkSession, dir, centroids)
+    (emb.sparkSession.read.parquet(dir), centroids, cNorms)
+  }
+
+  private[graft] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    centroids: Seq[Array[Double]]): Unit = {
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_quantizer")
-    (spark.read.parquet(dir), centroids, cNorms)
+  }
+
+  private[graft] def writePqBooks(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  codebooks: Seq[Seq[Array[Double]]]): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex
+      .flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_pq")
+  }
+
+  /** Train and persist ONLY the quantizer artifacts (coarse centroids at
+    * `_quantizer`, PQ codebooks at `_pq`) — the init step of the streaming
+    * vector index ([[graft.streaming.StreamVectorIndex]]): one training
+    * pass up front, every later batch ENCODES against the frozen artifacts
+    * (the serve-never-retrains contract applied to ingest). */
+  def writeQuantizer(emb: DataFrame, dir: String, nlist: Int = 16,
+                     m: Int = 8, ncent: Int = 16,
+                     trainIters: Int = DefaultTrainIters,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val (centroids, _) = centroidsOf(emb, nlist, idCol, vecCol, trainIters)
+    writeCentroids(emb.sparkSession, dir, centroids)
+    writePqBooks(emb.sparkSession, dir,
+      trainPqCodebooks(emb, m, ncent, trainIters, idCol, vecCol))
   }
 
   /** The persisted quantizer ([[writeCelledWith]]): nlist rows. */
-  private def readQuantizer(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): (Seq[Array[Double]], Seq[Double]) = {
+  private[graft] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): (Seq[Array[Double]], Seq[Double]) = {
     val cs: Seq[Array[Double]] = spark.read.parquet(s"$dir/_quantizer")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray).toSeq
     (cs, cs.map(c => math.sqrt(c.map(x => x * x).sum)))
@@ -556,17 +588,11 @@ object Similarity {
         pqEncode(asDouble(col(vecCol)), codebooks).as("pq_codes"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_codes")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    codebooks.zipWithIndex
-      .flatMap { case (cents, s) =>
-        cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) } }
-      .toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_pq")
+    writePqBooks(emb.sparkSession, dir, codebooks)
   }
 
-  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): Seq[Seq[Array[Double]]] = {
+  private[graft] def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Seq[Seq[Array[Double]]] = {
     val rows = spark.read.parquet(s"$dir/_pq")
       .orderBy("sub", "code").collect()
     rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2.toSeq

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.pipeline.{Components, Dedup, Multimodal, Packing, Similarity, TextStats}
+import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
   * MinHash+LSH, SimHash, n-gram blocking, embedding), similarity search
@@ -304,6 +305,77 @@ object Pipeline extends QueryPack {
             (count(lit(1)) === k &&
               sum(when(pmod(col("vec_id"), lit(24)) === 0, 0)
                 .otherwise(1)) === 0).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
+    // STREAMING vector-index maintenance — the IncrementalIndex delta/epoch
+    // lifecycle applied to IVF-PQ code rows: quantizer trained ONCE
+    // (frozen), micro-batches encode and append batch_id-partitioned code
+    // deltas, compaction folds them into the cell-partitioned base. The
+    // contract is EXACT: pre-compaction (base+delta) and post-compaction
+    // serving must both equal a batch ADC encode against the same frozen
+    // artifacts — streamed ingest changes WHERE codes live, never what
+    // they are.
+    Q("q_sim_stream",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val root = graft.core.Scratch.dir("vec_stream_q")
+          val hconf = s.sparkContext.hadoopConfiguration
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          // 1 Lloyd iteration: the contract here is streamed == batch
+          // EXACTNESS against frozen artifacts, not centroid quality
+          // (q_sim_ivf* own the recall contracts) — don't pay 3 training
+          // passes per harness run
+          Similarity.writeQuantizer(clustered, root, trainIters = 1)
+          // two micro-batches: ids split by parity via two staged files
+          val landing = s"$root/landing"
+          for ((half, i) <- Seq(clustered.filter(col("vec_id") % 2 === 0),
+              clustered.filter(col("vec_id") % 2 === 1)).zipWithIndex) {
+            val stage = s"$root/stage_$i"
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            val part = fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$stage/part-*")).head.getPath
+            fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+            val dst = new org.apache.hadoop.fs.Path(s"$landing/b$i.parquet")
+            org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+            fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+          }
+          StreamVectorIndex.start(s.readStream
+            .schema(clustered.schema).option("maxFilesPerTrigger", 1)
+            .parquet(landing), root).awaitTermination()
+          val preCompact = StreamVectorIndex.topK(clustered, root, 0L, 10)
+            .collect().toSeq
+          val baseDir = graft.core.Scratch.dir("vec_stream_q_base")
+          fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+          StreamVectorIndex.compact(s, root, baseDir)
+          val postCompact = StreamVectorIndex.topK(clustered, root, 0L, 10)
+            .collect().toSeq
+          // batch oracle: same frozen artifacts, in-memory encode + ADC
+          val (cents, norms) = Similarity.readQuantizer(s, root)
+          val books = Similarity.readPqCodebooks(s, root)
+          val qv = clustered.filter(col("vec_id") === 0L)
+            .select(col("embedding").cast("array<double>"))
+            .limit(1).collect()(0).getSeq[Double](0).toArray
+          val probes = Similarity.nearestCells(qv, cents, norms, 4)
+          val v = col("embedding").cast("array<double>")
+          val batch = Similarity.pqTopKOnCodes(
+            clustered.select(col("vec_id"),
+                Similarity.cellExpr(v, cents, norms).as("cell"),
+                Similarity.pqEncode(v, books).as("pq_codes"))
+              .filter(col("cell").isin(probes: _*)),
+            qv, books, 0L, 10).collect().toSeq
+          val verdict = s.range(1).select(
+            lit(preCompact == batch && postCompact == batch &&
+              batch.size == 10).as("ok"))
           s.createDataFrame(
             java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
         } finally clustered.unpersist()
