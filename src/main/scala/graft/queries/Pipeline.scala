@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Multimodal, Packing, Similarity, TextStats}
+import graft.pipeline.{Components, Dedup, Hybrid, Multimodal, Packing, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -310,6 +310,52 @@ object Pipeline extends QueryPack {
         } finally clustered.unpersist()
       },
       Some("SELECT true AS ok")),
+
+    // HYBRID retrieval — RRF fusion of the lexical and vector rankings:
+    // BM25 top-20 for ('spark','query') over the documents index fused
+    // with exact-cosine top-20 around vector 0 by reciprocal rank
+    // (1/(60+r) each side, full-outer on id). Both input rankings follow
+    // the engine-portable convention (rounded score DESC, id ASC), so the
+    // oracle replays ranks and the fusion formula exactly. The fusion
+    // joins two k-row frames; all corpus-scale work stays in the two
+    // pruned serving plans it composes.
+    Q("q_hybrid",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = graft.fts.Index.build(docs)
+        val text = graft.fts.Search.scoreBm25(ix, Seq("spark", "query"), 20)
+        val vec = Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), 0L, 20)
+        Hybrid.rrfFuse(text, vec, 10)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id),
+               t AS (SELECT doc_id AS id,
+                       row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r
+                     FROM sc QUALIFY r <= 20),
+               e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+               q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+               cs AS (SELECT vec_id,
+                        list_dot_product(v, qv) /
+                          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+                      FROM e CROSS JOIN q WHERE vec_id <> 0),
+               v AS (SELECT vec_id AS id,
+                       row_number() OVER (ORDER BY round(c, 4) DESC, vec_id) AS r
+                     FROM cs QUALIFY r <= 20)
+               SELECT COALESCE(t.id, v.id) AS id,
+                 round(COALESCE(1.0/(60+t.r), 0) + COALESCE(1.0/(60+v.r), 0), 6) AS rrf
+               FROM t FULL OUTER JOIN v ON t.id = v.id
+               ORDER BY rrf DESC, id LIMIT 10""")),
 
     // STREAMING vector-index maintenance — the IncrementalIndex delta/epoch
     // lifecycle applied to IVF-PQ code rows: quantizer trained ONCE
