@@ -384,6 +384,43 @@ object Relational extends QueryPack {
               GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // TPC-DS q67 SHAPE (reference sql/core/src/test/resources/tpcds/q67.sql):
+    // top-N-per-category across a ROLLUP hierarchy — the fact joins its
+    // dims (part auto-broadcasts under the threshold), ROLLUP(type, brand,
+    // year) aggregates every hierarchy level in ONE Expand + ONE hash
+    // aggregate (no per-level re-scan), then rank() partitioned by the TOP
+    // level ranks each category's rows ACROSS levels and keeps rk <= 3.
+    // Plan note — the single-sort window strategy: the window adds exactly
+    // one Exchange(hash p_type) + local sort by sumsales; rank needs no
+    // global order, and the final ORDER BY is a separate sort of the tiny
+    // rk-filtered result, so the fact table is shuffled once for the
+    // rollup and once for the window, never globally sorted. SQL-path on
+    // purpose (same text runs on both engines) — the Dataset-API rollup→
+    // window composition over a multi-join trips Spark 4's ambiguous-
+    // self-join detector on the Expand's duplicated attribute lineage.
+    sqlQ("q_join_ds67",
+      """WITH agg AS (
+           SELECT p_type, p_brand, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sumsales,
+             CAST(grouping(p_type) AS INTEGER) AS g1,
+             CAST(grouping(p_brand) AS INTEGER) AS g2,
+             CAST(grouping(CAST(year(o_orderdate) AS INTEGER)) AS INTEGER) AS g3
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY ROLLUP(p_type, p_brand, CAST(year(o_orderdate) AS INTEGER))),
+         ranked AS (
+           SELECT *, CAST(rank() OVER (PARTITION BY p_type
+             ORDER BY sumsales DESC) AS INTEGER) AS rk FROM agg)
+         SELECT coalesce(p_type, 'ALL') AS ptype,
+           coalesce(p_brand, 'ALL') AS brand,
+           coalesce(o_year, -1) AS yr, g1, g2, g3, sumsales, rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY ptype, g2, g3, brand, yr, rk"""),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",

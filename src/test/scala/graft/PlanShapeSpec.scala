@@ -26,6 +26,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_ds67: one Expand, one Window sort, broadcast dim join") {
+    val plan = planOf("q_join_ds67")
+    assert("\\(\\d+\\) Expand".r.findAllIn(plan).size == 1,
+      s"rollup must be ONE Expand (no per-level re-scan):\n${plan.take(2000)}")
+    assert("\\(\\d+\\) Window(?!GroupLimit)".r.findAllIn(plan).size == 1,
+      "rank-per-category must be a single Window")
+    // Spark 4 pushes the rk <= 3 filter INTO the shuffle as partial+final
+    // WindowGroupLimit: each map task forwards only its per-category top
+    // rows, so the window shuffle carries O(categories·k), not the rollup
+    assert(plan.contains("WindowGroupLimit"),
+      "the rank filter must push down as WindowGroupLimit")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the part dim must broadcast, not shuffle the fact side")
+    // single-sort window strategy: the fact table is never globally
+    // sorted. The three Sort nodes are (a) the map-side partial
+    // WindowGroupLimit's task-local sort, (b) the window's
+    // partition-local sort after the hash Exchange, (c) the final output
+    // sort over the tiny rk-filtered result — nothing sorts the rollup
+    // output globally
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).size <= 3,
+      s"only local/window/output sorts may appear:\n${plan.take(2000)}")
+  }
+
   test("q_join_bucketed reads buckets on both sides (no join-side shuffle)") {
     val plan = planOf("q_join_bucketed")
     assert(plan.contains("SortMergeJoin"))
