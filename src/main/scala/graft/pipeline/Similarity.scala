@@ -623,6 +623,66 @@ object Similarity {
       qv, codebooks, queryId, k, idCol)
   }
 
+  /** Per-ROW probe set: the `nprobe` nearest cells (1-based) as an array
+    * column — [[nearestCells]] as an expression, for operators where every
+    * row is a query (no driver round-trip per query). Scores sort
+    * descending with ties to the lower cell id, matching the driver-side
+    * helper exactly (stable sort there, lexicographic struct sort here). */
+  private[graft] def probeCellsExpr(v: Column, centroids: Seq[Array[Double]],
+                                    cNorms: Seq[Double], nprobe: Int): Column = {
+    val scored = array(centroids.zip(cNorms).zipWithIndex.map { case ((c, n), i) =>
+      struct((-dot(v, array(c.map(lit): _*)) / lit(n)).as("negs"),
+        lit(i + 1).cast("int").as("cell"))
+    }: _*)
+    transform(slice(sort_array(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** Batch k-NN JOIN — the top-k nearest corpus vectors for EVERY query
+    * row, the all-queries shape behind semantic dedup, clustering
+    * assignment, and retrieval evaluation (single-query serving is
+    * [[ivfTopK]]; this is its join form). IVF-pruned: the corpus is
+    * cell-assigned once, each query row derives its `nprobe` probe cells
+    * AS A COLUMN ([[probeCellsExpr]] — no driver round-trips), and
+    * candidates meet in a plain equi-join on the cell id, so the compared
+    * pairs are |Q|·|corpus|·(nprobe/nlist) instead of the |Q|·|corpus|
+    * cross product. Per-query top-k is a rank-filtered window that Spark 4
+    * bounds map-side via WindowGroupLimit (partial top-k before the
+    * final-rank shuffle — plan-asserted in PlanShapeSpec).
+    *
+    * Scale shape: one shuffle of the corpus on cell, one shuffle of
+    * |Q|·nprobe probe rows on cell, one shuffle of the candidate pairs on
+    * q_id (bounded map-side to k per query); a skewed hot cell (dense
+    * cluster) is AQE skew-join territory, the same posture as any skewed
+    * equi-join. With `nprobe = nlist` the join degenerates to exact
+    * brute force through identical machinery (the oracle-exact mode).
+    *
+    * Returns `(q_id, n_id, cosim)`, k rows per query, cosim rounded to
+    * 4 dp with ties to the lower neighbor id (every serving path's
+    * reproducibility convention). Self-pairs (same id) are excluded when
+    * `excludeSelf` — the semantic-dedup self-join default. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainIters: Int = DefaultTrainIters): DataFrame = {
+    val (centroids, cNorms) = centroidsOf(corpus, nlist, idCol, vecCol, trainIters)
+    val celled = corpus
+      .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", cellExpr(col("v"), centroids, cNorms))
+    val probes = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(probeCellsExpr(col("qv"), centroids, cNorms, nprobe)))
+    val pairs = probes.join(celled, "cell")
+      .where(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
+      .withColumn("cosim", round(cosine(col("qv"), col("v")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosim").desc, col("n_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cosim"))
+  }
+
   /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the
     * storage-compression step a 100 TB embedding corpus ships with (4×
     * smaller than float32; dot products stay rank-preserving to ~1e-2).

@@ -311,6 +311,63 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // Batch k-NN JOIN, exact mode: top-5 neighbors for EVERY query row
+    // through the join machinery (probe-cells column → equi-join on cell →
+    // per-query rank window), with nprobe = nlist so the result is exactly
+    // brute force — the DuckDB oracle replays the per-query cosine top-5
+    // and must hash-match (q_sim_cosine's contract, batched). The pruned
+    // mode's recall contract is q_sim_knn_join below.
+    Q("q_sim_knn_exact",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.knnJoin(emb.filter(col("vec_id") < 32), emb, 5,
+            nlist = 16, nprobe = 16)
+          .orderBy("q_id", "n_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 32),
+              sc AS (SELECT q_id, e.vec_id AS n_id,
+                       round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))), 4) AS cosim
+                     FROM e CROSS JOIN q WHERE e.vec_id <> q_id)
+              SELECT q_id, n_id, cosim FROM (
+                SELECT q_id, n_id, cosim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosim DESC, n_id) AS rk
+                FROM sc) WHERE rk <= 5
+              ORDER BY q_id, n_id""")),
+
+    // Batch k-NN JOIN, pruned mode: every vector is a query, each probes
+    // 4 of 16 trained cells — compared pairs are |Q|·|corpus|/4, not the
+    // cross product — and the per-query top-10 must recover ≥ 0.9 of the
+    // exact brute-force top-10 ON AVERAGE over all queries (clustered
+    // fixture; approximate results are engine-specific so both sides emit
+    // the verdict, but the contract is real and batched). Plan-asserted:
+    // equi-join on cell (never a cross product) + WindowGroupLimit
+    // bounding per-query state map-side.
+    Q("q_sim_knn_join",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val knn = Similarity.knnJoin(clustered, clustered, 10)
+            .select(col("q_id"), col("n_id"))
+          val exact = Similarity.knnJoin(clustered, clustered, 10,
+              nlist = 16, nprobe = 16, trainIters = 0)
+            .select(col("q_id"), col("n_id"))
+          val nq = clustered.count()
+          val verdict = exact.join(knn, Seq("q_id", "n_id"))
+            .agg((count(lit(1)) >= lit(9.0) * nq).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // HYBRID retrieval — RRF fusion of the lexical and vector rankings:
     // BM25 top-20 for ('spark','query') over the documents index fused
     // with exact-cosine top-20 around vector 0 by reciprocal rank

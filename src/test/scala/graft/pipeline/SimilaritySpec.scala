@@ -115,6 +115,43 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length <= 5 && rows.forall(_.getLong(0) != 0L))
   }
 
+  test("knnJoin with nprobe = nlist equals per-query brute force exactly") {
+    val embFixture = spark.read.parquet(sf("embeddings"))
+    val knn = Similarity.knnJoin(embFixture.filter(col("vec_id") < 8),
+        embFixture, 4, nlist = 16, nprobe = 16, trainIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = (0L until 8L).flatMap { q =>
+      Similarity.bruteForceTopK(embFixture, q, 4).collect()
+        .map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(knn == brute)
+  }
+
+  test("knnJoin pruned: equi-join plan, WindowGroupLimit, avg recall >= 0.9") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    try {
+      val knnDf = Similarity.knnJoin(clustered, clustered, 10)
+      val plan = knnDf.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // candidates meet in an equi-join on the cell id — never a cross
+      // product — and the rank filter is bounded map-side
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"cross product:\n${plan.take(1500)}")
+      assert(plan.contains("WindowGroupLimit"),
+        s"per-query top-k must bound map-side:\n${plan.take(1500)}")
+      val knn = knnDf.select("q_id", "n_id")
+      val exact = Similarity.knnJoin(clustered, clustered, 10,
+        nlist = 16, nprobe = 16, trainIters = 0).select("q_id", "n_id")
+      val nq = clustered.count()
+      val matched = exact.join(knn, Seq("q_id", "n_id")).count()
+      assert(matched >= 9L * nq, s"avg recall ${matched.toDouble / (10 * nq)}")
+    } finally clustered.unpersist()
+  }
+
   test("clustered fixture separates clusters (sanity for the ann contract)") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),
