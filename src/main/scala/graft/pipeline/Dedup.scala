@@ -271,6 +271,41 @@ object Dedup {
     } finally { corpusSets.unpersist(); benchSets.unpersist() }
   }
 
+  /** LINE-level dedup across the corpus (the RefinedWeb/CCNet curation
+    * step): a line whose trimmed form appears in at least `minDf` DISTINCT
+    * documents is boilerplate (nav menus, cookie banners, footers — text
+    * that repeats across pages without being a document-level duplicate)
+    * and is removed from EVERY document; line order inside each document
+    * is preserved, documents whose every line was boilerplate stay in the
+    * corpus with empty text (drop-or-not is the caller's quality filter).
+    * Blank lines are never boilerplate (formatting survives).
+    *
+    * Scale shape: explode to lines (narrow) → line-df hash aggregation
+    * (count DISTINCT doc partial-aggregates map-side; one shuffle on the
+    * line) → LEFT-ANTI join of lines against the hot set (a second
+    * shuffle on the line; the hot side is at most |lines|/minDf rows by
+    * definition, broadcastable for any real threshold) → order-preserving
+    * reassembly (one shuffle on doc_id, sort_array over each doc's
+    * collected (pos, line) structs). Nothing is ever all-pairs and no
+    * driver state exists at any corpus size. */
+  def dedupLines(docs: DataFrame, minDf: Long,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+    val hot = lines.where(length(col("norm")) > 0)
+      .groupBy("norm").agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDf).select("norm")
+    val kept = lines.join(hot, Seq("norm"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), "\n").as("kept_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept_text"), lit("")).as(textCol))
+  }
+
   /** Near-duplicate pairs at `threshold` via MinHash LSH + exact verify. */
   def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(docs)

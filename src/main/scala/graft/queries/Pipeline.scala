@@ -159,6 +159,68 @@ object Pipeline extends QueryPack {
                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
                GROUP BY lang ORDER BY lang""")),
 
+    // LINE-level dedup (RefinedWeb/CCNet): boilerplate lines — trimmed
+    // form in >= 50 distinct docs — removed from every doc, order
+    // preserved. The fixture docs are single-line, so both sides derive
+    // the same multi-line corpus deterministically (the q_dedup_embed
+    // seeded-fixture pattern): tokens re-wrapped 6 per line, plus a
+    // footer on even ids (df 250 -> dropped), a newsletter line on %5
+    // (df 100 -> dropped), and a banner on %11 (df 46 < 50 -> KEPT,
+    // pinning the threshold direction). Oracle replays fixture + dedup.
+    Q("q_dedup_lines",
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        val nLines = ceil(size(toks) / lit(6.0)).cast("int")
+        val wrapped = array_join(transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")), "\n")
+        // persist: the interpreted wrap expression would otherwise re-run
+        // in every branch that fans out of the fixture (lines ×2 + spine)
+        val fixture = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("promo footer visit our site\n")).otherwise(lit("")),
+            wrapped,
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nsubscribe to the newsletter")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("\nsale banner limited offer")).otherwise(lit(""))).as("text"))
+          .persist()
+        fixture.count()
+        try {
+          val out = Dedup.dedupLines(fixture, 50).orderBy("doc_id")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally fixture.unpersist()
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                            FROM documents),
+              wrapped AS (SELECT doc_id,
+                array_to_string([array_to_string(t[i*6+1 : i*6+6], ' ')
+                  FOR i IN range(0, cast(ceil(len(t)/6.0) AS INT))], chr(10)) AS w
+                FROM base),
+              fixture AS (SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 0
+                      THEN 'promo footer visit our site' || chr(10) ELSE '' END)
+                || w
+                || (CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || 'subscribe to the newsletter' ELSE '' END)
+                || (CASE WHEN doc_id % 11 = 0
+                         THEN chr(10) || 'sale banner limited offer' ELSE '' END)
+                  AS text FROM wrapped),
+              ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM fixture),
+              lines AS (SELECT doc_id, unnest(arr) AS line,
+                          unnest(range(1, len(arr) + 1)) AS pos FROM ls),
+              hot AS (SELECT trim(line) AS norm FROM lines
+                      WHERE len(trim(line)) > 0
+                      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50),
+              kept AS (SELECT doc_id, pos, line FROM lines
+                       WHERE trim(line) NOT IN (SELECT norm FROM hot)),
+              agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                      FROM kept GROUP BY doc_id)
+              SELECT f.doc_id, coalesce(a.text, '') AS text
+              FROM fixture f LEFT JOIN agg a USING (doc_id)
+              ORDER BY f.doc_id""")),
+
     // ---- similarity search --------------------------------------------------
     Q("q_sim_cosine",
       (s, dir) => Similarity.bruteForceTopK(Tables(s, dir, "embeddings"), 0L, 10),

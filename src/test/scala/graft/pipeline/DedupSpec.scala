@@ -95,4 +95,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L))) // (1,4) is dissimilar → dropped
   }
+
+  test("dedupLines drops cross-doc boilerplate, keeps order, blanks, and empty docs") {
+    import spark.implicits._
+    val multi = Seq(
+      (1L, "cookie banner\nunique one\n\nunique two"),
+      (2L, "cookie banner\nother content"),
+      (3L, "  cookie banner \nthird thing"),  // trimmed form matches
+      (4L, "cookie banner"),                   // nothing survives → empty
+      (5L, "solo line never repeated")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\n\nunique two") // order + blank preserved
+    assert(out(2L) == "other content")
+    assert(out(3L) == "third thing")
+    assert(out(4L) == "")                         // doc retained, text empty
+    assert(out(5L) == "solo line never repeated") // df=1 untouched
+  }
+
+  test("dedupLines threshold is >= minDf on DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // "twice here" occurs 3 times but in only 2 docs → df=2 < 3 → kept
+    val multi = Seq(
+      (1L, "twice here\ntwice here\na"),
+      (2L, "twice here\nb"),
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi, 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "twice here\ntwice here\na")
+    assert(out(2L) == "twice here\nb")
+  }
 }
