@@ -91,4 +91,33 @@ object TextStats {
       t => (length(t).cast("long") * 131L + ascii(substring(t, 1, 1)).cast("long")))
     aggregate(codes, lit(0L), (h, c) => pmod(h * 31L + c, lit(p)))
   }
+
+  /** PII patterns the redaction pass scrubs, deliberately conservative and
+    * engine-portable (no lookaround — RE2-compatible, so an oracle engine
+    * replays them verbatim): emails, dotted-quad IPs, and NANP-style
+    * 555 phone numbers. Real deployments extend this table; each entry is
+    * (tag, pattern, replacement). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b555-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** PII redaction + per-doc counts — the scrub step a training-data
+    * pipeline runs before anything ships: counts are measured on the RAW
+    * text (the audit numbers), then patterns replace in table order
+    * (emails first so an address's digits can't half-match as something
+    * else). A pure per-row projection of codegen'd regexp built-ins — no
+    * shuffle, no UDF — so it fuses into whatever scan feeds it at any
+    * corpus size. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = PiiPatterns.map { case (tag, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$tag")
+    }
+    docs.select(col(idCol) +: redacted.as(textCol) +: counts: _*)
+  }
 }

@@ -625,6 +625,53 @@ object Pipeline extends QueryPack {
                    (a, b) -> (a*31 + b) % 2147483647) AS fp
                FROM toks ORDER BY doc_id""")),
 
+    // PII redaction — the scrub every shipped corpus needs: emails, IPs,
+    // and 555-phones replaced by tags, counts audited on the raw text.
+    // The fixture has no PII, so both sides seed it deterministically from
+    // doc_id (%3 → an email, %4 → a dotted-quad, %5 → a phone; doc 0 gets
+    // all three). The oracle replays seeding, RE2-portable patterns, and
+    // replacement order, and every redacted doc hash-matches.
+    Q("q_text_pii",
+      (s, dir) => {
+        val phone = concat(lit("555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit(" server at 10.0."), pmod(col("doc_id"), lit(256)),
+                lit("."), pmod(col("doc_id"), lit(7)))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(lit(" call "), phone)).otherwise(lit(""))).as("text"))
+        TextStats.redactPii(seeded).orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (SELECT doc_id, text
+                || (CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0
+                    THEN ' server at 10.0.' || (doc_id % 256) || '.' || (doc_id % 7)
+                    ELSE '' END)
+                || (CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                         || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    ELSE '' END) AS text
+              FROM documents)
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text,
+                len(regexp_extract_all(text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+                len(regexp_extract_all(text,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+                len(regexp_extract_all(text,
+                  '\b555-\d{3}-\d{4}\b'))::BIGINT AS n_phone
+              FROM seeded ORDER BY doc_id""")),
+
     // ---- end-to-end curation ------------------------------------------------
     // The composite the library exists for: quality-filter (token count +
     // lexical diversity) → exact dedup keeping the lowest doc_id per content

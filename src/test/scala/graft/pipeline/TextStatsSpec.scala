@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** PII-redaction invariants (the rest of TextStats is pinned per-doc by
+  * the q_text_* oracle hashes). */
+class TextStatsSpec extends SparkSpec {
+
+  private def redact(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    TextStats.redactPii(rows.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  test("redactPii scrubs emails, ips, and phones and audits counts on raw text") {
+    val out = redact(Seq(
+      (1L, "write to alice.smith+x@mail.example.org today"),
+      (2L, "host 192.168.1.254 and 10.0.0.1 are up"),
+      (3L, "call 555-123-4567 or 555-000-9999"),
+      (4L, "mixed bob@x.io at 8.8.8.8 dial 555-111-2222"),
+      (5L, "nothing sensitive here")))
+    assert(out(1L) == ("write to <EMAIL> today", 1L, 0L, 0L))
+    assert(out(2L) == ("host <IP> and <IP> are up", 0L, 2L, 0L))
+    assert(out(3L) == ("call <PHONE> or <PHONE>", 0L, 0L, 2L))
+    assert(out(4L) == ("mixed <EMAIL> at <IP> dial <PHONE>", 1L, 1L, 1L))
+    assert(out(5L) == ("nothing sensitive here", 0L, 0L, 0L))
+  }
+
+  test("redactPii leaves near-misses alone") {
+    val out = redact(Seq(
+      (1L, "not an email: user at example dot com"),
+      (2L, "version 1.2.3 is not an ip"),
+      (3L, "ticket 555-12-3456 is not a phone")))
+    assert(out(1L)._1.contains("user at example dot com") && out(1L)._2 == 0L)
+    assert(out(2L)._1.contains("1.2.3") && out(2L)._3 == 0L)
+    assert(out(3L)._1.contains("555-12-3456") && out(3L)._4 == 0L)
+  }
+}
