@@ -421,6 +421,34 @@ object Relational extends QueryPack {
          FROM ranked WHERE rk <= 3
          ORDER BY ptype, g2, g3, brand, yr, rk"""),
 
+    // The TPC-DS q88 reporting shape: N independent (band × predicate)
+    // cells over one fact table — q88 writes it as 8 single-count
+    // subqueries cross-joined into one row, i.e. 8 scans. The scale-right
+    // plan is ONE scan with conditional aggregation (ANSI FILTER), which
+    // partial-aggregates map-side to a single 8-column row per task —
+    // at 100 TB the difference between reading the corpus once and 8
+    // times. Plan-asserted: one lineitem scan, no join anywhere.
+    sqlQ("q_agg_ds88",
+      """SELECT
+           count(*) FILTER (WHERE l_quantity >= 1  AND l_quantity < 7
+                              AND l_discount >= 0.02) AS h1,
+           count(*) FILTER (WHERE l_quantity >= 7  AND l_quantity < 13
+                              AND l_discount <= 0.08) AS h2,
+           count(*) FILTER (WHERE l_quantity >= 13 AND l_quantity < 19
+                              AND l_discount >= 0.04) AS h3,
+           count(*) FILTER (WHERE l_quantity >= 19 AND l_quantity < 25
+                              AND l_discount <= 0.06) AS h4,
+           count(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 31
+                              AND l_discount >= 0.01) AS h5,
+           count(*) FILTER (WHERE l_quantity >= 31 AND l_quantity < 37
+                              AND l_discount <= 0.09) AS h6,
+           count(*) FILTER (WHERE l_quantity >= 37 AND l_quantity < 43
+                              AND l_discount >= 0.03) AS h7,
+           count(*) FILTER (WHERE l_quantity >= 43 AND l_quantity <= 50
+                              AND l_discount <= 0.07) AS h8
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'"""),
+
     // ---- aggregation --------------------------------------------------------
     // TPC-H Q1: partial/final hash aggregation; exact decimal money math.
     Q("q_agg",

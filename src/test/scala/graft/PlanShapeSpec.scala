@@ -15,6 +15,16 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("q_agg_ds88: the 8 count cells fold into ONE scan, no join") {
+    val plan = planOf("q_agg_ds88")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"8 FILTER counts must share one lineitem scan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"no q88-style cross-joined subqueries:\n${plan.take(2000)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "the shared date filter must reach the scan")
+  }
+
   test("q_filter pushes predicates and prunes columns at the scan") {
     val plan = planOf("q_filter")
     assert(plan.contains("PushedFilters: [IsNotNull("), plan.linesIterator.take(30).mkString("\n"))
