@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing — the source-weighting step that turns curated data into
+  * a training mixture: each source contributes documents until its token
+  * budget (weight × total) is reached, in a DETERMINISTIC pseudo-random
+  * order (md5 of the id — engine-reproducible, so a re-run, a retry, or
+  * another engine selects the identical subset; an RNG would not survive
+  * any of those).
+  *
+  * This is [[Packing]]'s distributed prefix sum generalized from one
+  * global order to PER-SOURCE orders: the naive form is
+  * `sum(toks) OVER (PARTITION BY source ORDER BY h)` — and a 100 TB
+  * corpus has few sources, so per-source windows are a handful of
+  * single-task sorts over corpus-sized partitions. Instead:
+  *
+  *  1. range-repartition by (source, h, id) — contiguous slices, a
+  *     source's slices ascending with partition id;
+  *  2. per-partition linear pass computing the local cumsum, RESET at
+  *     each source change (one source's data never meets another's);
+  *  3. per-(partition, source) totals → exclusive offsets via a window
+  *     over that tiny frame (≤ partitions + sources rows — the only
+  *     global window), broadcast back.
+  *
+  * The doubled scan of the ranged data reuses the SAME shuffle files
+  * (Spark re-runs only the linear local pass), so the data path is one
+  * range shuffle + one broadcast at any scale — no cache of a
+  * corpus-sized frame. */
+object Mixing {
+
+  /** Documents selected for the mixture: `(doc_id, source, toks)` — per
+    * source, the md5-ordered prefix whose token count STARTS inside that
+    * source's budget (exclusive prefix sum, so a straddling document is
+    * kept and a source can overflow by at most one document — the
+    * [[Packing]] contract). Sources absent from `budgets` are dropped;
+    * a zero budget keeps nothing; tokens are [[TextStats.estBpeTokens]]. */
+  def mixByBudget(docs: DataFrame, budgets: Map[String, Long],
+                  idCol: String = "doc_id", textCol: String = "text",
+                  sourceCol: String = "source"): DataFrame = {
+    require(budgets.nonEmpty, "empty budget map selects nothing")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = docs
+      .select(col(sourceCol).cast("string").as("source"),
+        substring(md5(col(idCol).cast("string")), 1, 8).as("h"),
+        col(idCol).cast("long").as("doc_id"),
+        TextStats.estBpeTokens(col(textCol)).as("toks"))
+      .where(col("source").isin(budgets.keys.toSeq: _*))
+      .repartitionByRange(nPart, col("source"), col("h"), col("doc_id"))
+      .sortWithinPartitions("source", "h", "doc_id")
+      .as[(String, String, Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var cum = 0L
+        it.map { case (src, h, id, t) =>
+          if (src != cur) { cur = src; cum = 0L }
+          cum += t
+          (pid, src, id, t, cum)
+        }
+      }
+      .toDF("pid", "source", "doc_id", "toks", "lcum")
+    val offsets = local.groupBy("pid", "source").agg(sum(col("toks")).as("psum"))
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(Window.partitionBy("source").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "source", "offset")
+    val budgetDf = budgets.toSeq.toDF("source", "budget")
+    local.join(broadcast(offsets), Seq("pid", "source"))
+      .join(broadcast(budgetDf), "source")
+      .where(col("lcum") + col("offset") - col("toks") < col("budget"))
+      .select("doc_id", "source", "toks")
+  }
+}

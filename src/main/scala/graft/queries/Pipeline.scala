@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Hybrid, Multimodal, Packing, Similarity, TextStats}
+import graft.pipeline.{Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -806,6 +806,38 @@ object Pipeline extends QueryPack {
                 count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
               FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // CORPUS MIXING — per-source token budgets (the training-mixture
+    // weights step): each source contributes its md5-ordered document
+    // prefix until the budget is reached. Budgets pin the edges: src1
+    // uncapped (all 25 docs), src0/src2 mid-cap, src3 zero (absent from
+    // the output), src4 budget 1 (exactly one straddling doc — the
+    // exclusive-prefix contract), every other source unlisted (dropped).
+    // Spark runs the per-source DISTRIBUTED prefix sum (see
+    // graft.pipeline.Mixing); the oracle states the same semantics as the
+    // naive per-source window DuckDB can afford at oracle scale.
+    Q("q_pipeline_mix",
+      (s, dir) => Mixing.mixByBudget(Tables(s, dir, "documents"),
+          Map("src0" -> 1000L, "src1" -> 5000L, "src2" -> 800L,
+            "src3" -> 0L, "src4" -> 1L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mixed_tokens"))
+        .orderBy("source"),
+      Some("""WITH b(source, budget) AS (VALUES
+                ('src0', 1000), ('src1', 5000), ('src2', 800),
+                ('src3', 0), ('src4', 1)),
+              t AS (SELECT doc_id, source,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+                      CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks
+                    FROM documents),
+              c AS (SELECT t.source, t.toks, b.budget,
+                      sum(toks) OVER (PARTITION BY t.source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - toks AS strt
+                    FROM t JOIN b USING (source))
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS mixed_tokens
+              FROM c WHERE strt < budget
+              GROUP BY source ORDER BY source""")),
 
     // ---- multimodal columns -------------------------------------------------
     // Binary payload + typed metadata through the typed mapPartitions decode

@@ -352,6 +352,19 @@ class PlanShapeSpec extends SparkSpec {
       "offsets must join back via broadcast")
   }
 
+  test("q_pipeline_mix: grouped prefix sum keeps the packing plan shape") {
+    val plan = planOf("q_pipeline_mix")
+    // same contract as q_pipeline_pack, per source: cumsum is the
+    // in-partition linear pass (a window on (pid, source) would re-shuffle
+    // the corpus), the only Window is the tiny per-(pid, source) offsets
+    // frame, and offsets + budgets join back via broadcast
+    assert(plan.contains("MapPartitions"), "local cumsum must be in-partition")
+    assert(plan.linesIterator.count(_.matches(".*\\(\\d+\\) Window.*")) == 1,
+      s"expected exactly the offsets window:\n${plan.linesIterator.take(30).mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets and budgets must join back via broadcast")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective fact join") {
     // Spark 4's AQE runtime filters: a selective filter on one join side
     // injects a bloom-filter semi-filter into the other side's scan. The

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-mixing invariants: budget cutoffs, the exclusive-prefix straddle
+  * contract, per-source isolation, and determinism of the md5 order. */
+class MixingSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  // 4 docs per source, 8 estBpeTokens each (32 chars → ceil(32/4) = 8)
+  private lazy val docs = mkDocs(
+    (0L until 8L).map { i =>
+      (i, if (i < 4) "a" else "b", "x" * 32)
+    })
+
+  test("budget caps each source independently; zero budget drops the source") {
+    val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 0L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 16-token budget over 8-token docs → exactly 2 docs of source a
+    assert(out.length == 2 && out.forall(_._2 == "a") && out.forall(_._3 == 8L))
+  }
+
+  test("a straddling doc is kept (exclusive prefix: start < budget)") {
+    val out = Mixing.mixByBudget(docs, Map("a" -> 9L))
+      .collect()
+    // first doc starts at 0 (< 9), second at 8 (< 9, straddles), third at 16
+    assert(out.length == 2)
+  }
+
+  test("unlisted sources are dropped; uncapped budget keeps a source whole") {
+    val out = Mixing.mixByBudget(docs, Map("b" -> 1000L)).collect()
+    assert(out.length == 4 && out.forall(_.getString(1) == "b"))
+  }
+
+  test("selection is the md5-ordered prefix and is partition-count invariant") {
+    val expected = docs.filter(col("source") === "a")
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 8).as("h"))
+      .orderBy("h", "doc_id").limit(2)
+      .collect().map(_.getLong(0)).toSet
+    val got = Mixing.mixByBudget(docs, Map("a" -> 16L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val got3 = Mixing.mixByBudget(docs, Map("a" -> 16L))
+        .collect().map(_.getLong(0)).toSet
+      assert(got3 == expected, "partitioning must not change the selection")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("per-source cumsum resets inside a shared range partition") {
+    // one partition forces both sources through the same linear pass
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 16L))
+        .collect().map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(out == Map("a" -> 2, "b" -> 2),
+        s"source b's cumsum must restart at 0: $out")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
