@@ -430,6 +430,79 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // Streamed vector index MUTATION: tombstone DELETEs and a versioned
+    // UPSERT over the delta log — the vector mirror of q_fts_deleted /
+    // q_fts_upsert. Two cluster-0 ids are deleted (they WOULD rank in the
+    // query's top-10 — non-vacuous), one foreign id is re-pointed into
+    // cluster 0, and serving must equal the in-memory ADC baseline over
+    // the surviving corpus — merge-on-read BEFORE compaction and from the
+    // folded base AFTER it, with the upserted id present and the deleted
+    // ids absent. Approximate path is engine-specific → verdict row.
+    Q("q_sim_stream_upsert",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val clustered = emb.select(col("vec_id"),
+            Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+          .persist()
+        clustered.count()
+        try {
+          val root = graft.core.Scratch.dir("vec_stream_up_q")
+          val hconf = s.sparkContext.hadoopConfiguration
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          Similarity.writeQuantizer(clustered, root, trainIters = 1)
+          val landing = s"$root/landing"
+          val stage = s"$root/stage_0"
+          clustered.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stage/part-*")).head.getPath
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+            new org.apache.hadoop.fs.Path(s"$landing/b0.parquet"), false, hconf)
+          StreamVectorIndex.start(s.readStream
+            .schema(clustered.schema).parquet(landing), root).awaitTermination()
+          // delete two of the query's own cluster (ids ≡ 0 mod 24);
+          // re-point id 7 at a cluster-0 member's vector (deterministic)
+          import s.implicits._
+          StreamVectorIndex.delete(s, root, Seq(24L, 48L).toDF("vec_id"))
+          val newVec = clustered.filter(col("vec_id") === 120L)
+            .select(col("embedding")).limit(1).collect()(0).getSeq[Double](0)
+          StreamVectorIndex.upsert(s, root,
+            Seq((7L, newVec)).toDF("vec_id", "embedding"))
+          val survivors = clustered.filter(!col("vec_id").isin(24L, 48L, 7L))
+            .unionByName(Seq((7L, newVec)).toDF("vec_id", "embedding"))
+          def topIds(rows: Seq[org.apache.spark.sql.Row]) =
+            rows.map(_.getLong(0)).toSet
+          val preCompact = StreamVectorIndex.topK(clustered, root, 0L, 10)
+            .collect().toSeq
+          val baseDir = graft.core.Scratch.dir("vec_stream_up_q_base")
+          fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+          StreamVectorIndex.compact(s, root, baseDir)
+          val postCompact = StreamVectorIndex.topK(clustered, root, 0L, 10)
+            .collect().toSeq
+          val (cents, norms) = Similarity.readQuantizer(s, root)
+          val books = Similarity.readPqCodebooks(s, root)
+          val qv = clustered.filter(col("vec_id") === 0L)
+            .select(col("embedding").cast("array<double>"))
+            .limit(1).collect()(0).getSeq[Double](0).toArray
+          val probes = Similarity.nearestCells(qv, cents, norms, 4)
+          val v = col("embedding").cast("array<double>")
+          val batch = Similarity.pqTopKOnCodes(
+            survivors.select(col("vec_id"),
+                Similarity.cellExpr(v, cents, norms).as("cell"),
+                Similarity.pqEncode(v, books).as("pq_codes"))
+              .filter(col("cell").isin(probes: _*)),
+            qv, books, 0L, 10).collect().toSeq
+          val verdict = s.range(1).select(
+            lit(preCompact == batch && postCompact == batch &&
+              batch.size == 10 && topIds(batch).contains(7L) &&
+              !topIds(batch).exists(Set(24L, 48L))).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally clustered.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // HYBRID retrieval — RRF fusion of the lexical and vector rankings:
     // BM25 top-20 for ('spark','query') over the documents index fused
     // with exact-cosine top-20 around vector 0 by reciprocal rank

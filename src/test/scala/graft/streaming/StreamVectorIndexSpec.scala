@@ -113,4 +113,123 @@ class StreamVectorIndexSpec extends SparkSpec {
     }
     assert(clash.getMessage.contains("CURRENT base"))
   }
+
+  private def vec2(i: Long): Array[Float] = {
+    val c = (i % 4).toInt
+    Array.tabulate(16)(d =>
+      (math.sin(c * 16 + d) + 0.05 * math.cos(i * 7 + d)).toFloat)
+  }
+
+  private def setup(name: String, rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    val root = graft.core.Scratch.dir(name)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    Similarity.writeQuantizer(rows.toDF("vec_id", "embedding"), root,
+      nlist = 4, m = 8, ncent = 16, trainIters = 2)
+    val landing = s"$root/landing"
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stage0")
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/stage0/part-*")).head.getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(s"$landing/b0.parquet"), false, hconf)
+    StreamVectorIndex.start(spark.readStream
+      .schema(rows.toDF("vec_id", "embedding").schema).parquet(landing), root)
+      .awaitTermination()
+    (root, fs)
+  }
+
+  private def adcBaseline(root: String, corpus: Seq[(Long, Array[Float])],
+                          k: Int): Seq[(Long, Double)] = {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val (cents, norms) = Similarity.readQuantizer(spark, root)
+    val books = Similarity.readPqCodebooks(spark, root)
+    val qv = vec2(0L).map(_.toDouble)
+    val probes = Similarity.nearestCells(qv, cents, norms, 2)
+    val codes = df.select(col("vec_id"),
+        Similarity.cellExpr(col("embedding").cast("array<double>"), cents, norms).as("cell"),
+        Similarity.pqEncode(col("embedding").cast("array<double>"), books).as("pq_codes"))
+      .filter(col("cell").isin(probes: _*))
+    Similarity.pqTopKOnCodes(codes, qv, books, 0L, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("delete and upsert serve merge-on-read; compaction folds the tombstones") {
+    import spark.implicits._
+    val all = (0L until 20L).map(i => (i, vec2(i)))
+    val (root, fs) = setup("vec_stream_del", all)
+    def served(k: Int): Seq[(Long, Double)] =
+      StreamVectorIndex.topK(all.toDF("vec_id", "embedding"), root, 0L, k,
+          nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // delete two ids: serving == a corpus that never held them
+    StreamVectorIndex.delete(spark, root, Seq(4L, 8L).toDF("vec_id"))
+    val afterDel = all.filterNot(t => Set(4L, 8L).contains(t._1))
+    assert(served(6) == adcBaseline(root, afterDel, 6),
+      "deleted ids must vanish from serving")
+
+    // upsert id 3 with a cluster-0 vector: old version dies, new one serves
+    val new3 = vec2(20L) // cluster 0, distinct from every ingested vector
+    StreamVectorIndex.upsert(spark, root, Seq((3L, new3)).toDF("vec_id", "embedding"))
+    val afterUp = afterDel.filterNot(_._1 == 3L) :+ (3L, new3)
+    assert(served(6) == adcBaseline(root, afterUp, 6),
+      "the upserted vector must replace its old version")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_codes_delta/batch_id=1/${StreamVectorIndex.UpsertMarker}")),
+      "the minted partition must carry the upsert marker")
+
+    // compaction folds tombstones into the base and truncates them
+    val base = graft.core.Scratch.dir("vec_stream_del_base")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    StreamVectorIndex.compact(spark, root, base)
+    assert(served(6) == adcBaseline(root, afterUp, 6),
+      "post-compaction serving must be unchanged")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_tombstones/as_of=0")),
+      "folded tombstones must be physically truncated")
+    val viaIvfPq = Similarity.ivfPqTopK(all.toDF("vec_id", "embedding"),
+        base, 0L, 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIvfPq == adcBaseline(root, afterUp, 6),
+      "the compacted base must hold only surviving versions")
+
+    // a delete against an empty log is a no-op
+    val emptyRoot = graft.core.Scratch.dir("vec_stream_del_empty")
+    fs.delete(new org.apache.hadoop.fs.Path(emptyRoot), true)
+    StreamVectorIndex.delete(spark, emptyRoot, Seq(1L).toDF("vec_id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$emptyRoot/_tombstones")))
+  }
+
+  test("a stream whose checkpoint collides with an upsert-minted batch fails loud") {
+    import spark.implicits._
+    val all = (0L until 12L).map(i => (i, vec2(i)))
+    val (root, fs) = setup("vec_stream_guard", all)
+    StreamVectorIndex.upsert(spark, root,
+      Seq((3L, vec2(20L))).toDF("vec_id", "embedding")) // mints batch 1
+    // a fresh checkpoint restarts batch ids at 0; its SECOND batch lands
+    // on the minted id — the two writers' id spaces have collided
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_checkpoint"), true)
+    val landing = s"$root/landing"
+    for (n <- Seq("c0", "c1")) {
+      all.take(2).toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/stage_$n")
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/stage_$n/part-*")).head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+        new org.apache.hadoop.fs.Path(s"$landing/$n.parquet"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamVectorIndex.start(spark.readStream
+        .schema(all.toDF("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing), root)
+        .awaitTermination()
+    }
+    assert(boom.getMessage.contains("minted by upsert"),
+      s"expected the loud two-writer failure, got: ${boom.getMessage}")
+  }
 }
