@@ -234,6 +234,34 @@ object Index {
     FtsIndex(postings, docLens, stats)
   }
 
+  /** BM25F weighted-field index (Robertson/Zaragoza's "Simple BM25
+    * extension to multiple weighted fields", CIKM 2004): per-field term
+    * frequencies scale by the field weight BEFORE saturation —
+    * tf′(t,d) = Σ_f w_f·tf_f(t,d), dl′(d) = Σ_f w_f·dl_f(d) — which is
+    * what distinguishes real BM25F from the naive weighted sum of
+    * per-field BM25 scores (there a term saturates per field and a
+    * title hit can't lift a body-saturated term). The combined frame is
+    * an ordinary [[FtsIndex]], so every BM25 serving path applies
+    * unchanged; idf counts a document once if the term appears in ANY
+    * field. One tokenize pass per field, one union, the same two hash
+    * aggregations as [[build]] — no new shuffle shape. */
+  def buildFielded(docs: DataFrame, fields: Seq[(String, Double)],
+                   idCol: String = "doc_id"): FtsIndex = {
+    require(fields.nonEmpty, "at least one (field, weight) required")
+    val weighted = fields.map { case (f, w) =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(Analyzer.tokenize(col(f))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg((count(lit(1)).cast("double") * w).as("tf"))
+    }.reduce(_ unionByName _)
+    val postings = weighted.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
   /** [[buildPositional]] through a CONFIGURED analyzer: positions are
     * offsets in the ANALYZED token stream (after stopword/stem/min-length),
     * so adjacency means "adjacent surviving tokens" — a phrase query whose

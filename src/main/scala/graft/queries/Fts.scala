@@ -145,6 +145,38 @@ object Fts extends QueryPack {
         Seq("spark", "query"), k = 10),
       Some(bm25Oracle)),
 
+    // BM25F — weighted multi-field ranking (text w=1, source w=3): field
+    // tfs scale BEFORE saturation (the Zaragoza simple-BM25F, not a
+    // weighted sum of per-field scores), idf counts a doc once per term
+    // in any field. 'src3' only ever appears in the source field, so the
+    // field weighting is provably live in the ranking.
+    Q("q_fts_bm25f",
+      (s, dir) => Search.scoreBm25(
+        graft.fts.Index.buildFielded(Tables(s, dir, "documents"),
+          Seq("text" -> 1.0, "source" -> 3.0)),
+        Seq("spark", "src3"), k = 10),
+      Some(s"""WITH occ AS (
+                 SELECT doc_id, unnest($DTOKS) AS term, 1.0 AS w FROM documents
+                 UNION ALL
+                 SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(source),
+                     '[^a-z0-9]+'), t -> len(t) > 0)) AS term, 3.0 AS w
+                 FROM documents),
+               tf AS (SELECT doc_id, term, sum(w)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'src3') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
     // TF-IDF (reference IDF semantics: ln((N+1)/(df+1)), length-normalized tf).
     Q("q_fts_tfidf",
       (s, dir) => Search.tfidfTopK(Tables(s, dir, "documents"),

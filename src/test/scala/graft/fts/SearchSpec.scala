@@ -118,6 +118,32 @@ class SearchSpec extends SparkSpec {
     assert(viaRev == ids("*ert"))
   }
 
+  test("BM25F: field weights scale tf before saturation") {
+    import spark.implicits._
+    val fielded = Seq(
+      (1L, "ranking systems", "data engine"),        // term in TITLE only
+      (2L, "data retrieval with data joins", "misc"), // term twice in BODY
+      (3L, "nothing relevant", "other topics")
+    ).toDF("doc_id", "body", "title")
+    val ix3 = Index.buildFielded(fielded,
+      Seq("body" -> 1.0, "title" -> 3.0), idCol = "doc_id")
+    // combined tf: doc1 = 3.0 (1 title hit × w3), doc2 = 2.0 (2 body hits)
+    val tfs = ix3.postings.filter(col("term") === "data")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(tfs == Map(1L -> 3.0, 2L -> 2.0))
+    // dl' is the weighted length: doc1 = 2·1 + 2·3 = 8
+    assert(ix3.docLens.filter(col("doc_id") === 1)
+      .collect()(0).getDouble(1) == 8.0)
+    // the single weighted title hit must outrank two saturating body hits
+    val top = Search.scoreBm25(ix3, Seq("data"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L), s"title weighting must lead the ranking: $top")
+    // idf counts a doc once per term in ANY field: df(data) = 2
+    val df = ix3.postings.filter(col("term") === "data")
+      .select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    assert(df == 2L)
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
