@@ -288,15 +288,37 @@ object IncrementalIndex {
     * detected from the schema and carried through; corpus stats re-derive
     * from the surviving doc lengths. Tombstones at or below the watermark
     * were folded by compaction and truncated with their partitions. */
-  def read(spark: SparkSession, dir: String): FtsIndex = {
+  def read(spark: SparkSession, dir: String): FtsIndex =
+    readAsOf(spark, dir, Long.MaxValue)
+
+  /** TIME-TRAVEL read: the merge-on-read view at ingest frontier `asOf` —
+    * ingest batches `≤ asOf` are visible, and a tombstone stamped
+    * `as_of = t` (a delete issued after batch t, or an upsert versioning
+    * against t whose replacement rows land at t+1) applies to views
+    * STRICTLY after t. So `readAsOf(t)` is the pre-mutation index,
+    * `readAsOf(t+1)` sees the mutation, and [[read]] ≡ `readAsOf(∞)` —
+    * the snapshot-isolation rule a data-lake table format gives you,
+    * over the same partitioned delta log (both visibility filters are
+    * PARTITION filters). History below the compaction watermark is
+    * folded and physically truncated, so those views are gone: asking
+    * for one fails loud rather than silently serving the folded state. */
+  def readAsOf(spark: SparkSession, dir: String, asOf: Long): FtsIndex = {
     val comp = compactionInfo(spark, dir)
     val watermark = comp.map(_._2)
+    watermark.filter(_ > asOf).foreach { w =>
+      throw new IllegalArgumentException(
+        s"time travel to batch $asOf at $dir is below the compaction " +
+          s"watermark $w — compaction folded and truncated that history; " +
+          "retained views start at the watermark")
+    }
     // live deltas, restricted to post-watermark (truncation already removed
     // the folded partitions; the filter guards the crash window between the
     // epoch write and the directory deletes — and it is a PARTITION filter)
+    // and to the time-travel frontier (a tautology for read())
     def liveDelta(sub: String): Option[DataFrame] =
       loadDelta(spark, s"$dir/$sub", "batch_id")
         .map(d => watermark.fold(d)(w => d.filter(col("batch_id") > w)))
+        .map(_.filter(col("batch_id") <= asOf))
     val base = comp.map { case (baseDir, w) =>
       val ix = Index.read(spark, baseDir)
       // the base participates as one pseudo-batch AT the watermark: later
@@ -316,6 +338,7 @@ object IncrementalIndex {
     var rawL = rawL0
     loadDelta(spark, s"$dir/deletes_delta", "as_of").foreach { allDels =>
       val dels = watermark.fold(allDels)(w => allDels.filter(col("as_of") >= w))
+        .filter(col("as_of") < asOf) // strictly-after visibility (see scaladoc)
         .select(col("doc_id").as("del_id"), col("as_of"))
       rawP = rawP.join(dels,
         rawP("doc_id") === dels("del_id") && rawP("batch_id") <= dels("as_of"),

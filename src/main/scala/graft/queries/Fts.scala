@@ -525,6 +525,25 @@ object Fts extends QueryPack {
               CASE WHEN doc_id < 10 THEN text || ' zzzupdated' ELSE text END AS text
             FROM documents) documents"""))),
 
+    // TIME TRAVEL: after an upsert rewrites docs < 10, readAsOf(0) — the
+    // pre-upsert ingest frontier — must score BM25 over the ORIGINAL
+    // corpus, tombstones and replacement batch invisible (strictly-after
+    // visibility; read() == readAsOf(∞) serves the upserted corpus, which
+    // q_fts_upsert pins). The snapshot-isolation read a lake-format table
+    // gives you, over the same partitioned delta log.
+    Q("q_fts_time_travel",
+      (s, dir) => {
+        val deltaDir = graft.core.Scratch.dir("fts_index_tt_delta")
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_tt_stream"), deltaDir)
+        val updated = Tables(s, dir, "documents")
+          .filter(col("doc_id") < 10)
+          .withColumn("text", concat(col("text"), lit(" zzzupdated")))
+        graft.fts.IncrementalIndex.upsert(s, deltaDir, updated)
+        val atIngest = graft.fts.IncrementalIndex.readAsOf(s, deltaDir, 0L)
+        Search.scoreBm25(atIngest, Seq("spark", "query"), k = 10)
+      },
+      Some(bm25Oracle)),
+
     // EPOCH management closes the delta-log lifecycle: compaction records a
     // watermark and physically truncates the folded partitions, so the log
     // is bounded by one epoch of deltas and a read never re-aggregates

@@ -289,4 +289,55 @@ class IncrementalIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("time travel: pre-mutation views; history below the watermark fails loud") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val dir = graft.core.Scratch.dir("tt_ix_test")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    IncrementalIndex.start(stream, dir).awaitTermination()          // batch 0
+    input.addData((3L, "epsilon zeta"))
+    IncrementalIndex.start(stream, dir).awaitTermination()          // batch 1
+
+    def docsAt(asOf: Long): Set[Long] =
+      IncrementalIndex.readAsOf(spark, dir, asOf)
+        .docLens.collect().map(_.getLong(0)).toSet
+
+    assert(docsAt(0L) == Set(1L, 2L), "frontier 0 excludes batch 1")
+    assert(docsAt(1L) == Set(1L, 2L, 3L))
+
+    // a delete stamped as_of = 1 applies STRICTLY after 1
+    IncrementalIndex.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(docsAt(1L) == Set(1L, 2L, 3L), "delete invisible at its own stamp")
+    assert(docsAt(2L) == Set(1L, 3L))
+
+    // an upsert (tombstone as_of = 1, replacement batch 2): frontier 1
+    // still serves the OLD text, frontier 2 the new
+    IncrementalIndex.upsert(spark, dir, Seq((1L, "alpha rewritten")).toDF("doc_id", "text"))
+    def termsOf(asOf: Long): Set[String] =
+      IncrementalIndex.readAsOf(spark, dir, asOf).postings
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .collect().map(_.getString(0)).toSet
+    assert(termsOf(1L) == Set("alpha", "beta"), "pre-upsert view intact")
+    assert(termsOf(2L) == Set("alpha", "rewritten"))
+    assert(IncrementalIndex.read(spark, dir).postings
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .collect().map(_.getString(0)).toSet == Set("alpha", "rewritten"),
+      "read() == readAsOf(infinity)")
+
+    // compaction truncates history: views below the watermark fail loud
+    val base = graft.core.Scratch.dir("tt_ix_base")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    IncrementalIndex.compact(spark, dir, base)
+    val w = IncrementalIndex.compactionInfo(spark, dir).get._2
+    val boom = intercept[IllegalArgumentException] {
+      IncrementalIndex.readAsOf(spark, dir, w - 1)
+    }
+    assert(boom.getMessage.contains("watermark"))
+    assert(docsAt(w) == Set(1L, 3L), "the watermark view itself survives")
+  }
 }
