@@ -304,6 +304,33 @@ object Scalars extends QueryPack {
               (abs(approx_quantile(l_quantity, 0.5) - median(l_quantity)) <= 2.0) AS pct_ok
               FROM lineitem""")),
 
+    // MERGEABLE sketches — the 100 TB cardinality pattern: per-group HLL
+    // sketches (DataSketches) built in one pass can be UNIONED later
+    // without rescanning (per-day/per-partition rollups composing into
+    // corpus stats). Contract: the merged estimate carries the SAME error
+    // bound as a direct global sketch — both within 5% (≈3σ at lgK=12) of
+    // the exact distinct, and within 2% of each other (union targets
+    // wider HLL_8 registers than the HLL_4 build, so estimates are near-
+    // identical, not bit-equal). The oracle engine has no compatible
+    // sketch format → both sides emit the verdict (q_approx pattern).
+    Q("q_approx_merge",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val perFlag = li.groupBy("l_returnflag")
+          .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+        val merged = perFlag.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        val global = li.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("est_global"),
+          countDistinct(col("l_orderkey")).as("exact"))
+        merged.crossJoin(global).select(
+          (abs(col("est_merged") - col("est_global")) <= col("exact") * 0.02)
+            .as("merge_close"),
+          (abs(col("est_merged") - col("exact")) <= col("exact") * 0.05).as("merged_ok"),
+          (abs(col("est_global") - col("exact")) <= col("exact") * 0.05).as("global_ok"))
+      },
+      Some("SELECT true AS merge_close, true AS merged_ok, true AS global_ok")),
+
     // Spark skewness/kurtosis are population moments (m3/m2^1.5, m4/m2²−3);
     // DuckDB's are bias-corrected sample statistics — spell the population
     // formula out in the oracle (round(4): two-pass vs streaming moments
