@@ -120,6 +120,19 @@ object VecKernels {
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotExpr(args(0), args(1))),
+    // cosine as a composition of kernel dots — the SQL face of the vector
+    // baseline: dot/(‖a‖·‖b‖), every sub-expression inline-codegen'd
+    (new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[DotExpr].getName, "vec_cosine"),
+      {
+        case Seq(a, b) =>
+          org.apache.spark.sql.catalyst.expressions.Divide(DotExpr(a, b),
+            org.apache.spark.sql.catalyst.expressions.Multiply(
+              org.apache.spark.sql.catalyst.expressions.Sqrt(DotExpr(a, a)),
+              org.apache.spark.sql.catalyst.expressions.Sqrt(DotExpr(b, b))))
+        case args => throw new IllegalArgumentException(
+          s"vec_cosine(a, b) takes two vectors, got ${args.length} args")
+      }),
     // planes arrives as a literal second argument (an Expression builder has
     // no other channel for a scalar parameter)
     (new FunctionIdentifier("graft_lsh_projs"),

@@ -233,6 +233,32 @@ object Pipeline extends QueryPack {
               SELECT vec_id, round(c, 4) AS cosim FROM sc
               ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
 
+    // The SQL face of vector search: vec_cosine (kernel dots composed in
+    // codegen) ranks the corpus against a scalar-subquery query vector;
+    // ORDER BY score LIMIT k plans as TakeOrderedAndProject — the
+    // per-partition-heap brute-force baseline, no global sort, at any
+    // scale (the pruned serving paths remain the library API). Same
+    // oracle as q_sim_cosine — SQL and library brute force must agree.
+    Q("q_sim_sql",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                            FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+                 SELECT vec_id, ROUND(vec_cosine(v, qv), 4) AS cosim
+                 FROM e CROSS JOIN q WHERE vec_id <> 0
+                 ORDER BY cosim DESC, vec_id LIMIT 10""")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              sc AS (SELECT vec_id,
+                       list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS c
+                     FROM e CROSS JOIN q WHERE vec_id <> 0)
+              SELECT vec_id, round(c, 4) AS cosim FROM sc
+              ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+
     // ANN vs exact: self-contained recall assertion (approximate results are
     // engine-specific, so both sides emit ok — but the contract is REAL:
     // recall@10 ≥ 0.8 while probing 16 of 4096 buckets (0.4% of the corpus'

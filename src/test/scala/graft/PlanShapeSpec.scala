@@ -15,6 +15,16 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("q_sim_sql: SQL cosine top-k is a TakeOrderedAndProject, no global sort") {
+    val plan = planOf("q_sim_sql")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY score LIMIT k must be a per-partition heap:\n${plan.take(1500)}")
+    assert(!plan.linesIterator.exists(_.matches(".*\\(\\d+\\) Sort.*")),
+      "the corpus must never be globally sorted")
+    assert(plan.contains("graft_dot"),
+      "vec_cosine must lower to the native kernel dots")
+  }
+
   test("q_agg_ds88: the 8 count cells fold into ONE scan, no join") {
     val plan = planOf("q_agg_ds88")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
