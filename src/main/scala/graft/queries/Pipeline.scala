@@ -906,6 +906,48 @@ object Pipeline extends QueryPack {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
               FROM c GROUP BY 1 ORDER BY 1""")),
 
+    // PERCENTILE quality cutoff — thresholds in a curation pipeline are
+    // set by the corpus's own distribution ("drop the worst decile"), not
+    // constants: the p90 of the repetition signal becomes the filter, via
+    // a 1-row broadcast (no driver round-trip). Exact percentile is a
+    // one-reducer sort kept for oracle parity — the 100 TB swap is
+    // approx_percentile in the same plan position; everything else is
+    // unchanged.
+    Q("q_pipeline_quality_cut",
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents").select(col("doc_id"),
+            col("lang"),
+            TextStats.repetitionFrac(col("text")).as("rep3"),
+            TextStats.estBpeTokens(col("text")).as("toks"))
+          .persist() // rep3 is a kernel pass; threshold + filter both scan
+        scored.count()
+        try {
+          val thr = scored.agg(
+            round(expr("percentile(rep3, 0.9)"), 6).as("thr"))
+          val out = scored.crossJoin(broadcast(thr))
+            .filter(col("rep3") <= col("thr"))
+            .groupBy("lang")
+            .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+            .orderBy("lang")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally scored.unpersist()
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, text, $DTOKS AS t FROM documents),
+               r AS (SELECT doc_id, lang,
+                       CASE WHEN len(t) >= 3 THEN
+                         round((len(t) - 2 -
+                           len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              FOR i IN range(1, len(t) - 1)])))::DOUBLE
+                           / (len(t) - 2), 4)
+                       ELSE 0.0 END AS rep3,
+                       CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks
+                     FROM toks),
+               thr AS (SELECT round(quantile_cont(rep3, 0.9), 6) AS t FROM r)
+               SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens
+               FROM r, thr WHERE rep3 <= t
+               GROUP BY lang ORDER BY lang""")),
+
     // CORPUS MIXING — per-source token budgets (the training-mixture
     // weights step): each source contributes its md5-ordered document
     // prefix until the budget is reached. Budgets pin the edges: src1
