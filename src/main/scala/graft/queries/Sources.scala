@@ -175,6 +175,55 @@ object Sources extends QueryPack {
     // store (LSH band join, never store-wide), own batch via the banded
     // self-join. Kept set == batch rule "no smaller-id J≥0.8 near-dup", so
     // the all-pairs oracle applies. Spanning pairs exercise the store path.
+    // DECONTAMINATION at ingest — the benchmark scrub applied per
+    // micro-batch before documents land (per-doc against a FIXED eval
+    // set, so it's exactly batch-decomposable): two parity batches
+    // streamed through StreamCurate must equal one batch decontaminate
+    // over the whole corpus — the SAME oracle as q_dedup_decontam, hash
+    // exact, not a verdict row.
+    Q("q_stream_decontam",
+      (s, dir) => {
+        val root = tmp("stream_decontam")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(docs.filter(col("doc_id") % 2 === 0), "batch0", t0)
+        stage(docs.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamCurate.startDecontaminated(
+          stream, docs.filter(col("doc_id") % 7 === 0), s"$root/clean")
+          .awaitTermination()
+        graft.streaming.StreamCurate.read(s, s"$root/clean")
+          .groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${Pipeline.DTOKS} AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               bench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+               contaminated AS (
+                 SELECT DISTINCT c.doc_id FROM sh c JOIN bench b ON true
+                 WHERE len(list_intersect(c.s, b.s))::DOUBLE /
+                       len(list_distinct(list_concat(c.s, b.s))) >= 0.8)
+               SELECT lang, count(*) AS n FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+               GROUP BY lang ORDER BY lang""")),
+
     Q("q_stream_dedup_near",
       (s, dir) => {
         val root = tmp("stream_neardup")
