@@ -517,6 +517,25 @@ object Search {
     ix.postings.filter(col("term").isin(terms.distinct: _*))
       .select("doc_id").distinct()
 
+  /** doc_ids containing any term within `maxEdits` Levenshtein edits of
+    * the query term — TYPO-TOLERANT search. Expansion runs over the TERM
+    * DICTIONARY, not the corpus: distinct terms are |vocab| (millions at
+    * 100 TB, vs trillions of postings), length-banded first (an edit
+    * changes length by ≤ maxEdits — prunes most of the dictionary before
+    * any distance runs), then exact `levenshtein` (codegen built-in); the
+    * matched terms drive the ordinary postings-union plan, so the corpus
+    * side stays the pruned [[matchAnyIds]] shape. FastSS deletion-
+    * neighborhood blocking ([[graft.ops.Fuzzy]]) is the same-result
+    * upgrade if the dictionary itself ever needs sub-linear expansion. */
+  def matchFuzzyIds(ix: FtsIndex, term: String, maxEdits: Int = 1): DataFrame = {
+    val dict = ix.postings.select(col("term")).distinct()
+    val expanded = dict
+      .filter(abs(length(col("term")) - lit(term.length)) <= maxEdits)
+      .filter(levenshtein(col("term"), lit(term)) <= maxEdits)
+    ix.postings.join(broadcast(expanded), "term")
+      .select("doc_id").distinct()
+  }
+
   /** doc_ids containing any term with the given PREFIX (`quer*`) — the
     * standard FTS wildcard-suffix query. The filter is a RANGE on the term
     * (`prefix ≤ term < prefix⁺`, the successor string), never a LIKE: a

@@ -177,6 +177,25 @@ object Fts extends QueryPack {
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
 
+    // TYPO-TOLERANT search: 'querry' (an insertion away from 'query')
+    // expands over the term DICTIONARY — length-banded, then exact
+    // levenshtein — and the matched terms drive the ordinary postings
+    // union; the corpus side never sees the distance function. The
+    // oracle replays dictionary + distance + union with DuckDB's own
+    // levenshtein, hash exact.
+    Q("q_fts_fuzzy",
+      (s, dir) => {
+        val ix = graft.fts.Index.build(Tables(s, dir, "documents"))
+        Search.matchFuzzyIds(ix, "querry").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               dict AS (SELECT DISTINCT term FROM toks),
+               hits AS (SELECT term FROM dict
+                        WHERE abs(len(term) - 6) <= 1
+                          AND levenshtein(term, 'querry') <= 1)
+               SELECT DISTINCT doc_id FROM toks JOIN hits USING (term)
+               ORDER BY doc_id""")),
+
     // TF-IDF (reference IDF semantics: ln((N+1)/(df+1)), length-normalized tf).
     Q("q_fts_tfidf",
       (s, dir) => Search.tfidfTopK(Tables(s, dir, "documents"),

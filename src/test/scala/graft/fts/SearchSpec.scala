@@ -118,6 +118,22 @@ class SearchSpec extends SparkSpec {
     assert(viaRev == ids("*ert"))
   }
 
+  test("fuzzy match expands over the dictionary within the edit budget") {
+    // 'spak' is one deletion from 'spark' → docs 1 and 3; nothing else
+    // in the vocabulary is within one edit
+    val ids = Search.matchFuzzyIds(ix, "spak").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    // zero-edit degenerates to exact match
+    assert(Search.matchFuzzyIds(ix, "big", maxEdits = 0)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // two edits reach further ('dat' → 'data'; 'dta' needs 2)
+    assert(Search.matchFuzzyIds(ix, "dta", maxEdits = 1).collect().isEmpty ||
+      !Search.matchFuzzyIds(ix, "dta", maxEdits = 1)
+        .collect().map(_.getLong(0)).toSet.contains(4L))
+    assert(Search.matchFuzzyIds(ix, "dta", maxEdits = 2)
+      .collect().map(_.getLong(0)).toSet.contains(1L))
+  }
+
   test("BM25F: field weights scale tf before saturation") {
     import spark.implicits._
     val fielded = Seq(
