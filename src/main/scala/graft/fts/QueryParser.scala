@@ -1,0 +1,172 @@
+package graft.fts
+
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not, Or}
+
+/** Lucene-style query-string language over the FTS surface:
+  *
+  * {{{
+  *   data AND ("fast table" OR quer*) AND NOT (slow OR zz?item)
+  *   spark NEAR/3 shuffle
+  * }}}
+  *
+  *  - bare word        → [[graft.ext.FtsMatch]]   (all-terms containment)
+  *  - "quoted words"   → [[graft.ext.FtsPhrase]]  (adjacent, in order)
+  *  - trailing-* word  → [[graft.ext.FtsPrefix]]  (term-range postings scan)
+  *  - single inner `*` → [[graft.ext.FtsWildcard]]
+  *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
+  *  - AND / OR / NOT, parentheses; adjacency is implicit AND (so
+  *    `big data` ≡ `big AND data` — each term must appear, matching
+  *    fts_match's all-terms semantics for multi-term strings).
+  *
+  * The parser runs once per query at ANALYSIS time (the string must be a
+  * literal / foldable argument) and emits a tree of the existing Unevaluable
+  * FTS expressions glued with Catalyst And/Or/Not — so every leaf picks up
+  * its own [[graft.ext.RewriteFtsMatch]] lowering (postings semi-join,
+  * OR-union, NOT anti-join, scan-kernel fallback) exactly as if the user
+  * had written the conjuncts by hand. No new execution machinery: the
+  * query language is pure front-end.
+  *
+  * Operator words are reserved (case-insensitive); terms are normalized
+  * through the frozen v1 grammar (lowercased, non-alphanumerics dropped),
+  * so `Spark-SQL` queries as the two terms `spark sql` — the same tokens
+  * the analyzer produced at index time.
+  */
+object QueryParser {
+
+  sealed trait Node
+  final case class Term(t: String) extends Node
+  final case class Phrase(ts: Seq[String]) extends Node
+  final case class Prefix(p: String) extends Node
+  final case class Wildcard(pat: String) extends Node
+  final case class Near(a: String, b: String, slop: Int) extends Node
+  final case class AndN(l: Node, r: Node) extends Node
+  final case class OrN(l: Node, r: Node) extends Node
+  final case class NotN(n: Node) extends Node
+
+  // ---- lexer ----------------------------------------------------------------
+
+  private sealed trait Tok
+  private case object LPar extends Tok
+  private case object RPar extends Tok
+  private case object AndT extends Tok
+  private case object OrT extends Tok
+  private case object NotT extends Tok
+  private final case class NearT(slop: Int) extends Tok
+  private final case class PhraseT(raw: String) extends Tok
+  private final case class WordT(raw: String) extends Tok
+
+  private val NearRe = "(?i)near/(\\d+)".r
+
+  private def lex(q: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      q.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += LPar; i += 1
+        case ')' => out += RPar; i += 1
+        case '"' =>
+          val end = q.indexOf('"', i + 1)
+          require(end > 0, s"unterminated phrase quote in query: $q")
+          out += PhraseT(q.substring(i + 1, end)); i = end + 1
+        case _ =>
+          var j = i
+          while (j < q.length && !q.charAt(j).isWhitespace &&
+            q.charAt(j) != '(' && q.charAt(j) != ')' && q.charAt(j) != '"') j += 1
+          out += (q.substring(i, j) match {
+            case w if w.equalsIgnoreCase("and") => AndT
+            case w if w.equalsIgnoreCase("or") => OrT
+            case w if w.equalsIgnoreCase("not") => NotT
+            case NearRe(k) => NearT(k.toInt)
+            case w => WordT(w)
+          })
+          i = j
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser (precedence: OR < AND/NEAR < NOT < primary) -------------------
+
+  private final class P(var toks: List[Tok], q: String) {
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"fts_query: $msg in query: $q")
+
+    def parseOr(): Node = {
+      var n = parseAnd()
+      while (toks.headOption.contains(OrT)) { toks = toks.tail; n = OrN(n, parseAnd()) }
+      n
+    }
+
+    def parseAnd(): Node = {
+      var n = parseNot()
+      var done = false
+      while (!done) toks match {
+        case AndT :: rest => toks = rest; n = AndN(n, parseNot())
+        case NearT(k) :: rest =>
+          toks = rest
+          (n, parseNot()) match {
+            case (Term(a), Term(b)) => n = Near(a, b, k)
+            case _ => fail("NEAR/k needs a plain term on each side")
+          }
+        case t :: _ if t != OrT && t != RPar => n = AndN(n, parseNot()) // implicit AND
+        case _ => done = true
+      }
+      n
+    }
+
+    def parseNot(): Node = toks match {
+      case NotT :: rest => toks = rest; NotN(parseNot())
+      case _ => parsePrimary()
+    }
+
+    def parsePrimary(): Node = toks match {
+      case LPar :: rest =>
+        toks = rest
+        val n = parseOr()
+        toks match {
+          case RPar :: r2 => toks = r2; n
+          case _ => fail("missing ')'")
+        }
+      case PhraseT(raw) :: rest =>
+        toks = rest
+        val ts = AnalyzerConfig.tokenizeRaw(raw)
+        if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""") else Phrase(ts)
+      case WordT(raw) :: rest =>
+        toks = rest
+        val norm = raw.toLowerCase.filter(c => c.isLetterOrDigit || c == '*')
+        val stars = norm.count(_ == '*')
+        if (norm.replace("*", "").isEmpty) fail(s"term '$raw' has no tokens")
+        else if (stars == 0) Term(norm)
+        else if (stars == 1 && norm.endsWith("*")) Prefix(norm.dropRight(1))
+        else if (stars == 1) Wildcard(norm)
+        else fail(s"term '$raw': at most one '*' supported")
+      case t => fail(s"unexpected ${t.headOption.getOrElse("end of query")}")
+    }
+  }
+
+  /** Parse a query string to its AST (fails loud on syntax errors). */
+  def parse(q: String): Node = {
+    val p = new P(lex(q), q)
+    val n = p.parseOr()
+    require(p.toks.isEmpty, s"fts_query: trailing input after query: $q")
+    n
+  }
+
+  /** Lower an AST over a text column expression into the existing FTS
+    * expression tree; [[graft.ext.RewriteFtsMatch]] then lowers each leaf. */
+  def lower(text: Expression, n: Node): Expression = n match {
+    case Term(t) => graft.ext.FtsMatch(text, Literal(t))
+    case Phrase(ts) => graft.ext.FtsPhrase(text, Literal(ts.mkString(" ")))
+    case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
+    case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
+    case Near(a, b, k) =>
+      graft.ext.FtsNear(text, Literal(a), Literal(b), Literal(k))
+    case AndN(l, r) => And(lower(text, l), lower(text, r))
+    case OrN(l, r) => Or(lower(text, l), lower(text, r))
+    case NotN(x) => Not(lower(text, x))
+  }
+
+  /** Parse + lower in one step — the `fts_query(text, 'q')` builder body. */
+  def compile(text: Expression, q: String): Expression = lower(text, parse(q))
+}

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.fts.Analyzer
+
+/** Statistical-LM curation signals for training-data pipelines:
+  * CCNet-style perplexity filtering against a reference corpus and
+  * DSIR-style importance weighting toward a target distribution.
+  *
+  * Both follow the published recipes in spirit (CCNet scores web text with
+  * a Wikipedia-trained KenLM; DSIR weights raw documents by a hashed-n-gram
+  * importance ratio between target and raw distributions) but are built as
+  * pure DataFrame aggregations over the frozen token grammar
+  * ([[graft.fts.Analyzer]]) so every number is deterministic and
+  * oracle-replayable — no external LM artifacts.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - model state is *vocabulary/bucket-sized*, never corpus-sized: a
+  *    unigram count table for perplexity, a fixed 4096-row bucket table
+  *    for DSIR. Both sit on the build side of a broadcast join; the corpus
+  *    is never shuffled by token.
+  *  - scoring is explode → broadcast-join → partial-aggregated groupBy on
+  *    the doc id. A document's exploded tokens stay in the partition that
+  *    read the document, so map-side combine collapses them to one partial
+  *    row per doc before the only shuffle.
+  *  - no driver state: totals (N, V) travel as broadcast one-row frames,
+  *    not collected scalars.
+  */
+object Lm {
+
+  /** Unigram counts of a reference corpus under the frozen grammar:
+    * one row per distinct token. This is the whole "language model" —
+    * vocabulary-sized, broadcastable. */
+  def unigramCounts(train: DataFrame, textCol: String = "text"): DataFrame =
+    train
+      .select(explode(Analyzer.tokenize(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document perplexity under an add-α-smoothed unigram LM trained on
+    * `train` (CCNet's shape: score everything against a clean reference
+    * corpus; low perplexity ≈ looks like the reference). For token t with
+    * train count c(t), train size N and vocabulary V:
+    *
+    *   p(t) = (c(t) + α) / (N + α·(V+1))        (the +1 is the unseen bin)
+    *   ppl(doc) = exp(−mean_t ln p(t)),  rounded to 4 decimals.
+    *
+    * Documents with zero tokens produce no row (no measurable stream).
+    * Output: (doc_id, ppl). */
+  def perplexity(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", alpha: Double = 0.5): DataFrame = {
+    val counts = unigramCounts(train, textCol)
+    val totals = counts.agg(
+      sum("cnt").cast("double").as("lm_n"),
+      count(lit(1)).cast("double").as("lm_v"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(Analyzer.tokenize(col(textCol))).as("tok"))
+      .join(broadcast(counts), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + alpha) /
+          (col("lm_n") + (col("lm_v") + 1.0) * alpha)).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(exp(-avg("lp")), 4).as("ppl"))
+  }
+
+  /** Hashed-bigram feature stream of one document: a 3-hex-char md5 prefix
+    * per adjacent token pair → 4096 buckets. The md5 prefix is the
+    * engine-portable hash (same trick as [[Mixing]]'s md5 ordering): Spark
+    * and any SQL oracle agree on md5 bytes, where builtin hash functions
+    * differ. Docs with fewer than two tokens yield an empty stream. */
+  def bigramBuckets(textCol: Column): Column = {
+    val t = Analyzer.tokenize(textCol)
+    val starts = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, i =>
+      substring(md5(concat_ws(" ", element_at(t, i), element_at(t, i + 1))), 1, 3))
+  }
+
+  /** Number of distinct bucket keys `bigramBuckets` can emit (3 hex chars). */
+  val DsirBuckets: Int = 4096
+
+  /** DSIR-style importance weight toward the `isTarget` slice of the corpus:
+    * per bucket b, the log-ratio of uniform-mixture-smoothed distributions
+    *
+    *   p_x(b) = (1−λ)·c_x(b)/N_x + λ/B,   lr(b) = ln p_t(b) − ln p_r(b)
+    *
+    * between the target and raw hashed-bigram feature streams; per document,
+    * w = Σ_features lr(bucket(f)), rounded to 4 decimals. Positive ⇒ the
+    * doc's n-gram profile looks more like the target slice than the raw
+    * corpus — DSIR samples raw data proportional to exp(w). (Mixture
+    * smoothing, not add-α: α·B pseudo-counts would swamp the observed
+    * counts whenever a bucket's count is small relative to B, flipping
+    * ratio signs; the λ-mixture perturbs every bucket by the same small
+    * uniform mass at every corpus size.)
+    *
+    * Two passes over the corpus by construction (global bucket counts must
+    * exist before scoring); the bucket/ratio tables are ≤ B rows and
+    * broadcast. Docs with <2 tokens have no features and produce no row.
+    * Output: (doc_id, dsir_w). */
+  def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String = "doc_id",
+                  textCol: String = "text", lambda: Double = 0.01): DataFrame = {
+    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      explode(bigramBuckets(col(textCol))).as("b"))
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtCnt = feats.where(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawTot = rawCnt.agg(sum("cr").cast("double").as("nr"))
+    val tgtTot = tgtCnt.agg(sum("ct").cast("double").as("nt"))
+    val uni = lambda / DsirBuckets
+    val ratios = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(tgtTot)
+      .crossJoin(rawTot)
+      .select(col("b"),
+        (log(coalesce(col("ct"), lit(0L)).cast("double") / col("nt")
+            * (1.0 - lambda) + uni) -
+          log(col("cr").cast("double") / col("nr")
+            * (1.0 - lambda) + uni)).as("lr"))
+    feats
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id")
+      .agg(round(sum("lr"), 4).as("dsir_w"))
+  }
+
+  /** Overlapping token-window chunking (RAG/embedding prep): windows of
+    * `chunkTokens` tokens every `stride` tokens, the trailing partial
+    * window kept. chunk_id = window start / stride, so ids are dense and
+    * deterministic without a window function — one narrow projection, no
+    * shuffle at all; docs explode into their own chunks in place.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val t = Analyzer.tokenize(col(textCol))
+    val starts = when(size(t) > 0, sequence(lit(0), size(t) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"), explode(starts).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("t")) - col("s")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("s") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+}

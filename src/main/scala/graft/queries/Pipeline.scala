@@ -771,6 +771,71 @@ object Pipeline extends QueryPack {
                   '\b555-\d{3}-\d{4}\b'))::BIGINT AS n_phone
               FROM seeded ORDER BY doc_id""")),
 
+    // CCNet-style perplexity filter: an add-α unigram LM is trained on the
+    // English slice (the stand-in for CCNet's Wikipedia reference corpus)
+    // and every doc is scored against it — low perplexity ≈ reads like the
+    // reference. Model state is vocabulary-sized and broadcast; the corpus
+    // is never shuffled by token (scale notes in Lm.scala). The oracle
+    // retrains the same LM and replays the smoothing formula per token.
+    Q("q_text_perplexity",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Lm.perplexity(docs, docs.where(col("lang") === "en"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents),
+               train AS (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+               cnt AS (SELECT tok, count(*)::BIGINT AS c FROM train GROUP BY tok),
+               tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnt),
+               d AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+               lp AS (SELECT d.doc_id,
+                        avg(ln((coalesce(c.c, 0) + 0.5) / (tot.n + 0.5*(tot.v + 1)))) AS m
+                      FROM d LEFT JOIN cnt c USING (tok) CROSS JOIN tot
+                      GROUP BY d.doc_id)
+               SELECT doc_id, round(exp(-m), 4) AS ppl FROM lp ORDER BY doc_id""")),
+
+    // DSIR-style importance weighting toward the English slice: hashed
+    // bigram features (3-hex-char md5 prefix → 4096 buckets — the
+    // engine-portable hash), per-bucket log-ratio of λ-mixture-smoothed
+    // target vs raw distributions, summed per doc. Bucket/ratio tables are
+    // ≤4096 rows and broadcast; two corpus passes by construction (global
+    // counts before scoring). The oracle replays hash, smoothing, and sum.
+    Q("q_text_dsir",
+      (s, dir) => graft.pipeline.Lm.dsirWeights(
+          Tables(s, dir, "documents"), col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents),
+               f AS (SELECT doc_id, lang = 'en' AS is_t,
+                       unnest([substr(md5(t[i] || ' ' || t[i+1]), 1, 3)
+                               FOR i IN range(1, len(t))]) AS b
+                     FROM toks WHERE len(t) >= 2),
+               raw AS (SELECT b, count(*)::BIGINT AS cr FROM f GROUP BY b),
+               tgt AS (SELECT b, count(*)::BIGINT AS ct FROM f WHERE is_t GROUP BY b),
+               totr AS (SELECT sum(cr)::DOUBLE AS nr FROM raw),
+               tott AS (SELECT sum(ct)::DOUBLE AS nt FROM tgt),
+               r AS (SELECT raw.b,
+                       ln(coalesce(tgt.ct, 0) / tott.nt * 0.99 + 0.01/4096) -
+                       ln(raw.cr / totr.nr * 0.99 + 0.01/4096) AS lr
+                     FROM raw LEFT JOIN tgt USING (b)
+                     CROSS JOIN totr CROSS JOIN tott)
+               SELECT f.doc_id, round(sum(r.lr), 4) AS dsir_w
+               FROM f JOIN r USING (b) GROUP BY f.doc_id ORDER BY doc_id""")),
+
+    // Token-window chunking (RAG/embedding prep): 64-token windows every
+    // 48 tokens, trailing partial kept; chunk_id derived from the window
+    // start, so the whole op is one narrow projection — no window
+    // function, no shuffle. The oracle slices the same token lists.
+    Q("q_text_chunk",
+      (s, dir) => graft.pipeline.Lm.chunk(Tables(s, dir, "documents"), 64, 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s
+                      FROM toks WHERE len(t) > 0)
+               SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+                 least(64, len(t) - s)::BIGINT AS n_chunk_tokens,
+                 array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+               FROM st ORDER BY doc_id, chunk_id""")),
+
     // ---- end-to-end curation ------------------------------------------------
     // The composite the library exists for: quality-filter (token count +
     // lexical diversity) → exact dedup keeping the lowest doc_id per content
