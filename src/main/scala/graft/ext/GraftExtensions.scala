@@ -1393,7 +1393,26 @@ object GraftExtensions {
         (args: Seq[Expression]) => FtsSnippet(args(0), args(1), args(2))),
       (new FunctionIdentifier("fts_wildcard"),
         new ExpressionInfo(classOf[FtsWildcard].getName, "fts_wildcard"),
-        (args: Seq[Expression]) => FtsWildcard(args(0), args(1)))
+        (args: Seq[Expression]) => FtsWildcard(args(0), args(1))),
+      // `fts_query(text, 'a AND ("b c" OR d*) NOT e')` — the Lucene-style
+      // query language. Parsed ONCE here (the query must be a literal) and
+      // expanded into the existing FTS leaf expressions glued with Catalyst
+      // And/Or/Not, so each leaf takes its own RewriteFtsMatch lowering
+      // (index semi-join / OR-union / anti-join / scan kernel) exactly as
+      // if written by hand. Pure front-end: no new execution machinery.
+      (new FunctionIdentifier("fts_query"),
+        new ExpressionInfo(classOf[FtsMatch].getName, "fts_query"),
+        (args: Seq[Expression]) => {
+          if (args.length != 2) throw new IllegalArgumentException(
+            s"fts_query(text, 'query string') takes 2 arguments, got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val q = args(1) match {
+            case Literal(s: UTF8String, StringType) => s.toString
+            case e => throw new IllegalArgumentException(
+              s"fts_query requires a literal query string, got: ${e.sql}")
+          }
+          graft.fts.QueryParser.compile(args(0), q)
+        })
     ) ++ VecKernels.functions ++ TextKernels.functions
 
   /** Register the graft functions + rule on an already-built session (the

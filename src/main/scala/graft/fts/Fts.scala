@@ -494,6 +494,20 @@ object Index {
   */
 object Search {
 
+  /** The Lucene-style query-string language as a boolean Column over a
+    * text column — `data AND ("fast table" OR quer*) NOT (slow OR x?z)`,
+    * `a NEAR/3 b`. Parsed once on the driver ([[QueryParser]]) and
+    * expanded into the FTS leaf expressions glued with Catalyst
+    * And/Or/Not, so each conjunct lowers through
+    * [[graft.ext.RewriteFtsMatch]] on its own (index semi-join, OR-union,
+    * NOT anti-join, or the scan kernels when no index is registered).
+    * SQL twin: `fts_query(text, '…')`. */
+  def queryString(text: Column, q: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      QueryParser.compile(GraftColumnBridge.expression(text), q))
+  }
+
   /** Query terms minus the index's capped stop terms — the query-side half
     * of the df-cap contract ([[Index.buildWithDfCap]]): capped terms are
     * IGNORED, the standard stopword behavior ("the query" matches docs

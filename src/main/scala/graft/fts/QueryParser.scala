@@ -130,7 +130,8 @@ object QueryParser {
         }
       case PhraseT(raw) :: rest =>
         toks = rest
-        val ts = AnalyzerConfig.tokenizeRaw(raw)
+        val ts = raw.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
         if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""") else Phrase(ts)
       case WordT(raw) :: rest =>
         toks = rest
