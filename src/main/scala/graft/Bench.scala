@@ -45,7 +45,8 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           if (recordError)
-            errors ::= name -> e.getMessage.take(160).replaceAll("[\"\\n\\r\\\\]", " ")
+            errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(160).replaceAll("[\"\\n\\r\\t\\\\]|[\\x00-\\x1f]", " ")
           false
         }
         finally spark.catalog.clearCache() // don't let one query's persisted
@@ -124,8 +125,16 @@ object Bench {
     }
     val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f,"stddev_agg_mrows":$microStddev%.1f,"kurtosis_agg_mrows":$microKurtosis%.1f,"sort_mrows":$microSort%.1f}"""
 
-    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    // Errors are BUDGETED like everything else on the metric line: round 7's
+    // nine analysis errors × 160 chars consumed the whole ~1700-char tail
+    // window, leaving "queries":{} and an unparseable line. Cap message
+    // length and error count (the full messages are on stderr already).
+    val errShown = errors.take(6)
+    val errEntries = errShown.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.take(80) + "\"" }
+    val es = (if (errors.size > errShown.size)
+        errEntries :+ ("\"_dropped_errors\":" + (errors.size - errShown.size))
+      else errEntries).mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Full-precision per-query detail, on its OWN line that deliberately does

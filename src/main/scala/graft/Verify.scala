@@ -31,6 +31,17 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Round-7 failure mode: an analysis-time exception left no output
+        // dir, so the query silently VANISHED from CORRECTNESS instead of
+        // erroring. Dump a one-row sentinel whose schema can never match an
+        // oracle — the driver then records the query as a present, failing
+        // row carrying the message, never as silently absent.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("_graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       finally spark.catalog.clearCache() // queries persist scratch frames
     }

@@ -490,8 +490,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   import graft.fts.IndexCatalog
 
   private def queryTerms(q: UTF8String): Seq[String] =
-    q.toString.toLowerCase(Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    graft.fts.Analyzer.tokenizeString(q.toString).distinct
 
   /** Query terms normalized through the INDEX's analyzer pipeline — an
     * analyzer-configured index (stemmed/stopworded/CJK) is only answerable
@@ -504,8 +503,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
 
   /** Phrase tokens keep ORDER and REPETITION (unlike [[queryTerms]]). */
   private def phraseTerms(q: UTF8String): Seq[String] =
-    q.toString.toLowerCase(Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    graft.fts.Analyzer.tokenizeString(q.toString)
 
   /** Phrase tokens through the entry's analyzer pipeline — order and
     * repetition preserved (tokenizeQuery keeps both; only [[entryTerms]]
@@ -1395,23 +1393,40 @@ object GraftExtensions {
         new ExpressionInfo(classOf[FtsWildcard].getName, "fts_wildcard"),
         (args: Seq[Expression]) => FtsWildcard(args(0), args(1))),
       // `fts_query(text, 'a AND ("b c" OR d*) NOT e')` — the Lucene-style
-      // query language. Parsed ONCE here (the query must be a literal) and
-      // expanded into the existing FTS leaf expressions glued with Catalyst
-      // And/Or/Not, so each leaf takes its own RewriteFtsMatch lowering
-      // (index semi-join / OR-union / anti-join / scan kernel) exactly as
-      // if written by hand. Pure front-end: no new execution machinery.
+      // query language. Parsed ONCE here (the query must be a foldable
+      // string — a literal or a constant expression) and expanded into the
+      // existing FTS leaf expressions glued with Catalyst And/Or/Not, so
+      // each leaf takes its own RewriteFtsMatch lowering (index semi-join /
+      // OR-union / anti-join / scan kernel) exactly as if written by hand.
+      // Pure front-end: no new execution machinery — the ExpressionInfo
+      // marker class is QueryParser, which builds the composite tree.
       (new FunctionIdentifier("fts_query"),
-        new ExpressionInfo(classOf[FtsMatch].getName, "fts_query"),
+        new ExpressionInfo(graft.fts.QueryParser.getClass.getName, null,
+          "fts_query",
+          "fts_query(text, query) - Lucene-style query-string search: " +
+            "bare terms (implicit AND), \"quoted phrases\", trailing-* " +
+            "prefix, single inner/leading * wildcard, a NEAR/k b, and " +
+            "AND/OR/NOT with parentheses. The query must be a constant " +
+            "(foldable) string; it is parsed at analysis time and expanded " +
+            "into the fts_match/fts_phrase/fts_prefix/fts_wildcard/fts_near " +
+            "expression tree.",
+          ""),
         (args: Seq[Expression]) => {
-          if (args.length != 2) throw new IllegalArgumentException(
+          def analysisError(msg: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+              Map("errorMessage" -> msg), None)
+          if (args.length != 2) analysisError(
             s"fts_query(text, 'query string') takes 2 arguments, got ${args.length}")
-          import org.apache.spark.sql.catalyst.expressions.Literal
-          val q = args(1) match {
-            case Literal(s: UTF8String, StringType) => s.toString
-            case e => throw new IllegalArgumentException(
-              s"fts_query requires a literal query string, got: ${e.sql}")
+          val qe = args(1)
+          if (qe.dataType != StringType || !qe.foldable) analysisError(
+            s"fts_query requires a constant (foldable) query string, got: ${qe.sql}")
+          val q = qe.eval() match {
+            case null => analysisError("fts_query query string must not be NULL")
+            case s: UTF8String => s.toString
           }
-          graft.fts.QueryParser.compile(args(0), q)
+          try graft.fts.QueryParser.compile(args(0), q)
+          catch { case e: IllegalArgumentException => analysisError(e.getMessage) }
         })
     ) ++ VecKernels.functions ++ TextKernels.functions
 

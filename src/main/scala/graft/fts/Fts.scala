@@ -17,6 +17,15 @@ object Analyzer {
   /** Frozen token grammar, version 1. */
   val TokenSplitRegex = "[^a-z0-9]+"
 
+  /** Frozen v1 tokenization of a RAW string — the query-side scalar mirror
+    * of [[tokenize]]: lowercase(Locale.ROOT), split [[TokenSplitRegex]],
+    * drop empties. ALL query-side normalization (RewriteFtsMatch,
+    * QueryParser, AnalyzerConfig) delegates here, so a grammar tweak can
+    * never desynchronize query tokens from index tokens. */
+  def tokenizeString(raw: String): Seq[String] =
+    raw.toLowerCase(java.util.Locale.ROOT)
+      .split(TokenSplitRegex).filter(_.nonEmpty).toSeq
+
   /** Tokenize via the native codegen'd [[graft.ext.FtsTokenize]] expression
     * (one compiled call per row). The declarative equivalent —
     * `filter(split(lower(c), regex), t => length(t) > 0)` — evaluates an
@@ -142,8 +151,7 @@ final case class AnalyzerConfig(
   def tokenizeQuery(raw: String): Seq[String] = {
     val base =
       if (cjkBigrams) graft.ext.FtsTokenizeCjk.tokenizeString(raw)
-      else raw.toLowerCase(java.util.Locale.ROOT)
-        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      else Analyzer.tokenizeString(raw)
     normalizeTerms(base)
   }
 }

@@ -27,8 +27,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   * query language is pure front-end.
   *
   * Operator words are reserved (case-insensitive); terms are normalized
-  * through the frozen v1 grammar (lowercased, non-alphanumerics dropped),
-  * so `Spark-SQL` queries as the two terms `spark sql` — the same tokens
+  * through the frozen v1 grammar ([[Analyzer.tokenizeString]]:
+  * lowercase(ROOT), split on non-[a-z0-9] runs), so `Spark-SQL` queries as
+  * the implicit-AND of the two terms `spark` and `sql` — exactly the tokens
   * the analyzer produced at index time.
   */
 object QueryParser {
@@ -130,19 +131,44 @@ object QueryParser {
         }
       case PhraseT(raw) :: rest =>
         toks = rest
-        val ts = raw.toLowerCase(java.util.Locale.ROOT)
-          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        val ts = Analyzer.tokenizeString(raw)
         if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""") else Phrase(ts)
       case WordT(raw) :: rest =>
         toks = rest
-        val norm = raw.toLowerCase.filter(c => c.isLetterOrDigit || c == '*')
-        val stars = norm.count(_ == '*')
-        if (norm.replace("*", "").isEmpty) fail(s"term '$raw' has no tokens")
-        else if (stars == 0) Term(norm)
-        else if (stars == 1 && norm.endsWith("*")) Prefix(norm.dropRight(1))
-        else if (stars == 1) Wildcard(norm)
-        else fail(s"term '$raw': at most one '*' supported")
+        wordNode(raw)
       case t => fail(s"unexpected ${t.headOption.getOrElse("end of query")}")
+    }
+
+    /** A bare word through the frozen v1 normalization
+      * ([[Analyzer.tokenizeString]] — the SAME helper the indexer's kernel
+      * semantics and the phrase path use), with a single `*` (query syntax,
+      * not index grammar) kept aside. One raw word may normalize to several
+      * index terms (`Spark-SQL` → `spark`, `sql`); those combine as implicit
+      * AND — exactly the tokens the indexer produced for the same text, so a
+      * punctuated query can never silently match zero rows against terms
+      * that were split at index time. */
+    private def wordNode(raw: String): Node = {
+      val stars = raw.count(_ == '*')
+      if (stars > 1) fail(s"term '$raw': at most one '*' supported")
+      if (stars == 0) {
+        val ts = Analyzer.tokenizeString(raw)
+        if (ts.isEmpty) fail(s"term '$raw' has no tokens")
+        ts.map(Term(_): Node).reduceLeft(AndN.apply)
+      } else {
+        val at = raw.indexOf('*')
+        val lt = Analyzer.tokenizeString(raw.substring(0, at))
+        val rt = Analyzer.tokenizeString(raw.substring(at + 1))
+        // the star binds to the index terms ADJACENT to it; any further
+        // tokens the word normalized into become plain AND'd terms
+        val starNode: Node = (lt.lastOption, rt.headOption) match {
+          case (Some(p), None) => Prefix(p)
+          case (Some(a), Some(b)) => Wildcard(s"$a*$b")
+          case (None, Some(s)) => Wildcard(s"*$s")
+          case (None, None) => fail(s"term '$raw' has no tokens")
+        }
+        val rest = lt.dropRight(1) ++ rt.drop(1)
+        (starNode +: rest.map(Term(_): Node)).reduceLeft(AndN.apply)
+      }
     }
   }
 

@@ -522,6 +522,49 @@ object Fts extends QueryPack {
       Some(bm25OracleOver(
         "(SELECT * FROM documents WHERE doc_id % 2 = 1) documents"))),
 
+    // DELETE composed with the POSITIONAL + ANALYZER index: tombstones must
+    // kill position lists too — a phrase query over the merge-on-read view
+    // can never resurrect a deleted doc's adjacency — and surviving docs
+    // keep ANALYZED phrase semantics: positions live in analyzed space, so
+    // 'the data queries' normalizes to the adjacency ('data','query') and
+    // matches even where a stopword sat between the words in the raw text.
+    // Oracle: replay stopword/stem/min-length over the surviving half, then
+    // the same adjacency containment.
+    Q("q_fts_deleted_pos",
+      (s, dir) => {
+        val cfg = graft.fts.AnalyzerConfig(
+          stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+        val deltaDir = graft.core.Scratch.dir("fts_index_delpos_delta")
+        ingestDocs(s, dir, graft.core.Scratch.dir("docs_delpos_stream"),
+          deltaDir, positional = true, analyzer = cfg)
+        val evens = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0).select("doc_id")
+        graft.fts.IncrementalIndex.delete(s, deltaDir, evens)
+        val ix = graft.fts.IncrementalIndex.read(s, deltaDir)
+        Search.matchPhrasePositional(ix,
+            cfg.tokenizeQuery("the data queries"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents
+                             WHERE doc_id % 2 = 1),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks)
+               SELECT doc_id FROM an
+               WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+               ORDER BY doc_id""")),
+
     // UPSERT completes the index CRUD: the doc's current version is
     // tombstoned as-of the latest batch and the replacement appends as a
     // NEW batch, so the versioned anti-join kills only the old rows — an
@@ -724,6 +767,57 @@ object Fts extends QueryPack {
                SELECT doc_id FROM toks
                WHERE len(list_filter(t, x ->
                        x LIKE 'c%er' AND len(x) >= 3)) > 0
+               ORDER BY doc_id""")),
+
+    // The QUERY-STRING language (QueryParser): one Lucene-style string —
+    // `vector AND ("data query" OR quer*) NOT slow` — parsed at analysis
+    // time into the fts_match/fts_phrase/fts_prefix tree glued with
+    // And/Or/Not, each leaf taking its own index lowering over the
+    // registered postings. The oracle replays the boolean algebra over
+    // token-list predicates.
+    Q("q_fts_query",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qstr")
+        s.sql("""SELECT doc_id FROM documents_qstr
+                 WHERE fts_query(text, 'vector AND ("data query" OR quer*) NOT slow')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'vector')
+                 AND (contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+                      OR len(list_filter(t, x -> starts_with(x, 'quer'))) > 0)
+                 AND NOT list_contains(t, 'slow')
+               ORDER BY doc_id""")),
+
+    // Query-string NEAR/k + implicit AND + punctuated-word normalization:
+    // `data NEAR/3 query vector,stream` — NEAR lowers to the positional
+    // plan, and the comma-joined word normalizes through the SAME frozen
+    // v1 grammar as the indexer (two terms, implicit AND), so punctuation
+    // in a query can never silently match zero rows.
+    Q("q_fts_query_near",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qstr2")
+        s.sql("""SELECT doc_id FROM documents_qstr2
+                 WHERE fts_query(text, 'data NEAR/3 query vector,stream')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id, t,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(pa) > 0 AND len(pb) > 0
+                 AND len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
+                 AND list_contains(t, 'vector') AND list_contains(t, 'stream')
                ORDER BY doc_id""")),
 
     // Result-page snippets: fts_snippet extracts the ±3-token window

@@ -727,6 +727,53 @@ object Relational extends QueryPack {
                 SELECT n_nationkey, n_name, n_regionkey FROM nation
                 UNION ALL SELECT * FROM (VALUES (997, 'ATLANTIS', 9), (998, 'LEMURIA', 9)))
               SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
-              FROM all_rows GROUP BY n_regionkey ORDER BY n_regionkey"""))
+              FROM all_rows GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- RangeExec (§2.1, reference basicPhysicalOperators.scala:317):
+    // the parallel integer generator — no input relation, rows produced
+    // per-partition with no shuffle until the final single-row aggregate.
+    Q("q_range",
+      (s, dir) => s.range(0, 1000000, 3)
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"),
+          round(avg(col("id")), 4).as("a")),
+      Some("""SELECT count(*) AS n, CAST(sum(range) AS BIGINT) AS s,
+              round(avg(range), 4) AS a FROM range(0, 1000000, 3)""")),
+
+    // ---- InMemoryTableScanExec (§2.1, reference InMemoryTableScanExec
+    // .scala:31): the aggregate is computed once, cached columnar, and the
+    // returned frame reads back through InMemoryTableScan (plan-asserted in
+    // PlanShapeSpec) — values must equal the uncached oracle recomputation.
+    Q("q_cache",
+      (s, dir) => {
+        val agg = t(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        agg.cache()
+        agg.count() // materialize the cache before the serving read
+        agg.orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- Dataset ↔ RDD bridge (§2.1, reference ExistingRDD.scala:158):
+    // relational scan → RDD imperative hop (the genuine per-row escape
+    // hatch) → back to a DataFrame for relational aggregation. Decimal sums
+    // so the fold order of the RDD hop can't perturb the hash.
+    Q("q_rdd",
+      (s, dir) => {
+        val rdd = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .rdd.map(r => (r.getLong(0) % 10, r.getDouble(1)))
+        s.createDataFrame(rdd).toDF("bucket", "qty")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sq"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT l_orderkey % 10 AS bucket, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+              FROM lineitem GROUP BY 1 ORDER BY bucket"""))
   )
 }

@@ -293,8 +293,7 @@ object Sources extends QueryPack {
     // predates session_window). Batch-mode gap sessions per user; the oracle
     // derives the same sessions with the lag/cumulative-sum islands idiom.
     Q("q_stream_session",
-      (s, dir) => Tables(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      (s, dir) => graft.core.EventTime.toTimestamp(Tables(s, dir, "events"))
         .groupBy(session_window(col("ts"), "1 hour").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"),

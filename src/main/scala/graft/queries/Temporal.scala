@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{EventTime, Tables}
 import graft.ops.{Fuzzy, Joins}
 
 /** Temporal join operators over the events stream table ([[graft.ops.Joins]]):
@@ -10,10 +10,11 @@ import graft.ops.{Fuzzy, Joins}
   * directly, each expressed so the planner never sees a raw inequality
   * predicate (which would plan as BroadcastNestedLoop).
   *
-  * `ts` arrives as BIGINT epoch-nanos (the fixture's TIMESTAMP(NANOS)
-  * under spark.sql.legacy.parquet.nanosAsLong); DuckDB reads the same
-  * column as a true timestamp, so the oracles work in timestamps and the
-  * outputs stick to id/aggregate columns both engines agree on.
+  * `ts` is normalized to BIGINT epoch-micros through
+  * [[graft.core.EventTime.toMicros]] (schema-dispatched — the fixture has
+  * shipped both INT64-nanos and TIMESTAMP_NTZ vintages); DuckDB reads the
+  * same column as a true timestamp, so the oracles work in timestamps and
+  * the outputs stick to id/aggregate columns both engines agree on.
   */
 object Temporal extends QueryPack {
 
@@ -24,7 +25,7 @@ object Temporal extends QueryPack {
     // running last_value, never a range-predicate join.
     Q("q_join_asof",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
+        val ev = EventTime.toMicros(Tables(s, dir, "events"))
         Joins.asOf(
             left = ev.filter(col("event_type") === "click")
               .select("event_id", "user_id", "ts"),
@@ -58,14 +59,14 @@ object Temporal extends QueryPack {
     // aggregates are order-independent (count/max) so hashes are stable.
     Q("q_join_range",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-        val hourNs = 3600L * 1000 * 1000 * 1000
+        val ev = EventTime.toMicros(Tables(s, dir, "events"))
+        val hourUs = 3600L * 1000 * 1000
         val signups = ev.filter(col("event_type") === "signup")
           .select(col("event_id").as("signup_id"),
-            col("ts").as("lo"), (col("ts") + hourNs).as("hi"))
+            col("ts").as("lo"), (col("ts") + hourUs).as("hi"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("ts"), col("value"))
-        Joins.rangeJoin(signups, "lo", "hi", purchases, "ts", hourNs)
+        Joins.rangeJoin(signups, "lo", "hi", purchases, "ts", hourUs)
           .groupBy("signup_id")
           .agg(count(lit(1)).as("n_purchases"),
             round(max(col("value")), 4).as("max_value"))

@@ -33,8 +33,9 @@ object StreamOps {
   /** Run the windowed aggregation as a REAL stream over the events parquet
     * (FileStreamSource → MicroBatchExecution → memory sink), bounded by
     * Trigger.AvailableNow so it terminates when the backlog is drained.
-    * `ts` arrives as INT64 nanos (legacy nanosAsLong read); integer-divide
-    * to micros — a double division would lose precision at 1.7e18. */
+    * `ts` is normalized to a real timestamp by [[graft.core.EventTime]]
+    * (schema-dispatched — the fixture has shipped both INT64-nanos and
+    * TIMESTAMP_NTZ vintages). */
   def runFileStream(spark: SparkSession, dir: String): DataFrame = {
     // FileStreamSource requires a directory to monitor; stage the fixture
     // file into one (in production the source IS a landing directory).
@@ -51,7 +52,7 @@ object StreamOps {
 
   /** Stage the events fixture file into a fresh landing directory and
     * return the file-stream DataFrame over it (ts normalized to a real
-    * timestamp from the INT64-nanos read). */
+    * timestamp, whatever the fixture vintage). */
   private def eventsStream(spark: SparkSession, dir: String,
                            landing: String, copies: Int = 1): org.apache.spark.sql.DataFrame = {
     val path = s"$dir/events.parquet"
@@ -68,8 +69,8 @@ object StreamOps {
         streamDir.resolve(s"events_$i.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.core.EventTime.toTimestamp(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Stream-static join: the event stream enriched against a static

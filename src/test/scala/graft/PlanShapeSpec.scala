@@ -412,6 +412,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_cache serves from the columnar cache (InMemoryTableScan)") {
+    val df = SparkEntry.queries("q_cache")(spark, "/root/testdata/sf0.001")
+    try {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+        s"q_cache must read back through the cache:\n${plan.take(1500)}")
+      assert(!plan.contains("Scan parquet"),
+        "the serving read must not re-scan the source parquet")
+    } finally spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the automatic complement to q_join_salted's manual salting: a hot key
     // concentrating 75% of the fact rows in one shuffle partition is split

@@ -1,0 +1,152 @@
+package graft.fts
+
+import graft.SparkSpec
+import graft.fts.QueryParser._
+
+/** The query-string language: grammar (precedence, reserved words, errors),
+  * frozen-v1 word normalization (a punctuated word must yield the SAME
+  * tokens the indexer produced), and the SQL surface end-to-end including
+  * the analyzer-configured index path. */
+class QueryParserSpec extends SparkSpec {
+
+  // ---- grammar --------------------------------------------------------------
+
+  test("OR binds looser than AND") {
+    assert(parse("a OR b AND c") ==
+      OrN(Term("a"), AndN(Term("b"), Term("c"))))
+  }
+
+  test("adjacency is implicit AND") {
+    assert(parse("big data") == AndN(Term("big"), Term("data")))
+    assert(parse("a b c") == AndN(AndN(Term("a"), Term("b")), Term("c")))
+  }
+
+  test("parentheses override precedence") {
+    assert(parse("(a OR b) AND c") ==
+      AndN(OrN(Term("a"), Term("b")), Term("c")))
+  }
+
+  test("NOT binds tighter than AND and composes with implicit AND") {
+    assert(parse("NOT a AND b") == AndN(NotN(Term("a")), Term("b")))
+    assert(parse("a NOT b") == AndN(Term("a"), NotN(Term("b"))))
+  }
+
+  test("operator words are reserved, case-insensitive") {
+    assert(parse("a and b") == AndN(Term("a"), Term("b")))
+    assert(parse("a oR b") == OrN(Term("a"), Term("b")))
+    intercept[IllegalArgumentException](parse("AND"))
+    intercept[IllegalArgumentException](parse("a AND"))
+  }
+
+  test("phrase tokenizes through the frozen v1 grammar") {
+    assert(parse("\"Fast, TABLE scans\"") ==
+      Phrase(Seq("fast", "table", "scans")))
+    intercept[IllegalArgumentException](parse("\"...\""))
+  }
+
+  test("unterminated quote fails loud") {
+    intercept[IllegalArgumentException](parse("a \"b c"))
+  }
+
+  test("missing close paren / trailing input fail loud") {
+    intercept[IllegalArgumentException](parse("(a OR b"))
+    intercept[IllegalArgumentException](parse("a ) b"))
+  }
+
+  test("NEAR/k needs plain terms on both sides") {
+    assert(parse("data NEAR/3 query") == Near("data", "query", 3))
+    intercept[IllegalArgumentException](parse("\"a b\" NEAR/2 c"))
+  }
+
+  // ---- word normalization (frozen v1, ADVICE r7) ----------------------------
+
+  test("punctuated word splits into implicit-AND index terms") {
+    // 'Spark-SQL' is indexed as the two tokens spark/sql — the query must
+    // produce the same, never the fused 'sparksql' (which no index holds)
+    assert(parse("Spark-SQL") == AndN(Term("spark"), Term("sql")))
+    assert(parse("vector,stream") == AndN(Term("vector"), Term("stream")))
+  }
+
+  test("non-ASCII letters normalize exactly like the indexer") {
+    // FtsTokenize drops 'é' as a separator: café → caf on both sides
+    assert(parse("café") == Term("caf"))
+    assert(QueryParser.parse("Café au lait") ==
+      AndN(AndN(Term("caf"), Term("au")), Term("lait")))
+  }
+
+  test("star placement: prefix, inner wildcard, leading wildcard") {
+    assert(parse("quer*") == Prefix("quer"))
+    assert(parse("c*er") == Wildcard("c*er"))
+    assert(parse("*er") == Wildcard("*er"))
+    // star binds to the adjacent token; other tokens become AND'd terms
+    assert(parse("foo-b*") == AndN(Prefix("b"), Term("foo")))
+    intercept[IllegalArgumentException](parse("a*b*c"))
+    intercept[IllegalArgumentException](parse("*"))
+    intercept[IllegalArgumentException](parse("..."))
+  }
+
+  // ---- SQL surface ----------------------------------------------------------
+
+  private def install(): Unit = {
+    graft.ext.GraftExtensions.install(spark)
+    IndexCatalog.clear()
+  }
+
+  private def ids(sql: String): Set[Long] =
+    spark.sql(sql).collect().map(_.getLong(0)).toSet
+
+  test("fts_query equals the hand-written fts_match conjunction") {
+    install()
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    val viaQuery = ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'spark AND query')")
+    val viaMatch = ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_match(text, 'spark query')")
+    assert(viaQuery == viaMatch && viaQuery.nonEmpty)
+    // punctuated + implicit-AND spelling of the same query
+    assert(ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'Spark,Query')")
+      == viaMatch)
+  }
+
+  test("foldable non-literal query strings are accepted") {
+    install()
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    val expect = ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'spark')")
+    assert(ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'spa' || 'rk')")
+      == expect)
+  }
+
+  test("non-foldable / NULL / malformed queries raise AnalysisException") {
+    install()
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT doc_id FROM docs_qp WHERE fts_query(text, text)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT doc_id FROM docs_qp WHERE fts_query(text, NULL)").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT doc_id FROM docs_qp WHERE fts_query(text, '(a OR')").collect())
+  }
+
+  test("fts_query serves an analyzer-configured index through entryTerms") {
+    install()
+    try {
+      val docsPath = sf("documents")
+      val docs = spark.read.parquet(docsPath)
+      val cfg = AnalyzerConfig(stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+      val ixDir = "/root/repo/target/ttmp/fts_index_qp_an"
+      Index.createIndex(spark, docsPath, ixDir, analyzer = cfg)
+      docs.createOrReplaceTempView("docs_qp_an")
+      // 'queries' must stem to the corpus term 'query' on the way in
+      val served = ids(
+        "SELECT doc_id FROM docs_qp_an WHERE fts_query(text, 'queries AND window')")
+      val expect = Search.matchAllIds(
+          Index.buildWithAnalyzer(docs, cfg),
+          cfg.normalizeTerms(Seq("queries", "window")))
+        .collect().map(_.getLong(0)).toSet
+      assert(served == expect && served.nonEmpty)
+    } finally IndexCatalog.clear()
+  }
+}

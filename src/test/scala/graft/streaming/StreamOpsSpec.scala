@@ -13,8 +13,8 @@ class StreamOpsSpec extends SparkSpec {
     val streamed = StreamOps.runFileStream(spark, dir)
       .collect().map(_.toSeq).toSet
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = graft.core.EventTime.toTimestamp(
+      spark.read.parquet(s"$dir/events.parquet"))
     val expected = StreamOps.windowedAgg(batch)
       .collect().map(_.toSeq).toSet
 
