@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's output must reach stdout RAW: sbt's default output
+// strategy routes it through the logger, prefixing every line with
+// "[info] " — which breaks the driver's parse of Bench's one-line JSON
+// metric (BENCH "parsed": null in rounds 7/8).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

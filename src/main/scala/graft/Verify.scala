@@ -41,7 +41,14 @@ object Verify {
           Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
             .toDF("_graft_query_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
+        } catch {
+          case e2: Throwable =>
+            // if even the sentinel write fails, the query DOES vanish from
+            // CORRECTNESS — make that loud so the operator sees it happened
+            System.err.println(
+              s"[verify] $name sentinel write ALSO failed — query will be " +
+                s"absent from CORRECTNESS: ${e2.getMessage}")
+        }
       }
       finally spark.catalog.clearCache() // queries persist scratch frames
     }

@@ -466,6 +466,25 @@ case class FtsWildcard(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_fuzzy(text, 'term', k)`: true iff the document contains a token
+  * within `k` Levenshtein edits of the term — typo-tolerant search on the
+  * SQL surface (query syntax `term~k`). Lowered by [[RewriteFtsMatch]]:
+  * index path = [[graft.fts.Search.matchFuzzyIds]] (the distance runs over
+  * the length-banded term DICTIONARY, never the corpus; matched terms
+  * drive the ordinary postings-union semi-join); scan path = a banded
+  * `levenshtein(t, term, k) >= 0` exists() over the token array (the
+  * threshold form bails out of the DP early, so a long token costs
+  * O(len·k), not O(len²)). */
+case class FtsFuzzy(text: Expression, term: Expression, maxEdits: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(text, term, maxEdits)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_fuzzy"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsFuzzy =
+    copy(text = newChildren(0), term = newChildren(1), maxEdits = newChildren(2))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -636,6 +655,29 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val (entry, idAttr) = entryFor(a).get
         val (h, t) = parseWildcard(p)
         Some((wildcardIdsDf(entry, h, t), idAttr))
+      case FtsFuzzy(a: Attribute, Literal(t: UTF8String, StringType),
+                    Literal(k: Int, org.apache.spark.sql.types.IntegerType))
+          // v1 only: an analyzer index's dictionary is stemmed, so edit
+          // distance against the raw query term measures the wrong space
+          if entryFor(a).exists(_._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
+        Some((graft.fts.Search.matchFuzzyIds(persistedIx(entry),
+          singleTerm(t, "fts_fuzzy"), k), idAttr))
+      // a disjunction whose every branch is index-exact on the SAME id is
+      // itself index-exact: the union of the branch id sets (recursive, so
+      // nested Ors flatten; mirrors the filter pass's OrConj)
+      case or: org.apache.spark.sql.catalyst.expressions.Or =>
+        val branches = splitDisjunctivePredicates(or)
+          .map(b => exactIdsDf(b, entryFor))
+        if (branches.forall(_.isDefined)) {
+          val resolved = branches.flatten
+          resolved.map(_._2.exprId).distinct match {
+            case Seq(_) =>
+              Some((resolved.map(_._1).reduce(_ unionByName _).distinct(),
+                resolved.head._2))
+            case _ => None
+          }
+        } else None
       case _ => None
     }
   }
@@ -645,6 +687,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private final case class WildcardConj(entry: IndexCatalog.Entry,
                                         idAttr: Attribute, head: String,
                                         tail: String)
+      extends FtsConjunct
+  private final case class FuzzyConj(entry: IndexCatalog.Entry,
+                                     idAttr: Attribute, term: String,
+                                     maxEdits: Int)
       extends FtsConjunct
   private final case class NearConj(entry: IndexCatalog.Entry,
                                     idAttr: Attribute, attr: Attribute,
@@ -901,11 +947,22 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           var bounding = false
           var ok = refsOk
           val idSets = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+          val antiIdSets = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
           splitConjunctivePredicates(cond).foreach {
             case IsNotNull(a: Attribute)
                 if a.exprId == idAttr.exprId ||
                   entryFor(a).exists(_._1.indexDir == entry.indexDir) =>
               () // postings rows have non-null ids and indexed text
+            // a NEGATED index-exact conjunct subtracts its id set (anti-
+            // join) — sound in the covered domain because every row comes
+            // from postings of non-null indexed text, matching the scan
+            // path's 3VL (NOT fts_match(NULL,…) is NULL there → dropped)
+            case org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+              exactIdsDf(inner, entryFor) match {
+                case Some((df, conjId)) if conjId.exprId == idAttr.exprId =>
+                  antiIdSets += df.queryExecution.optimizedPlan
+                case _ => ok = false
+              }
             case conj =>
               exactIdsDf(conj, entryFor) match {
                 case Some((df, conjId)) if conjId.exprId == idAttr.exprId =>
@@ -934,6 +991,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             val scoreAttr = cur.output(1)
             idSets.foreach { ids =>
               cur = Join(cur, ids, LeftSemi,
+                Some(EqualTo(scoreIdAttr, ids.output.head)), JoinHint.NONE)
+            }
+            antiIdSets.foreach { ids =>
+              cur = Join(cur, ids,
+                org.apache.spark.sql.catalyst.plans.LeftAnti,
                 Some(EqualTo(scoreIdAttr, ids.output.head)), JoinHint.NONE)
             }
             Some((cur, scoreIdAttr, scoreAttr, idAttr.exprId))
@@ -981,7 +1043,18 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val conjs = splitConjunctivePredicates(cond)
         val exact = conjs.flatMap(c => exactIdsDf(c, entryFor).map(c -> _))
         val exactConjs = exact.map(_._1).toSet
-        val idAttrs = exact.map(_._2._2.exprId).distinct
+        // NEGATED index-exact conjuncts subtract their id set via an
+        // anti-join (the covered domain is postings rows — non-null
+        // indexed text — so this matches the scan path's 3VL where
+        // NOT fts_match(NULL,…) is NULL → dropped). At least one POSITIVE
+        // set must remain to define the domain.
+        val anti = conjs.filterNot(exactConjs.contains).flatMap {
+          case n @ org.apache.spark.sql.catalyst.expressions.Not(inner) =>
+            exactIdsDf(inner, entryFor).map(n -> _)
+          case _ => Nil
+        }
+        val antiConjs = anti.map(_._1: Expression).toSet
+        val idAttrs = (exact ++ anti).map(_._2._2.exprId).distinct
         if (exact.isEmpty || idAttrs.size != 1) None
         else {
           val idAttr = exact.head._2._2
@@ -990,7 +1063,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           val positiveAttrs = exact.map(_._1).flatMap(_.collect {
             case a: Attribute => a.exprId
           }).toSet + idAttr.exprId
-          val leftovers = conjs.filterNot(exactConjs.contains).forall {
+          val leftovers = conjs.filterNot(exactConjs.contains)
+            .filterNot(antiConjs.contains).forall {
             case IsNotNull(a: Attribute) => positiveAttrs.contains(a.exprId)
             case _ => false
           }
@@ -1002,6 +1076,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             exact.tail.foreach { case (_, (df, _)) =>
               val p = df.queryExecution.optimizedPlan
               core = Join(core, p, LeftSemi,
+                Some(EqualTo(core.output.head, p.output.head)), JoinHint.NONE)
+            }
+            anti.foreach { case (_, (df, _)) =>
+              val p = df.queryExecution.optimizedPlan
+              core = Join(core, p,
+                org.apache.spark.sql.catalyst.plans.LeftAnti,
                 Some(EqualTo(core.output.head, p.output.head)), JoinHint.NONE)
             }
             val coreId = core.output.head
@@ -1160,6 +1240,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 val (e, id) = entryFor(a).get
                 val (h, t) = parseWildcard(p)
                 Left(WildcardConj(e, id, h, t))
+              case FtsFuzzy(a: Attribute, Literal(t: UTF8String, StringType),
+                            Literal(k: Int, org.apache.spark.sql.types.IntegerType))
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(FuzzyConj(e, id, singleTerm(t, "fts_fuzzy"), k))
               case or: org.apache.spark.sql.catalyst.expressions.Or =>
                 val branchIds = splitDisjunctivePredicates(or)
                   .map(b => exactIdsDf(b, entryFor))
@@ -1241,6 +1326,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 case (cur, WildcardConj(entry, idAttr, h, t)) =>
                   semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan, idAttr)
+                case (cur, FuzzyConj(entry, idAttr, t, k)) =>
+                  // distance over the length-banded term dictionary; the
+                  // matched terms drive the ordinary postings union — the
+                  // corpus side never sees the distance function
+                  semi(cur, graft.fts.Search.matchFuzzyIds(
+                    persistedIx(entry), t, k)
+                    .queryExecution.optimizedPlan, idAttr)
                 case (cur, NearConj(entry, idAttr, a, ta, tb, sl)) =>
                   if (entry.positional) {
                     val (na, nb) = (entryNearTerm(entry, ta),
@@ -1307,6 +1399,27 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           s"fts_near requires a non-negative slop, got $sl")
         FtsNearTokens(text, singleTerm(ta, "fts_near"),
           singleTerm(tb, "fts_near"), sl)
+      case FtsFuzzy(text, Literal(t: UTF8String, StringType),
+                    Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+        // scan fallback: exists(tokens, v -> levenshtein(v, term, k) >= 0)
+        // — the THRESHOLD form of the codegen'd built-in returns -1 past k
+        // and bails out of the DP band early, so a long token costs
+        // O(len·k) not O(len²). Same 3VL as the other kernels: NULL text
+        // → NULL (ArrayExists over a NULL array).
+        if (k < 1 || k > 2) throw new IllegalArgumentException(
+          s"fts_fuzzy requires maxEdits in {1, 2}, got $k")
+        val term = singleTerm(t, "fts_fuzzy")
+        val v = org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable(
+          "t", StringType, nullable = false)
+        org.apache.spark.sql.catalyst.expressions.ArrayExists(
+          FtsTokenize(text),
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              org.apache.spark.sql.catalyst.expressions.Levenshtein(
+                v, Literal(UTF8String.fromString(term), StringType),
+                Some(Literal(k))),
+              Literal(0)),
+            Seq(v)))
       // NULL query literal: three-valued logic, same as every SQL predicate
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
@@ -1315,6 +1428,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsWildcard(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsNear(_, a, b, s)
           if Seq(a, b, s).exists {
+            case Literal(null, _) => true; case _ => false } =>
+        Literal(null, BooleanType)
+      case FtsFuzzy(_, t, k)
+          if Seq(t, k).exists {
             case Literal(null, _) => true; case _ => false } =>
         Literal(null, BooleanType)
       // anything else (non-literal query) would otherwise survive as an
@@ -1332,6 +1449,9 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case m: FtsNear => throw new IllegalArgumentException(
         "fts_near requires literal string terms and a literal INT slop, got: " +
           s"${m.sql}")
+      case m: FtsFuzzy => throw new IllegalArgumentException(
+        "fts_fuzzy requires a literal string term and a literal INT edit " +
+          s"distance, got: ${m.sql}")
       // fts_score that survived pass 0: no registered index, a computed (not
       // base-column) text argument, a non-literal query, or an unsupported
       // position. Corpus statistics (df, avgdl, N) live in the persisted
@@ -1392,6 +1512,9 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_wildcard"),
         new ExpressionInfo(classOf[FtsWildcard].getName, "fts_wildcard"),
         (args: Seq[Expression]) => FtsWildcard(args(0), args(1))),
+      (new FunctionIdentifier("fts_fuzzy"),
+        new ExpressionInfo(classOf[FtsFuzzy].getName, "fts_fuzzy"),
+        (args: Seq[Expression]) => FtsFuzzy(args(0), args(1), args(2))),
       // `fts_query(text, 'a AND ("b c" OR d*) NOT e')` — the Lucene-style
       // query language. Parsed ONCE here (the query must be a foldable
       // string — a literal or a constant expression) and expanded into the
@@ -1427,6 +1550,51 @@ object GraftExtensions {
           }
           try graft.fts.QueryParser.compile(args(0), q)
           catch { case e: IllegalArgumentException => analysisError(e.getMessage) }
+        }),
+      // `fts_query_score(text, '<query string>')` — RANKED retrieval for
+      // the query language: the document's BM25 score for the query's
+      // positive scoring terms (Term leaves, phrase terms, NEAR operands;
+      // Prefix/Wildcard/Fuzzy clauses and NOT subtrees filter but don't
+      // score — Lucene's constant-score treatment of multi-term and
+      // prohibited clauses). Compiles at analysis time to [[FtsScore]]
+      // over the extracted term bag, so the whole ranked-retrieval
+      // machinery (pass-0 scoring join over pruned postings, the
+      // covering-index plan, TakeOrderedAndProject top-k) applies
+      // unchanged. Pair with `WHERE fts_query(text, <same string>)` for
+      // the boolean match set.
+      (new FunctionIdentifier("fts_query_score"),
+        new ExpressionInfo(graft.fts.QueryParser.getClass.getName, null,
+          "fts_query_score",
+          "fts_query_score(text, query) - BM25 score of the document for " +
+            "the query string's positive scoring terms (bare terms, phrase " +
+            "terms, NEAR operands; prefix/wildcard/fuzzy and NOT clauses " +
+            "filter only). Requires a registered index; compose with " +
+            "fts_query(text, query) for the boolean match set and " +
+            "ORDER BY … LIMIT k for top-k.",
+          ""),
+        (args: Seq[Expression]) => {
+          def analysisError(msg: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+              Map("errorMessage" -> msg), None)
+          if (args.length != 2) analysisError(
+            s"fts_query_score(text, 'query string') takes 2 arguments, got ${args.length}")
+          val qe = args(1)
+          if (qe.dataType != StringType || !qe.foldable) analysisError(
+            s"fts_query_score requires a constant (foldable) query string, got: ${qe.sql}")
+          val q = qe.eval() match {
+            case null => analysisError("fts_query_score query string must not be NULL")
+            case s: UTF8String => s.toString
+          }
+          val terms =
+            try graft.fts.QueryParser.scoringTerms(graft.fts.QueryParser.parse(q))
+            catch { case e: IllegalArgumentException => analysisError(e.getMessage) }
+          if (terms.isEmpty) analysisError(
+            s"fts_query_score: query '$q' has no scoring terms (only " +
+              "prefix/wildcard/fuzzy/NOT clauses) — nothing to rank by")
+          FtsScore(args(0),
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(terms.distinct.mkString(" ")), StringType))
         })
     ) ++ VecKernels.functions ++ TextKernels.functions
 

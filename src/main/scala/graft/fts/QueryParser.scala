@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *  - "quoted words"   → [[graft.ext.FtsPhrase]]  (adjacent, in order)
   *  - trailing-* word  → [[graft.ext.FtsPrefix]]  (term-range postings scan)
   *  - single inner `*` → [[graft.ext.FtsWildcard]]
+  *  - term~k (k ∈ 1,2; bare `~` = 2) → [[graft.ext.FtsFuzzy]] (typo-tolerant)
   *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
   *  - AND / OR / NOT, parentheses; adjacency is implicit AND (so
   *    `big data` ≡ `big AND data` — each term must appear, matching
@@ -39,6 +40,7 @@ object QueryParser {
   final case class Phrase(ts: Seq[String]) extends Node
   final case class Prefix(p: String) extends Node
   final case class Wildcard(pat: String) extends Node
+  final case class Fuzzy(t: String, maxEdits: Int) extends Node
   final case class Near(a: String, b: String, slop: Int) extends Node
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
@@ -69,6 +71,12 @@ object QueryParser {
         case '"' =>
           val end = q.indexOf('"', i + 1)
           require(end > 0, s"unterminated phrase quote in query: $q")
+          // Lucene's "phrase"~k means proximity, which this language spells
+          // NEAR/k; silently tokenizing the suffix into a Term would change
+          // the match set, so reject loud
+          require(end + 1 >= q.length || q.charAt(end + 1) != '~',
+            s"fts_query: '~' is not supported on phrases (use a NEAR/k " +
+              s"for proximity) in query: $q")
           out += PhraseT(q.substring(i + 1, end)); i = end + 1
         case _ =>
           var j = i
@@ -150,26 +158,75 @@ object QueryParser {
     private def wordNode(raw: String): Node = {
       val stars = raw.count(_ == '*')
       if (stars > 1) fail(s"term '$raw': at most one '*' supported")
+      if (raw.contains('~')) {
+        // `term~k` — typo-tolerant term (Lucene fuzzy syntax). The tilde
+        // must be a SUFFIX directly attached to an alphanumeric fragment;
+        // `k` ∈ {1, 2} (bare `~` = 2, Lucene's default). The fuzzy binds
+        // to the adjacent index term; any further tokens the word
+        // normalized into stay plain AND'd terms (same adjacency rule as
+        // the star).
+        if (stars > 0) fail(s"term '$raw': cannot combine '*' and '~'")
+        if (raw.count(_ == '~') > 1) fail(s"term '$raw': at most one '~'")
+        val at = raw.indexOf('~')
+        val maxEdits = raw.substring(at + 1) match {
+          case "" => 2
+          case "1" => 1
+          case "2" => 2
+          case other => fail(
+            s"term '$raw': fuzzy edit distance must be 1 or 2, got '$other'")
+        }
+        if (at == 0 || !raw.charAt(at - 1).isLetterOrDigit)
+          fail(s"term '$raw': '~' must directly follow a letter or digit")
+        val ts = Analyzer.tokenizeString(raw.substring(0, at))
+        if (ts.isEmpty) fail(s"term '$raw' has no tokens")
+        val nodes = ts.dropRight(1).map(Term(_): Node) :+
+          (Fuzzy(ts.last, maxEdits): Node)
+        return nodes.reduceLeft(AndN.apply)
+      }
       if (stars == 0) {
         val ts = Analyzer.tokenizeString(raw)
         if (ts.isEmpty) fail(s"term '$raw' has no tokens")
         ts.map(Term(_): Node).reduceLeft(AndN.apply)
       } else {
         val at = raw.indexOf('*')
+        // the star binds only to a fragment it directly TOUCHES (raw char
+        // adjacency, not post-tokenization adjacency): the indexer splits
+        // `foo-bar` into two terms, so `foo-*bar` must not fuse into
+        // Wildcard("foo*bar") — no single index term ever contains both
+        // fragments and the pattern would silently match zero rows. The
+        // punctuation-separated side stays a plain AND'd Term instead.
+        val leftAdj = at > 0 && raw.charAt(at - 1).isLetterOrDigit
+        val rightAdj = at < raw.length - 1 && raw.charAt(at + 1).isLetterOrDigit
         val lt = Analyzer.tokenizeString(raw.substring(0, at))
         val rt = Analyzer.tokenizeString(raw.substring(at + 1))
-        // the star binds to the index terms ADJACENT to it; any further
-        // tokens the word normalized into become plain AND'd terms
-        val starNode: Node = (lt.lastOption, rt.headOption) match {
-          case (Some(p), None) => Prefix(p)
-          case (Some(a), Some(b)) => Wildcard(s"$a*$b")
-          case (None, Some(s)) => Wildcard(s"*$s")
-          case (None, None) => fail(s"term '$raw' has no tokens")
+        val (starNode, rest) = ((leftAdj, rightAdj)) match {
+          case (true, true) =>
+            (Wildcard(s"${lt.last}*${rt.head}"), lt.dropRight(1) ++ rt.drop(1))
+          case (true, false) => (Prefix(lt.last), lt.dropRight(1) ++ rt)
+          case (false, true) => (Wildcard(s"*${rt.head}"), lt ++ rt.drop(1))
+          case (false, false) =>
+            fail(s"term '$raw': '*' must touch a letter or digit")
         }
-        val rest = lt.dropRight(1) ++ rt.drop(1)
         (starNode +: rest.map(Term(_): Node)).reduceLeft(AndN.apply)
       }
     }
+  }
+
+  /** The positive SCORING term bag of a parsed query — what
+    * `fts_query_score` ranks by. Term leaves, phrase terms, and NEAR
+    * operands contribute their BM25 term scores; Prefix/Wildcard/Fuzzy
+    * clauses FILTER but do not score (the constant-score treatment
+    * Lucene's multi-term queries rewrite to by default), and nothing
+    * under a NOT scores (prohibited clauses never score in Lucene
+    * either). Duplicates are fine — BM25 scoring dedups. */
+  def scoringTerms(n: Node): Seq[String] = n match {
+    case Term(t) => Seq(t)
+    case Phrase(ts) => ts
+    case Near(a, b, _) => Seq(a, b)
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) => Nil
+    case AndN(l, r) => scoringTerms(l) ++ scoringTerms(r)
+    case OrN(l, r) => scoringTerms(l) ++ scoringTerms(r)
+    case NotN(_) => Nil
   }
 
   /** Parse a query string to its AST (fails loud on syntax errors). */
@@ -187,6 +244,7 @@ object QueryParser {
     case Phrase(ts) => graft.ext.FtsPhrase(text, Literal(ts.mkString(" ")))
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
+    case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))
     case Near(a, b, k) =>
       graft.ext.FtsNear(text, Literal(a), Literal(b), Literal(k))
     case AndN(l, r) => And(lower(text, l), lower(text, r))

@@ -96,23 +96,25 @@ object Lm {
     * uniform mass at every corpus size.)
     *
     * Two passes over the corpus by construction (global bucket counts must
-    * exist before scoring); the bucket/ratio tables are ≤ B rows and
-    * broadcast. Docs with <2 tokens have no features and produce no row.
+    * exist before scoring): ONE aggregation computes raw and target counts
+    * together (`count` + `count_if` over the same scan — a second
+    * corpus-wide pass for the target slice would redo the explode for a
+    * predicate the first pass already sees), then the scoring join re-reads
+    * the corpus once. The bucket/ratio tables are ≤ B rows and broadcast.
+    * Docs with <2 tokens have no features and produce no row.
     * Output: (doc_id, dsir_w). */
   def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String = "doc_id",
                   textCol: String = "text", lambda: Double = 0.01): DataFrame = {
     val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
       explode(bigramBuckets(col(textCol))).as("b"))
-    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgtCnt = feats.where(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawTot = rawCnt.agg(sum("cr").cast("double").as("nr"))
-    val tgtTot = tgtCnt.agg(sum("ct").cast("double").as("nt"))
+    val cnt = feats.groupBy("b").agg(count(lit(1)).as("cr"),
+      count_if(col("is_t")).as("ct"))
+    val tot = cnt.agg(sum("cr").cast("double").as("nr"),
+      sum("ct").cast("double").as("nt"))
     val uni = lambda / DsirBuckets
-    val ratios = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .crossJoin(tgtTot)
-      .crossJoin(rawTot)
+    val ratios = cnt.crossJoin(tot)
       .select(col("b"),
-        (log(coalesce(col("ct"), lit(0L)).cast("double") / col("nt")
+        (log(col("ct").cast("double") / col("nt")
             * (1.0 - lambda) + uni) -
           log(col("cr").cast("double") / col("nr")
             * (1.0 - lambda) + uni)).as("lr"))

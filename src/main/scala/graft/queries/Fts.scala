@@ -1138,6 +1138,129 @@ object Fts extends QueryPack {
       Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
                SELECT doc_id FROM toks
                WHERE len(list_filter(t, x -> starts_with(x, 'quer'))) > 0
+               ORDER BY doc_id""")),
+
+    // RANKED retrieval through the QUERY-STRING language: ONE Lucene-style
+    // string drives BOTH the boolean match set (fts_query → per-leaf index
+    // lowerings: postings semi-join, positional phrase, prefix range,
+    // NOT anti-join) and the ranking (fts_query_score → BM25 over the
+    // query's positive scoring terms — bare terms + phrase terms; the
+    // prefix clause and the NOT subtree filter but do not score, Lucene's
+    // constant-score treatment). ORDER BY score LIMIT k plans as
+    // TakeOrderedAndProject over the COVERING plan: the projection touches
+    // only doc_id + score and every conjunct — including the OR-union and
+    // the NOT anti-set — is index-exact, so the corpus is never scanned
+    // (plan-asserted in PlanShapeSpec). Oracle replays boolean algebra +
+    // the BM25 formula over the v1 tokens.
+    Q("q_fts_query_ranked",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qrank")
+        s.sql("""SELECT doc_id,
+                   round(fts_query_score(text,
+                     'vector AND ("data query" OR quer*) NOT slow'), 4) AS score
+                 FROM documents_qrank
+                 WHERE fts_query(text,
+                   'vector AND ("data query" OR quer*) NOT slow')
+                 ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM occ GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('vector', 'data', 'query') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id),
+               m AS (SELECT doc_id FROM toks
+                 WHERE list_contains(t, 'vector')
+                   AND (contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+                        OR len(list_filter(t, x -> starts_with(x, 'quer'))) > 0)
+                   AND NOT list_contains(t, 'slow'))
+               SELECT m.doc_id, round(coalesce(sc.s, 0.0), 4) AS score
+               FROM m LEFT JOIN sc USING (doc_id)
+               ORDER BY score DESC, m.doc_id LIMIT 10""")),
+
+    // FUZZY terms in the query language: `querry~1` (Lucene fuzzy syntax)
+    // expands over the term DICTIONARY — length-banded, then exact
+    // levenshtein; the distance never touches the corpus — and the matched
+    // terms drive the ordinary postings union, AND-composed with the plain
+    // term 'vector' through the standard semi-join. Oracle replays
+    // dictionary + distance + union + conjunction with DuckDB's own
+    // levenshtein.
+    Q("q_fts_query_fuzzy",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qfuzz")
+        s.sql("""SELECT doc_id FROM documents_qfuzz
+                 WHERE fts_query(text, 'querry~1 AND vector')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               dict AS (SELECT DISTINCT term FROM occ),
+               hits AS (SELECT term FROM dict
+                        WHERE abs(len(term) - 6) <= 1
+                          AND levenshtein(term, 'querry') <= 1),
+               fz AS (SELECT DISTINCT doc_id FROM occ JOIN hits USING (term))
+               SELECT toks.doc_id FROM toks JOIN fz USING (doc_id)
+               WHERE list_contains(t, 'vector')
+               ORDER BY doc_id""")),
+
+    // The COMPOSED surface: query-string language × configured analyzer —
+    // a punctuated query with a phrase and a NOT, served by a POSITIONAL
+    // analyzer index. Every leaf normalizes through the PERSISTED pipeline
+    // (entryTerms / entryPhraseTerms): 'Queries,' → v1 token 'queries' →
+    // stems to the corpus term 'query'; the phrase "the data query" drops
+    // its stopword and matches adjacency IN ANALYZED SPACE (positions are
+    // analyzed-stream offsets, so 'data the query' text matches too).
+    // Oracle replays stopword + S-stem + min-length, then the algebra over
+    // the analyzed tokens.
+    Q("q_fts_query_analyzer",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        // scratch COPY of the table: the catalog keys on (table, column),
+        // and the shared fixture path must keep its v1 entry for the other
+        // SQL queries
+        val tbl = graft.core.Scratch.dir("docs_qan_table")
+        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        graft.fts.Index.createIndex(s, tbl,
+          graft.core.Scratch.dir("fts_index_qan"), positional = true,
+          analyzer = graft.fts.AnalyzerConfig(
+            stopWords = Seq("the"), sStem = true, minTokenLen = 2))
+        s.read.parquet(tbl).createOrReplaceTempView("documents_qan")
+        s.sql("""SELECT doc_id FROM documents_qan
+                 WHERE fts_query(text, 'Queries, AND "the data query" NOT slow')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t0 FROM documents),
+               an AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter(t0, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM toks)
+               SELECT doc_id FROM an
+               WHERE list_contains(t, 'query')
+                 AND contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+                 AND NOT list_contains(t, 'slow')
                ORDER BY doc_id"""))
   )
 }

@@ -690,6 +690,66 @@ object Relational extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // ---- stats helpers (§2.11, reference DataFrameStatFunctions.scala:
+    // 66–224: crosstab, freqItems, sampleBy, approxQuantile). crosstab is
+    // a deterministic contingency table, oracled cell-by-cell. The other
+    // three return driver-side or randomized results, so — like q_sample /
+    // q_approx — their CONTRACTS are asserted inside the query and the
+    // oracle pins the must-hold booleans: freqItems(support) finds every
+    // value with frequency > support·n; a seeded stratified sample lands
+    // within wide bounds of fraction·stratum; approxQuantile at
+    // relativeError=0 returns a true p-quantile element (count(≤q) ≥ p·n
+    // and count(<q) ≤ p·n). The collects are the APIs' own shape — these
+    // helpers RETURN driver values (Array[Double], a 1-row frame) — over
+    // 1-to-3-row aggregates, never the corpus.
+    Q("q_stats_helpers",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val orders = t(s, dir, "orders")
+        val statusCounts = orders.groupBy("o_orderstatus").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val total = statusCounts.values.sum
+        // freqItems: every truly-frequent value must be found
+        val trueFreq = statusCounts.filter(_._2 > 0.3 * total).keySet
+        val items = orders.stat.freqItems(Array("o_orderstatus"), 0.3)
+          .collect()(0).getSeq[String](0).toSet
+        val freqOk = trueFreq.nonEmpty && trueFreq.subsetOf(items)
+        // sampleBy: seeded per-stratum fractions, counts within ±50%
+        val fractions = Map("O" -> 0.2, "F" -> 0.2, "P" -> 0.5)
+        val sampled = orders.stat.sampleBy("o_orderstatus", fractions, 42L)
+          .groupBy("o_orderstatus").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sampleOk = fractions.forall { case (k, f) =>
+          val exp = f * statusCounts.getOrElse(k, 0L)
+          val got = sampled.getOrElse(k, 0L).toDouble
+          got >= exp * 0.5 && got <= exp * 1.5
+        }
+        // approxQuantile(relativeError=0): exact order statistics
+        val probs = Array(0.25, 0.5, 0.75)
+        val qs = orders.stat.approxQuantile("o_totalprice", probs, 0.0)
+        val rankAggs = probs.indices.flatMap(i => Seq(
+          sum(when(col("o_totalprice") <= qs(i), 1L).otherwise(0L)).as(s"le$i"),
+          sum(when(col("o_totalprice") < qs(i), 1L).otherwise(0L)).as(s"lt$i")))
+        val ranks = orders.agg(rankAggs.head, rankAggs.tail: _*).collect()(0)
+        val quantileOk = probs.indices.forall { i =>
+          ranks.getLong(2 * i) >= probs(i) * total &&
+            ranks.getLong(2 * i + 1) <= probs(i) * total
+        }
+        orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+          .withColumn("freq_ok", lit(freqOk))
+          .withColumn("sample_ok", lit(sampleOk))
+          .withColumn("quantile_ok", lit(quantileOk))
+          .orderBy("o_orderstatus_o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+                count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+                count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW",
+                true AS freq_ok, true AS sample_ok, true AS quantile_ok
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // ---- repartition / coalesce (plan-shape ops; result is count-stable) ------
     Q("q_repartition",
       (s, dir) => t(s, dir, "lineitem")

@@ -85,6 +85,41 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("..."))
   }
 
+  test("star binds only across RAW adjacency, never a punctuation boundary") {
+    // 'foo-*bar': the indexer splits foo-bar into TWO terms, so fusing
+    // into Wildcard("foo*bar") could never match — the separated side
+    // must stay a plain AND'd term (ADVICE r8)
+    assert(parse("foo-*bar") == AndN(Wildcard("*bar"), Term("foo")))
+    assert(parse("foo*-bar") == AndN(Prefix("foo"), Term("bar")))
+    intercept[IllegalArgumentException](parse("foo-*-bar")) // star touches nothing
+  }
+
+  test("fuzzy syntax: term~k parses, bare ~ defaults to 2 edits") {
+    assert(parse("querry~1") == Fuzzy("querry", 1))
+    assert(parse("querry~2") == Fuzzy("querry", 2))
+    assert(parse("querry~") == Fuzzy("querry", 2))
+    // fuzzy binds to the adjacent token, same rule as the star
+    assert(parse("foo-querry~1") == AndN(Term("foo"), Fuzzy("querry", 1)))
+    assert(parse("querry~1 AND vector") ==
+      AndN(Fuzzy("querry", 1), Term("vector")))
+  }
+
+  test("fuzzy syntax rejections: ~3, ~ on phrases, ~ with *, dangling ~") {
+    intercept[IllegalArgumentException](parse("querry~3"))
+    intercept[IllegalArgumentException](parse("querry~x"))
+    intercept[IllegalArgumentException](parse("\"a b\"~2"))
+    intercept[IllegalArgumentException](parse("quer*~1"))
+    intercept[IllegalArgumentException](parse("~1"))
+    intercept[IllegalArgumentException](parse("a~~1"))
+  }
+
+  test("scoringTerms: positive term bag, multi-term clauses filter-only") {
+    val n = parse("vector AND (\"data query\" OR quer*) NOT slow")
+    assert(QueryParser.scoringTerms(n) == Seq("vector", "data", "query"))
+    assert(QueryParser.scoringTerms(parse("a NEAR/3 b")) == Seq("a", "b"))
+    assert(QueryParser.scoringTerms(parse("querry~1 OR quer*")) == Nil)
+  }
+
   // ---- SQL surface ----------------------------------------------------------
 
   private def install(): Unit = {
@@ -128,6 +163,39 @@ class QueryParserSpec extends SparkSpec {
       spark.sql("SELECT doc_id FROM docs_qp WHERE fts_query(text, NULL)").collect())
     intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT doc_id FROM docs_qp WHERE fts_query(text, '(a OR')").collect())
+  }
+
+  test("fuzzy query: index path equals the scan fallback, both non-empty") {
+    install()
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    // no registered index → ArrayExists + banded levenshtein over tokens
+    val scan = ids(
+      "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'querry~1')")
+    Index.createIndex(spark, sf("documents"),
+      "/root/repo/target/ttmp/fts_qp_fuzzy")
+    try {
+      // registered index → dictionary expansion + postings-union semi-join
+      val ixed = ids(
+        "SELECT doc_id FROM docs_qp WHERE fts_query(text, 'querry~1')")
+      assert(ixed == scan && ixed.nonEmpty)
+    } finally IndexCatalog.clear()
+  }
+
+  test("fts_query_score equals fts_score over the extracted scoring terms") {
+    install()
+    Index.createIndex(spark, sf("documents"),
+      "/root/repo/target/ttmp/fts_qp_rank")
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    try {
+      def rows(expr: String): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT doc_id, round($expr, 4) AS s FROM docs_qp
+            WHERE fts_match_any(text, 'vector') ORDER BY doc_id""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaQuery = rows(
+        """fts_query_score(text, 'vector AND (quer* OR "data query")')""")
+      val viaBag = rows("fts_score(text, 'vector data query')")
+      assert(viaQuery == viaBag && viaQuery.nonEmpty)
+    } finally IndexCatalog.clear()
   }
 
   test("fts_query serves an analyzer-configured index through entryTerms") {
