@@ -1586,15 +1586,30 @@ object GraftExtensions {
             case null => analysisError("fts_query_score query string must not be NULL")
             case s: UTF8String => s.toString
           }
-          val terms =
-            try graft.fts.QueryParser.scoringTerms(graft.fts.QueryParser.parse(q))
+          val weights =
+            try graft.fts.QueryParser.scoringWeights(graft.fts.QueryParser.parse(q))
             catch { case e: IllegalArgumentException => analysisError(e.getMessage) }
-          if (terms.isEmpty) analysisError(
+          if (weights.isEmpty) analysisError(
             s"fts_query_score: query '$q' has no scoring terms (only " +
               "prefix/wildcard/fuzzy/NOT clauses) — nothing to rank by")
-          FtsScore(args(0),
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              UTF8String.fromString(terms.distinct.mkString(" ")), StringType))
+          // one FtsScore per distinct boost, summed with the boost as a
+          // plain multiplier: Σ_w w·bm25(terms_w). An unboosted query is a
+          // single weight-1.0 group — exactly one FtsScore, so the
+          // covering-index plan is preserved; each boosted group adds one
+          // more scoring join over its own pruned postings (clauses are
+          // additive in Lucene too, so `a AND a^2` scores 3·bm25(a)).
+          val groups = weights.distinct.groupBy(_._2).toSeq.sortBy(_._1)
+          val parts: Seq[Expression] = groups.map { case (w, ts) =>
+            val fs: Expression = FtsScore(args(0),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                UTF8String.fromString(ts.map(_._1).distinct.mkString(" ")),
+                StringType))
+            if (w == 1.0) fs
+            else org.apache.spark.sql.catalyst.expressions.Multiply(
+              org.apache.spark.sql.catalyst.expressions.Literal(w), fs)
+          }
+          parts.reduce((a, b) =>
+            org.apache.spark.sql.catalyst.expressions.Add(a, b))
         })
     ) ++ VecKernels.functions ++ TextKernels.functions
 

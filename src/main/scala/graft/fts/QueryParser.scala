@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *  - single inner `*` → [[graft.ext.FtsWildcard]]
   *  - term~k (k ∈ 1,2; bare `~` = 2) → [[graft.ext.FtsFuzzy]] (typo-tolerant)
   *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
+  *  - term^w / "phrase"^w → boost: a no-op for boolean matching, a score
+  *    multiplier for `fts_query_score` ([[scoringWeights]])
   *  - AND / OR / NOT, parentheses; adjacency is implicit AND (so
   *    `big data` ≡ `big AND data` — each term must appear, matching
   *    fts_match's all-terms semantics for multi-term strings).
@@ -42,6 +44,7 @@ object QueryParser {
   final case class Wildcard(pat: String) extends Node
   final case class Fuzzy(t: String, maxEdits: Int) extends Node
   final case class Near(a: String, b: String, slop: Int) extends Node
+  final case class Boosted(n: Node, w: Double) extends Node
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
   final case class NotN(n: Node) extends Node
@@ -55,7 +58,7 @@ object QueryParser {
   private case object OrT extends Tok
   private case object NotT extends Tok
   private final case class NearT(slop: Int) extends Tok
-  private final case class PhraseT(raw: String) extends Tok
+  private final case class PhraseT(raw: String, boost: Double) extends Tok
   private final case class WordT(raw: String) extends Tok
 
   private val NearRe = "(?i)near/(\\d+)".r
@@ -77,7 +80,24 @@ object QueryParser {
           require(end + 1 >= q.length || q.charAt(end + 1) != '~',
             s"fts_query: '~' is not supported on phrases (use a NEAR/k " +
               s"for proximity) in query: $q")
-          out += PhraseT(q.substring(i + 1, end)); i = end + 1
+          // "phrase"^w — boost suffix directly after the closing quote
+          var j = end + 1
+          var boost = 1.0
+          if (j < q.length && q.charAt(j) == '^') {
+            var k = j + 1
+            while (k < q.length && (q.charAt(k).isDigit || q.charAt(k) == '.')) k += 1
+            val s = q.substring(j + 1, k)
+            boost =
+              try s.toDouble
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"fts_query: phrase boost must be a number, got '^$s' in query: $q")
+              }
+            require(boost > 0 && !boost.isInfinite,
+              s"fts_query: boost must be a positive finite number in query: $q")
+            j = k
+          }
+          out += PhraseT(q.substring(i + 1, end), boost); i = j
         case _ =>
           var j = i
           while (j < q.length && !q.charAt(j).isWhitespace &&
@@ -137,10 +157,12 @@ object QueryParser {
           case RPar :: r2 => toks = r2; n
           case _ => fail("missing ')'")
         }
-      case PhraseT(raw) :: rest =>
+      case PhraseT(raw, boost) :: rest =>
         toks = rest
         val ts = Analyzer.tokenizeString(raw)
-        if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""") else Phrase(ts)
+        if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""")
+        else if (boost == 1.0) Phrase(ts)
+        else Boosted(Phrase(ts), boost)
       case WordT(raw) :: rest =>
         toks = rest
         wordNode(raw)
@@ -156,6 +178,33 @@ object QueryParser {
       * punctuated query can never silently match zero rows against terms
       * that were split at index time. */
     private def wordNode(raw: String): Node = {
+      // `term^w` — boost suffix (Lucene syntax). Boosts exist to weight
+      // SCORING clauses, and prefix/wildcard/fuzzy clauses filter without
+      // scoring here, so a boost on one would be a silent no-op — reject.
+      val caret = raw.indexOf('^')
+      if (caret >= 0) {
+        if (raw.indexOf('^', caret + 1) >= 0)
+          fail(s"term '$raw': at most one '^'")
+        val s = raw.substring(caret + 1)
+        val w =
+          try s.toDouble
+          catch { case _: NumberFormatException =>
+            fail(s"term '$raw': boost must be a number, got '^$s'")
+          }
+        if (!(w > 0) || w.isInfinite)
+          fail(s"term '$raw': boost must be a positive finite number")
+        val base = raw.substring(0, caret)
+        if (base.isEmpty) fail(s"term '$raw': '^' needs a term before it")
+        if (base.exists(c => c == '*' || c == '~'))
+          fail(s"term '$raw': boost applies to scoring clauses only — " +
+            "prefix/wildcard/fuzzy clauses filter without scoring")
+        val inner = unboostedWord(base)
+        return if (w == 1.0) inner else Boosted(inner, w)
+      }
+      unboostedWord(raw)
+    }
+
+    private def unboostedWord(raw: String): Node = {
       val stars = raw.count(_ == '*')
       if (stars > 1) fail(s"term '$raw': at most one '*' supported")
       if (raw.contains('~')) {
@@ -224,8 +273,24 @@ object QueryParser {
     case Phrase(ts) => ts
     case Near(a, b, _) => Seq(a, b)
     case Prefix(_) | Wildcard(_) | Fuzzy(_, _) => Nil
+    case Boosted(inner, _) => scoringTerms(inner)
     case AndN(l, r) => scoringTerms(l) ++ scoringTerms(r)
     case OrN(l, r) => scoringTerms(l) ++ scoringTerms(r)
+    case NotN(_) => Nil
+  }
+
+  /** (term, weight) pairs for ranked retrieval with boosts — like
+    * [[scoringTerms]], but each term carries the PRODUCT of the `^w`
+    * boosts on its enclosing clauses (`(a "b c"^2)^1.5` weights b and c
+    * by 3.0). Non-scoring clauses stay non-scoring regardless of boost. */
+  def scoringWeights(n: Node, w: Double = 1.0): Seq[(String, Double)] = n match {
+    case Term(t) => Seq(t -> w)
+    case Phrase(ts) => ts.map(_ -> w)
+    case Near(a, b, _) => Seq(a -> w, b -> w)
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) => Nil
+    case Boosted(inner, bw) => scoringWeights(inner, w * bw)
+    case AndN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
+    case OrN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
     case NotN(_) => Nil
   }
 
@@ -245,6 +310,8 @@ object QueryParser {
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
     case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))
+    // boolean matching ignores boosts — they exist for the scoring path
+    case Boosted(inner, _) => lower(text, inner)
     case Near(a, b, k) =>
       graft.ext.FtsNear(text, Literal(a), Literal(b), Literal(k))
     case AndN(l, r) => And(lower(text, l), lower(text, r))

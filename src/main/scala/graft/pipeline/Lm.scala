@@ -95,20 +95,26 @@ object Lm {
     * ratio signs; the λ-mixture perturbs every bucket by the same small
     * uniform mass at every corpus size.)
     *
-    * Two passes over the corpus by construction (global bucket counts must
-    * exist before scoring): ONE aggregation computes raw and target counts
-    * together (`count` + `count_if` over the same scan — a second
-    * corpus-wide pass for the target slice would redo the explode for a
-    * predicate the first pass already sees), then the scoring join re-reads
-    * the corpus once. The bucket/ratio tables are ≤ B rows and broadcast.
-    * Docs with <2 tokens have no features and produce no row.
-    * Output: (doc_id, dsir_w). */
+    * ONE pass over the corpus: the tokenize+hash explode (the dominant
+    * cost — global bucket counts must exist before scoring, so a naive
+    * formulation explodes the corpus twice, once to count and once to
+    * score) runs a single time into per-(doc, bucket) counts, which are
+    * persisted (MEMORY_AND_DISK — 3 narrow columns, ≤ one row per
+    * distinct (doc, bucket), far smaller than the feature stream; spills
+    * rather than recomputes at corpus scale). Global counts, totals, and
+    * the per-doc score all derive from that frame; the bucket/ratio
+    * tables are ≤ B rows and broadcast. Per-doc score Σ_features lr(b)
+    * regroups as Σ_b c·lr(b). Docs with <2 tokens have no features and
+    * produce no row. Output: (doc_id, dsir_w). */
   def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String = "doc_id",
                   textCol: String = "text", lambda: Double = 0.01): DataFrame = {
     val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
       explode(bigramBuckets(col(textCol))).as("b"))
-    val cnt = feats.groupBy("b").agg(count(lit(1)).as("cr"),
-      count_if(col("is_t")).as("ct"))
+    val perDoc = feats.groupBy("doc_id", "is_t", "b")
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = perDoc.groupBy("b").agg(sum("c").as("cr"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
     val tot = cnt.agg(sum("cr").cast("double").as("nr"),
       sum("ct").cast("double").as("nt"))
     val uni = lambda / DsirBuckets
@@ -118,10 +124,10 @@ object Lm {
             * (1.0 - lambda) + uni) -
           log(col("cr").cast("double") / col("nr")
             * (1.0 - lambda) + uni)).as("lr"))
-    feats
+    perDoc
       .join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id")
-      .agg(round(sum("lr"), 4).as("dsir_w"))
+      .agg(round(sum(col("c") * col("lr")), 4).as("dsir_w"))
   }
 
   /** Overlapping token-window chunking (RAG/embedding prep): windows of

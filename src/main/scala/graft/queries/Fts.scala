@@ -1261,6 +1261,60 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'query')
                  AND contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
                  AND NOT list_contains(t, 'slow')
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // BOOSTS in the query language (`term^w`, `"phrase"^w` — Lucene boost
+    // syntax): boolean matching ignores them; fts_query_score groups the
+    // scoring terms by boost and sums w·BM25(group) — clauses are additive,
+    // so the per-term view is score = Σ_t w_t·bm25_t. The unboosted case
+    // stays a single FtsScore (covering preserved); each boosted group
+    // adds one scoring join over its own pruned postings. The oracle
+    // replays the per-term weighted formula.
+    Q("q_fts_query_boost",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qboost")
+        s.sql("""SELECT doc_id,
+                   round(fts_query_score(text,
+                     'vector^2 AND ("data query"^1.5 OR quer*)'), 4) AS score
+                 FROM documents_qboost
+                 WHERE fts_query(text,
+                   'vector^2 AND ("data query"^1.5 OR quer*)')
+                 ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM occ GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('vector', 'data', 'query') GROUP BY term),
+               -- mirror the engine's GROUP-THEN-MULTIPLY structure exactly
+               -- (1.5·Σ{data,query} + 2·Σ{vector}); distributing the boost
+               -- into the per-term sum would change IEEE rounding
+               sca AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 WHERE tf.term IN ('data', 'query')
+                 GROUP BY tf.doc_id),
+               scb AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 WHERE tf.term = 'vector'
+                 GROUP BY tf.doc_id),
+               m AS (SELECT doc_id FROM toks
+                 WHERE list_contains(t, 'vector')
+                   AND (contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
+                        OR len(list_filter(t, x -> starts_with(x, 'quer'))) > 0))
+               SELECT m.doc_id,
+                 round(coalesce(1.5 * sca.s, 0.0) + coalesce(2.0 * scb.s, 0.0), 4) AS score
+               FROM m LEFT JOIN sca USING (doc_id) LEFT JOIN scb USING (doc_id)
+               ORDER BY score DESC, m.doc_id LIMIT 10"""))
   )
 }

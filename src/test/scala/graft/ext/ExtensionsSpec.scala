@@ -485,13 +485,20 @@ class ExtensionsSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("term"))
       .limit(40).collect().map(_.getString(0))
     val rnd = new scala.util.Random(42)
-    val predicates = (1 to 8).map { _ =>
+    val predicates = (1 to 12).map { _ =>
       val t1 = vocab(rnd.nextInt(vocab.length))
       val t2 = vocab(rnd.nextInt(vocab.length))
-      rnd.nextInt(3) match {
+      val t3 = vocab(rnd.nextInt(vocab.length))
+      rnd.nextInt(6) match {
         case 0 => s"fts_match(text, '$t1 $t2')"
         case 1 => s"fts_match_any(text, '$t1 $t2')"
         case 2 => s"fts_match(text, '$t1') AND fts_prefix(text, '${t2.take(3)}')"
+        // round-9 covering extensions: all-exact disjunctions (union id
+        // sets, incl. nested), negations (anti-joined id sets), fuzzy
+        case 3 => s"fts_match(text, '$t1') AND NOT fts_match_any(text, '$t2 $t3')"
+        case 4 => s"(fts_match(text, '$t1') OR fts_prefix(text, '${t2.take(4)}') " +
+          s"OR fts_match(text, '$t3')) AND NOT fts_match(text, '$t2')"
+        case 5 => s"fts_fuzzy(text, '$t1', 1) AND fts_match(text, '$t2')"
       }
     }
     // scan-path ground truth first (unregistered)

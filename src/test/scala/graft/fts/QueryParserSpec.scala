@@ -113,6 +113,30 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("a~~1"))
   }
 
+  test("boost syntax: term^w / phrase^w parse; weights multiply through") {
+    assert(parse("vector^2") == Boosted(Term("vector"), 2.0))
+    assert(parse("\"data query\"^1.5") ==
+      Boosted(Phrase(Seq("data", "query")), 1.5))
+    assert(parse("a^2 b") == AndN(Boosted(Term("a"), 2.0), Term("b")))
+    assert(QueryParser.scoringWeights(
+      parse("vector^2 AND (\"data query\"^1.5 OR quer*)")) ==
+      Seq("vector" -> 2.0, "data" -> 1.5, "query" -> 1.5))
+    // a boost of 1.0 is the identity — no wrapper node
+    assert(parse("a^1.0") == Term("a"))
+  }
+
+  test("boost rejections: non-positive, non-numeric, non-scoring clauses") {
+    intercept[IllegalArgumentException](parse("a^0"))
+    intercept[IllegalArgumentException](parse("a^x"))
+    intercept[IllegalArgumentException](parse("a^2^3"))
+    intercept[IllegalArgumentException](parse("^2"))
+    // prefix/wildcard/fuzzy filter without scoring — a boost on one would
+    // be a silent no-op, so it fails loud
+    intercept[IllegalArgumentException](parse("quer*^2"))
+    intercept[IllegalArgumentException](parse("querry~1^2"))
+    intercept[IllegalArgumentException](parse("\"a b\"^0.0"))
+  }
+
   test("scoringTerms: positive term bag, multi-term clauses filter-only") {
     val n = parse("vector AND (\"data query\" OR quer*) NOT slow")
     assert(QueryParser.scoringTerms(n) == Seq("vector", "data", "query"))
@@ -195,6 +219,23 @@ class QueryParserSpec extends SparkSpec {
         """fts_query_score(text, 'vector AND (quer* OR "data query")')""")
       val viaBag = rows("fts_score(text, 'vector data query')")
       assert(viaQuery == viaBag && viaQuery.nonEmpty)
+    } finally IndexCatalog.clear()
+  }
+
+  test("boosted fts_query_score equals the weighted sum of score groups") {
+    install()
+    Index.createIndex(spark, sf("documents"),
+      "/root/repo/target/ttmp/fts_qp_boost")
+    spark.read.parquet(sf("documents")).createOrReplaceTempView("docs_qp")
+    try {
+      def rows(expr: String): Seq[(Long, Double)] = spark.sql(
+        s"""SELECT doc_id, round($expr, 4) AS s FROM docs_qp
+            WHERE fts_match_any(text, 'vector data query') ORDER BY doc_id""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val boosted = rows("fts_query_score(text, 'vector^2 data query')")
+      val manual = rows(
+        "2.0 * fts_score(text, 'vector') + fts_score(text, 'data query')")
+      assert(boosted == manual && boosted.nonEmpty)
     } finally IndexCatalog.clear()
   }
 

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale spot-run (test-scope dev driver): materializes an N×-sf0.1 corpus
+  * under target/ (replicas with disjoint id ranges — the natural "more
+  * documents" growth, not wider rows) and times a handful of DATA-BOUND
+  * queries at 1× and N× to measure how wall-time scales with corpus size.
+  * Pair-based shapes (LSH dedup) are excluded on purpose: replicating a
+  * corpus k× multiplies true near-dup PAIRS by k², so their wall-time
+  * measures the data's duplicate structure, not the engine.
+  *
+  *   sbt "Test/runMain graft.tools.ScaleSpot 4"
+  */
+object ScaleSpot {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 4
+    val base = "/root/testdata/sf0.1"
+    val out = s"/root/repo/target/sfscale_x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    graft.core.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- materialize the scaled corpus (replicas, disjoint id ranges) ----
+    def scaleTable(name: String, idCol: String): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      val maxId = src.agg(max(col(idCol))).collect()(0).getLong(0) + 1
+      val reps = (0 until factor).map { k =>
+        src.withColumn(idCol, col(idCol) + lit(k * maxId))
+      }
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    scaleTable("documents", "doc_id")
+    scaleTable("embeddings", "vec_id")
+    // small tables some query setups read incidentally
+    for (t <- Seq("nation", "region"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val names = Seq("q_text_dsir", "q_fts_sql_bm25", "q_fts_query_ranked",
+      "q_sim_sql", "q_sim_ivfpq", "q_dedup_exact", "q_text_stats")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the JIT/session once on the small side
+    time(base, "q_text_stats")
+    // min-of-2, ALTERNATING: the first execution of a query pays its
+    // codegen/JIT/index-build warmup, so a single 1×-then-N× pass
+    // understates the ratio (the N× run rides the 1× run's warm code).
+    val rows = names.map { n =>
+      val a1 = time(base, n); val aN = time(out, n)
+      val b1 = time(base, n); val bN = time(out, n)
+      val t1 = math.min(a1, b1); val tN = math.min(aN, bN)
+      (n, t1, tN, tN / t1)
+    }
+    println(f"""{"scale_factor":$factor,"queries":{""" + rows.map {
+      case (n, t1, tN, r) =>
+        f""""$n":{"t_1x":$t1%.2f,"t_${factor}x":$tN%.2f,"ratio":$r%.2f}"""
+    }.mkString(",") + "}}")
+  }
+}
