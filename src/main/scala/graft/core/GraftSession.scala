@@ -18,6 +18,25 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
+  /** Hive catalog support with a PER-JVM IN-MEMORY Derby metastore. The
+    * classic single-JVM blocker — Derby's file-based metastore_db takes an
+    * exclusive boot lock, so two concurrent JVMs (harness verify + bench)
+    * die on db.lck — disappears when the metastore lives in JVM memory:
+    * each process gets its own `jdbc:derby:memory:` database and its own
+    * warehouse dir, nothing on disk is shared. The metastore is ephemeral
+    * by design: Hive TABLES created by a query live for that JVM's
+    * lifetime, which is exactly the harness contract (every query builds
+    * its own state), while a production deploy would point
+    * `javax.jdo.option.ConnectionURL` at a real metastore service
+    * instead. */
+  def localHive(b: SparkSession.Builder): SparkSession.Builder = {
+    val pid = ProcessHandle.current().pid()
+    b.config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:memory:graft_metastore_$pid;create=true")
+      .config("spark.sql.warehouse.dir", s"target/graft-hive-wh-$pid")
+      .enableHiveSupport()
+  }
+
   /** Apply graft settings to an existing session (used by Verify/Bench whose
     * sessions are driver-owned). Safe to call repeatedly.
     *

@@ -97,6 +97,30 @@ object Extensibility extends QueryPack {
           .orderBy("o_custkey")
       },
       Some("""SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
-              FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // SCRIPT TRANSFORM (§2.11, reference ScriptTransformation.scala:54 —
+    // long listed as a non-goal, closeable after all): `TRANSFORM (…)
+    // USING 'cat'` pipes each partition's rows tab-separated through an
+    // external process and parses stdout back to rows
+    // (SparkScriptTransformationExec; the Unix-filter escape hatch the
+    // reference inherited from Hive). `cat` is the identity filter, so the
+    // aggregate over the transformed stream must hash-equal the oracle's
+    // direct aggregate — any framing/encoding bug in the pipe shows up as
+    // a value diff. Keys ride as strings through the pipe and cast back,
+    // proving the round-trip, not just the row count.
+    Q("q_script_transform",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_st_src")
+        s.sql("""SELECT status, count(*) AS n,
+                        CAST(sum(CAST(okey AS BIGINT)) AS BIGINT) AS sum_key
+                 FROM (SELECT TRANSFORM (o_orderstatus, o_orderkey)
+                       USING 'cat' AS (status STRING, okey STRING)
+                       FROM orders_st_src)
+                 GROUP BY status ORDER BY status""")
+      },
+      Some("""SELECT o_orderstatus AS status, count(*) AS n,
+              CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -62,6 +62,38 @@ object Sources extends QueryPack {
               CAST(sum(n_nationkey) AS BIGINT) AS sum_key
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // HIVE catalog scan + sink (§2.1, reference HiveTableScanExec.scala:47
+    // + InsertIntoHiveTable): long env-excluded because Derby's FILE-based
+    // metastore takes an exclusive boot lock and concurrent harness JVMs
+    // died on db.lck — solved by the PER-JVM IN-MEMORY Derby metastore
+    // ([[graft.core.GraftSession.localHive]]): nothing on disk is shared.
+    // The table is STORED AS TEXTFILE on purpose — parquet/orc hive tables
+    // convert to the native FileSourceScan (covered elsewhere), while a
+    // SerDe format genuinely exercises HiveTableScanExec + LazySimpleSerDe
+    // on read and the hive sink on write (plan-asserted in PlanShapeSpec).
+    // Money rides DECIMAL so the text round-trip is exact; the oracle
+    // recomputes straight off the parquet, so SerDe lossiness fails the
+    // hash.
+    Q("q_hive",
+      (s, dir) => {
+        s.sql("DROP TABLE IF EXISTS graft_hive_orders")
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_hive_src")
+        s.sql("""CREATE TABLE graft_hive_orders
+                 (o_orderkey BIGINT, o_orderstatus STRING, p DECIMAL(18,2))
+                 STORED AS TEXTFILE""")
+        s.sql("""INSERT INTO graft_hive_orders
+                 SELECT o_orderkey, o_orderstatus,
+                        CAST(o_totalprice AS DECIMAL(18,2))
+                 FROM orders_hive_src""")
+        s.sql("""SELECT o_orderstatus, count(*) AS n,
+                        CAST(sum(p) AS DOUBLE) AS total
+                 FROM graft_hive_orders
+                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // CSV round-trip with explicit schema (no inference nondeterminism).
     Q("q_source_csv",
       (s, dir) => {

@@ -465,6 +465,14 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("q_hive reads back through HiveTableScan (SerDe path, not a file scan)") {
+    val df = SparkEntry.queries("q_hive")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan hive"),
+      s"TEXTFILE hive table must read via HiveTableScanExec:\n${plan.take(1500)}")
+    assert(df.collect().nonEmpty, "hive round-trip must produce rows")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // the automatic complement to q_join_salted's manual salting: a hot key
     // concentrating 75% of the fact rows in one shuffle partition is split
