@@ -94,6 +94,39 @@ object Sources extends QueryPack {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // DataSource V2 PLUGIN API (§2.1 Source plugin API, reference
+    // sources/interfaces.scala:71,267 RelationProvider/PrunedFilteredScan —
+    // re-expressed on the connector interfaces): graft-synth generates a
+    // deterministic corpus as a pure function of doc_id, with doc_id range
+    // predicates CONSUMED by SupportsPushDownFilters (they clip the
+    // generated range at planning — the generator's partition pruning;
+    // plan-asserted in SynthDocsSpec) and SupportsPushDownRequiredColumns
+    // honored by the readers (un-projected columns are never built). The
+    // oracle replays the generator row-for-row from range().
+    Q("q_source_dsv2",
+      (s, dir) => {
+        s.read.format("graft-synth")
+          .option("rows", "100000").option("partitions", "8").load()
+          .filter(col("doc_id") >= 1000 && col("doc_id") < 50000)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_tokens")).cast("bigint").as("sum_toks"),
+            sum(length(col("text"))).cast("bigint").as("sum_len"))
+          .orderBy("lang")
+      },
+      Some("""WITH d AS (SELECT range AS doc_id,
+                ['en','de','fr','ja'][(range % 4)::INT + 1] AS lang,
+                1 + (range % 32) AS n_tokens,
+                array_to_string(
+                  ['w' || ((range + i) % 16)
+                   FOR i IN range(0, (1 + (range % 32))::INT)], ' ') AS text
+              FROM range(0, 100000))
+              SELECT lang, count(*) AS n,
+                     CAST(sum(n_tokens) AS BIGINT) AS sum_toks,
+                     CAST(sum(len(text)) AS BIGINT) AS sum_len
+              FROM d WHERE doc_id >= 1000 AND doc_id < 50000
+              GROUP BY lang ORDER BY lang""")),
+
     // CSV round-trip with explicit schema (no inference nondeterminism).
     Q("q_source_csv",
       (s, dir) => {
