@@ -678,6 +678,24 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             case _ => None
           }
         } else None
+      // a conjunction inside an OR branch — `(a AND b*) OR c` — is
+      // index-exact when every conjunct is: the INTERSECTION of the id
+      // sets (semi-join chain). Top-level Ands never reach here (they are
+      // split into separate conjuncts first), so this case exists purely
+      // to close the boolean algebra under Or recursion.
+      case and: org.apache.spark.sql.catalyst.expressions.And =>
+        val branches = splitConjunctivePredicates(and)
+          .map(b => exactIdsDf(b, entryFor))
+        if (branches.forall(_.isDefined)) {
+          val resolved = branches.flatten
+          resolved.map(_._2.exprId).distinct match {
+            case Seq(_) =>
+              Some((resolved.map(_._1).reduce((a, b) =>
+                a.join(b, a(a.columns.head) === b(b.columns.head), "left_semi")),
+                resolved.head._2))
+            case _ => None
+          }
+        } else None
       case _ => None
     }
   }

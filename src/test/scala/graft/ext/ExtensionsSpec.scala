@@ -489,7 +489,7 @@ class ExtensionsSpec extends SparkSpec {
       val t1 = vocab(rnd.nextInt(vocab.length))
       val t2 = vocab(rnd.nextInt(vocab.length))
       val t3 = vocab(rnd.nextInt(vocab.length))
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => s"fts_match(text, '$t1 $t2')"
         case 1 => s"fts_match_any(text, '$t1 $t2')"
         case 2 => s"fts_match(text, '$t1') AND fts_prefix(text, '${t2.take(3)}')"
@@ -499,6 +499,9 @@ class ExtensionsSpec extends SparkSpec {
         case 4 => s"(fts_match(text, '$t1') OR fts_prefix(text, '${t2.take(4)}') " +
           s"OR fts_match(text, '$t3')) AND NOT fts_match(text, '$t2')"
         case 5 => s"fts_fuzzy(text, '$t1', 1) AND fts_match(text, '$t2')"
+        case 6 => // conjunction INSIDE an OR branch: And-closure of exactIdsDf
+          s"(fts_match(text, '$t1') AND fts_prefix(text, '${t3.take(3)}')) " +
+            s"OR fts_match(text, '$t2')"
       }
     }
     // scan-path ground truth first (unregistered)
