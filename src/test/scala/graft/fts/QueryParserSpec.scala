@@ -239,6 +239,32 @@ class QueryParserSpec extends SparkSpec {
     } finally IndexCatalog.clear()
   }
 
+  test("fts_query filters a STREAM through the scan kernels") {
+    // no registered index → every leaf lowers to the stateless codegen
+    // kernels, which are streaming-safe: the query language works at
+    // INGEST (filter-at-source curation) without any index machinery
+    install()
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .where("fts_query(text, 'spark AND quer* NOT legacy')")
+      .writeStream.format("memory").queryName("qp_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "spark query engine"),
+        (2L, "spark only, no q-word"),
+        (3L, "fast queries in spark"),
+        (4L, "legacy spark query path"))
+      q.processAllAvailable()
+      val got = spark.table("qp_stream").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("fts_query serves an analyzer-configured index through entryTerms") {
     install()
     try {
