@@ -94,6 +94,37 @@ object Sources extends QueryPack {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // AVRO (§2.1 — excluded until round 9 because the spark-avro CONNECTOR
+    // jar is absent from the image): graft-avro is a from-scratch minimal
+    // connector over the avro CORE jars that DO ship (sources/Avro.scala) —
+    // DSv2 read with column pruning, distributed per-partition container
+    // write, hadoop-FS I/O, real object-container framing so the files
+    // interoperate with any Avro tooling. Doubles round-trip binary-exact
+    // (avro encodes them as IEEE bits, unlike text formats), so the
+    // aggregate must hash-equal the oracle's straight-off-parquet
+    // recomputation.
+    Q("q_source_avro",
+      (s, dir) => {
+        val out = tmp("orders_avro")
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) fs.delete(p, true): Unit
+        graft.sources.AvroIo.write(
+          Tables(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          out)
+        s.read.format("graft-avro").load(out)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // DataSource V2 PLUGIN API (§2.1 Source plugin API, reference
     // sources/interfaces.scala:71,267 RelationProvider/PrunedFilteredScan —
     // re-expressed on the connector interfaces): graft-synth generates a
