@@ -97,6 +97,12 @@ object QueryParser {
               s"fts_query: boost must be a positive finite number in query: $q")
             j = k
           }
+          // anything still glued to the phrase ("a b"x, "a b"^2x) would
+          // silently tokenize into an AND'd term — reject loud instead
+          require(j >= q.length || q.charAt(j).isWhitespace ||
+              q.charAt(j) == '(' || q.charAt(j) == ')',
+            s"fts_query: unexpected '${q.charAt(math.min(j, q.length - 1))}' " +
+              s"directly after a phrase in query: $q")
           out += PhraseT(q.substring(i + 1, end), boost); i = j
         case _ =>
           var j = i

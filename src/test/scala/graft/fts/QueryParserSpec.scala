@@ -135,6 +135,10 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("quer*^2"))
     intercept[IllegalArgumentException](parse("querry~1^2"))
     intercept[IllegalArgumentException](parse("\"a b\"^0.0"))
+    // trailing garbage glued to a phrase must not silently become a term
+    intercept[IllegalArgumentException](parse("\"a b\"x"))
+    intercept[IllegalArgumentException](parse("\"a b\"^2x"))
+    intercept[IllegalArgumentException](parse("\"a b\"^"))
   }
 
   test("scoringTerms: positive term bag, multi-term clauses filter-only") {
