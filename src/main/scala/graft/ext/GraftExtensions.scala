@@ -174,6 +174,56 @@ object FtsHasTokenPrefix {
   }
 }
 
+/** Scan-path kernel for `fts_term_range`: true iff ANY token of the
+  * document sorts inside [lo, hi] (bounds inclusive/exclusive per flag;
+  * binary UTF8 order — identical to the order the postings are sorted in,
+  * so scan and index paths agree). Produced only by [[RewriteFtsMatch]];
+  * not SQL-registered. The index path replaces this with a pushed term
+  * RANGE over the sorted postings
+  * ([[graft.fts.Search.matchTermRangeIds]], row-group min/max pruning —
+  * the same access path as `fts_prefix`). */
+case class FtsHasTokenRange(child: Expression, lo: String, hi: String,
+                            inclLo: Boolean, inclHi: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_term_range requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_has_token_range"
+  override def nullSafeEval(input: Any): Any =
+    FtsHasTokenRange.eval(input.asInstanceOf[UTF8String],
+      UTF8String.fromString(lo), UTF8String.fromString(hi), inclLo, inclHi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("lo", UTF8String.fromString(lo))
+    val h = ctx.addReferenceObj("hi", UTF8String.fromString(hi))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsHasTokenRange$$.MODULE$$.eval($c, $l, $h, " +
+        s"$inclLo, $inclHi);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FtsHasTokenRange =
+    copy(child = newChild)
+}
+
+object FtsHasTokenRange {
+  def eval(s: UTF8String, lo: UTF8String, hi: UTF8String,
+           inclLo: Boolean, inclHi: Boolean): Boolean = {
+    val toks = FtsTokenize.tokenize(s)
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i)
+      val cl = t.compareTo(lo)
+      val ch = t.compareTo(hi)
+      if ((if (inclLo) cl >= 0 else cl > 0) &&
+          (if (inclHi) ch <= 0 else ch < 0)) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** Scan-path kernel for `fts_wildcard`: true iff ANY token starts with
   * `head`, ends with `tail`, and is long enough that head and tail do not
   * overlap (the exact semantics of the single-star pattern `head*tail`).
@@ -431,6 +481,27 @@ case class FtsPrefix(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_term_range(text, 'lo', 'hi', incl_lo, incl_hi)`: true iff the
+  * document contains a token inside the [lo, hi] dictionary range —
+  * Lucene's range query (query syntax `[lo TO hi]` / `{lo TO hi}`).
+  * Lowered by [[RewriteFtsMatch]]: index path =
+  * [[graft.fts.Search.matchTermRangeIds]] (the bounds push as a term
+  * range into the term-sorted postings, parquet row-group min/max pruning
+  * — the same access path as `fts_prefix`, whose `prefix ≤ t < prefix⁺`
+  * window is the special case); scan path = the [[FtsHasTokenRange]]
+  * kernel. */
+case class FtsTermRange(text: Expression, lo: Expression, hi: Expression,
+                        inclLo: Expression, inclHi: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(text, lo, hi, inclLo, inclHi)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_term_range"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsTermRange =
+    copy(text = newChildren(0), lo = newChildren(1), hi = newChildren(2),
+      inclLo = newChildren(3), inclHi = newChildren(4))
+}
+
 /** `fts_near(text, 'a', 'b', slop)`: true iff tokens a and b occur within
   * `slop` positions of each other, either order — proximity search on the
   * SQL surface. Lowered by [[RewriteFtsMatch]]: over a POSITIONAL index
@@ -650,6 +721,14 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val (entry, idAttr) = entryFor(a).get
         Some((graft.fts.Search.matchPrefixIds(persistedIx(entry), normPrefix(p)),
           idAttr))
+      case FtsTermRange(a: Attribute, Literal(lo: UTF8String, StringType),
+                        Literal(hi: UTF8String, StringType),
+                        Literal(il: Boolean, BooleanType),
+                        Literal(ih: Boolean, BooleanType))
+          if entryFor(a).exists(_._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
+        Some((graft.fts.Search.matchTermRangeIds(persistedIx(entry),
+          lo.toString, hi.toString, il, ih), idAttr))
       case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
           if entryFor(a).exists(_._1.analyzer.isV1) =>
         val (entry, idAttr) = entryFor(a).get
@@ -701,6 +780,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   }
   private final case class PrefixConj(entry: IndexCatalog.Entry,
                                       idAttr: Attribute, prefix: String)
+      extends FtsConjunct
+  private final case class RangeConj(entry: IndexCatalog.Entry,
+                                     idAttr: Attribute, lo: String,
+                                     hi: String, inclLo: Boolean,
+                                     inclHi: Boolean)
       extends FtsConjunct
   private final case class WildcardConj(entry: IndexCatalog.Entry,
                                         idAttr: Attribute, head: String,
@@ -1131,7 +1215,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             cond.exists(e => e.isInstanceOf[FtsMatch] ||
               e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsPhrase] ||
               e.isInstanceOf[FtsPrefix] || e.isInstanceOf[FtsWildcard] ||
-              e.isInstanceOf[FtsNear]) &&
+              e.isInstanceOf[FtsTermRange] || e.isInstanceOf[FtsNear]) &&
             !projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
         coveredMatch(projectList, cond, grandchild) match {
           case Some(covered) =>
@@ -1253,6 +1337,14 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
                 val (e, id) = entryFor(a).get
                 Left(PrefixConj(e, id, normPrefix(p)))
+              case FtsTermRange(a: Attribute,
+                                Literal(lo: UTF8String, StringType),
+                                Literal(hi: UTF8String, StringType),
+                                Literal(il: Boolean, BooleanType),
+                                Literal(ih: Boolean, BooleanType))
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(RangeConj(e, id, lo.toString, hi.toString, il, ih))
               case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
                 val (e, id) = entryFor(a).get
@@ -1341,6 +1433,11 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   // pruning; hash buckets can't help a prefix)
                   semi(cur, graft.fts.Search.matchPrefixIds(persistedIx(entry), p)
                     .queryExecution.optimizedPlan, idAttr)
+                case (cur, RangeConj(entry, idAttr, lo, hi, il, ih)) =>
+                  // user-bounded term RANGE — the prefix window generalized
+                  semi(cur, graft.fts.Search.matchTermRangeIds(
+                    persistedIx(entry), lo, hi, il, ih)
+                    .queryExecution.optimizedPlan, idAttr)
                 case (cur, WildcardConj(entry, idAttr, h, t)) =>
                   semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan, idAttr)
@@ -1407,6 +1504,25 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else phraseContains(text, terms)
       case FtsPrefix(text, Literal(p: UTF8String, StringType)) =>
         FtsHasTokenPrefix(text, normPrefix(p))
+      case FtsTermRange(text, Literal(lo: UTF8String, StringType),
+                        Literal(hi: UTF8String, StringType),
+                        Literal(il: Boolean, BooleanType),
+                        Literal(ih: Boolean, BooleanType)) =>
+        // normalize + validate through the same rules as the index path
+        // (matchTermRangeIds), so scan and index lowering agree and a
+        // degenerate range fails loud instead of silently matching nothing
+        def normB(s: String, which: String): String = {
+          val n = s.toLowerCase(java.util.Locale.ROOT)
+          if (!(n.nonEmpty && n.matches("[a-z0-9]+")))
+            throw new IllegalArgumentException(s"fts_term_range $which bound " +
+              s"must normalize to a non-empty [a-z0-9]+ token, got '$s'")
+          n
+        }
+        val (l, h) = (normB(lo.toString, "lo"), normB(hi.toString, "hi"))
+        if (!(if (il && ih) l <= h else l < h))
+          throw new IllegalArgumentException(
+            s"fts_term_range [$l TO $h] is empty (lo must sort before hi)")
+        FtsHasTokenRange(text, l, h, il, ih)
       case FtsWildcard(text, Literal(p: UTF8String, StringType)) =>
         val (h, t) = parseWildcard(p)
         FtsHasTokenWildcard(text, h, t)
@@ -1452,6 +1568,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           if Seq(t, k).exists {
             case Literal(null, _) => true; case _ => false } =>
         Literal(null, BooleanType)
+      case FtsTermRange(_, lo, hi, il, ih)
+          if Seq(lo, hi, il, ih).exists {
+            case Literal(null, _) => true; case _ => false } =>
+        Literal(null, BooleanType)
       // anything else (non-literal query) would otherwise survive as an
       // Unevaluable and die in physical planning with an opaque error
       case m: FtsMatch => throw new IllegalArgumentException(
@@ -1470,6 +1590,9 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case m: FtsFuzzy => throw new IllegalArgumentException(
         "fts_fuzzy requires a literal string term and a literal INT edit " +
           s"distance, got: ${m.sql}")
+      case m: FtsTermRange => throw new IllegalArgumentException(
+        "fts_term_range requires literal string bounds and literal BOOLEAN " +
+          s"inclusivity flags, got: ${m.sql}")
       // fts_score that survived pass 0: no registered index, a computed (not
       // base-column) text argument, a non-literal query, or an unsupported
       // position. Corpus statistics (df, avgdl, N) live in the persisted
@@ -1533,6 +1656,21 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_fuzzy"),
         new ExpressionInfo(classOf[FtsFuzzy].getName, "fts_fuzzy"),
         (args: Seq[Expression]) => FtsFuzzy(args(0), args(1), args(2))),
+      // `fts_term_range(text, lo, hi[, incl_lo, incl_hi])` — dictionary
+      // range query (bounds default inclusive, Lucene's `[lo TO hi]`)
+      (new FunctionIdentifier("fts_term_range"),
+        new ExpressionInfo(classOf[FtsTermRange].getName, "fts_term_range"),
+        (args: Seq[Expression]) => args.length match {
+          case 3 => FtsTermRange(args(0), args(1), args(2),
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
+            org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+          case 5 => FtsTermRange(args(0), args(1), args(2), args(3), args(4))
+          case n => throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+            Map("errorMessage" ->
+              s"fts_term_range(text, lo, hi[, incl_lo, incl_hi]) takes 3 or 5 arguments, got $n"),
+            None)
+        }),
       // `fts_query(text, 'a AND ("b c" OR d*) NOT e')` — the Lucene-style
       // query language. Parsed ONCE here (the query must be a foldable
       // string — a literal or a constant expression) and expanded into the
@@ -1546,11 +1684,14 @@ object GraftExtensions {
           "fts_query",
           "fts_query(text, query) - Lucene-style query-string search: " +
             "bare terms (implicit AND), \"quoted phrases\", trailing-* " +
-            "prefix, single inner/leading * wildcard, a NEAR/k b, and " +
-            "AND/OR/NOT with parentheses. The query must be a constant " +
-            "(foldable) string; it is parsed at analysis time and expanded " +
-            "into the fts_match/fts_phrase/fts_prefix/fts_wildcard/fts_near " +
-            "expression tree.",
+            "prefix, single inner/leading * wildcard, term~k fuzzy, " +
+            "[lo TO hi] / {lo TO hi} term ranges, a NEAR/k b, term^w and " +
+            "\"phrase\"^w boosts, +required/-prohibited operators, " +
+            "field:term scoping to another indexed column, and AND/OR/NOT " +
+            "with parentheses. The query must be a constant (foldable) " +
+            "string; it is parsed at analysis time and expanded into the " +
+            "fts_match/fts_phrase/fts_prefix/fts_wildcard/fts_fuzzy/" +
+            "fts_term_range/fts_near expression tree.",
           ""),
         (args: Seq[Expression]) => {
           def analysisError(msg: String): Nothing =

@@ -579,6 +579,30 @@ object Search {
       .select("doc_id").distinct()
   }
 
+  /** doc_ids containing any term inside the [lo, hi] dictionary range
+    * (`[apple TO banana]`; bounds inclusive/exclusive per flag) — the
+    * generalization of [[matchPrefixIds]]'s `prefix ≤ term < prefix⁺`
+    * window to user-supplied endpoints. Same scale story: a pushed RANGE
+    * on the term against the term-sorted-within-bucket layout, so parquet
+    * row-group min/max stats skip every row group outside the window;
+    * binary UTF8 order on both sides, matching the scan kernel. */
+  def matchTermRangeIds(ix: FtsIndex, lo: String, hi: String,
+                        inclLo: Boolean = true, inclHi: Boolean = true): DataFrame = {
+    def norm(s: String, which: String): String = {
+      val n = s.toLowerCase(java.util.Locale.ROOT)
+      require(n.nonEmpty && n.matches("[a-z0-9]+"),
+        s"range $which endpoint must normalize to a non-empty [a-z0-9]+ token, got '$s'")
+      n
+    }
+    val (l, h) = (norm(lo, "lo"), norm(hi, "hi"))
+    require(if (inclLo && inclHi) l <= h else l < h,
+      s"term range [$lo TO $hi] is empty (lo must sort before hi)")
+    ix.postings
+      .filter(if (inclLo) col("term") >= l else col("term") > l)
+      .filter(if (inclHi) col("term") <= h else col("term") < h)
+      .select("doc_id").distinct()
+  }
+
   /** doc_ids containing a token with the given SUFFIX (`*ery`), answered
     * from a REVERSED-term layout ([[Index.writeReversed]]): the suffix
     * reverses into a prefix over the reversed dictionary, so the whole

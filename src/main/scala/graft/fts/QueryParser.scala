@@ -1,5 +1,6 @@
 package graft.fts
 
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not, Or}
 
 /** Lucene-style query-string language over the FTS surface:
@@ -17,6 +18,33 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
   *  - term^w / "phrase"^w → boost: a no-op for boolean matching, a score
   *    multiplier for `fts_query_score` ([[scoringWeights]])
+  *  - +term / -term (also on phrases and groups: `-"a b"`, `-(a OR b)`) →
+  *    Lucene's required/prohibited operators. Adjacency is already
+  *    implicit AND here, so `+` is the explicit spelling of the default
+  *    and `-x` ≡ `NOT x`; both must be directly attached to what they
+  *    negate/require (a free-standing `-` fails loud — it could equally
+  *    be pasted punctuation).
+  *  - field:term / field:"phrase" / field:(group) → scope the clause to
+  *    ANOTHER indexed column of the same table (`source:wiki AND vector`
+  *    searches `source` for wiki and the default column for vector).
+  *    Lowered over an [[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]]
+  *    so the analyzer resolves the field against the query's own plan —
+  *    a typo'd field is a loud "column not found", and each scoped leaf
+  *    picks up its OWN per-(table, column) index lowering exactly like a
+  *    hand-written `fts_match(source, …)` conjunct. Scoped clauses FILTER
+  *    but do not score (`fts_query_score` is single-field BM25 — the
+  *    default column's statistics say nothing about another field), so a
+  *    boost inside a scope is rejected as a silent no-op. A word whose
+  *    pre-`:` prefix is not an identifier (`12:30`, `:foo`) is NOT a
+  *    scope — it stays a plain word through the token grammar.
+  *  - [lo TO hi] / {lo TO hi} → term RANGE (inclusive / exclusive
+  *    bounds, mixable): true iff the document contains a token inside
+  *    the range — Lucene's range query over the term dictionary. Lowers
+  *    to [[graft.ext.FtsTermRange]]: against a v1 index the bounds push
+  *    as a term range into the sorted postings (row-group min/max
+  *    pruning, the same access path as `quer*`); unindexed, a codegen
+  *    token-scan kernel. Filters without scoring, like every multi-term
+  *    clause.
   *  - AND / OR / NOT, parentheses; adjacency is implicit AND (so
   *    `big data` ≡ `big AND data` — each term must appear, matching
   *    fts_match's all-terms semantics for multi-term strings).
@@ -43,8 +71,11 @@ object QueryParser {
   final case class Prefix(p: String) extends Node
   final case class Wildcard(pat: String) extends Node
   final case class Fuzzy(t: String, maxEdits: Int) extends Node
+  final case class TermRange(lo: String, hi: String,
+                             inclLo: Boolean, inclHi: Boolean) extends Node
   final case class Near(a: String, b: String, slop: Int) extends Node
   final case class Boosted(n: Node, w: Double) extends Node
+  final case class Scoped(field: String, n: Node) extends Node
   final case class AndN(l: Node, r: Node) extends Node
   final case class OrN(l: Node, r: Node) extends Node
   final case class NotN(n: Node) extends Node
@@ -54,6 +85,9 @@ object QueryParser {
   private sealed trait Tok
   private case object LPar extends Tok
   private case object RPar extends Tok
+  // '[' / '{' and ']' / '}' — term-range delimiters (incl = inclusive)
+  private final case class LBrT(incl: Boolean) extends Tok
+  private final case class RBrT(incl: Boolean) extends Tok
   private case object AndT extends Tok
   private case object OrT extends Tok
   private case object NotT extends Tok
@@ -71,6 +105,10 @@ object QueryParser {
         case c if c.isWhitespace => i += 1
         case '(' => out += LPar; i += 1
         case ')' => out += RPar; i += 1
+        case '[' => out += LBrT(incl = true); i += 1
+        case '{' => out += LBrT(incl = false); i += 1
+        case ']' => out += RBrT(incl = true); i += 1
+        case '}' => out += RBrT(incl = false); i += 1
         case '"' =>
           val end = q.indexOf('"', i + 1)
           require(end > 0, s"unterminated phrase quote in query: $q")
@@ -107,7 +145,9 @@ object QueryParser {
         case _ =>
           var j = i
           while (j < q.length && !q.charAt(j).isWhitespace &&
-            q.charAt(j) != '(' && q.charAt(j) != ')' && q.charAt(j) != '"') j += 1
+            q.charAt(j) != '(' && q.charAt(j) != ')' && q.charAt(j) != '"' &&
+            q.charAt(j) != '[' && q.charAt(j) != ']' &&
+            q.charAt(j) != '{' && q.charAt(j) != '}') j += 1
           out += (q.substring(i, j) match {
             case w if w.equalsIgnoreCase("and") => AndT
             case w if w.equalsIgnoreCase("or") => OrT
@@ -152,8 +192,49 @@ object QueryParser {
 
     def parseNot(): Node = toks match {
       case NotT :: rest => toks = rest; NotN(parseNot())
+      // Lucene's required/prohibited prefix operators. Implicit adjacency
+      // is already AND, so `+` is the explicit spelling of the default;
+      // `-x` ≡ NOT x. Either must be directly ATTACHED: a free-standing
+      // `-` could equally be pasted punctuation ("foo - bar"), and
+      // guessing would silently change the match set — fail loud instead.
+      case WordT(raw) :: rest if raw.head == '+' || raw.head == '-' =>
+        val required = raw.head == '+'
+        val restRaw = raw.tail
+        toks = rest
+        if (restRaw.isEmpty) {
+          toks match {
+            case (LPar | PhraseT(_, _) | LBrT(_)) :: _ => ()
+            case _ => fail(s"'${raw.head}' must be directly attached to a " +
+              "term, phrase, range, or (group)")
+          }
+        } else {
+          if (restRaw.head == '+' || restRaw.head == '-')
+            fail(s"term '$raw': at most one leading '+'/'-' operator")
+          toks = WordT(restRaw) :: toks
+        }
+        val inner = parsePrimary()
+        if (required) inner else NotN(inner)
       case _ => parsePrimary()
     }
+
+    /** One range endpoint: the next word, normalized to exactly one term. */
+    private def rangeEndpoint(): String = toks match {
+      case WordT(raw) :: rest =>
+        toks = rest
+        val ts = Analyzer.tokenizeString(raw)
+        if (ts.size != 1) fail(
+          s"range endpoint '$raw' must normalize to exactly one term")
+        ts.head
+      case t => fail(s"term range needs a term endpoint, " +
+        s"got ${t.headOption.getOrElse("end of query")}")
+    }
+
+    /** `[A-Za-z_][A-Za-z0-9_]*` — a word prefix that can name a column.
+      * Anything else before a ':' (`12:30`, `:foo`, `http://…` has a
+      * valid prefix but its rest re-parses) is NOT a field scope. */
+    private def isFieldName(s: String): Boolean =
+      s.nonEmpty && (s.head.isLetter || s.head == '_') &&
+        s.forall(c => c.isLetterOrDigit || c == '_')
 
     def parsePrimary(): Node = toks match {
       case LPar :: rest =>
@@ -163,12 +244,53 @@ object QueryParser {
           case RPar :: r2 => toks = r2; n
           case _ => fail("missing ')'")
         }
+      case LBrT(inclLo) :: rest =>
+        // `[lo TO hi]` / `{lo TO hi}` — a term RANGE over the dictionary
+        // (Lucene range-query syntax; bounds mixable: `[a TO b}`).
+        // Endpoints normalize through the frozen grammar to exactly ONE
+        // term each — a multi-token endpoint has no defined order against
+        // single index terms, so it fails loud.
+        toks = rest
+        val lo = rangeEndpoint()
+        toks match {
+          case WordT(w) :: r2 if w.equalsIgnoreCase("to") => toks = r2
+          case _ => fail("term range needs 'TO' between its endpoints")
+        }
+        val hi = rangeEndpoint()
+        toks match {
+          case RBrT(inclHi) :: r2 =>
+            toks = r2
+            // an always-empty range is a query bug, not an empty result
+            val ok = if (inclLo && inclHi) lo <= hi else lo < hi
+            if (!ok) fail(s"term range [$lo TO $hi] is empty " +
+              "(lo must sort before hi)")
+            TermRange(lo, hi, inclLo, inclHi)
+          case _ => fail("missing ']' or '}' closing a term range")
+        }
       case PhraseT(raw, boost) :: rest =>
         toks = rest
         val ts = Analyzer.tokenizeString(raw)
         if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""")
         else if (boost == 1.0) Phrase(ts)
         else Boosted(Phrase(ts), boost)
+      case WordT(raw) :: rest if raw.indexOf(':') > 0 &&
+          isFieldName(raw.substring(0, raw.indexOf(':'))) =>
+        // field:… — scope the directly-following clause to another column.
+        // The scoped part re-enters the parser (field:"a b", field:(a OR
+        // b), field:quer*) so every leaf form composes; nesting is
+        // rejected by [[validate]] after the parse.
+        val colon = raw.indexOf(':')
+        val field = raw.substring(0, colon)
+        val restRaw = raw.substring(colon + 1)
+        toks = rest
+        if (restRaw.isEmpty) {
+          toks match {
+            case (LPar | PhraseT(_, _) | LBrT(_)) :: _ => ()
+            case _ => fail(s"field scope '$field:' needs a term, phrase, " +
+              "range, or (group) directly after ':'")
+          }
+        } else toks = WordT(restRaw) :: toks
+        Scoped(field, parsePrimary())
       case WordT(raw) :: rest =>
         toks = rest
         wordNode(raw)
@@ -184,6 +306,12 @@ object QueryParser {
       * punctuated query can never silently match zero rows against terms
       * that were split at index time. */
     private def wordNode(raw: String): Node = {
+      // a leading operator only reaches here through a field scope
+      // (`source:-wiki`) — the op must come BEFORE the scope (`-source:wiki`),
+      // and the v1 grammar would otherwise silently drop the sign
+      if (raw.head == '+' || raw.head == '-')
+        fail(s"term '$raw': '+'/'-' must come before the field scope " +
+          s"(-field:term, not field:-term)")
       // `term^w` — boost suffix (Lucene syntax). Boosts exist to weight
       // SCORING clauses, and prefix/wildcard/fuzzy clauses filter without
       // scoring here, so a boost on one would be a silent no-op — reject.
@@ -278,7 +406,11 @@ object QueryParser {
     case Term(t) => Seq(t)
     case Phrase(ts) => ts
     case Near(a, b, _) => Seq(a, b)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) => Nil
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
+    // field-scoped clauses filter without scoring: fts_query_score is
+    // single-field BM25, and the default column's corpus statistics say
+    // nothing about another field's terms
+    case Scoped(_, _) => Nil
     case Boosted(inner, _) => scoringTerms(inner)
     case AndN(l, r) => scoringTerms(l) ++ scoringTerms(r)
     case OrN(l, r) => scoringTerms(l) ++ scoringTerms(r)
@@ -293,7 +425,8 @@ object QueryParser {
     case Term(t) => Seq(t -> w)
     case Phrase(ts) => ts.map(_ -> w)
     case Near(a, b, _) => Seq(a -> w, b -> w)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) => Nil
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
+    case Scoped(_, _) => Nil
     case Boosted(inner, bw) => scoringWeights(inner, w * bw)
     case AndN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
     case OrN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
@@ -305,7 +438,28 @@ object QueryParser {
     val p = new P(lex(q), q)
     val n = p.parseOr()
     require(p.toks.isEmpty, s"fts_query: trailing input after query: $q")
+    validate(n, q, inScope = false)
     n
+  }
+
+  /** Post-parse structural checks that span primaries: field scopes
+    * cannot nest (`title:(a OR source:b)` — Lucene silently lets the
+    * inner field win, the silent-surprise class this language rejects),
+    * and a boost inside a scope would be a silent scoring no-op (scoped
+    * clauses never score — [[scoringWeights]]). */
+  private def validate(n: Node, q: String, inScope: Boolean): Unit = n match {
+    case Scoped(f, inner) =>
+      require(!inScope,
+        s"fts_query: field scopes cannot nest (at '$f:') in query: $q")
+      validate(inner, q, inScope = true)
+    case Boosted(inner, _) =>
+      require(!inScope, "fts_query: a boost inside a field scope would be " +
+        s"a silent no-op — scoped clauses filter without scoring: $q")
+      validate(inner, q, inScope)
+    case AndN(l, r) => validate(l, q, inScope); validate(r, q, inScope)
+    case OrN(l, r) => validate(l, q, inScope); validate(r, q, inScope)
+    case NotN(x) => validate(x, q, inScope)
+    case _ => ()
   }
 
   /** Lower an AST over a text column expression into the existing FTS
@@ -316,8 +470,17 @@ object QueryParser {
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
     case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))
+    case TermRange(lo, hi, il, ih) =>
+      graft.ext.FtsTermRange(text, Literal(lo), Literal(hi),
+        Literal(il), Literal(ih))
     // boolean matching ignores boosts — they exist for the scoring path
     case Boosted(inner, _) => lower(text, inner)
+    // field scope: the clause lowers over the NAMED column instead of the
+    // default text expression; the analyzer resolves it against the
+    // query's plan (case-insensitively, like any SQL identifier), so a
+    // typo'd field is a loud "column not found" and a resolved one picks
+    // up its own per-(table, column) index entry in RewriteFtsMatch
+    case Scoped(f, inner) => lower(UnresolvedAttribute.quoted(f), inner)
     case Near(a, b, k) =>
       graft.ext.FtsNear(text, Literal(a), Literal(b), Literal(k))
     case AndN(l, r) => And(lower(text, l), lower(text, r))

@@ -820,6 +820,62 @@ object Fts extends QueryPack {
                  AND list_contains(t, 'vector') AND list_contains(t, 'stream')
                ORDER BY doc_id""")),
 
+    // Query-language FIELD SCOPING + required/prohibited operators:
+    // `+spark query -slow source:(src1 OR src3)` — the `source:` scope
+    // lowers its group over the `source` column's OWN registered index
+    // (the multicol per-(table, column) machinery, resolved through an
+    // UnresolvedAttribute the analyzer binds), `+` spells the implicit-AND
+    // default, `-slow` is a prohibited term (postings anti-join). Every
+    // clause is index-exact, so the whole WHERE is semi/anti-joins over
+    // pruned postings — no corpus tokenization. Oracle replays the
+    // boolean algebra; source values are single v1 tokens, so the scoped
+    // containment is value equality.
+    Q("q_fts_query_fields",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        val path = s"$dir/documents.parquet"
+        graft.fts.Index.createIndex(s, path,
+          graft.core.Scratch.dir("fts_index_sql"))
+        graft.fts.Index.createIndex(s, path,
+          graft.core.Scratch.dir("fts_index_src"), textCol = "source")
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qf")
+        s.sql("""SELECT doc_id FROM documents_qf
+                 WHERE fts_query(text, '+spark query -slow source:(src1 OR src3)')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
+                 AND NOT list_contains(t, 'slow')
+                 AND (source = 'src1' OR source = 'src3')
+               ORDER BY doc_id""")),
+
+    // Query-language TERM RANGES: `vector [q TO r}` — true iff the doc
+    // contains a token in the dictionary range (here: any q-initial term;
+    // lo inclusive, hi exclusive — Lucene's mixable-bound syntax). The
+    // range lowers to fts_term_range, whose index path pushes [lo, hi)
+    // as a term RANGE into the term-sorted postings — parquet row-group
+    // min/max pruning, the same access path as `quer*` (whose
+    // `prefix ≤ t < prefix⁺` window is the special case). Oracle replays
+    // the bounds over the tokenized corpus with DuckDB's binary string
+    // comparison — identical order to the UTF8 order both graft paths use
+    // on these [a-z0-9]+ terms.
+    Q("q_fts_query_range",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qr")
+        s.sql("""SELECT doc_id FROM documents_qr
+                 WHERE fts_query(text, 'vector [q TO r}')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'vector')
+                 AND len(list_filter(t, x -> x >= 'q' AND x < 'r')) > 0
+               ORDER BY doc_id""")),
+
     // Result-page snippets: fts_snippet extracts the ±3-token window
     // around the first query-term occurrence — the highlight every search
     // surface renders next to a hit, composed here with the index-backed

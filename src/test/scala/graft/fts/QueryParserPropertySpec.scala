@@ -32,7 +32,21 @@ class QueryParserPropertySpec extends AnyFunSuite {
     term.map(t => Prefix(t.take(3))),
     Gen.oneOf(Wildcard("qu*ry"), Wildcard("*ream"), Wildcard("dat*a")),
     Gen.zip(term, Gen.oneOf(1, 2)).map { case (t, k) => Fuzzy(t, k) },
-    Gen.zip(term, term, Gen.choose(1, 4)).map { case (a, b, k) => Near(a, b, k) })
+    Gen.zip(term, term, Gen.choose(1, 4)).map { case (a, b, k) => Near(a, b, k) },
+    // lo < hi guaranteed by sorting two distinct terms
+    Gen.zip(term, term, Gen.oneOf(true, false), Gen.oneOf(true, false))
+      .suchThat { case (a, b, _, _) => a != b }
+      .map { case (a, b, il, ih) =>
+        val Seq(lo, hi) = Seq(a, b).sorted
+        TermRange(lo, hi, il, ih)
+      })
+
+  // field scopes wrap unboosted, unscoped clauses (nesting and scoped
+  // boosts are rejected by the parser's validate pass)
+  private val scopable: Gen[Node] = Gen.frequency(
+    4 -> leaf,
+    1 -> Gen.zip(Gen.oneOf("title", "source"), leaf)
+      .map { case (f, n) => Scoped(f, n) })
 
   // boosts only attach to scoring clauses (terms/phrases) in the grammar
   private val boostable: Gen[Node] = Gen.frequency(
@@ -42,9 +56,10 @@ class QueryParserPropertySpec extends AnyFunSuite {
       .map { case (n, w) => Boosted(n, w) })
 
   private def node(depth: Int): Gen[Node] =
-    if (depth <= 0) boostable
+    if (depth <= 0) Gen.frequency(3 -> boostable, 1 -> scopable)
     else Gen.frequency(
       3 -> boostable,
+      1 -> scopable,
       2 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (l, r) => AndN(l, r) },
       2 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (l, r) => OrN(l, r) },
       1 -> node(depth - 1).map(NotN(_)))
@@ -57,6 +72,9 @@ class QueryParserPropertySpec extends AnyFunSuite {
     case Fuzzy(t, k) => s"$t~$k"
     case Near(a, b, k) => s"($a NEAR/$k $b)"
     case Boosted(inner, w) => render(inner) + "^" + w
+    case Scoped(f, inner) => s"$f:(${render(inner)})"
+    case TermRange(lo, hi, il, ih) =>
+      (if (il) "[" else "{") + s"$lo TO $hi" + (if (ih) "]" else "}")
     case AndN(l, r) => s"(${render(l)} AND ${render(r)})"
     case OrN(l, r) => s"(${render(l)} OR ${render(r)})"
     case NotN(x) => s"(NOT ${render(x)})"

@@ -288,4 +288,148 @@ class QueryParserSpec extends SparkSpec {
       assert(served == expect && served.nonEmpty)
     } finally IndexCatalog.clear()
   }
+
+  // ---- required/prohibited operators ---------------------------------------
+
+  test("+term is the explicit required spelling; -term prohibits") {
+    assert(parse("+a b") == AndN(Term("a"), Term("b")))
+    assert(parse("a -b") == AndN(Term("a"), NotN(Term("b"))))
+    assert(parse("-a") == NotN(Term("a")))
+  }
+
+  test("-/+ attach to phrases and groups") {
+    assert(parse("""-"big data"""") == NotN(Phrase(Seq("big", "data"))))
+    assert(parse("-(a OR b)") == NotN(OrN(Term("a"), Term("b"))))
+    assert(parse("+(a b)") == AndN(Term("a"), Term("b")))
+  }
+
+  test("free-standing or doubled operators fail loud") {
+    intercept[IllegalArgumentException](parse("a - b"))
+    intercept[IllegalArgumentException](parse("--a"))
+    intercept[IllegalArgumentException](parse("-+a"))
+  }
+
+  test("interior hyphens still normalize through the v1 grammar") {
+    assert(parse("well-known") == AndN(Term("well"), Term("known")))
+    assert(parse("-well-known") == NotN(AndN(Term("well"), Term("known"))))
+  }
+
+  // ---- field scoping --------------------------------------------------------
+
+  test("field:term scopes a term, phrase, group, and shape clauses") {
+    assert(parse("source:wiki") == Scoped("source", Term("wiki")))
+    assert(parse("""title:"big data"""") ==
+      Scoped("title", Phrase(Seq("big", "data"))))
+    assert(parse("title:(a OR b)") ==
+      Scoped("title", OrN(Term("a"), Term("b"))))
+    assert(parse("source:quer*") == Scoped("source", Prefix("quer")))
+  }
+
+  test("field scope composes with operators and the default field") {
+    assert(parse("vector -source:wiki") ==
+      AndN(Term("vector"), NotN(Scoped("source", Term("wiki")))))
+    assert(parse("+source:wiki vector") ==
+      AndN(Scoped("source", Term("wiki")), Term("vector")))
+  }
+
+  test("a non-identifier prefix before ':' is a plain word, not a scope") {
+    assert(parse("12:30") == AndN(Term("12"), Term("30")))
+    assert(parse(":foo") == Term("foo"))
+  }
+
+  test("nested scopes, scoped boosts, op-after-colon, dangling colon fail loud") {
+    intercept[IllegalArgumentException](parse("title:(a OR source:b)"))
+    intercept[IllegalArgumentException](parse("source:wiki^2"))
+    intercept[IllegalArgumentException](parse("source:-wiki"))
+    intercept[IllegalArgumentException](parse("source: wiki"))
+  }
+
+  // ---- term ranges ----------------------------------------------------------
+
+  test("[lo TO hi] parses with mixable inclusive/exclusive bounds") {
+    assert(parse("[apple TO banana]") ==
+      TermRange("apple", "banana", inclLo = true, inclHi = true))
+    assert(parse("{apple TO banana}") ==
+      TermRange("apple", "banana", inclLo = false, inclHi = false))
+    assert(parse("[apple TO banana}") ==
+      TermRange("apple", "banana", inclLo = true, inclHi = false))
+    assert(parse("a [b TO c] d") ==
+      AndN(AndN(Term("a"), TermRange("b", "c", true, true)), Term("d")))
+    assert(parse("-[a TO b]") == NotN(TermRange("a", "b", true, true)))
+    assert(parse("source:[src1 TO src3]") ==
+      Scoped("source", TermRange("src1", "src3", true, true)))
+  }
+
+  test("range endpoints normalize through the v1 grammar") {
+    assert(parse("[Apple TO BANANA]") ==
+      TermRange("apple", "banana", inclLo = true, inclHi = true))
+  }
+
+  test("malformed or empty ranges fail loud") {
+    intercept[IllegalArgumentException](parse("[a b]"))
+    intercept[IllegalArgumentException](parse("[a TO]"))
+    intercept[IllegalArgumentException](parse("[a TO b"))
+    intercept[IllegalArgumentException](parse("[b TO a]"))
+    intercept[IllegalArgumentException](parse("{a TO a}"))
+    intercept[IllegalArgumentException](parse("[a-b TO c]"))
+  }
+
+  test("fts_term_range SQL function matches scan and index paths alike") {
+    install()
+    try {
+      val docsPath = sf("documents")
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_qp_r")
+      // scan path (no index): kernel over tokenized text
+      val scan = ids("""SELECT doc_id FROM docs_qp_r
+        WHERE fts_term_range(text, 'query', 'querz')""")
+      Index.createIndex(spark, docsPath,
+        "/root/repo/target/ttmp/fts_index_qp_r")
+      // index path: pushed term range over the sorted postings
+      val indexed = ids("""SELECT doc_id FROM docs_qp_r
+        WHERE fts_term_range(text, 'query', 'querz')""")
+      assert(scan == indexed && scan.nonEmpty)
+      // ... and it IS the index path — in fact the COVERING one: the
+      // id-only projection is answered entirely from the postings with the
+      // range pushed as a term filter; no corpus scan, no kernel, no join
+      val plan = spark.sql("""SELECT doc_id FROM docs_qp_r
+        WHERE fts_term_range(text, 'query', 'querz')""")
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("fts_has_token_range") &&
+        plan.contains("term") && plan.contains(">= query"), plan)
+      // exclusive upper bound drops the boundary term
+      val excl = ids("""SELECT doc_id FROM docs_qp_r
+        WHERE fts_term_range(text, 'query', 'querz', true, false)""")
+      assert(excl.subsetOf(indexed))
+    } finally IndexCatalog.clear()
+  }
+
+  test("fts_query field scopes serve each column's own index") {
+    install()
+    try {
+      val docsPath = sf("documents")
+      Index.createIndex(spark, docsPath,
+        "/root/repo/target/ttmp/fts_index_qp_f1")
+      Index.createIndex(spark, docsPath,
+        "/root/repo/target/ttmp/fts_index_qp_f2", textCol = "source")
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_qp_f")
+      val got = ids("""SELECT doc_id FROM docs_qp_f
+        WHERE fts_query(text, 'spark query source:src3')""")
+      val expect = ids("""SELECT doc_id FROM docs_qp_f
+        WHERE fts_match(text, 'spark query') AND fts_match(source, 'src3')""")
+      assert(got == expect && got.nonEmpty)
+      // the scoped leaf lowers to the source column's index semi-join,
+      // not a scan: both conjuncts index-lowered means no fts kernel in
+      // the optimized plan
+      val df = spark.sql("""SELECT doc_id FROM docs_qp_f
+        WHERE fts_query(text, 'spark query source:src3')""")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("fts_tokenize"), plan)
+      // a typo'd field is a loud resolution error, not a silent scan
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("""SELECT doc_id FROM docs_qp_f
+          WHERE fts_query(text, 'sorce:wiki')""").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("sorce"))
+    } finally IndexCatalog.clear()
+  }
 }
