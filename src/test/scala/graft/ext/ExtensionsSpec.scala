@@ -572,6 +572,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
       "fts_phrase", "fts_score", "fts_prefix", "fts_near", "fts_snippet",
       "fts_wildcard", "fts_query", "fts_fuzzy", "fts_query_score",
+      "fts_term_range",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))
