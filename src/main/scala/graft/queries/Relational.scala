@@ -165,6 +165,20 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n")),
       Some("SELECT count(*) AS n FROM region CROSS JOIN nation")),
 
+    // LATERAL correlated subquery (top-N per outer row). Spark decorrelates
+    // the correlated ORDER BY + LIMIT into a partition-bounded window over
+    // ONE shuffle of the inner side — the lateral never executes
+    // per-outer-row, so the physical plan is the same rank-filter shape
+    // q_window_rank hand-writes. Shared-SQL: DuckDB runs the identical
+    // statement.
+    sqlQ("q_join_lateral",
+      """SELECT n_name, x.c_custkey, x.bal
+         FROM nation, LATERAL (
+           SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+           FROM customer WHERE c_nationkey = n_nationkey
+           ORDER BY bal DESC, c_custkey LIMIT 3) x
+         ORDER BY n_name, bal DESC, c_custkey"""),
+
     // Fact⋈fact co-location via BUCKETED catalog tables: both sides written
     // bucketBy(8, orderkey).sortBy(orderkey) (reference FileSourceScanExec
     // bucketing, DataSourceScanExec.scala:141), so the sort-merge join reads
@@ -648,6 +662,18 @@ object Relational extends QueryPack {
          FROM t a JOIN t b ON a.n = b.n AND a.o_custkey < b.o_custkey
          GROUP BY a.n ORDER BY n"""),
 
+    // WITH RECURSIVE (Spark 4 capability, SPARK-24497): the recursion is a
+    // driver-coordinated loop of small union steps — here it only GENERATES
+    // the 12-row month spine, so all corpus-scale work stays in the one
+    // aggregation over orders and the 12-row side broadcasts into the join.
+    // At 100 TB the recursive seed stays bounded (a calendar, an org chart,
+    // a path frontier) while the fact side never re-scans per iteration.
+    sqlQ("q_cte_recursive",
+      """WITH RECURSIVE m(mo) AS (SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12)
+         SELECT mo, count(o_orderkey) AS n
+         FROM m LEFT JOIN orders ON month(o_orderdate) = mo
+         GROUP BY mo ORDER BY mo"""),
+
     // ---- pivot ---------------------------------------------------------------
     Q("q_pivot",
       (s, dir) => {
@@ -671,6 +697,33 @@ object Relational extends QueryPack {
               FROM orders JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY n_name ORDER BY n_name""")),
+
+    // UNPIVOT — pivot's inverse (wide measures → long (measure, value)
+    // rows). The Dataset `unpivot` API plans as the same Expand operator
+    // grouping sets use: one pass over the (already tiny, post-aggregate)
+    // input, each row emitted once per measure — no shuffle, no join.
+    // Sums are exact DECIMAL before the common-type cast to DOUBLE, so both
+    // engines convert the same 2-decimal value and hashes match.
+    Q("q_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(dec(col("l_quantity"))).as("q"),
+          sum(dec(col("l_extendedprice"))).as("p"),
+          sum(dec(col("l_discount"))).as("disc"))
+        .select(col("l_returnflag"), d(col("q")).as("sum_qty"),
+          d(col("p")).as("sum_price"), d(col("disc")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some("""SELECT l_returnflag, measure, value FROM (
+                SELECT l_returnflag,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+                FROM lineitem GROUP BY l_returnflag)
+              UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+              ORDER BY l_returnflag, measure""")),
 
     // ---- inline table / sample ------------------------------------------------
     Q("q_values",

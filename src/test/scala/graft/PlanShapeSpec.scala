@@ -46,6 +46,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("q_join_lateral: correlated LIMIT decorrelates to WindowGroupLimit") {
+    val plan = planOf("q_join_lateral")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-nation top-3 must bound map-side, not execute per outer row:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the lateral must decorrelate to an equi-join, never a product:\n${plan.take(2000)}")
+  }
+
+  test("q_unpivot: one scan, partial+final agg, Expand — no join or rescan") {
+    val plan = planOf("q_unpivot")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1,
+      s"unpivot must ride the single aggregated scan:\n${plan.take(2000)}")
+    assert(plan.contains("Expand"),
+      s"the measure fan-out must be the Expand operator:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), "no per-measure self-joins")
+  }
+
   test("q_join_ds67: one Expand, one Window sort, broadcast dim join") {
     val plan = planOf("q_join_ds67")
     assert("\\(\\d+\\) Expand".r.findAllIn(plan).size == 1,
