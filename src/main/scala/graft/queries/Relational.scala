@@ -674,6 +674,41 @@ object Relational extends QueryPack {
          FROM m LEFT JOIN orders ON month(o_orderdate) = mo
          GROUP BY mo ORDER BY mo"""),
 
+    // SQL PIPE syntax (Spark 4, SPARK-49555 — the |> operator chain): the
+    // same logical plan as the ANSI form (the parser desugars each stage),
+    // so pushdown/pruning/agg selection are identical; the oracle IS the
+    // ANSI equivalent, proving the two surfaces agree.
+    Q("q_sql_pipe",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql("""FROM orders
+                 |> WHERE o_orderstatus = 'O'
+                 |> AGGREGATE count(*) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                    GROUP BY o_orderpriority
+                 |> ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders WHERE o_orderstatus = 'O'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Parameterized SQL (named parameter markers, SPARK-41271): the query
+    // text carries `:status`, the value binds at parse time — the
+    // SQL-injection-safe template API. Oracle inlines the same literal.
+    Q("q_sql_params",
+      (s, dir) => {
+        Tables.registerViews(s, dir)
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n FROM orders
+             WHERE o_orderstatus = :status
+             GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+          Map("status" -> "F"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+              WHERE o_orderstatus = 'F'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- pivot ---------------------------------------------------------------
     Q("q_pivot",
       (s, dir) => {

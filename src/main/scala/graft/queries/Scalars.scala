@@ -236,6 +236,28 @@ object Scalars extends QueryPack {
               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2
               FROM events ORDER BY event_id LIMIT 500""")),
 
+    // XML scalar surface (from_xml + xpath family, built-in in Spark 4 —
+    // the reference era needed spark-xml). The XML is CONSTRUCTED from the
+    // row's own columns, parsed back with an explicit schema, and xpath
+    // extracts one field a second way; the oracle asserts the round-trip
+    // by selecting the source columns directly (DuckDB has no XML parser —
+    // equality of the parsed values IS the check). Pure per-row projection:
+    // no shuffle, no UDF.
+    Q("q_xml",
+      (s, dir) => t(s, dir, "events").orderBy("event_id").limit(500)
+        .select(col("event_id"),
+          concat(lit("<r><i>"), col("event_id"), lit("</i><t>"),
+            col("event_type"), lit("</t></r>")).as("xml"))
+        .select(col("event_id"),
+          from_xml(col("xml"), lit("i BIGINT, t STRING")).as("v"),
+          expr("xpath_long(xml, '/r/i')").as("xp"))
+        .select(col("event_id"), col("v.i").as("i"), col("v.t").as("t"),
+          col("xp"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_id AS i, event_type AS t, event_id AS xp
+              FROM (SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 500)
+              ORDER BY event_id""")),
+
     // VARIANT (Spark 4 semi-structured type — capability upgrade over the
     // reference's string-JSON-only path, like session windows/watermarks):
     // props parsed ONCE into the binary variant encoding, then typed
@@ -303,6 +325,21 @@ object Scalars extends QueryPack {
                  <= count(DISTINCT l_partkey) * 0.05) AS acd_ok,
               (abs(approx_quantile(l_quantity, 0.5) - median(l_quantity)) <= 2.0) AS pct_ok
               FROM lineitem""")),
+
+    // approx_top_k (Spark 4.1 frequent-items sketch): heavy-hitter counts
+    // in ONE pass without a full GROUP BY shuffle of the key space — at
+    // 100 TB the sketch is the only way to top-k a high-cardinality column
+    // without materializing every group. On a low-cardinality column
+    // (5 priorities ≪ the sketch's capacity) the counts are EXACT, so the
+    // result is deterministic and the oracle is the plain GROUP BY.
+    Q("q_approx_topk",
+      (s, dir) => t(s, dir, "orders")
+        .agg(expr("approx_top_k(o_orderpriority, 5)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))
+        .orderBy("item"),
+      Some("""SELECT o_orderpriority AS item, count(*) AS n
+              FROM orders GROUP BY o_orderpriority ORDER BY item""")),
 
     // MERGEABLE sketches — the 100 TB cardinality pattern: per-group HLL
     // sketches (DataSketches) built in one pass can be UNIONED later

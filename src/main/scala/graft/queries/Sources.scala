@@ -227,6 +227,31 @@ object Sources extends QueryPack {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // XML round-trip (the built-in Spark 4 xml format, SPARK-44265 — the
+    // reference era needed the external spark-xml package). Text format, so
+    // money rides DECIMAL(18,2) through the write and an EXPLICIT read
+    // schema (no inference pass — at 100 TB schema inference is a full
+    // extra scan); the oracle recomputes straight off parquet, so any
+    // serialization lossiness fails the hash.
+    Q("q_source_xml",
+      (s, dir) => {
+        val out = tmp("orders_xml")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"))
+          .write.mode(SaveMode.Overwrite)
+          .option("rowTag", "order").format("xml").save(out)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, p DECIMAL(18,2)")
+          .option("rowTag", "order").format("xml").load(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // Structured streaming: file source → watermarked windowed agg → memory
     // sink, Trigger.AvailableNow (real MicroBatchExecution, bounded run).
     Q("q_stream_window",
@@ -382,6 +407,15 @@ object Sources extends QueryPack {
     // aggregate (count/max are fold-order independent, unlike double sums).
     Q("q_stream_stateful",
       (s, dir) => StreamOps.runStreamStateful(s, dir),
+      Some("""SELECT user_id, count(*) AS events, max(value) AS max_value
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // transformWithState (the Spark-4 arbitrary-state API v2 — typed named
+    // state handles over the RocksDB provider): the SAME running (count,
+    // max) contract as q_stream_stateful, so the two state APIs are pinned
+    // to agree with each other and with the batch oracle.
+    Q("q_stream_tws",
+      (s, dir) => StreamOps.runStreamTws(s, dir),
       Some("""SELECT user_id, count(*) AS events, max(value) AS max_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 

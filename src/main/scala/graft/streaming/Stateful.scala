@@ -83,4 +83,42 @@ object Stateful {
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateActivity)
   }
+
+  /** The same running (count, max) through `transformWithState` — the
+    * Spark-4 arbitrary-state API v2 (successor of mapGroupsWithState;
+    * typed named-state handles, timers, TTL). State is a single
+    * [[UserMaxState]] ValueState per user; one snapshot per touched user
+    * per batch, Update-mode, so the same monotone-fold read-back as
+    * [[runningActivity]] applies. Requires the RocksDB state store
+    * provider (the API's contract — also the provider a 100 TB deployment
+    * runs, for state larger than executor heap + changelog checkpointing).
+    */
+  final class ActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserActivity] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserMaxState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserMaxState]("activity",
+        org.apache.spark.sql.Encoders.product[UserMaxState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserActivity] = {
+      var s = Option(st.get()).getOrElse(UserMaxState(0L, Double.NegativeInfinity))
+      rows.foreach { e =>
+        s = UserMaxState(s.events + 1, math.max(s.maxValue, e.value))
+      }
+      st.update(s)
+      Iterator.single(UserActivity(key, s.events, s.maxValue))
+    }
+  }
+
+  def runningActivityTws(events: Dataset[UserEvent]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -159,6 +159,38 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  /** [[Stateful.runningActivityTws]] end-to-end: the transformWithState
+    * (state API v2) flavour of [[runStreamStateful]]. The API requires the
+    * RocksDB state store provider; set it for this query and restore the
+    * session default after, so the HDFS-backed provider keeps serving the
+    * other streaming queries unchanged. */
+  def runStreamTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_tws_stream"))
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+    val sink = s"graft_tws_sink_${sinkSeq.incrementAndGet()}"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Stateful.runningActivityTws(ev).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(col("events")).as("events"), max(col("max_value")).as("max_value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming ETL through the TRANSACTIONAL parquet file sink: stream →
     * filter/project → parquet + checkpoint, then read the output back.
     * Exactly-once comes from the sink's `_spark_metadata` commit log (the
