@@ -326,6 +326,80 @@ object FtsNearTokens {
   }
 }
 
+/** Scan-path kernel for `fts_phrase_slop`: true iff the phrase terms occur
+  * IN ORDER with total span ≤ terms−1+slop (at most `slop` extra tokens
+  * interleaved; slop 0 = exact phrase). Single pass over the token stream
+  * with an n-slot DP: `best(j)` holds the LATEST start position of any
+  * in-order chain covering slots 0..j seen so far — the span-minimal chain
+  * a later slot-(j+1) match can extend. Slots are scanned descending per
+  * position so a chain never consumes two slots at one token (matters when
+  * the phrase repeats a term). Mirrors
+  * [[graft.fts.Search.matchPhraseSloppy]]'s position-list semantics; the
+  * index path replaces this with the pure postings plan. Produced only by
+  * [[RewriteFtsMatch]]; not SQL-registered. */
+case class FtsPhraseSlopTokens(child: Expression, terms: Seq[String], slop: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fts_phrase_slop requires STRING input, got ${child.dataType.catalogString}")
+  override def prettyName: String = "fts_phrase_slop_tokens"
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+  override def nullSafeEval(input: Any): Any =
+    FtsPhraseSlopTokens.eval(input.asInstanceOf[UTF8String], termArr, slop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("slopTerms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.FtsPhraseSlopTokens$$.MODULE$$.eval($c, $arr, $slop);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FtsPhraseSlopTokens =
+    copy(child = newChild)
+}
+
+object FtsPhraseSlopTokens {
+  def eval(s: UTF8String, terms: Array[UTF8String], slop: Int): Boolean = {
+    val toks = FtsTokenize.tokenize(s)
+    val n = terms.length
+    if (n == 0) return false
+    val m = toks.numElements()
+    val window = n - 1 + slop
+    // best(j) = latest start of an in-order chain over slots 0..j ending
+    // strictly before the current position; −1 = no chain yet
+    val best = new Array[Int](n)
+    java.util.Arrays.fill(best, -1)
+    var p = 0
+    while (p < m) {
+      val t = toks.getUTF8String(p)
+      var j = n - 1
+      while (j >= 0) {
+        if (t.equals(terms(j))) {
+          if (j == 0) {
+            if (n == 1) return true
+            best(0) = p // later start always dominates
+          } else {
+            val start = best(j - 1)
+            if (start >= 0) {
+              if (j == n - 1) {
+                if (p - start <= window) return true
+                // window missed: a later completion against a later start
+                // may still fit — keep scanning
+              } else if (start > best(j)) best(j) = start
+            }
+          }
+        }
+        j -= 1
+      }
+      p += 1
+    }
+    false
+  }
+}
+
 /** `fts_snippet(text, 'q terms', width)`: the token window of ±`width`
   * tokens around the FIRST occurrence of any query term, space-joined —
   * the result-page snippet every search surface renders next to a hit.
@@ -519,6 +593,26 @@ case class FtsNear(text: Expression, termA: Expression, termB: Expression,
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsNear =
     copy(text = newChildren(0), termA = newChildren(1), termB = newChildren(2),
       slop = newChildren(3))
+}
+
+/** `fts_phrase_slop(text, 'a b', k)`: true iff the phrase terms occur in
+  * order with at most `k` extra tokens interleaved (span ≤ terms−1+k) —
+  * Lucene's sloppy phrase `"a b"~k`, restricted to ORDERED matches (the
+  * unordered pairwise form is `fts_near`). `k = 0` is the exact phrase.
+  * Lowered by [[RewriteFtsMatch]]: over a POSITIONAL index a pure postings
+  * plan ([[graft.fts.Search.matchPhraseSloppy]], text never re-read); over
+  * a tf-only v1 index an all-terms candidate semi-join with the
+  * [[FtsPhraseSlopTokens]] kernel as residual; unindexed, the kernel
+  * alone. */
+case class FtsPhraseSlop(text: Expression, phrase: Expression,
+                         slop: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(text, phrase, slop)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_phrase_slop"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsPhraseSlop =
+    copy(text = newChildren(0), phrase = newChildren(1), slop = newChildren(2))
 }
 
 /** `fts_wildcard(text, 'qu*ry')`: true iff the document contains a token
@@ -716,6 +810,14 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         Some((if (na.isEmpty || nb.isEmpty) emptyIds(entry)
           else graft.fts.Search.matchNear(persistedIx(entry),
             na.get, nb.get, sl, entry.buckets), idAttr))
+      case FtsPhraseSlop(a: Attribute, Literal(q: UTF8String, StringType),
+                         Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
+          if sl >= 0 && entryFor(a).exists(_._1.positional) =>
+        val (entry, idAttr) = entryFor(a).get
+        val ts = entryPhraseTerms(entry, q)
+        Some((if (ts.isEmpty) emptyIds(entry)
+          else graft.fts.Search.matchPhraseSloppy(
+            persistedIx(entry), ts, sl, entry.buckets), idAttr))
       case FtsPrefix(a: Attribute, Literal(p: UTF8String, StringType))
           if entryFor(a).exists(_._1.analyzer.isV1) =>
         val (entry, idAttr) = entryFor(a).get
@@ -797,6 +899,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private final case class NearConj(entry: IndexCatalog.Entry,
                                     idAttr: Attribute, attr: Attribute,
                                     a: String, b: String, slop: Int)
+      extends FtsConjunct
+  /** `fts_phrase_slop` — ordered sloppy phrase. Positional entry: pure
+    * postings plan; tf-only v1 entry: all-terms candidates + the ordered
+    * window kernel as residual over candidates only. */
+  private final case class SlopConj(entry: IndexCatalog.Entry,
+                                    idAttr: Attribute, attr: Attribute,
+                                    q: UTF8String, slop: Int)
       extends FtsConjunct
 
   /** Validated (head, tail) of a single-star wildcard pattern. */
@@ -1215,7 +1324,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             cond.exists(e => e.isInstanceOf[FtsMatch] ||
               e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsPhrase] ||
               e.isInstanceOf[FtsPrefix] || e.isInstanceOf[FtsWildcard] ||
-              e.isInstanceOf[FtsTermRange] || e.isInstanceOf[FtsNear]) &&
+              e.isInstanceOf[FtsTermRange] || e.isInstanceOf[FtsNear] ||
+              e.isInstanceOf[FtsPhraseSlop]) &&
             !projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
         coveredMatch(projectList, cond, grandchild) match {
           case Some(covered) =>
@@ -1376,6 +1486,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 val (e, id) = entryFor(a).get
                 Left(NearConj(e, id, a, singleTerm(ta, "fts_near"),
                   singleTerm(tb, "fts_near"), sl))
+              case FtsPhraseSlop(a: Attribute, Literal(q: UTF8String, StringType),
+                                 Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
+                  // positional: index-exact; tf-only v1: candidates + the
+                  // token-kernel residual (an analyzer tf-only index can't
+                  // answer — the residual's v1 re-tokenize of text does not
+                  // speak analyzed positions)
+                  if sl >= 0 &&
+                    entryFor(a).exists(e => e._1.analyzer.isV1 || e._1.positional) =>
+                val (e, id) = entryFor(a).get
+                Left(SlopConj(e, id, a, q, sl))
               case other => Right(other)
             }
             if (fts.isEmpty) f
@@ -1465,6 +1585,21 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     Filter(FtsNearTokens(a, ta, tb, sl),
                       semi(cur, matchingIds(entry, Seq(ta, tb),
                         requireAll = true), idAttr))
+                case (cur, SlopConj(entry, idAttr, a, q, sl)) =>
+                  val terms = entryPhraseTerms(entry, q)
+                  if (terms.isEmpty) Filter(Literal.FalseLiteral, cur)
+                  else if (entry.positional)
+                    // positions answer the ordered window exactly — no
+                    // residual, text never re-read
+                    semi(cur, graft.fts.Search.matchPhraseSloppy(
+                      persistedIx(entry), terms, sl, entry.buckets)
+                      .queryExecution.optimizedPlan, idAttr)
+                  else
+                    // tf-only v1 index: all-terms candidates, ordered
+                    // window kernel as residual over candidates only
+                    Filter(FtsPhraseSlopTokens(a, terms, sl),
+                      semi(cur, matchingIds(entry, terms.distinct,
+                        requireAll = true), idAttr))
               }
               // an id column re-threaded for the join must not leak upward
               if (effChild eq child) folded else Project(child.output, folded)
@@ -1533,6 +1668,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           s"fts_near requires a non-negative slop, got $sl")
         FtsNearTokens(text, singleTerm(ta, "fts_near"),
           singleTerm(tb, "fts_near"), sl)
+      case FtsPhraseSlop(text, Literal(q: UTF8String, StringType),
+                         Literal(sl: Int, org.apache.spark.sql.types.IntegerType)) =>
+        if (sl < 0) throw new IllegalArgumentException(
+          s"fts_phrase_slop requires a non-negative slop, got $sl")
+        val terms = phraseTerms(q)
+        if (terms.isEmpty) Literal.FalseLiteral
+        // slop 0 is the exact phrase — same containment lowering, so the
+        // two spellings plan identically
+        else if (sl == 0) phraseContains(text, terms)
+        else FtsPhraseSlopTokens(text, terms, sl)
       case FtsFuzzy(text, Literal(t: UTF8String, StringType),
                     Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
         // scan fallback: exists(tokens, v -> levenshtein(v, term, k) >= 0)
@@ -1566,6 +1711,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         Literal(null, BooleanType)
       case FtsFuzzy(_, t, k)
           if Seq(t, k).exists {
+            case Literal(null, _) => true; case _ => false } =>
+        Literal(null, BooleanType)
+      case FtsPhraseSlop(_, q, s)
+          if Seq(q, s).exists {
             case Literal(null, _) => true; case _ => false } =>
         Literal(null, BooleanType)
       case FtsTermRange(_, lo, hi, il, ih)
@@ -1647,6 +1796,9 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_near"),
         new ExpressionInfo(classOf[FtsNear].getName, "fts_near"),
         (args: Seq[Expression]) => FtsNear(args(0), args(1), args(2), args(3))),
+      (new FunctionIdentifier("fts_phrase_slop"),
+        new ExpressionInfo(classOf[FtsPhraseSlop].getName, "fts_phrase_slop"),
+        (args: Seq[Expression]) => FtsPhraseSlop(args(0), args(1), args(2))),
       (new FunctionIdentifier("fts_snippet"),
         new ExpressionInfo(classOf[FtsSnippet].getName, "fts_snippet"),
         (args: Seq[Expression]) => FtsSnippet(args(0), args(1), args(2))),

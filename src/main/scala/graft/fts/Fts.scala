@@ -716,6 +716,49 @@ object Search {
       .select("doc_id")
   }
 
+  /** SLOPPY phrase match over POSITIONAL postings: docs where the phrase
+    * terms occur IN ORDER with at most `slop` extra tokens interleaved
+    * anywhere in the window (span ≤ terms−1+slop; slop 0 = exact phrase,
+    * Lucene query syntax `"a b"~k` restricted to ordered matches). The
+    * fold generalizes [[matchPhrasePositional]]'s adjacency intersection:
+    * the accumulator carries `(pos, start)` chains — for every position p
+    * of the next slot it keeps the chain with the LATEST start among those
+    * ending strictly before p, which is exactly the span-minimal in-order
+    * chain ending at p, so one struct per occurrence suffices (no
+    * combinatorial blow-up). Document text is never re-read; the postings
+    * filter prunes to the phrase terms (and their buckets against a
+    * persisted layout) before any position logic runs. */
+  def matchPhraseSloppy(ix: FtsIndex, phrase: Seq[String], slop: Int,
+                        buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(slop >= 0, "slop must be non-negative")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    val order = phrase.zipWithIndex.toDF("term", "idx")
+    val slots = Index.lookup(ix, phrase.distinct, buckets)
+      .join(broadcast(order), "term")
+      .select(col("doc_id"), col("idx"), col("positions"))
+    val window = phrase.size - 1 + slop
+    slots.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        sort_array(collect_list(struct(col("idx"), col("positions")))).as("tp"))
+      .filter(col("n_slots") === phrase.size) // every slot's term present
+      .withColumn("chains", aggregate(
+        slice(col("tp"), lit(2), size(col("tp")) - 1),
+        transform(col("tp").getItem(0).getField("positions"),
+          p => struct(p.as("pos"), p.as("start"))),
+        (acc, e) => filter(
+          transform(e.getField("positions"), p => struct(
+            p.as("pos"),
+            array_max(transform(
+              filter(acc, c => c.getField("pos") < p),
+              c => c.getField("start"))).as("start"))),
+          c => c.getField("start").isNotNull)))
+      .filter(exists(col("chains"),
+        c => c.getField("pos") - c.getField("start") <= lit(window)))
+      .select("doc_id")
+  }
+
   /** BM25(k1, b) top-k. Everything after the postings filter is tiny:
     * per-term df is an agg over the filtered postings; corpus stats are one
     * row (broadcast); scores group by doc. Ordering is on the ROUNDED score

@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *
   *  - bare word        → [[graft.ext.FtsMatch]]   (all-terms containment)
   *  - "quoted words"   → [[graft.ext.FtsPhrase]]  (adjacent, in order)
+  *  - "quoted words"~k → [[graft.ext.FtsPhraseSlop]] (in order, ≤ k extra
+  *    tokens interleaved — Lucene's sloppy phrase, ordered)
   *  - trailing-* word  → [[graft.ext.FtsPrefix]]  (term-range postings scan)
   *  - single inner `*` → [[graft.ext.FtsWildcard]]
   *  - term~k (k ∈ 1,2; bare `~` = 2) → [[graft.ext.FtsFuzzy]] (typo-tolerant)
@@ -68,6 +70,9 @@ object QueryParser {
   sealed trait Node
   final case class Term(t: String) extends Node
   final case class Phrase(ts: Seq[String]) extends Node
+  /** `"a b"~k` — ordered sloppy phrase: terms in phrase order with at most
+    * `slop` extra tokens interleaved (span ≤ ts−1+slop). */
+  final case class SloppyPhrase(ts: Seq[String], slop: Int) extends Node
   final case class Prefix(p: String) extends Node
   final case class Wildcard(pat: String) extends Node
   final case class Fuzzy(t: String, maxEdits: Int) extends Node
@@ -92,7 +97,7 @@ object QueryParser {
   private case object OrT extends Tok
   private case object NotT extends Tok
   private final case class NearT(slop: Int) extends Tok
-  private final case class PhraseT(raw: String, boost: Double) extends Tok
+  private final case class PhraseT(raw: String, slop: Int, boost: Double) extends Tok
   private final case class WordT(raw: String) extends Tok
 
   private val NearRe = "(?i)near/(\\d+)".r
@@ -112,14 +117,23 @@ object QueryParser {
         case '"' =>
           val end = q.indexOf('"', i + 1)
           require(end > 0, s"unterminated phrase quote in query: $q")
-          // Lucene's "phrase"~k means proximity, which this language spells
-          // NEAR/k; silently tokenizing the suffix into a Term would change
-          // the match set, so reject loud
-          require(end + 1 >= q.length || q.charAt(end + 1) != '~',
-            s"fts_query: '~' is not supported on phrases (use a NEAR/k " +
-              s"for proximity) in query: $q")
-          // "phrase"^w — boost suffix directly after the closing quote
+          // "phrase"~k — Lucene's sloppy phrase, here ORDERED proximity:
+          // terms in phrase order with at most k extra tokens interleaved
+          // (slop 0 = exact; the unordered pairwise form stays NEAR/k).
+          // The slop must be an explicit integer — a bare '~' has no
+          // defined width and would silently change the match set.
           var j = end + 1
+          var slop = 0
+          if (j < q.length && q.charAt(j) == '~') {
+            var k = j + 1
+            while (k < q.length && q.charAt(k).isDigit) k += 1
+            require(k > j + 1,
+              s"fts_query: phrase slop needs an explicit integer " +
+                s"""("a b"~2) in query: $q""")
+            slop = q.substring(j + 1, k).toInt
+            j = k
+          }
+          // "phrase"^w / "phrase"~k^w — boost suffix after the slop
           var boost = 1.0
           if (j < q.length && q.charAt(j) == '^') {
             var k = j + 1
@@ -141,7 +155,7 @@ object QueryParser {
               q.charAt(j) == '(' || q.charAt(j) == ')',
             s"fts_query: unexpected '${q.charAt(math.min(j, q.length - 1))}' " +
               s"directly after a phrase in query: $q")
-          out += PhraseT(q.substring(i + 1, end), boost); i = j
+          out += PhraseT(q.substring(i + 1, end), slop, boost); i = j
         case _ =>
           var j = i
           while (j < q.length && !q.charAt(j).isWhitespace &&
@@ -203,7 +217,7 @@ object QueryParser {
         toks = rest
         if (restRaw.isEmpty) {
           toks match {
-            case (LPar | PhraseT(_, _) | LBrT(_)) :: _ => ()
+            case (LPar | PhraseT(_, _, _) | LBrT(_)) :: _ => ()
             case _ => fail(s"'${raw.head}' must be directly attached to a " +
               "term, phrase, range, or (group)")
           }
@@ -267,12 +281,18 @@ object QueryParser {
             TermRange(lo, hi, inclLo, inclHi)
           case _ => fail("missing ']' or '}' closing a term range")
         }
-      case PhraseT(raw, boost) :: rest =>
+      case PhraseT(raw, slop, boost) :: rest =>
         toks = rest
         val ts = Analyzer.tokenizeString(raw)
         if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""")
-        else if (boost == 1.0) Phrase(ts)
-        else Boosted(Phrase(ts), boost)
+        else {
+          // slop on a 1-token phrase is the plain term; slop 0 the exact
+          // phrase — normalize so downstream lowering stays canonical
+          val inner =
+            if (slop == 0 || ts.size == 1) Phrase(ts)
+            else SloppyPhrase(ts, slop)
+          if (boost == 1.0) inner else Boosted(inner, boost)
+        }
       case WordT(raw) :: rest if raw.indexOf(':') > 0 &&
           isFieldName(raw.substring(0, raw.indexOf(':'))) =>
         // field:… — scope the directly-following clause to another column.
@@ -285,7 +305,7 @@ object QueryParser {
         toks = rest
         if (restRaw.isEmpty) {
           toks match {
-            case (LPar | PhraseT(_, _) | LBrT(_)) :: _ => ()
+            case (LPar | PhraseT(_, _, _) | LBrT(_)) :: _ => ()
             case _ => fail(s"field scope '$field:' needs a term, phrase, " +
               "range, or (group) directly after ':'")
           }
@@ -405,6 +425,7 @@ object QueryParser {
   def scoringTerms(n: Node): Seq[String] = n match {
     case Term(t) => Seq(t)
     case Phrase(ts) => ts
+    case SloppyPhrase(ts, _) => ts
     case Near(a, b, _) => Seq(a, b)
     case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
     // field-scoped clauses filter without scoring: fts_query_score is
@@ -424,6 +445,7 @@ object QueryParser {
   def scoringWeights(n: Node, w: Double = 1.0): Seq[(String, Double)] = n match {
     case Term(t) => Seq(t -> w)
     case Phrase(ts) => ts.map(_ -> w)
+    case SloppyPhrase(ts, _) => ts.map(_ -> w)
     case Near(a, b, _) => Seq(a -> w, b -> w)
     case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
     case Scoped(_, _) => Nil
@@ -467,6 +489,8 @@ object QueryParser {
   def lower(text: Expression, n: Node): Expression = n match {
     case Term(t) => graft.ext.FtsMatch(text, Literal(t))
     case Phrase(ts) => graft.ext.FtsPhrase(text, Literal(ts.mkString(" ")))
+    case SloppyPhrase(ts, k) =>
+      graft.ext.FtsPhraseSlop(text, Literal(ts.mkString(" ")), Literal(k))
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
     case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))

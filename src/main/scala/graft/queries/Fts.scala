@@ -118,6 +118,32 @@ object Fts extends QueryPack {
                WHERE contains(' ' || array_to_string(t, ' ') || ' ', ' data query ')
                ORDER BY doc_id""")),
 
+    // fts_phrase_slop on the SQL surface over a registered POSITIONAL
+    // index: 'data query' in order within 3 extra tokens — strictly wider
+    // than the exact phrase (q_fts_sql_phrase_pos rows are a subset),
+    // strictly narrower than unordered NEAR. Lowers to the pure postings
+    // plan (SlopConj → Search.matchPhraseSloppy semi-join); text is never
+    // re-tokenized — asserted by PlanShapeSpec.
+    Q("q_fts_sql_slop",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixsl")
+        s.sql("""SELECT doc_id FROM documents_ixsl
+                 WHERE fts_phrase_slop(text, 'data query', 3)
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> q > p AND q - p <= 4)) > 0)) > 0
+               ORDER BY doc_id""")),
+
     // NEAR/slop proximity over positional postings: 'data' within 3 tokens
     // of 'query', either order — strictly wider than the adjacent phrase
     // (q_fts_phrase rows are a subset). Oracle recomputes per-term position
@@ -137,6 +163,30 @@ object Fts extends QueryPack {
                WHERE len(pa) > 0 AND len(pb) > 0
                  AND len(list_filter(pa, p ->
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
+               ORDER BY doc_id""")),
+
+    // SLOPPY phrase over positional postings: 'data query join' in ORDER
+    // with at most 3 extra tokens interleaved (span ≤ 5) — Lucene's
+    // "a b c"~k restricted to ordered matches. The 3-term chain exercises
+    // the (pos, start) fold beyond what the pairwise NEAR can express:
+    // the middle term must sit strictly between the ends. Oracle replays
+    // the same increasing-chain window over per-term position lists.
+    Q("q_fts_phrase_slop",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.matchPhraseSloppy(ix, Seq("data", "query", "join"), slop = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'join'] AS pc
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> q > p AND
+                         len(list_filter(pc, r -> r > q AND r - p <= 5)) > 0)) > 0)) > 0
                ORDER BY doc_id""")),
 
     // BM25(k1=1.2, b=0.75) top-10; ranking on the rounded score.
@@ -818,6 +868,32 @@ object Fts extends QueryPack {
                  AND len(list_filter(pa, p ->
                        len(list_filter(pb, q -> abs(p - q) <= 3)) > 0)) > 0
                  AND list_contains(t, 'vector') AND list_contains(t, 'stream')
+               ORDER BY doc_id""")),
+
+    // Query-string SLOPPY PHRASE: `"data query"~2 AND spark` — the quoted
+    // phrase with a `~k` suffix lowers to FtsPhraseSlop (ordered, ≤ 2
+    // extra tokens interleaved) over the positional index; the bare term
+    // stays an ordinary postings semi-join. Oracle replays the ordered
+    // window over per-term position lists plus the containment conjunct.
+    Q("q_fts_query_slop",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qsl")
+        s.sql("""SELECT doc_id FROM documents_qsl
+                 WHERE fts_query(text, '"data query"~2 AND spark')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id, t,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len(t) + 1) IF t[i] = 'query'] AS pb
+               FROM toks)
+               SELECT doc_id FROM pos
+               WHERE len(list_filter(pa, p ->
+                       len(list_filter(pb, q -> q > p AND q - p <= 3)) > 0)) > 0
+                 AND list_contains(t, 'spark')
                ORDER BY doc_id""")),
 
     // Query-language FIELD SCOPING + required/prohibited operators:

@@ -233,6 +233,7 @@ class PlanShapeSpec extends SparkSpec {
     graft.fts.IndexCatalog.clear()
     try {
       for (name <- Seq("q_fts_sql_near", "q_fts_sql_phrase_pos",
+          "q_fts_sql_slop", "q_fts_query_slop",
           "q_fts_compacted_near",
           // analyzer × positional: the stemmed phrase must take the SAME
           // position-list plan (analyzed offsets), never a text residual
@@ -243,7 +244,8 @@ class PlanShapeSpec extends SparkSpec {
         assert(!plan.contains("documents.parquet") && !plan.contains("docs_cnear_stream")
             && !plan.contains("docs_anp_table"),
           s"$name must answer index-only")
-        assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens"),
+        assert(!plan.contains("fts_tokenize") && !plan.contains("fts_near_tokens")
+            && !plan.contains("fts_phrase_slop_tokens"),
           s"$name must never re-read document text")
         assert("PartitionFilters: \\[.*\\(bucket".r.findFirstIn(plan).nonEmpty,
           s"$name postings scan must prune to the terms' buckets")

@@ -366,6 +366,60 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_phrase_slop: scan, tf-index residual, and positional lowerings agree") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val docs = spark.read.parquet(docsPath)
+    docs.createOrReplaceTempView("docs_slop_sql")
+    val sql = "SELECT doc_id FROM docs_slop_sql " +
+      "WHERE fts_phrase_slop(text, 'data query', 3)"
+    val expect = graft.fts.Search.matchPhraseSloppy(
+        graft.fts.Index.buildPositional(docs), Seq("data", "query"), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty)
+    // scan path: single-pass ordered-window kernel, no joins
+    val scan = spark.sql(sql)
+    assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(scan.queryExecution.optimizedPlan.toString
+      .contains("fts_phrase_slop_tokens"))
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    // slop 0 lowers to the exact-phrase containment (same plan shape as
+    // fts_phrase — no kernel)
+    val zero = spark.sql("SELECT doc_id FROM docs_slop_sql " +
+      "WHERE fts_phrase_slop(text, 'data query', 0)")
+    assert(!zero.queryExecution.optimizedPlan.toString
+      .contains("fts_phrase_slop_tokens"))
+    assert(zero.collect().map(_.getLong(0)).toSet ==
+      spark.sql("SELECT doc_id FROM docs_slop_sql " +
+        "WHERE fts_phrase(text, 'data query')")
+        .collect().map(_.getLong(0)).toSet)
+    // tf-only index: all-terms candidates semi-join + kernel residual
+    val tfDir = "/root/repo/target/ttmp/fts_index_slop_tf_spec"
+    graft.fts.Index.write(graft.fts.Index.build(docs), tfDir)
+    graft.fts.IndexCatalog.register(docsPath, tfDir)
+    try {
+      val tfq = spark.sql(sql)
+      val s = tfq.queryExecution.optimizedPlan.toString
+      assert(s.contains("LeftSemi"))
+      assert(s.contains("fts_phrase_slop_tokens"),
+        "tf-only index must verify with the residual kernel")
+      assert(tfq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+    // positional index: pure position-list plan, no kernel, no re-read
+    val posDir = "/root/repo/target/ttmp/fts_index_slop_pos_spec"
+    graft.fts.Index.write(graft.fts.Index.buildPositional(docs), posDir)
+    graft.fts.IndexCatalog.register(docsPath, posDir, positional = true)
+    try {
+      val posq = spark.sql(sql)
+      val s = posq.queryExecution.optimizedPlan.toString
+      assert(scansOnlyPostings(posq) && !s.contains("fts_phrase_slop_tokens")
+          && !s.contains("fts_tokenize"),
+        s"positional index must answer from position lists alone:\n${s.take(1500)}")
+      assert(posq.collect().map(_.getLong(0)).toSet == expect)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("stale index (table files changed after registration) falls back to scan") {
     GraftExtensions.install(spark)
     val tmpTable = "/root/repo/target/ttmp/fts_stale_table"
@@ -572,7 +626,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
       "fts_phrase", "fts_score", "fts_prefix", "fts_near", "fts_snippet",
       "fts_wildcard", "fts_query", "fts_fuzzy", "fts_query_score",
-      "fts_term_range",
+      "fts_term_range", "fts_phrase_slop",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card"))

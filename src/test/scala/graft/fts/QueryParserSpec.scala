@@ -104,13 +104,38 @@ class QueryParserSpec extends SparkSpec {
       AndN(Fuzzy("querry", 1), Term("vector")))
   }
 
-  test("fuzzy syntax rejections: ~3, ~ on phrases, ~ with *, dangling ~") {
+  test("fuzzy syntax rejections: ~3, ~ with *, dangling ~") {
     intercept[IllegalArgumentException](parse("querry~3"))
     intercept[IllegalArgumentException](parse("querry~x"))
-    intercept[IllegalArgumentException](parse("\"a b\"~2"))
     intercept[IllegalArgumentException](parse("quer*~1"))
     intercept[IllegalArgumentException](parse("~1"))
     intercept[IllegalArgumentException](parse("a~~1"))
+  }
+
+  test("phrase slop: \"a b\"~k parses to SloppyPhrase, normalizes trivial forms") {
+    assert(parse("\"big data\"~2") == SloppyPhrase(Seq("big", "data"), 2))
+    assert(parse("\"a b c\"~1") == SloppyPhrase(Seq("a", "b", "c"), 1))
+    // slop 0 IS the exact phrase; a 1-token sloppy phrase has no window
+    assert(parse("\"big data\"~0") == Phrase(Seq("big", "data")))
+    assert(parse("\"data\"~2") == Phrase(Seq("data")))
+    // composes with boolean algebra and implicit AND
+    assert(parse("\"big data\"~2 AND spark") ==
+      AndN(SloppyPhrase(Seq("big", "data"), 2), Term("spark")))
+    // slop-then-boost, Lucene order: "a b"~2^3
+    assert(parse("\"big data\"~2^3") ==
+      Boosted(SloppyPhrase(Seq("big", "data"), 2), 3.0))
+    // sloppy phrase terms SCORE (like exact phrase terms)
+    assert(QueryParser.scoringTerms(parse("\"big data\"~2")) ==
+      Seq("big", "data"))
+    assert(QueryParser.scoringWeights(parse("\"big data\"~2^3")) ==
+      Seq("big" -> 3.0, "data" -> 3.0))
+  }
+
+  test("phrase slop rejections: bare ~, non-integer, boost-before-slop, glue") {
+    intercept[IllegalArgumentException](parse("\"a b\"~"))
+    intercept[IllegalArgumentException](parse("\"a b\"~x"))
+    intercept[IllegalArgumentException](parse("\"a b\"^2~3"))
+    intercept[IllegalArgumentException](parse("\"a b\"~2x"))
   }
 
   test("boost syntax: term^w / phrase^w parse; weights multiply through") {

@@ -51,6 +51,55 @@ class SearchSpec extends SparkSpec {
     assert(r3.isEmpty) // both terms in doc 1 but never adjacent in this order
   }
 
+  test("sloppy phrase: ordered chain within the slop window") {
+    val pix = Index.buildPositional(docs)
+    def slop(phrase: Seq[String], k: Int): Array[Long] =
+      Search.matchPhraseSloppy(pix, phrase, k)
+        .collect().map(_.getLong(0)).sorted
+    // slop 0 = exact phrase (matches matchPhrasePositional)
+    assert(slop(Seq("big", "data"), 0) === Array(1L, 2L))
+    assert(slop(Seq("spark", "data"), 0) sameElements Array.empty[Long])
+    // doc 1 "spark makes big data simple": spark..data span 3 → needs slop ≥ 2
+    // doc 3 "spark streaming of data streams": span 3 likewise
+    assert(slop(Seq("spark", "data"), 1) sameElements Array.empty[Long])
+    assert(slop(Seq("spark", "data"), 2) === Array(1L, 3L))
+    // ORDER matters: data..spark never occurs (vs unordered NEAR which
+    // would match both docs at slop 3)
+    assert(slop(Seq("data", "spark"), 5) sameElements Array.empty[Long])
+    // 3-term chain: spark..big..data in doc 1, span 3, gaps 1 → slop 1
+    assert(slop(Seq("spark", "big", "data"), 0) sameElements Array.empty[Long])
+    assert(slop(Seq("spark", "big", "data"), 1) === Array(1L))
+    // repeated term: "big data big" in doc 2 "big data big results", exact
+    assert(slop(Seq("big", "data", "big"), 0) === Array(2L))
+    // single term degenerates to containment
+    assert(slop(Seq("spark"), 2) === Array(1L, 3L))
+  }
+
+  test("sloppy phrase kernel agrees with the positional plan") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def kern(text: String, terms: Seq[String], k: Int): Boolean =
+      graft.ext.FtsPhraseSlopTokens.eval(UTF8String.fromString(text),
+        terms.map(UTF8String.fromString).toArray, k)
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val pix = Index.buildPositional(docs)
+    for (phrase <- Seq(Seq("big", "data"), Seq("spark", "data"),
+           Seq("spark", "big", "data"), Seq("big", "data", "big"),
+           Seq("data", "spark"));
+         k <- 0 to 3) {
+      val planIds = Search.matchPhraseSloppy(pix, phrase, k)
+        .collect().map(_.getLong(0)).toSet
+      val kernIds = corpus.collect {
+        case (id, t) if kern(t, phrase, k) => id
+      }.toSet
+      assert(planIds == kernIds,
+        s"phrase=$phrase slop=$k: plan=$planIds kernel=$kernIds")
+    }
+    // a LATER completion with a LATER start must still match: the first
+    // b..d pair overshoots the window, the second fits
+    assert(kern("b x x x d b d", Seq("b", "d"), 1))
+    assert(!kern("b x x x d", Seq("b", "d"), 1))
+  }
+
   test("bm25 scores match the closed-form formula") {
     // corpus: N=4, avgdl=(5+4+5+4)/4=4.5 ; query "spark": df=2, tf=1 in docs 1,3
     val res = Search.bm25TopK(docs, Seq("spark"), k = 4)
