@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fts.Analyzer
+
+/** fastText-style LINEAR TEXT CLASSIFIER serving — the model-based filter
+  * of a curation pipeline (quality / domain / toxicity scoring at corpus
+  * scale). Architecture (Joulin et al., "Bag of Tricks for Efficient Text
+  * Classification"): hashing-trick features (unigrams + adjacent bigrams,
+  * each hashed to one of `buckets` ids), a weight per bucket, document
+  * score = mean feature weight through a sigmoid.
+  *
+  * Serving shape, which is the point at 100 TB: featurization is a pure
+  * codegen projection (tokenize + bigram concat + md5 bucket), the weight
+  * TABLE (buckets rows — fastText uses 2M; here 256) broadcasts, scoring
+  * is one explode → broadcast-join → partial-aggregating groupBy on the
+  * doc id. No corpus-side shuffle beyond the per-doc aggregation, no UDF.
+  * A real trained model drops in as any (bucket, w) frame; the default
+  * here is a DETERMINISTIC hash-derived weight table (both engines can
+  * re-derive it, so scoring is oracle-replayable end-to-end).
+  *
+  * Weights are INTEGERS (−10..10) on purpose: the per-doc sum is exact, so
+  * `sigmoid(sum/(2·count))` sees bit-identical input on any engine and
+  * aggregation order — no float-sum drift across partial aggregation.
+  */
+object Classifier {
+
+  /** Bucket key of one feature: first 2 hex chars of md5 → 256 buckets.
+    * (A string key, deliberately: every engine agrees on md5 hex, while
+    * integer-parsing hex is engine-specific.) */
+  def bucketOf(feature: Column): Column = substring(md5(feature), 1, 2)
+
+  /** Hashing-trick feature array: v1 tokens + adjacent "a_b" bigrams. */
+  def features(text: Column): Column = {
+    val toks = Analyzer.tokenize(text)
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** The deterministic default weight table: bucket `b` (two hex chars)
+    * gets the integer weight `(ascii(b[0])·7 + ascii(b[1])·13) % 21 − 10`
+    * ∈ [−10, 10]. Stands in for a trained model with the same shape. */
+  def hashWeights(spark: SparkSession, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 256,
+      "bucket keys are 2 hex chars: at most 256")
+    spark.range(buckets)
+      .select(lower(lpad(hex(col("id")), 2, "0")).as("bucket"))
+      .select(col("bucket"),
+        ((ascii(substring(col("bucket"), 1, 1)) * 7 +
+          ascii(substring(col("bucket"), 2, 1)) * 13) % 21 - 10).as("w"))
+  }
+
+  /** Per-document classifier score over a weight table: explode features,
+    * broadcast-join weights on the bucket key, aggregate
+    * `sigmoid(sum(w) / (2·n_features))` per doc (features hashing to a
+    * bucket absent from the table contribute 0 — fastText's missing-ngram
+    * behavior — but still count toward n). Rounded to 4 for cross-engine
+    * rank stability. Docs with no features score NULL (no text ≠ bad
+    * text). */
+  def score(docs: DataFrame, weights: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = docs
+      .select(col(idCol), explode_outer(features(col(textCol))).as("f"))
+      .withColumn("bucket", bucketOf(col("f")))
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("w"), lit(0))).as("sw"),
+        count(col("f")).as("n"))
+      .select(col(idCol),
+        when(col("n") > 0,
+          round(lit(1.0) / (lit(1.0) +
+            exp(-(col("sw").cast("double") / (col("n") * 2.0)))), 4))
+          .as("quality"))
+  }
+}

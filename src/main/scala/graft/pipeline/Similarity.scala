@@ -699,6 +699,69 @@ object Similarity {
     transform(vec, x => round(x * sc).cast("int"))
   }
 
+  /** A MULTI-VECTOR view of a single-vector corpus: each embedding split
+    * into `m` contiguous sub-vectors → rows `(id, pos, vec)` with vec cast
+    * to double. The deterministic bridge fixture for late-interaction
+    * scoring until a corpus carries real per-token vectors (a ColBERT-style
+    * table would land in exactly this shape: one row per document token). */
+  def sliceVectors(emb: DataFrame, m: Int, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, "m must be positive")
+    val L = (size(col(vecCol)) / m).cast("int")
+    val toks = array((0 until m).map(g =>
+      struct(lit(g).as("pos"),
+        slice(asDouble(col(vecCol)), L * g + 1, L).as("vec"))): _*)
+    emb.select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol), col("tok.pos").as("pos"), col("tok.vec").as("vec"))
+  }
+
+  /** ColBERT-style LATE-INTERACTION scoring: score(Q, D) =
+    * Σ_qtoken max_dtoken cosine(q, d) — each query token finds its best
+    * match in the document, the per-token maxima sum (MaxSim). Input is
+    * the multi-vector shape `(id, pos, vec)` ([[sliceVectors]], or a real
+    * per-token table). The query side (a handful of rows) broadcasts; the
+    * interaction is one projection pass over |corpus tokens| × |q tokens|
+    * followed by two partial-aggregating groupBys on the id — no
+    * corpus-side shuffle beyond the aggregation, and top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). Ranking
+    * on the ROUNDED score (then id) for cross-engine reproducibility.
+    * This is the brute-force BASELINE; at corpus scale serve through
+    * [[maxSimRerank]] (candidate retrieval on a pooled vector, MaxSim only
+    * over candidates). */
+  def maxSimTopK(docToks: DataFrame, qToks: DataFrame, k: Int,
+                 idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(qToks.select(col("pos").as("qpos"), col("vec").as("qvec")))
+    docToks.crossJoin(q)
+      .select(col(idCol), col("qpos"),
+        cosine(col("vec"), col("qvec")).as("sim"))
+      .groupBy(col(idCol), col("qpos")).agg(max(col("sim")).as("m"))
+      .groupBy(col(idCol)).agg(round(sum(col("m")), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** RETRIEVE-THEN-RERANK late interaction — the shape that scales: stage
+    * 1 retrieves `nCandidates` ids by POOLED-vector cosine (the existing
+    * top-k machinery: broadcast query, per-partition heaps; swap in
+    * [[ivfTopK]]/[[annTopKPersisted]] for a pruned first stage), stage 2
+    * re-ranks ONLY those candidates with full MaxSim over the `m`-way
+    * multi-vector view. Rerank cost is bounded by nCandidates·m·m
+    * regardless of corpus size. With the exact first stage used here the
+    * result is deterministic end-to-end (both stages rank on rounded
+    * scores, id tie-break). */
+  def maxSimRerank(emb: DataFrame, queryId: Long, k: Int, m: Int = 4,
+                   nCandidates: Int = 40, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cands = bruteForceTopK(emb, queryId, nCandidates, idCol, vecCol)
+      .select(col(idCol))
+    val candToks = sliceVectors(
+      emb.join(broadcast(cands), Seq(idCol), "left_semi"), m, idCol, vecCol)
+    val qToks = sliceVectors(
+        emb.filter(col(idCol) === queryId).limit(1), m, idCol, vecCol)
+      .select(col("pos"), col("vec"))
+    maxSimTopK(candToks, qToks, k, idCol)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * candidate-limited to LSH bucket collisions (never all-pairs). */
   def nearDupPairs(emb: DataFrame, threshold: Double, planes: Int = 8,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Similarity, TextStats}
+import graft.pipeline.{Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -399,6 +399,76 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // LATE-INTERACTION (ColBERT-style MaxSim) brute-force baseline:
+    // score(Q, D) = Σ_qtoken max_dtoken cosine(q, d) over the multi-vector
+    // view (each 64-d embedding split into 4×16-d sub-vectors — the
+    // deterministic bridge fixture; a real per-token table lands in the
+    // same (id, pos, vec) shape). Query tokens broadcast; the interaction
+    // is one projection pass + two partial-aggregating groupBys; top-k
+    // plans as TakeOrderedAndProject. Oracle replays slicing, per-token
+    // maxima, and the sum in SQL.
+    Q("q_sim_maxsim",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val docToks = Similarity.sliceVectors(emb.filter(col("vec_id") =!= 0), 4)
+        val qToks = Similarity.sliceVectors(
+            emb.filter(col("vec_id") === 0).limit(1), 4)
+          .select(col("pos"), col("vec"))
+        Similarity.maxSimTopK(docToks, qToks, 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              g AS (SELECT unnest(range(4)) AS pos),
+              tok AS (SELECT vec_id, pos,
+                        list_slice(v, pos*16 + 1, pos*16 + 16) AS t
+                      FROM e CROSS JOIN g),
+              q AS (SELECT pos AS qpos, t AS qt FROM tok WHERE vec_id = 0),
+              sims AS (SELECT vec_id, qpos,
+                         max(list_dot_product(t, qt) /
+                             (sqrt(list_dot_product(t, t)) *
+                              sqrt(list_dot_product(qt, qt)))) AS mx
+                       FROM tok CROSS JOIN q WHERE vec_id <> 0 GROUP BY 1, 2),
+              sc AS (SELECT vec_id, round(sum(mx), 4) AS maxsim
+                     FROM sims GROUP BY 1)
+              SELECT vec_id, maxsim FROM sc
+              ORDER BY maxsim DESC, vec_id LIMIT 10""")),
+
+    // RETRIEVE-THEN-RERANK late interaction — the serving shape that
+    // scales: stage 1 retrieves 40 candidates by POOLED-vector cosine
+    // (the existing top-k machinery; a pruned IVF/ANN first stage slots
+    // in unchanged), stage 2 re-ranks ONLY candidates with full MaxSim —
+    // rerank cost bounded by |candidates|·m² regardless of corpus size.
+    // Exact first stage ⇒ deterministic end-to-end; oracle replays both
+    // stages (pooled top-40 with the same rounded-score/id tie-break,
+    // then the MaxSim re-rank).
+    Q("q_sim_maxsim_rerank",
+      (s, dir) => Similarity.maxSimRerank(
+        Tables(s, dir, "embeddings"), queryId = 0L, k = 10),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              sc AS (SELECT vec_id,
+                       round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))), 4) AS c
+                     FROM e CROSS JOIN q0 WHERE vec_id <> 0),
+              cands AS (SELECT vec_id FROM sc ORDER BY c DESC, vec_id LIMIT 40),
+              g AS (SELECT unnest(range(4)) AS pos),
+              tok AS (SELECT vec_id, pos,
+                        list_slice(v, pos*16 + 1, pos*16 + 16) AS t
+                      FROM e CROSS JOIN g
+                      WHERE vec_id IN (SELECT vec_id FROM cands)),
+              qt AS (SELECT pos AS qpos,
+                       list_slice(qv, pos*16 + 1, pos*16 + 16) AS qt
+                     FROM q0 CROSS JOIN g),
+              sims AS (SELECT vec_id, qpos,
+                         max(list_dot_product(t, qt) /
+                             (sqrt(list_dot_product(t, t)) *
+                              sqrt(list_dot_product(qt, qt)))) AS mx
+                       FROM tok CROSS JOIN qt GROUP BY 1, 2),
+              sc2 AS (SELECT vec_id, round(sum(mx), 4) AS maxsim
+                      FROM sims GROUP BY 1)
+              SELECT vec_id, maxsim FROM sc2
+              ORDER BY maxsim DESC, vec_id LIMIT 10""")),
+
     // Batch k-NN JOIN, exact mode: top-5 neighbors for EVERY query row
     // through the join machinery (probe-cells column → equi-join on cell →
     // per-query rank window), with nprobe = nlist so the result is exactly
@@ -683,6 +753,40 @@ object Pipeline extends QueryPack {
                  ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens,
                  len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))::BIGINT AS n_bpe_pieces
                FROM toks ORDER BY doc_id""")),
+
+    // Model-based filtering — the fastText-shaped linear classifier every
+    // curation pipeline runs (quality/domain scoring): hashing-trick
+    // features (unigrams + bigrams → md5 bucket), broadcast weight TABLE,
+    // per-doc sigmoid(mean weight). Weights here are the deterministic
+    // hash-derived fixture (INTEGER weights so the per-doc sum is exact —
+    // no float-sum drift across aggregation order); a trained model drops
+    // in as any (bucket, w) frame. Serving is explode → broadcast join →
+    // one partial-aggregating groupBy: no corpus shuffle, no UDF. Oracle
+    // re-derives features, buckets, the weight table, and the score.
+    Q("q_text_classifier",
+      (s, dir) => Classifier.score(Tables(s, dir, "documents"),
+          Classifier.hashWeights(s))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               f AS (SELECT doc_id, list_concat(t,
+                       CASE WHEN len(t) >= 2
+                         THEN [t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]
+                         ELSE [] END) AS fs
+                     FROM toks),
+               ex AS (SELECT doc_id, unnest(fs) AS f FROM f),
+               b AS (SELECT doc_id, f, substring(md5(f), 1, 2) AS bucket FROM ex),
+               w AS (SELECT lower(lpad(to_hex(i), 2, '0')) AS bucket,
+                       (ascii(substring(lower(lpad(to_hex(i), 2, '0')), 1, 1)) * 7 +
+                        ascii(substring(lower(lpad(to_hex(i), 2, '0')), 2, 1)) * 13)
+                         % 21 - 10 AS w
+                     FROM range(256) r(i)),
+               sc AS (SELECT doc_id, sum(coalesce(w, 0)) AS sw, count(f) AS n
+                      FROM b LEFT JOIN w USING(bucket) GROUP BY doc_id)
+               SELECT doc_id,
+                 CASE WHEN n > 0 THEN
+                   round(1.0 / (1.0 + exp(-(sw::DOUBLE / (n * 2.0)))), 4)
+                 END AS quality
+               FROM sc ORDER BY doc_id""")),
 
     Q("q_text_lang",
       (s, dir) => Tables(s, dir, "documents")

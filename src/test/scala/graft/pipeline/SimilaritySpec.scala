@@ -30,6 +30,65 @@ class SimilaritySpec extends SparkSpec {
     assert(ids == Seq(1L, 4L, 2L, 3L))
   }
 
+  test("sliceVectors splits into m contiguous double sub-vectors") {
+    import spark.implicits._
+    val one = Seq((7L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val toks = Similarity.sliceVectors(one, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(_._2)
+    assert(toks.toSeq == Seq((7L, 0, Seq(1.0, 2.0)), (7L, 1, Seq(3.0, 4.0))))
+  }
+
+  test("maxSim: per-query-token maxima sum, hand-computed") {
+    import spark.implicits._
+    // 4-d vectors sliced 2-way: doc tokens are the 2-d halves
+    val docs = Seq(
+      // doc 1: halves (1,0) and (0,1) — both query halves match exactly → 2
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      // doc 2: halves (0,1) and (1,0) — SWAPPED: MaxSim is order-free → 2
+      (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      // doc 3: halves (1,0) twice — q-half 1 matches 1.0, q-half 2 gets
+      // its best of cos((0,1),(1,0)) = 0 → 1
+      (3L, Array(1.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val qToks = Similarity.sliceVectors(q, 2).select(col("pos"), col("vec"))
+    val r = Similarity.maxSimTopK(Similarity.sliceVectors(docs, 2), qToks, 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+    assert(r == Map(1L -> 2.0, 2L -> 2.0, 3L -> 1.0))
+  }
+
+  test("maxSimRerank with full-width candidates equals full MaxSim") {
+    val sf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val full = Similarity.maxSimTopK(
+      Similarity.sliceVectors(sf.filter(col("vec_id") =!= 0), 4),
+      Similarity.sliceVectors(sf.filter(col("vec_id") === 0).limit(1), 4)
+        .select(col("pos"), col("vec")),
+      10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rerankAll = Similarity.maxSimRerank(sf, 0L, 10,
+        nCandidates = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rerankAll == full)
+    // bounded candidates on the CLUSTERED fixture: pooled cosine is a
+    // faithful first stage when the corpus has structure (cluster members
+    // are close in full space, hence in every slice), so the pruned
+    // rerank recovers most of the unpruned MaxSim top-10. On pure-noise
+    // vectors it wouldn't — pooled recall is a property of the corpus,
+    // not of the machinery (same contract shape as the ANN/IVF specs).
+    val clustered = sf.select(col("vec_id"),
+      Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+    val fullC = Similarity.maxSimTopK(
+      Similarity.sliceVectors(clustered.filter(col("vec_id") =!= 0), 4),
+      Similarity.sliceVectors(clustered.filter(col("vec_id") === 0).limit(1), 4)
+        .select(col("pos"), col("vec")),
+      10).collect().map(_.getLong(0)).toSet
+    val pruned = Similarity.maxSimRerank(clustered, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.size == 10)
+    assert((pruned intersect fullC).size >= 7,
+      s"clustered pooled-candidate rerank recovered only ${(pruned intersect fullC).size}/10")
+  }
+
   test("identical vectors always share an LSH bucket") {
     val b = emb.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.lshBucket(col("v"), 8))
