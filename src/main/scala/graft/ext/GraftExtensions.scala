@@ -616,11 +616,16 @@ case class FtsPhraseSlop(text: Expression, phrase: Expression,
 }
 
 /** `fts_wildcard(text, 'qu*ry')`: true iff the document contains a token
-  * matching the single-star pattern. Lowered by [[RewriteFtsMatch]]: index
-  * path = head-range + suffix-residual semi-join over the sorted postings
-  * ([[graft.fts.Search.matchWildcardIds]]); scan path = the
-  * [[FtsHasTokenWildcard]] kernel. `fts_prefix` is the tail-less special
-  * case with its own simpler lowering. */
+  * matching the wildcard pattern — any number of `*` (any run) plus `?`
+  * (exactly one char), Lucene's full WildcardQuery. Lowered by
+  * [[RewriteFtsMatch]]: the single-star no-`?` form takes the LIKE-free
+  * head-range + suffix-residual semi-join ([[graft.fts.Search.matchWildcardIds]],
+  * reversed-layout suffix path for a leading star) with the
+  * [[FtsHasTokenWildcard]] kernel as scan path; GENERAL patterns push the
+  * literal head as a term range and run a codegen'd LIKE over the pruned
+  * postings ([[graft.fts.Search.matchPatternIds]]), scan path an
+  * exists(tokens, LIKE). `fts_prefix` is the tail-less special case with
+  * its own simpler lowering. */
 case class FtsWildcard(left: Expression, right: Expression)
     extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
   override def children: Seq[Expression] = Seq(left, right)
@@ -834,8 +839,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
           if entryFor(a).exists(_._1.analyzer.isV1) =>
         val (entry, idAttr) = entryFor(a).get
-        val (h, t) = parseWildcard(p)
-        Some((wildcardIdsDf(entry, h, t), idAttr))
+        if (isSimpleWildcard(p)) {
+          val (h, t) = parseWildcard(p)
+          Some((wildcardIdsDf(entry, h, t), idAttr))
+        } else
+          Some((graft.fts.Search.matchPatternIds(
+            persistedIx(entry), normPattern(p)), idAttr))
       case FtsFuzzy(a: Attribute, Literal(t: UTF8String, StringType),
                     Literal(k: Int, org.apache.spark.sql.types.IntegerType))
           // v1 only: an analyzer index's dictionary is stemmed, so edit
@@ -896,6 +905,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                                      idAttr: Attribute, term: String,
                                      maxEdits: Int)
       extends FtsConjunct
+  /** GENERAL wildcard (multi-star / '?') — a pushed literal-head range +
+    * per-term LIKE over the pruned postings; the single-star form keeps
+    * its LIKE-free [[WildcardConj]] plan. */
+  private final case class PatternConj(entry: IndexCatalog.Entry,
+                                       idAttr: Attribute, pattern: String)
+      extends FtsConjunct
   private final case class NearConj(entry: IndexCatalog.Entry,
                                     idAttr: Attribute, attr: Attribute,
                                     a: String, b: String, slop: Int)
@@ -919,6 +934,44 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       throw new IllegalArgumentException(
         s"fts_wildcard parts must normalize to [a-z0-9], got '$p'")
     (head, tail)
+  }
+
+  /** True when the pattern is the single-star `head*tail` form with no
+    * `?` — the shape the range+suffix plan ([[graft.fts.Search.matchWildcardIds]],
+    * reversed-layout suffix path) answers without a per-term LIKE. */
+  private def isSimpleWildcard(p: UTF8String): Boolean = {
+    val n = p.toString.toLowerCase(Locale.ROOT)
+    n.count(_ == '*') == 1 && !n.contains('?') &&
+      n.replace("*", "").nonEmpty && n.replace("*", "").matches("[a-z0-9]+")
+  }
+
+  /** Lowercased GENERAL wildcard pattern (any number of `*`, plus `?`
+    * single-char wildcards — Lucene's full WildcardQuery surface);
+    * validated against the only charset the frozen grammar can index. */
+  private def normPattern(p: UTF8String): String = {
+    val n = p.toString.toLowerCase(Locale.ROOT)
+    if (!n.matches("[a-z0-9*?]+"))
+      throw new IllegalArgumentException(
+        s"fts_wildcard pattern must normalize to [a-z0-9*?]+, got '$p'")
+    if (n.forall(_ == '*'))
+      throw new IllegalArgumentException(
+        s"fts_wildcard all-star pattern '$p' matches every token — use a term range")
+    n
+  }
+
+  /** General-pattern SCAN path: exists(tokens, t → t LIKE pattern) with
+    * `*`→`%`, `?`→`_` (terms are [a-z0-9]+ — nothing to escape). The Like
+    * is the codegen'd built-in; no regex engine. */
+  private def tokenPatternExists(text: Expression, norm: String): Expression = {
+    val v = org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable(
+      "t", StringType, nullable = false)
+    org.apache.spark.sql.catalyst.expressions.ArrayExists(
+      FtsTokenize(text),
+      org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+        new org.apache.spark.sql.catalyst.expressions.Like(v,
+          Literal(UTF8String.fromString(
+            norm.replace('*', '%').replace('?', '_')), StringType)),
+        Seq(v)))
   }
 
   /** Lowercased prefix; must normalize to a [a-z0-9]+ token fragment (the
@@ -1458,8 +1511,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
               case FtsWildcard(a: Attribute, Literal(p: UTF8String, StringType))
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
                 val (e, id) = entryFor(a).get
-                val (h, t) = parseWildcard(p)
-                Left(WildcardConj(e, id, h, t))
+                if (isSimpleWildcard(p)) {
+                  val (h, t) = parseWildcard(p)
+                  Left(WildcardConj(e, id, h, t))
+                } else Left(PatternConj(e, id, normPattern(p)))
               case FtsFuzzy(a: Attribute, Literal(t: UTF8String, StringType),
                             Literal(k: Int, org.apache.spark.sql.types.IntegerType))
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
@@ -1561,6 +1616,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 case (cur, WildcardConj(entry, idAttr, h, t)) =>
                   semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan, idAttr)
+                case (cur, PatternConj(entry, idAttr, pat)) =>
+                  semi(cur, graft.fts.Search.matchPatternIds(
+                      persistedIx(entry), pat)
+                    .queryExecution.optimizedPlan, idAttr)
                 case (cur, FuzzyConj(entry, idAttr, t, k)) =>
                   // distance over the length-banded term dictionary; the
                   // matched terms drive the ordinary postings union — the
@@ -1659,8 +1718,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
             s"fts_term_range [$l TO $h] is empty (lo must sort before hi)")
         FtsHasTokenRange(text, l, h, il, ih)
       case FtsWildcard(text, Literal(p: UTF8String, StringType)) =>
-        val (h, t) = parseWildcard(p)
-        FtsHasTokenWildcard(text, h, t)
+        if (isSimpleWildcard(p)) {
+          val (h, t) = parseWildcard(p)
+          FtsHasTokenWildcard(text, h, t)
+        } else tokenPatternExists(text, normPattern(p))
       case FtsNear(text, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType)) =>

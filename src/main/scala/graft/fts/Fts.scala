@@ -637,6 +637,32 @@ object Search {
       .select("doc_id").distinct()
   }
 
+  /** doc_ids containing any token matching a GENERAL wildcard pattern —
+    * any number of `*` (any run, possibly empty) and `?` (exactly one
+    * char), Lucene's full WildcardQuery surface. [[matchWildcardIds]]'s
+    * single-star `head*tail` is the special case that needs no per-term
+    * predicate beyond range + suffix; everything else lands here. The
+    * literal head before the first metacharacter still pushes as a term
+    * RANGE (parquet row-group min/max pruning against the term-sorted
+    * layout); the residual check is a codegen'd LIKE (`*`→`%`, `?`→`_` —
+    * terms are [a-z0-9]+ so no escaping exists) evaluated on the PRUNED
+    * postings rows directly: no dictionary shuffle, no join. */
+  def matchPatternIds(ix: FtsIndex, pattern: String): DataFrame = {
+    val norm = pattern.toLowerCase(java.util.Locale.ROOT)
+    require(norm.matches("[a-z0-9*?]+"),
+      s"wildcard pattern must normalize to [a-z0-9*?]+, got '$pattern'")
+    require(norm.exists(_ != '*'),
+      s"all-star pattern '$pattern' matches every token — use a term range")
+    val head = norm.takeWhile(c => c != '*' && c != '?')
+    var p = ix.postings
+    if (head.nonEmpty) {
+      val upper = head.init + (head.last + 1).toChar
+      p = p.filter(col("term") >= head && col("term") < upper)
+    }
+    p.filter(col("term").like(norm.replace('*', '%').replace('?', '_')))
+      .select("doc_id").distinct()
+  }
+
   /** Docs matching all `must` terms and none of the `mustNot` terms —
     * semi-join + anti-join against the postings (reference join types,
     * catalyst/.../plans/logical/basicLogicalOperators.scala:270). */

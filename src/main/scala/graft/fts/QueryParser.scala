@@ -15,7 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *  - "quoted words"~k → [[graft.ext.FtsPhraseSlop]] (in order, ≤ k extra
   *    tokens interleaved — Lucene's sloppy phrase, ordered)
   *  - trailing-* word  → [[graft.ext.FtsPrefix]]  (term-range postings scan)
-  *  - single inner `*` → [[graft.ext.FtsWildcard]]
+  *  - single inner `*` → [[graft.ext.FtsWildcard]] (range+suffix plan);
+  *    multi-`*` / `?` words → general wildcard patterns (pushed head range
+  *    + LIKE over pruned postings — Lucene's full WildcardQuery)
   *  - term~k (k ∈ 1,2; bare `~` = 2) → [[graft.ext.FtsFuzzy]] (typo-tolerant)
   *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
   *  - term^w / "phrase"^w → boost: a no-op for boolean matching, a score
@@ -349,7 +351,7 @@ object QueryParser {
           fail(s"term '$raw': boost must be a positive finite number")
         val base = raw.substring(0, caret)
         if (base.isEmpty) fail(s"term '$raw': '^' needs a term before it")
-        if (base.exists(c => c == '*' || c == '~'))
+        if (base.exists(c => c == '*' || c == '~' || c == '?'))
           fail(s"term '$raw': boost applies to scoring clauses only — " +
             "prefix/wildcard/fuzzy clauses filter without scoring")
         val inner = unboostedWord(base)
@@ -360,7 +362,24 @@ object QueryParser {
 
     private def unboostedWord(raw: String): Node = {
       val stars = raw.count(_ == '*')
-      if (stars > 1) fail(s"term '$raw': at most one '*' supported")
+      if (raw.contains('?') || stars > 1) {
+        // GENERAL wildcard pattern (Lucene WildcardQuery): any number of
+        // '*' plus '?' single-char wildcards. The whole word must be ONE
+        // pattern token — punctuation inside a pattern is ambiguous (the
+        // indexer split such text into several tokens, none of which the
+        // pattern could mean), fail loud. The single-star no-'?' form
+        // stays on the adjacency logic below (range+suffix plan, raw-char
+        // star binding).
+        if (raw.contains('~'))
+          fail(s"term '$raw': cannot combine a wildcard pattern and '~'")
+        val norm = raw.toLowerCase(java.util.Locale.ROOT)
+        if (!norm.matches("[a-z0-9*?]+"))
+          fail(s"term '$raw': a wildcard pattern may contain only " +
+            "[a-z0-9], '*' and '?'")
+        if (norm.forall(_ == '*'))
+          fail(s"term '$raw': all-star pattern matches every token")
+        return Wildcard(norm)
+      }
       if (raw.contains('~')) {
         // `term~k` — typo-tolerant term (Lucene fuzzy syntax). The tilde
         // must be a SUFFIX directly attached to an alphanumeric fragment;

@@ -819,6 +819,49 @@ object Fts extends QueryPack {
                        x LIKE 'c%er' AND len(x) >= 3)) > 0
                ORDER BY doc_id""")),
 
+    // GENERAL wildcard patterns — Lucene's full WildcardQuery: any number
+    // of '*' plus '?' single-char wildcards ('c?st*er' → customer). The
+    // index path pushes the literal head as a term RANGE (row-group
+    // pruning) and runs a codegen'd LIKE over the PRUNED postings rows —
+    // no dictionary shuffle, no corpus scan (covering, plan-asserted).
+    // The single-star form keeps its LIKE-free range+suffix plan
+    // (q_fts_sql_wildcard above).
+    Q("q_fts_sql_pattern",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixpt")
+        s.sql("""SELECT doc_id FROM documents_ixpt
+                 WHERE fts_wildcard(text, 'c?st*er')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> x LIKE 'c_st%er')) > 0
+               ORDER BY doc_id""")),
+
+    // General patterns through the QUERY LANGUAGE: a word with '?' or
+    // several '*'s is one pattern token ('v?lue AND s*r*am NOT qu?r?');
+    // the prohibited pattern anti-joins its id set through the covering
+    // classifier, so the whole id-only query stays index-only.
+    Q("q_fts_query_pattern",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qpt")
+        s.sql("""SELECT doc_id FROM documents_qpt
+                 WHERE fts_query(text, 'v?lue AND s*r*am NOT qu?r?')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len(list_filter(t, x -> x LIKE 'v_lue')) > 0
+                 AND len(list_filter(t, x -> x LIKE 's%r%am')) > 0
+                 AND NOT len(list_filter(t, x -> x LIKE 'qu_r_')) > 0
+               ORDER BY doc_id""")),
+
     // The QUERY-STRING language (QueryParser): one Lucene-style string —
     // `vector AND ("data query" OR quer*) NOT slow` — parsed at analysis
     // time into the fts_match/fts_phrase/fts_prefix tree glued with

@@ -292,6 +292,29 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_sql_pattern / q_fts_query_pattern answer general patterns index-only") {
+    graft.fts.IndexCatalog.clear()
+    try {
+      // fts_wildcard('c?st*er'): literal head pushes as a term range, the
+      // rest is a LIKE over the PRUNED postings — corpus never scanned
+      val plan = planOf("q_fts_sql_pattern")
+      assert(!plan.contains("documents.parquet"),
+        "general pattern must answer index-only")
+      assert(plan.contains("GreaterThanOrEqual(term,c"),
+        "pattern literal head must push as a term range")
+      assert(plan.contains("c_st%er"),
+        "the residual must be the translated LIKE on the term")
+      assert(!plan.contains("fts_tokenize"),
+        "general pattern over the index must not re-tokenize the corpus")
+      // the query-language composition incl. NOT-pattern stays covering
+      val plan2 = planOf("q_fts_query_pattern")
+      assert(!plan2.contains("documents.parquet") &&
+          !plan2.contains("fts_tokenize"),
+        s"pattern algebra must answer index-only:\n${plan2.linesIterator.take(30).mkString("\n")}")
+      assert(plan2.contains("LeftAnti"), "NOT-pattern must anti-join")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql_not lowers NOT fts_match_any to an anti-join, no scan") {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_not")

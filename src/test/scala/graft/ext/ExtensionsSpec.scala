@@ -366,6 +366,40 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_wildcard general patterns: scan and index lowerings agree") {
+    GraftExtensions.install(spark)
+    graft.fts.IndexCatalog.clear()
+    val docsPath = sf("documents")
+    val docs = spark.read.parquet(docsPath)
+    docs.createOrReplaceTempView("docs_pat_sql")
+    for (pat <- Seq("c?st*er", "s*r*am", "?alue", "qu?r?")) {
+      val sql = s"SELECT doc_id FROM docs_pat_sql WHERE fts_wildcard(text, '$pat')"
+      // scan path: exists(tokens, LIKE)
+      val scan = spark.sql(sql)
+      assert(!scan.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val expect = scan.collect().map(_.getLong(0)).toSet
+      assert(expect.nonEmpty, s"pattern $pat matched nothing — dead fixture")
+      // index path: covering semi-join over pruned postings, no tokenize
+      val ixDir = s"/root/repo/target/ttmp/fts_index_pat_spec_${pat.hashCode}"
+      graft.fts.Index.write(graft.fts.Index.build(docs), ixDir)
+      graft.fts.IndexCatalog.register(docsPath, ixDir)
+      try {
+        val ixq = spark.sql(sql)
+        val s2 = ixq.queryExecution.optimizedPlan.toString
+        assert(scansOnlyPostings(ixq) && !s2.contains("fts_tokenize"),
+          s"general pattern over the index must be index-only:\n${s2.take(1200)}")
+        assert(ixq.collect().map(_.getLong(0)).toSet == expect, s"pattern $pat")
+      } finally graft.fts.IndexCatalog.clear()
+    }
+    // validation failures are loud on both paths
+    intercept[Exception](
+      spark.sql("SELECT doc_id FROM docs_pat_sql WHERE fts_wildcard(text, '**')")
+        .collect())
+    intercept[Exception](
+      spark.sql("SELECT doc_id FROM docs_pat_sql WHERE fts_wildcard(text, 'a-?b')")
+        .collect())
+  }
+
   test("fts_phrase_slop: scan, tf-index residual, and positional lowerings agree") {
     GraftExtensions.install(spark)
     graft.fts.IndexCatalog.clear()

@@ -80,7 +80,8 @@ class QueryParserSpec extends SparkSpec {
     assert(parse("*er") == Wildcard("*er"))
     // star binds to the adjacent token; other tokens become AND'd terms
     assert(parse("foo-b*") == AndN(Prefix("b"), Term("foo")))
-    intercept[IllegalArgumentException](parse("a*b*c"))
+    // multiple stars are a GENERAL pattern (since round 9), not an error
+    assert(parse("a*b*c") == Wildcard("a*b*c"))
     intercept[IllegalArgumentException](parse("*"))
     intercept[IllegalArgumentException](parse("..."))
   }
@@ -110,6 +111,24 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("quer*~1"))
     intercept[IllegalArgumentException](parse("~1"))
     intercept[IllegalArgumentException](parse("a~~1"))
+  }
+
+  test("general wildcard patterns: multi-star and '?' words") {
+    assert(parse("v?lue") == Wildcard("v?lue"))
+    assert(parse("s*r*am") == Wildcard("s*r*am"))
+    assert(parse("C?ST*ER") == Wildcard("c?st*er"))
+    assert(parse("??") == Wildcard("??"))
+    assert(parse("v?lue AND spark") ==
+      AndN(Wildcard("v?lue"), Term("spark")))
+    // patterns never score
+    assert(QueryParser.scoringTerms(parse("v?lue OR data")) == Seq("data"))
+  }
+
+  test("general wildcard rejections: punctuation, all-star, ~, boost") {
+    intercept[IllegalArgumentException](parse("v?l-ue"))
+    intercept[IllegalArgumentException](parse("**"))
+    intercept[IllegalArgumentException](parse("a?b~1"))
+    intercept[IllegalArgumentException](parse("v?lue^2"))
   }
 
   test("phrase slop: \"a b\"~k parses to SloppyPhrase, normalizes trivial forms") {
