@@ -719,23 +719,34 @@ object Similarity {
     * Σ_qtoken max_dtoken cosine(q, d) — each query token finds its best
     * match in the document, the per-token maxima sum (MaxSim). Input is
     * the multi-vector shape `(id, pos, vec)` ([[sliceVectors]], or a real
-    * per-token table). The query side (a handful of rows) broadcasts; the
-    * interaction is one projection pass over |corpus tokens| × |q tokens|
-    * followed by two partial-aggregating groupBys on the id — no
-    * corpus-side shuffle beyond the aggregation, and top-k plans as
-    * TakeOrderedAndProject (per-partition heaps, no global sort). Ranking
+    * per-token table). The query side (a handful of rows) inlines as
+    * literal columns, so the interaction is ONE projection pass over the
+    * corpus tokens and the per-token maxima + sum fold into a SINGLE
+    * partial-aggregating groupBy on the id — one shuffle total, no join,
+    * and top-k plans as TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Ranking
     * on the ROUNDED score (then id) for cross-engine reproducibility.
     * This is the brute-force BASELINE; at corpus scale serve through
     * [[maxSimRerank]] (candidate retrieval on a pooled vector, MaxSim only
     * over candidates). */
   def maxSimTopK(docToks: DataFrame, qToks: DataFrame, k: Int,
                  idCol: String = "vec_id"): DataFrame = {
-    val q = broadcast(qToks.select(col("pos").as("qpos"), col("vec").as("qvec")))
-    docToks.crossJoin(q)
-      .select(col(idCol), col("qpos"),
-        cosine(col("vec"), col("qvec")).as("sim"))
-      .groupBy(col(idCol), col("qpos")).agg(max(col("sim")).as("m"))
-      .groupBy(col(idCol)).agg(round(sum(col("m")), 4).as("maxsim"))
+    // the query side is a handful of token vectors BY DEFINITION — they
+    // inline as literal columns (same bounded-collect pattern as the
+    // trained centroids), so the interaction is a pure projection: one
+    // cosine column per query token, no join, and the per-token maxima +
+    // sum fold into a SINGLE partial-aggregating groupBy on the id (the
+    // join formulation costs an m× row blowup plus a second shuffle)
+    val q = qToks.select(col("pos"), col("vec")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    require(q.nonEmpty, "empty query token set")
+    require(q.length <= 1024, s"${q.length} query tokens — not a query")
+    val maxima = q.zipWithIndex.map { case ((_, qv), i) =>
+      max(cosine(col("vec"), typedLit(qv.toSeq))).as(s"_m$i")
+    }
+    docToks.groupBy(col(idCol)).agg(maxima.head, maxima.tail: _*)
+      .select(col(idCol),
+        round(q.indices.map(i => col(s"_m$i")).reduce(_ + _), 4).as("maxsim"))
       .orderBy(col("maxsim").desc, col(idCol))
       .limit(k)
   }

@@ -838,6 +838,60 @@ object Relational extends QueryPack {
                 true AS freq_ok, true AS sample_ok, true AS quantile_ok
               FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // PROBABILISTIC SKETCHES (reference DataFrameStatFunctions.scala:
+    // countMinSketch :365, bloomFilter :419). Sketch contents are
+    // seed/implementation-specific, so the CORRECTNESS row asserts the
+    // structures' mathematical contracts instead of bytes: CountMin never
+    // undercounts and overcounts ≤ eps·N; Bloom has NO false negatives
+    // and a bounded observed false-positive rate. The sketches are the
+    // 100 TB tool here (fixed-size mergeable state vs a corpus-sized
+    // groupBy); the driver-side checks are test scaffolding, key-capped.
+    Q("q_stats_sketch",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val n = orders.count()
+        val cms = orders.stat.countMinSketch(col("o_orderstatus"),
+          eps = 0.01, confidence = 0.99, seed = 42)
+        val exact = orders.groupBy("o_orderstatus").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        val cmsOk = exact.forall { case (k, c) =>
+          val est = cms.estimateCount(k)
+          est >= c && est <= c + math.ceil(0.01 * n).toLong
+        }
+        val bf = orders.stat.bloomFilter(col("o_custkey"),
+          expectedNumItems = n, fpp = 0.03)
+        val present = orders.select("o_custkey").distinct()
+          .limit(2000).collect().map(_.getLong(0))
+        val noFalseNeg = present.forall(bf.mightContain)
+        // keys far above any generated custkey range
+        val absent = (1000000000L until 1000002000L)
+        val fpRate = absent.count(bf.mightContain).toDouble / absent.size
+        import s.implicits._
+        Seq((cmsOk, noFalseNeg, fpRate <= 0.1))
+          .toDF("cms_ok", "no_false_neg", "fpp_ok")
+      },
+      Some("SELECT true AS cms_ok, true AS no_false_neg, true AS fpp_ok")),
+
+    // SQL SCRIPTING (Spark 4, SQL/PSM BEGIN…END: variables, WHILE loop) —
+    // procedural control flow around ordinary queries; the script's last
+    // statement is the result. The oracle states the loop's closed form.
+    Q("q_sql_scripting",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        s.sql("""BEGIN
+                   DECLARE total BIGINT DEFAULT 0;
+                   DECLARE i INT DEFAULT 1;
+                   WHILE i <= 3 DO
+                     SET total = total +
+                       (SELECT count(*) FROM lineitem WHERE l_linenumber = i);
+                     SET i = i + 1;
+                   END WHILE;
+                   SELECT total AS n3;
+                 END""")
+      },
+      Some("""SELECT count(*) AS n3 FROM lineitem WHERE l_linenumber <= 3""")),
+
     // ---- repartition / coalesce (plan-shape ops; result is count-stable) ------
     Q("q_repartition",
       (s, dir) => t(s, dir, "lineitem")
