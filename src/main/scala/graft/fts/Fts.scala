@@ -827,6 +827,105 @@ object Search {
       .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
   }
 
+  /** Boolean SYNONYM match: each query term expands to its synonym GROUP
+    * (the term plus `synonyms(term)`), and a doc matches when it contains
+    * at least one member of EVERY group — Lucene's SynonymQuery inside a
+    * BooleanQuery MUST clause. Each group is one any-terms postings
+    * filter (pruned to the group's terms; bucket pruning applies against
+    * a persisted layout), the groups meet in id-set joins — a term absent
+    * from the corpus still matches through its synonyms. */
+  def matchSynonymIds(ix: FtsIndex, terms: Seq[String],
+                      synonyms: Map[String, Seq[String]]): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    terms.map(t => matchAnyIds(ix, (t +: synonyms.getOrElse(t, Nil)).distinct))
+      .reduce((a, b) => a.join(b, "doc_id"))
+  }
+
+  /** Synonym-BLENDED BM25 top-k: each group scores as ONE pseudo-term —
+    * member postings union with tf SUMMED per doc and df = docs
+    * containing any member (Lucene SynonymQuery's blended statistics) —
+    * then the ordinary BM25 saturation/normalization applies per group
+    * and scores sum across groups. Everything after the term-pruned
+    * postings filter is group-count-sized except the per-doc agg; the
+    * persisted layout's denormalized dl keeps serving off the corpus-wide
+    * doclens join, exactly like [[scoreAllBm25]]. */
+  def scoreSynonymsBm25(ix: FtsIndex, terms: Seq[String],
+                        synonyms: Map[String, Seq[String]], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    val mapping = terms.zipWithIndex
+      .flatMap { case (t, g) =>
+        (t +: synonyms.getOrElse(t, Nil)).distinct.map(m => (m, g)) }
+      .toDF("term", "grp")
+    val base = ix.postings.join(broadcast(mapping), "term")
+    val hasDl = ix.postings.columns.contains("dl")
+    val gp =
+      if (hasDl) base.groupBy("grp", "doc_id")
+        .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"))
+      else base.groupBy("grp", "doc_id").agg(sum(col("tf")).as("tf"))
+    val df = gp.groupBy("grp")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val withDl =
+      if (hasDl) gp.join(broadcast(df), "grp")
+      else gp.join(broadcast(df), "grp").join(ix.docLens, "doc_id")
+    withDl
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy("doc_id").agg(round(sum(col("score_t")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** MORE-LIKE-THIS (Lucene's find-similar-documents): the source doc's
+    * terms rank by classic tf·ln(N/df) against the corpus, the top
+    * `nTerms` become a BM25 query, and the source doc is excluded from
+    * the results. Deterministic end-to-end: term selection ties break on
+    * the term string, ranking on the rounded score then id.
+    *
+    * Plan: the doc's term vector is one postings filter (a real
+    * deployment would read it from a doc-partitioned FORWARD projection —
+    * the same denormalization Index.write applies to dl — so fetching it
+    * costs one partition, not a postings pass; the query-side df agg then
+    * semi-joins the postings down to the doc's own terms, which is
+    * bounded by the doc length), and serving is the ordinary pruned
+    * scoring join + TakeOrderedAndProject. */
+  def moreLikeThis(ix: FtsIndex, docId: Long, k: Int, nTerms: Int = 5,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nTerms >= 1, "nTerms must be positive")
+    val docTerms = broadcast(
+      ix.postings.filter(col("doc_id") === docId).select(col("term"), col("tf")))
+    val dfs = ix.postings.join(docTerms.select("term"), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val ranked = docTerms.join(dfs, "term")
+      .crossJoin(broadcast(ix.stats.select(col("n_docs").cast("double").as("n"))))
+      // ROUNDED selection weight: libm ln differs in the last ulp across
+      // engines, and an ulp must never flip which terms get picked
+      .withColumn("w",
+        round(col("tf").cast("double") * log(col("n") / col("df")), 4))
+      .orderBy(col("w").desc, col("term"))
+      .limit(nTerms)
+    val terms = ranked.select("term").collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty) {
+      val spark = ix.postings.sparkSession
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          ix.postings.schema("doc_id"),
+          org.apache.spark.sql.types.StructField(
+            "score", org.apache.spark.sql.types.DoubleType))))
+    }
+    scoreAllBm25(ix, terms, k1, b)
+      .filter(col("doc_id") =!= docId)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** TF-IDF ranking (reference IDF semantics, ml/feature/IDF.scala:67:
     * idf = ln((N+1)/(df+1)); tf normalized by doc length). */
   def tfidfTopK(docs: DataFrame, terms: Seq[String], k: Int,

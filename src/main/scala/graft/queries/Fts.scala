@@ -195,6 +195,83 @@ object Fts extends QueryPack {
         Seq("spark", "query"), k = 10),
       Some(bm25Oracle)),
 
+    // SYNONYM search, boolean: query 'fast lookup' where 'lookup' never
+    // occurs in the corpus — it matches entirely through its synonym
+    // group {scan, query} (Lucene SynonymQuery in a MUST clause); 'fast'
+    // carries an absent synonym 'quick' that contributes nothing. Each
+    // group is one pruned any-terms postings filter; groups meet in
+    // id-set joins.
+    Q("q_fts_synonyms",
+      (s, dir) => Search.matchSynonymIds(
+          Index.build(Tables(s, dir, "documents")),
+          Seq("fast", "lookup"),
+          Map("fast" -> Seq("quick"), "lookup" -> Seq("scan", "query")))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE (list_contains(t, 'fast') OR list_contains(t, 'quick'))
+                 AND (list_contains(t, 'lookup') OR list_contains(t, 'scan')
+                      OR list_contains(t, 'query'))
+               ORDER BY doc_id""")),
+
+    // SYNONYM search, RANKED: the blended-statistics BM25 — each group
+    // scores as ONE pseudo-term (member tfs SUM per doc, df = docs
+    // containing any member), so a doc full of 'scan' and a doc full of
+    // 'query' rank comparably for 'lookup' instead of double-counting
+    // idf. Oracle re-derives the blended tf/df and the formula.
+    Q("q_fts_synonyms_bm25",
+      (s, dir) => Search.scoreSynonymsBm25(
+        Index.build(Tables(s, dir, "documents")),
+        Seq("fast", "lookup"),
+        Map("fast" -> Seq("quick"), "lookup" -> Seq("scan", "query")),
+        k = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                       FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               grp AS (SELECT * FROM (VALUES ('fast', 0), ('quick', 0),
+                         ('lookup', 1), ('scan', 1), ('query', 1)) m(term, g)),
+               gtf AS (SELECT g, doc_id, sum(tf) AS tf
+                       FROM tf0 JOIN grp USING(term) GROUP BY 1, 2),
+               gdf AS (SELECT g, count(DISTINCT doc_id)::DOUBLE AS df
+                       FROM gtf GROUP BY 1),
+               sc AS (SELECT gtf.doc_id,
+                        sum( ln((stats.n - gdf.df + 0.5)/(gdf.df + 0.5) + 1.0) *
+                             gtf.tf*2.2/(gtf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM gtf JOIN gdf USING(g) JOIN dl USING(doc_id) CROSS JOIN stats
+                      GROUP BY gtf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
+    // MORE-LIKE-THIS (Lucene's find-similar-documents): doc 7's terms
+    // rank by tf·ln(N/df) against the corpus (ROUNDED — a libm-ln ulp
+    // must not flip term selection; tie-break on the term), the top 5
+    // become a BM25 query, and doc 7 is excluded from its own results.
+    // The oracle replays term selection AND the BM25 serving end-to-end.
+    Q("q_fts_mlt",
+      (s, dir) => Search.moreLikeThis(
+        Index.build(Tables(s, dir, "documents")), docId = 7L, k = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+               top AS (SELECT tf.term FROM tf JOIN dfall USING(term) CROSS JOIN stats
+                       WHERE tf.doc_id = 7
+                       ORDER BY round(tf.tf * ln(stats.n / dfall.df), 4) DESC, tf.term
+                       LIMIT 5),
+               df AS (SELECT term, df FROM dfall
+                      WHERE term IN (SELECT term FROM top)),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                      GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc WHERE doc_id <> 7
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
     // BM25F — weighted multi-field ranking (text w=1, source w=3): field
     // tfs scale BEFORE saturation (the Zaragoza simple-BM25F, not a
     // weighted sum of per-field scores), idf counts a doc once per term

@@ -611,6 +611,18 @@ object Relational extends QueryPack {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
 
+    // LIMIT + OFFSET pagination (Dataset.offset / SQL OFFSET): page 3 of
+    // the price ranking. Spark plans the pair as one global limit of
+    // offset+limit rows with the offset dropped at the driver — the
+    // result-page idiom; deep offsets stay O(offset+limit), which is why
+    // search-style serving keys pages on (score, id) cursors instead.
+    Q("q_offset",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").offset(20).limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""")),
+
     // ---- set operations ------------------------------------------------------
     Q("q_union",
       (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k"))

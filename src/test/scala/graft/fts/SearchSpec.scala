@@ -100,6 +100,40 @@ class SearchSpec extends SparkSpec {
     assert(!kern("b x x x d", Seq("b", "d"), 1))
   }
 
+  test("synonyms: absent term matches through its group; blended stats rank") {
+    // 'rapid' is not in the corpus — it must match only via synonym 'big'
+    val ids = Search.matchSynonymIds(ix, Seq("rapid", "data"),
+        Map("rapid" -> Seq("big")))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L)) // docs with big AND data
+    // empty synonym map degenerates to matchAll
+    assert(Search.matchSynonymIds(ix, Seq("spark", "data"), Map.empty)
+      .collect().map(_.getLong(0)).sorted ===
+      Search.matchAllIds(ix, Seq("spark", "data"))
+        .collect().map(_.getLong(0)).sorted)
+    // blended: group {spark, streams} has df = docs with either = {1, 3};
+    // doc 3 has tf 1+1=2 for the group — higher group tf than doc 1's 1
+    val scored = Search.scoreSynonymsBm25(ix, Seq("spark"),
+        Map("spark" -> Seq("streams")), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(scored.map(_._1).toSet == Set(1L, 3L))
+    val byId = scored.toMap
+    assert(byId(3L) > byId(1L), s"summed group tf must outrank: $byId")
+  }
+
+  test("more-like-this excludes the source doc and ranks by shared rare terms") {
+    // doc 2 "big data big results": its rarest weighted terms are big
+    // (tf 2) and results; MLT must surface doc 1 (shares big+data) above
+    // doc 3 (shares only data), and never return doc 2 itself
+    val r = Search.moreLikeThis(ix, docId = 2L, k = 10, nTerms = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(!r.map(_._1).contains(2L), "source doc must be excluded")
+    assert(r.nonEmpty && r.head._1 == 1L,
+      s"doc 1 shares big+data and must rank first: ${r.toSeq}")
+    // unknown doc id → empty result, not an error
+    assert(Search.moreLikeThis(ix, docId = 99L, k = 10).collect().isEmpty)
+  }
+
   test("bm25 scores match the closed-form formula") {
     // corpus: N=4, avgdl=(5+4+5+4)/4=4.5 ; query "spark": df=2, tf=1 in docs 1,3
     val res = Search.bm25TopK(docs, Seq("spark"), k = 4)
