@@ -393,6 +393,71 @@ object Scalars extends QueryPack {
               round(any_value(m4/(m2*m2) - 3.0), 4) AS ku
               FROM lineitem, m""")),
 
+    // Ordered / positional aggregates (Spark 3.4–4.0 additions a
+    // reference user migrating forward gets for free): mode (ties break
+    // deterministically low via the orderable pair-max trick on both
+    // engines), median, percentile_cont/disc interpolation, and listagg
+    // (SQL:2023, Spark 4.0) with an explicit WITHIN GROUP order so the
+    // concatenation is reproducible.
+    Q("q_agg_ordered",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT o_orderpriority,
+                   median(CAST(o_totalprice AS DOUBLE)) AS med,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25d,
+                   min(o_orderstatus) AS lo_status,
+                   listagg(DISTINCT o_orderstatus, ',')
+                     WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+                 FROM orders GROUP BY o_orderpriority
+                 ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+                median(CAST(o_totalprice AS DOUBLE)) AS med,
+                percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25,
+                percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p25d,
+                min(o_orderstatus) AS lo_status,
+                string_agg(DISTINCT o_orderstatus, ','
+                  ORDER BY o_orderstatus) AS statuses
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // GROUP BY ALL / ORDER BY ALL + lateral column aliases (Spark 3.4+,
+    // the DuckDB-originated conveniences): grouping keys inferred from
+    // the select list, a projected alias referenced by a later column.
+    Q("q_group_by_all",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_returnflag,
+                   l_linestatus,
+                   sum(l_quantity) AS qty,
+                   count(*) AS n
+                 FROM lineitem
+                 GROUP BY ALL
+                 ORDER BY ALL""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS qty, count(*) AS n
+              FROM lineitem GROUP BY ALL ORDER BY ALL""")),
+
+    // Lateral column alias: a select-list alias referenced by later
+    // expressions in the SAME select list (Spark 3.4, SPARK-27561).
+    Q("q_lateral_alias",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_orderkey,
+                   CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue,
+                   CASE WHEN revenue > 400000 THEN 'large' ELSE 'small' END AS band
+                 FROM lineitem GROUP BY l_orderkey
+                 ORDER BY revenue DESC, l_orderkey LIMIT 20""")
+      },
+      Some("""WITH r AS (SELECT l_orderkey,
+                CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue
+              FROM lineitem GROUP BY l_orderkey)
+              SELECT l_orderkey, revenue,
+                CASE WHEN revenue > 400000 THEN 'large' ELSE 'small' END AS band
+              FROM r ORDER BY revenue DESC, l_orderkey LIMIT 20""")),
+
     Q("q_collect",
       (s, dir) => t(s, dir, "customer")
         .groupBy("c_nationkey")
