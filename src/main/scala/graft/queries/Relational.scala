@@ -913,6 +913,36 @@ object Relational extends QueryPack {
       Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // SQL JOIN HINTS (§2.8): /*+ MERGE(n) */ forces a sort-merge join
+    // where the planner would otherwise broadcast the 25-row dimension —
+    // the hint provably overrides the cost-based choice (plan-asserted in
+    // PlanShapeSpec, with the unhinted control broadcasting). Results are
+    // join-strategy-invariant, so the oracle is the plain join.
+    Q("q_hint",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT /*+ MERGE(n) */ n.n_name, count(*) AS n_cust
+                 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 GROUP BY n.n_name ORDER BY n.n_name""")
+      },
+      Some("""SELECT n_name, count(*) AS n_cust
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // Hive-style DISTRIBUTE BY / SORT BY (§2.8 SQL syntax): repartition by
+    // expression + partition-LOCAL sort. The result SET is partitioning-
+    // invariant; the outer aggregate + ORDER BY pins the compared rows.
+    Q("q_distribute_by",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_returnflag, count(*) AS n FROM (
+                   SELECT * FROM lineitem
+                   DISTRIBUTE BY l_returnflag SORT BY l_orderkey)
+                 GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- DDL / command surface (§2.1: CREATE TABLE AS / INSERT / DROP,
     // reference execution/command/{tables,ddl}.scala). A catalog table is
     // created from a SELECT, extended by INSERT INTO (both a SELECT feed and

@@ -292,6 +292,21 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_hint: MERGE hint overrides the broadcast choice the control makes") {
+    val plan = planOf("q_hint")
+    assert(plan.contains("SortMergeJoin"),
+      s"MERGE hint must force SMJ on the tiny dimension:\n${plan.take(800)}")
+    assert(!plan.contains("BroadcastHashJoin"))
+    // control: the same join without the hint broadcasts the 25-row side
+    graft.core.Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val control = spark.sql(
+      """SELECT n.n_name, count(*) AS n_cust
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name""").queryExecution.executedPlan.toString
+    assert(control.contains("BroadcastHashJoin"),
+      "unhinted control should broadcast — if not, the hint assertion is vacuous")
+  }
+
   test("q_fts_sql_pattern / q_fts_query_pattern answer general patterns index-only") {
     graft.fts.IndexCatalog.clear()
     try {
