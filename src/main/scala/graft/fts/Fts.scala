@@ -827,6 +827,18 @@ object Search {
       .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
   }
 
+  /** Index introspection (Lucene's segment-info/CheckIndex surface): one
+    * row of corpus-level statistics — vocabulary size, posting count,
+    * token count, doc count, average doc length. Two aggregations over
+    * postings + the 1-row stats; cheap at any scale. */
+  def describe(ix: FtsIndex): DataFrame =
+    ix.postings.agg(
+        countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).cast("long").as("n_tokens"))
+      .crossJoin(broadcast(ix.stats.select(
+        col("n_docs"), round(col("avgdl"), 4).as("avgdl"))))
+
   /** Boolean SYNONYM match: each query term expands to its synonym GROUP
     * (the term plus `synonyms(term)`), and a doc matches when it contains
     * at least one member of EVERY group — Lucene's SynonymQuery inside a

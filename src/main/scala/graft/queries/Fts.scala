@@ -195,6 +195,23 @@ object Fts extends QueryPack {
         Seq("spark", "query"), k = 10),
       Some(bm25Oracle)),
 
+    // Index INTROSPECTION (Lucene segment-info/CheckIndex surface):
+    // vocabulary size, posting count, token count, docs, avgdl — the
+    // numbers an operator reads before trusting an index. Oracle
+    // re-derives all five from the raw corpus.
+    Q("q_fts_describe",
+      (s, dir) => Search.describe(
+        Index.build(Tables(s, dir, "documents"))),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1)
+               SELECT count(DISTINCT tf.term) AS n_terms,
+                 count(*) AS n_postings,
+                 CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                 (SELECT count(*) FROM dl) AS n_docs,
+                 (SELECT round(avg(dl), 4) FROM dl) AS avgdl
+               FROM tf""")),
+
     // SYNONYM search, boolean: query 'fast lookup' where 'lookup' never
     // occurs in the corpus — it matches entirely through its synonym
     // group {scan, query} (Lucene SynonymQuery in a MUST clause); 'fast'

@@ -141,6 +141,57 @@ object Temporal extends QueryPack {
                     WHERE e.event_type = 'purchase' GROUP BY e.user_id)
               SELECT (SELECT count(*) FROM v) AS n_view,
                      (SELECT count(*) FROM c) AS n_view_click,
-                     (SELECT count(*) FROM p) AS n_view_click_purchase"""))
+                     (SELECT count(*) FROM p) AS n_view_click_purchase""")),
+
+    // Event-time TUMBLING windows in BATCH (the same `window()` function
+    // the streaming path uses — §2.10's windowing semantics minus the
+    // incremental state): hourly per-type counts + value sums. One
+    // aggregation, window start rendered as text so both engines hash the
+    // same bytes.
+    Q("q_window_tumbling_batch",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+        ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("event_type"), col("n"), col("sv"))
+          .orderBy("ws", "event_type")
+      },
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                       '%Y-%m-%d %H:%M:%S') AS ws,
+                event_type, count(*) AS n, round(sum(value), 2) AS sv
+              FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
+
+    // SESSION windows in BATCH (`session_window(ts, gap)`): a session
+    // extends while consecutive events per user arrive within the gap.
+    // The oracle replays the identical semantics with a lag() break
+    // flag + running session id — per-user session counts must agree
+    // exactly.
+    Q("q_session_batch",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+        ev.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       -- Spark sessions are [start, last+gap): an event
+                       -- exactly gap after the last does NOT merge
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (SELECT user_id,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM d)
+              SELECT user_id, count(DISTINCT sid) AS n_sessions,
+                count(*) AS n_events
+              FROM s GROUP BY user_id ORDER BY user_id"""))
   )
 }
