@@ -19,6 +19,35 @@ object Sources extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // ZONE-MAP data skipping (graft.sources.ZoneMap — the lakehouse
+    // file-statistics technique for predicates on columns the directory
+    // layout does NOT partition by): the writer range-clusters rows so
+    // each file covers a narrow o_orderdate slice and records per-file
+    // min/max in a |files|-sized manifest; the reader intersects the
+    // query range with the manifest and hands Spark only surviving files
+    // (pruning ratio + superset-safety asserted in ZoneMapSpec). Oracle
+    // replays the same range aggregate off the raw table, so a file
+    // skipped wrongly fails the hash.
+    Q("q_zonemap",
+      (s, dir) => {
+        val out = tmp("orders_zonemap")
+        graft.sources.ZoneMap.write(
+          Tables(s, dir, "orders"), out, Seq("o_orderdate"), nFiles = 8)
+        graft.sources.ZoneMap.read(s, out,
+            Seq(graft.sources.ZoneMap.ZoneRange(
+              "o_orderdate", "1996-01-01", "1996-12-31")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")).cast("decimal(18,2)").as("tp"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tp
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <= TIMESTAMP '1996-12-31'
+              GROUP BY 1 ORDER BY 1""")),
+
     // Partitioned write (the 100 TB egress pattern: InsertIntoHadoopFsRelation
     // + dynamic partitions) then a partition-pruned read-back.
     Q("q_write_partitioned",
