@@ -55,6 +55,35 @@ object Classifier {
           ascii(substring(col("bucket"), 2, 1)) * 13) % 21 - 10).as("w"))
   }
 
+  /** TRAIN the weight table from (weak) labels — per-bucket Naive-Bayes
+    * log-odds with add-one smoothing:
+    * `w_b = clamp(round(4·ln( ((pos_b+1)/(totPos+D)) / ((neg_b+1)/(totNeg+D)) )), −10, 10)`
+    * where pos_b/neg_b count feature OCCURRENCES hashing to bucket b in
+    * positive/negative docs. One explode + two aggregations over the
+    * training corpus — distributed closed-form training, no iterations,
+    * no driver state beyond the D-row result. Weights land on the same
+    * integer scale [[score]] expects, so train → score composes. */
+  def trainLogOdds(docs: DataFrame, label: Column,
+                   textCol: String = "text",
+                   buckets: Int = 256): DataFrame = {
+    val feats = docs
+      .select(label.cast("boolean").as("y"),
+        explode(features(col(textCol))).as("f"))
+      .select(col("y"), bucketOf(col("f")).as("bucket"))
+    val cnt = feats.groupBy("bucket").agg(
+      count(when(col("y"), 1)).cast("double").as("np"),
+      count(when(!col("y"), 1)).cast("double").as("nn"))
+    val tot = feats.agg(
+      count(when(col("y"), 1)).cast("double").as("tp"),
+      count(when(!col("y"), 1)).cast("double").as("tn"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        greatest(lit(-10), least(lit(10),
+          round(log(((col("np") + 1.0) / (col("tp") + buckets)) /
+                    ((col("nn") + 1.0) / (col("tn") + buckets))) * 4.0, 0)
+            .cast("int"))).as("w"))
+  }
+
   /** Per-document classifier score over a weight table: explode features,
     * broadcast-join weights on the bucket key, aggregate
     * `sigmoid(sum(w) / (2·n_features))` per doc (features hashing to a

@@ -788,6 +788,52 @@ object Pipeline extends QueryPack {
                  END AS quality
                FROM sc ORDER BY doc_id""")),
 
+    // TRAINED model-based filtering: Naive-Bayes log-odds weights learned
+    // in one distributed closed-form pass from a seed-keyword WEAK label
+    // (docs mentioning 'spark' — the standard bootstrap for a topic
+    // classifier when no labels exist), then served through the same
+    // broadcast-join scorer. End-to-end train → score, fully
+    // oracle-replayed (counts, smoothing, ln, rounding, clamp, sigmoid);
+    // class separation asserted in ClassifierSpec.
+    Q("q_text_classifier_trained",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Classifier.score(docs,
+            Classifier.trainLogOdds(docs, col("text").contains("spark")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, contains(text, 'spark') AS y,
+                             $DTOKS AS t
+                             FROM documents),
+               f AS (SELECT doc_id, y, list_concat(t,
+                       CASE WHEN len(t) >= 2
+                         THEN [t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]
+                         ELSE [] END) AS fs
+                     FROM toks),
+               ex AS (SELECT doc_id, y, unnest(fs) AS fe FROM f),
+               b AS (SELECT doc_id, y, substring(md5(fe), 1, 2) AS bucket FROM ex),
+               cnt AS (SELECT bucket,
+                         count(*) FILTER (y)::DOUBLE AS np,
+                         count(*) FILTER (NOT y)::DOUBLE AS nn
+                       FROM b GROUP BY bucket),
+               tot AS (SELECT count(*) FILTER (y)::DOUBLE AS tp,
+                         count(*) FILTER (NOT y)::DOUBLE AS tn
+                       FROM b),
+               w AS (SELECT bucket,
+                       CAST(greatest(-10, least(10,
+                         round(ln(((np + 1.0) / (tp + 256)) /
+                                  ((nn + 1.0) / (tn + 256))) * 4.0, 0)))
+                         AS INTEGER) AS w
+                     FROM cnt CROSS JOIN tot),
+               sc AS (SELECT b.doc_id, sum(coalesce(w.w, 0)) AS sw,
+                        count(*) AS n
+                      FROM b LEFT JOIN w USING(bucket) GROUP BY b.doc_id)
+               SELECT doc_id,
+                 CASE WHEN n > 0 THEN
+                   round(1.0 / (1.0 + exp(-(sw::DOUBLE / (n * 2.0)))), 4)
+                 END AS quality
+               FROM sc ORDER BY doc_id""")),
+
     Q("q_text_lang",
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), TextStats.langGuess(col("text")).as("lang_guess"))

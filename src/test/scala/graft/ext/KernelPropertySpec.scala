@@ -58,6 +58,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("phrase-slop kernel == brute-force increasing-chain reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // tiny alphabet so repeats and near-misses are common
+    val tok = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.listOfN(12, tok).map(_.mkString(" "))
+    val phrase = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, tok))
+    val slop = Gen.chooseNum(0, 3)
+    def ref(toks: Seq[String], terms: Seq[String], k: Int): Boolean = {
+      val window = terms.size - 1 + k
+      // all increasing position chains, slot by slot
+      def chains(slot: Int, from: Int): Seq[Seq[Int]] =
+        if (slot == terms.size) Seq(Nil)
+        else (from until toks.size).filter(toks(_) == terms(slot))
+          .flatMap(p => chains(slot + 1, p + 1).map(p +: _))
+      chains(0, 0).exists(c => c.last - c.head <= window)
+    }
+    forAll(Gen.zip(doc, phrase, slop), n = 120) { case (d, p, k) =>
+      val got = FtsPhraseSlopTokens.eval(UTF8String.fromString(d),
+        p.map(UTF8String.fromString).toArray, k)
+      val want = ref(d.split(" ").toSeq, p, k)
+      assert(got == want, s"doc='$d' phrase=$p slop=$k: got $got want $want")
+    }
+  }
+
   test("shingleHashes output is sorted, distinct, and n-gram counted") {
     import org.apache.spark.unsafe.types.UTF8String
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)

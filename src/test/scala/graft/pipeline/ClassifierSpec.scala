@@ -35,6 +35,30 @@ class ClassifierSpec extends SparkSpec {
     assert(w.exists(_._2 > 0) && w.exists(_._2 < 0))
   }
 
+  test("trainLogOdds learns weights that separate the classes") {
+    val docs = spark.read.parquet(sf("documents"))
+    val label = col("text").contains("spark")
+    val weights = Classifier.trainLogOdds(docs, label)
+    val w = weights.collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(w.forall { case (_, v) => v >= -10 && v <= 10 })
+    assert(w.exists(_._2 > 0) && w.exists(_._2 < 0),
+      "log-odds must carry signal in both directions")
+    // scored on the training corpus, the positive-class mean must exceed
+    // the negative-class mean by a clear margin (self-consistency, not
+    // generalization)
+    val scored = Classifier.score(docs, weights)
+      .join(docs.select(col("doc_id"), label.as("y")), "doc_id")
+    val means = scored.groupBy("y")
+      .agg(avg(col("quality"))).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the seed keyword contributes a handful of features among ~120 per
+    // doc, so the sigmoid-of-mean gap is inherently small — assert a
+    // margin well above noise (measured ≈ 0.045 at sf0.001), not a
+    // separation the architecture cannot produce
+    assert(means(true) > means(false) + 0.02,
+      s"positive mean ${means(true)} must clearly exceed ${means(false)}")
+  }
+
   test("score: sigmoid of exact integer mean; all-positive beats all-negative") {
     import spark.implicits._
     // a 2-bucket weight table we control completely
