@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank as a DataFrame power iteration — the link-analysis score a
+  * curation pipeline uses to weight documents by reference structure
+  * (page quality from a hyperlink graph, citation weight, near-dup
+  * cluster centrality). GraphX/Pregel is the reference's graph module
+  * (SURVEY §0 notes it out of scope as a MODULE); the operator itself is
+  * expressible as relational iterations, which is how it runs at 100 TB
+  * anyway: each step is one equi-join of the edge list with the current
+  * ranks plus one aggregation — shuffle keys stay (src, dst) throughout,
+  * so AQE/exchange reuse keeps every iteration on the same partitioning.
+  *
+  * Semantics (the classic formulation):
+  * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/out(u) + dangling/N)`
+  * with dangling mass (rank of nodes with no out-edges) redistributed
+  * uniformly, so Σr = 1 is invariant at every step. Fixed iteration
+  * count, no convergence test — deterministic and oracle-replayable.
+  *
+  * The rank state is one (node, rank) row per node. The edge list is
+  * re-read per iteration; in a real deployment it would be written
+  * bucketed by `src` once so the per-iteration join is co-located
+  * (the q_join_bucketed pattern).
+  */
+object Rank {
+
+  /** 10-iteration PageRank over `edges(src, dst)` (duplicate edges count
+    * as parallel links — weight by multiplicity, like Pregel's default).
+    * Output: (node, rank) with rank rounded to 6 for cross-engine
+    * reproducibility. */
+  def pageRank(edges: DataFrame, iters: Int = 10,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      val n = nodes.count()
+      val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("out"))
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        val withOut = ranks.join(outDeg,
+          ranks("node") === outDeg("src"), "left")
+        // mass leaving through edges; nodes with no out-edges are dangling
+        val contrib = withOut.filter(col("out").isNotNull)
+          .select(col("node"), (col("rank") / col("out")).as("share"))
+          .join(e, col("node") === e("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("in_mass"))
+        val dangling = withOut.filter(col("out").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        ranks = nodes
+          .join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) *
+                (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n))
+              .as("rank"))
+        // TRUNCATE the lineage each step (localCheckpoint, eager):
+        // persist alone caches data but the LOGICAL plan still nests one
+        // join tree per iteration, so analysis + janino codegen cost
+        // grows superlinearly — by iteration 10 the compile dwarfs the
+        // data. After checkpointing, every iteration plans against a
+        // constant-size leaf. (Cluster deployments would use
+        // checkpoint() on reliable storage for lineage-free recovery.)
+        ranks = ranks.localCheckpoint()
+      }
+      nodes.unpersist()
+      // the checkpointed blocks back the returned frame (the rank table
+      // is |nodes|-sized — it must STAY distributed)
+      ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    } finally e.unpersist()
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Similarity, TextStats}
+import graft.pipeline.{Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -739,6 +739,50 @@ object Pipeline extends QueryPack {
                   CAST(list_sum(list_transform(v, x -> CAST(round(x * s) AS BIGINT))) AS BIGINT)
                 END AS checksum
               FROM sc ORDER BY vec_id""")),
+
+    // PAGERANK as relational power iteration (graft.pipeline.Rank): the
+    // link-analysis weight for reference-structured corpora, 10 fixed
+    // iterations with dangling mass redistributed (Σrank = 1 invariant).
+    // GraphX is a module-level non-goal (SURVEY §0); the OPERATOR is pure
+    // join+agg — which is how it runs at 100 TB anyway (edge list
+    // bucketed by src, every iteration on the same partitioning). The
+    // oracle unrolls the identical ten steps as chained CTEs.
+    Q("q_graph_pagerank",
+      (s, dir) => Rank.pageRank(
+        Tables(s, dir, "lineitem").select(
+          (col("l_orderkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))),
+      Some {
+        val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
+                        l_suppkey % 100 AS dst FROM lineitem),
+              nodes AS (SELECT src AS node FROM e
+                        UNION SELECT dst FROM e),
+              nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+              outdeg AS (SELECT src, count(*)::DOUBLE AS outd
+                         FROM e GROUP BY src),
+              pr0 AS (SELECT node, 1.0 / nn.n AS rank
+                      FROM nodes CROSS JOIN nn)"""
+        val steps = (1 to 10).map { k =>
+          s"""pr$k AS (
+                SELECT nodes.node,
+                  (0.15 / nn.n) + 0.85 *
+                    (coalesce(m.mass, 0) + dg.dm / nn.n) AS rank
+                FROM nodes CROSS JOIN nn
+                LEFT JOIN (SELECT e.dst AS node,
+                             sum(p.rank / o.outd) AS mass
+                           FROM pr${k - 1} p
+                           JOIN outdeg o ON p.node = o.src
+                           JOIN e ON e.src = p.node
+                           GROUP BY e.dst) m USING(node)
+                CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS dm
+                            FROM pr${k - 1} p
+                            LEFT JOIN outdeg o ON p.node = o.src
+                            WHERE o.src IS NULL) dg)"""
+        }.mkString(",\n")
+        s"""$base,
+            $steps
+            SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"""
+      }),
 
     // ---- text analysis ------------------------------------------------------
     Q("q_text_stats",

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** PageRank on hand-computable graphs: mass conservation, dangling
+  * redistribution, and the classic hub/authority ordering. */
+class RankSpec extends SparkSpec {
+
+  test("ranks sum to 1 and favor the node everyone links to") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→1 : node 3 collects two links, node 2 gets only
+    // teleport. The 1↔3 cycle oscillates with eigenvalue −0.85, so the
+    // stationary ordering (3 > 1) only emerges once 0.85^k decays below
+    // the stationary gap — 21 iterations leaves it clear of the parity
+    // artifact a 10-step cut still shows.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Rank.pageRank(edges, iters = 21).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, s"mass must conserve: $r")
+    assert(r(3L) > r(1L) && r(1L) > r(2L), s"3 > 1 > 2 expected: $r")
+  }
+
+  test("dangling node's mass redistributes instead of leaking") {
+    import spark.implicits._
+    // 1→2, 2 has no out-edges: without redistribution Σrank decays
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Rank.pageRank(edges).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, s"mass must conserve: $r")
+    assert(r(2L) > r(1L), s"the linked-to node must outrank: $r")
+  }
+
+  test("parallel edges weigh double") {
+    import spark.implicits._
+    // 1 sends two of three shares to 2, one to 3
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Rank.pageRank(edges).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L), s"double edge must outweigh single: $r")
+  }
+}
