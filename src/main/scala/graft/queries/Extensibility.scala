@@ -32,6 +32,35 @@ object Extensibility extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // Dataset.observe (SPARK-29345) — named metrics collected ON the
+    // executors as a query runs, the monitoring surface a pipeline uses
+    // to validate a batch without a second pass (row counts, null rates,
+    // value ranges riding the main action). The observed values are
+    // returned as the result row; the oracle recomputes them with plain
+    // aggregates — observation must cost zero extra scans AND agree with
+    // the direct computation.
+    Q("q_observe",
+      (s, dir) => {
+        import org.apache.spark.sql.Observation
+        val obs = Observation("batch_stats")
+        val li = graft.core.Tables(s, dir, "lineitem")
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).cast("long").as("total_qty"),
+            count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+        li.write.mode("overwrite").format("noop").save() // the main action
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+          m("total_qty").asInstanceOf[Long],
+          m("n_discounted").asInstanceOf[Long]))
+          .toDF("n_rows", "total_qty", "n_discounted")
+      },
+      Some("""SELECT count(*) AS n_rows,
+                CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+                count(*) FILTER (l_discount > 0.05) AS n_discounted
+              FROM lineitem""")),
+
     // Scala UDF through the registration path (ScalaUDF expression).
     Q("q_udf",
       (s, dir) => {
