@@ -37,37 +37,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    var errors = List.empty[(String, String)]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                recordError: Boolean): Double = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          if (recordError)
-            errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-              .take(160).replaceAll("[\"\\n\\r\\t\\\\]|[\\x00-\\x1f]", " ")
-          false
-        }
-        finally spark.catalog.clearCache() // don't let one query's persisted
-                                           // scratch frames skew the rest
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-    }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, timeOne(name, fn, recordError = true))
-    }
-    // Host-steal guard: this box shows multi-minute steal/throttle windows
-    // (round 3 charged 216 s to a ~1 s GROUP BY). Any query whose first run
-    // exceeds 2 s gets one re-run; min is the machine's actual capability
-    // (same policy as the micro shapes' best-of-5 below). Cheap queries
-    // aren't re-run — their noise floor is milliseconds either way.
-    val results = firstPass.map { case (name, fn, t1) =>
-      if (t1 > 2.0) {
-        val t2 = timeOne(name, fn, recordError = false)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
-      } else name -> t1
-    }
-
+    // BASELINE.md micro-bench shapes — measured FIRST, on the freshly
+    // warmed JVM: the BASELINE numbers come from standalone Spark
+    // benchmark mains, and running 200+ queries beforehand leaves code
+    // cache/GC/state-store residue that was observed to halve the stat
+    // aggregate shapes (306 → 150 M rows/s across a round's reruns).
     // BASELINE.md micro-bench shapes (range/filter/sum MiscBenchmark.scala:40,
     // keyed agg AggregateBenchmark.scala:124, broadcast hash join
     // JoinBenchmark.scala:42) — reported as M rows/s for direct comparison.
@@ -124,6 +98,38 @@ object Bench {
         .sortWithinPartitions("k").write.format("noop").mode("overwrite").save()
     }
     val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f,"stddev_agg_mrows":$microStddev%.1f,"kurtosis_agg_mrows":$microKurtosis%.1f,"sort_mrows":$microSort%.1f}"""
+
+    var errors = List.empty[(String, String)]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordError: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          if (recordError)
+            errors ::= name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(160).replaceAll("[\"\\n\\r\\t\\\\]|[\\x00-\\x1f]", " ")
+          false
+        }
+        finally spark.catalog.clearCache() // don't let one query's persisted
+                                           // scratch frames skew the rest
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, timeOne(name, fn, recordError = true))
+    }
+    // Host-steal guard: this box shows multi-minute steal/throttle windows
+    // (round 3 charged 216 s to a ~1 s GROUP BY). Any query whose first run
+    // exceeds 2 s gets one re-run; min is the machine's actual capability
+    // (same policy as the micro shapes' best-of-5 below). Cheap queries
+    // aren't re-run — their noise floor is milliseconds either way.
+    val results = firstPass.map { case (name, fn, t1) =>
+      if (t1 > 2.0) {
+        val t2 = timeOne(name, fn, recordError = false)
+        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+      } else name -> t1
+    }
+
 
     // Errors are BUDGETED like everything else on the metric line: round 7's
     // nine analysis errors × 160 chars consumed the whole ~1700-char tail

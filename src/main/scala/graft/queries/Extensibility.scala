@@ -32,6 +32,60 @@ object Extensibility extends QueryPack {
 
   def queries: Seq[Q] = Seq(
 
+    // SQL-language UDFs (SPARK-46246, Spark 4: CREATE FUNCTION … RETURN
+    // <expression>) — reusable logic declared IN SQL, inlined by the
+    // analyzer into the calling plan, so it stays inside codegen with
+    // zero serialization cost (unlike a JVM/Python UDF). The oracle
+    // inlines the same expression by hand — the function boundary must
+    // be plan-invisible.
+    Q("q_sql_udf",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_margin")
+        // tight operand precisions ((10,2)·(5,2)·(5,2) → (22,6)) keep
+        // the triple product exactly representable in EVERY engine — at
+        // (12,2) operands the second multiply needs 40 digits and each
+        // engine rounds the overflow differently (a cent of drift per
+        // million rows). Discount/tax are rates in [0,1): (4,2) is exact.
+        s.sql("""CREATE TEMPORARY FUNCTION graft_margin(
+                   price DECIMAL(10,2), disc DECIMAL(4,2), tax DECIMAL(4,2))
+                 RETURNS DECIMAL(22,6)
+                 RETURN price * (1 - disc) * (1 + tax)""")
+        // round() before the cast: both engines round half-away-from-
+        // zero there, while CAST-to-lower-scale is half-up in Spark and
+        // half-EVEN in the oracle engine — a cent of divergence on .5
+        s.sql("""SELECT l_returnflag,
+                   CAST(round(sum(graft_margin(l_extendedprice, l_discount, l_tax)), 2)
+                     AS DECIMAL(18,2)) AS charge
+                 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(4,2))) *
+                         (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                  AS DECIMAL(18,2)) AS charge
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // SQL session VARIABLES (SPARK-46908: DECLARE / SET VAR / IDENTIFIER-
+    // free reference) — statement-spanning parameters without string
+    // interpolation; the variable folds to a literal at analysis, so the
+    // plan is identical to writing the constant.
+    Q("q_sql_variable",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 0.0")
+        s.sql("""SET VAR graft_min_qty =
+                 (SELECT avg(CAST(l_quantity AS DOUBLE)) FROM lineitem)""")
+        s.sql("""SELECT l_returnflag, count(*) AS n_above
+                 FROM lineitem WHERE l_quantity > graft_min_qty
+                 GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_above
+              FROM lineitem
+              WHERE l_quantity > (SELECT avg(CAST(l_quantity AS DOUBLE))
+                                  FROM lineitem)
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Dataset.observe (SPARK-29345) — named metrics collected ON the
     // executors as a query runs, the monitoring surface a pipeline uses
     // to validate a batch without a second pass (row counts, null rates,
