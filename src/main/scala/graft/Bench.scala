@@ -115,6 +115,14 @@ object Bench {
                                            // scratch frames skew the rest
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // SPARK_GRAFT_MICRO_ONLY=1: print the micro line and stop — a quick
+    // calibration probe for separating host throttle windows from real
+    // regressions without paying the full query sweep
+    if (sys.env.get("SPARK_GRAFT_MICRO_ONLY").contains("1")) {
+      println("{\"metric\":\"micro_only\",\"micro\":" + micro + "}")
+      spark.stop()
+      return
+    }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn, recordError = true))
     }

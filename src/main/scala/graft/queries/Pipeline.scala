@@ -105,6 +105,74 @@ object Pipeline extends QueryPack {
                SELECT id AS doc_id, min(r) AS comp FROM reach
                GROUP BY id ORDER BY doc_id""")),
 
+    // KEEP-BEST near-dup resolution — the dedup END-GAME every curation
+    // pipeline runs: near-dup pairs → connected components → per-cluster
+    // survivor by CLASSIFIER quality (ties break on doc_id), losers
+    // anti-joined away, unpaired docs untouched. Composes three shipped
+    // components (LSH-free exact-blocking pairs, large/small-star CC,
+    // hashed classifier); per-cluster ranking is a window over the
+    // cluster frame (pairs-sized, not corpus-sized). Oracle replays
+    // pairs + reachability + quality + argmax in one statement.
+    Q("q_pipeline_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val comps = Components.connectedComponents(
+          Dedup.nearDupPairsNgram(docs, 0.8))
+        val quality = Classifier.score(docs, Classifier.hashWeights(s))
+        val losers = comps.join(quality, "doc_id")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("comp")
+              .orderBy(col("quality").desc, col("doc_id"))))
+          .filter(col("rk") > 1).select("doc_id")
+        docs.join(losers, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE
+               toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+               e AS (SELECT aid AS a, bid AS b FROM p
+                     UNION SELECT bid, aid FROM p),
+               n AS (SELECT DISTINCT a AS id FROM e),
+               reach(id, r) AS (
+                 SELECT id, id FROM n
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+               comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach
+                        GROUP BY id),
+               fx AS (SELECT doc_id, list_concat(t,
+                        CASE WHEN len(t) >= 2
+                          THEN [t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]
+                          ELSE [] END) AS fs
+                      FROM toks),
+               exf AS (SELECT doc_id, unnest(fs) AS fe FROM fx),
+               bq AS (SELECT doc_id, substring(md5(fe), 1, 2) AS bucket FROM exf),
+               w AS (SELECT lower(lpad(to_hex(i), 2, '0')) AS bucket,
+                       (ascii(substring(lower(lpad(to_hex(i), 2, '0')), 1, 1)) * 7 +
+                        ascii(substring(lower(lpad(to_hex(i), 2, '0')), 2, 1)) * 13)
+                         % 21 - 10 AS w
+                     FROM range(256) r(i)),
+               qual AS (SELECT bq.doc_id,
+                          round(1.0 / (1.0 + exp(-(sum(coalesce(w.w, 0))::DOUBLE /
+                            (count(*) * 2.0)))), 4) AS quality
+                        FROM bq LEFT JOIN w USING(bucket) GROUP BY bq.doc_id),
+               ranked AS (SELECT c.doc_id,
+                            row_number() OVER (PARTITION BY c.comp
+                              ORDER BY q.quality DESC, c.doc_id) AS rk
+                          FROM comp c JOIN qual q USING(doc_id)),
+               losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+               SELECT lang, count(*) AS n_docs FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+               GROUP BY lang ORDER BY lang""")),
+
     // The raw embeddings fixture has NO cosine-0.8 pairs (uniform random
     // directions), which made this oracle match vacuously empty — so SEED
     // true near-dups on both sides: exact clones of the five lowest ids at
