@@ -31,7 +31,25 @@ object Rank {
     * Output: (node, rank) with rank rounded to 6 for cross-engine
     * reproducibility. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85): DataFrame =
+    rankInternal(edges, iters, damping, seeds = Nil)
+
+  /** PERSONALIZED PageRank: teleport lands only on `seeds` (uniformly),
+    * so ranks measure proximity TO the seed set through the link
+    * structure — topic-sensitive authority (Haveliwala), the retrieval
+    * booster for "important relative to these trusted documents".
+    * Dangling mass returns to the seeds too (the personalized walk's
+    * restart), so mass still conserves. Seeds are a handful of ids by
+    * definition — they travel as a broadcast membership column. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalization needs at least one seed")
+    rankInternal(edges, iters, damping, seeds)
+  }
+
+  private def rankInternal(edges: DataFrame, iters: Int,
+                           damping: Double, seeds: Seq[Long]): DataFrame = {
     require(iters >= 1, "at least one iteration")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
@@ -40,7 +58,12 @@ object Rank {
         .union(e.select(col("dst").as("node"))).distinct().persist()
       val n = nodes.count()
       val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("out"))
-      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      // teleport share per node: uniform 1/n, or 1/|seeds| on seeds only
+      val teleport =
+        if (seeds.isEmpty) lit(1.0 / n)
+        else when(col("node").isin(seeds: _*), lit(1.0 / seeds.size))
+          .otherwise(lit(0.0))
+      var ranks = nodes.withColumn("rank", teleport)
       for (_ <- 1 to iters) {
         val withOut = ranks.join(outDeg,
           ranks("node") === outDeg("src"), "left")
@@ -56,9 +79,9 @@ object Rank {
           .join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("node"),
-            (lit((1.0 - damping) / n) +
+            (lit(1.0 - damping) * teleport +
               lit(damping) *
-                (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n))
+                (coalesce(col("in_mass"), lit(0.0)) + col("dm") * teleport))
               .as("rank"))
         // TRUNCATE the lineage each step (localCheckpoint, eager):
         // persist alone caches data but the LOGICAL plan still nests one

@@ -30,6 +30,23 @@ class RankSpec extends SparkSpec {
     assert(r(2L) > r(1L), s"the linked-to node must outrank: $r")
   }
 
+  test("personalized: teleport concentrates rank near the seed set") {
+    import spark.implicits._
+    // two symmetric islands bridged nowhere: 1↔2 and 3↔4. Uniform PR
+    // ranks all four equally; seeding on 1 must rank island {1,2} above
+    // island {3,4}, whose only inflow would be teleport it never gets.
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val uni = Rank.pageRank(edges).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(uni.values.toSet.size == 1, s"symmetric islands rank equal: $uni")
+    val per = Rank.personalizedPageRank(edges, seeds = Seq(1L)).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(per.values.sum - 1.0) < 1e-4, s"mass conserves: $per")
+    assert(per(1L) > per(2L), s"the seed itself ranks highest: $per")
+    assert(per(2L) > per(3L) && per(3L) == 0.0 && per(4L) == 0.0,
+      s"the unseeded island gets no teleport and no inflow: $per")
+  }
+
   test("parallel edges weigh double") {
     import spark.implicits._
     // 1 sends two of three shares to 2, one to 3
