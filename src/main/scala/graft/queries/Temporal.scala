@@ -163,6 +163,29 @@ object Temporal extends QueryPack {
                 event_type, count(*) AS n, round(sum(value), 2) AS sv
               FROM events GROUP BY 1, 2 ORDER BY ws, event_type""")),
 
+    // SLIDING event-time windows (`window(ts, size, slide)` with
+    // overlap): every event lands in size/slide windows — Spark expands
+    // via the same Expand operator grouping sets ride. 2-hour windows
+    // sliding hourly ⇒ each event contributes to exactly two buckets;
+    // the oracle unnests the two window starts per event.
+    Q("q_window_sliding_batch",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+        ev.groupBy(window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("n"), col("sv"))
+          .orderBy("ws")
+      },
+      Some("""WITH x AS (SELECT value,
+                unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                        time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS w
+              FROM events)
+              SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS ws,
+                count(*) AS n, round(sum(value), 2) AS sv
+              FROM x GROUP BY 1 ORDER BY ws""")),
+
     // SESSION windows in BATCH (`session_window(ts, gap)`): a session
     // extends while consecutive events per user arrive within the gap.
     // The oracle replays the identical semantics with a lag() break
