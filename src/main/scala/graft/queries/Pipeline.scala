@@ -852,6 +852,49 @@ object Pipeline extends QueryPack {
             SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"""
       }),
 
+    // PERSONALIZED PageRank oracle row: teleport (and the dangling-mass
+    // restart) restricted to seeds {0, 1} — proximity-to-trusted-docs
+    // authority. Same generated ten-step oracle with the teleport column
+    // threaded through start vector and restart term.
+    Q("q_graph_ppr",
+      (s, dir) => Rank.personalizedPageRank(
+        Tables(s, dir, "lineitem").select(
+          (col("l_orderkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst")),
+        seeds = Seq(0L, 1L)),
+      Some {
+        val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
+                        l_suppkey % 100 AS dst FROM lineitem),
+              nodes AS (SELECT src AS node FROM e
+                        UNION SELECT dst FROM e),
+              tp AS (SELECT node,
+                       CASE WHEN node IN (0, 1) THEN 0.5 ELSE 0.0 END AS t
+                     FROM nodes),
+              outdeg AS (SELECT src, count(*)::DOUBLE AS outd
+                         FROM e GROUP BY src),
+              pr0 AS (SELECT node, t AS rank FROM tp)"""
+        val steps = (1 to 10).map { k =>
+          s"""pr$k AS (
+                SELECT tp.node,
+                  0.15 * tp.t + 0.85 *
+                    (coalesce(m.mass, 0) + dg.dm * tp.t) AS rank
+                FROM tp
+                LEFT JOIN (SELECT e.dst AS node,
+                             sum(p.rank / o.outd) AS mass
+                           FROM pr${k - 1} p
+                           JOIN outdeg o ON p.node = o.src
+                           JOIN e ON e.src = p.node
+                           GROUP BY e.dst) m USING(node)
+                CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS dm
+                            FROM pr${k - 1} p
+                            LEFT JOIN outdeg o ON p.node = o.src
+                            WHERE o.src IS NULL) dg)"""
+        }.mkString(",\n")
+        s"""$base,
+            $steps
+            SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"""
+      }),
+
     // ---- text analysis ------------------------------------------------------
     Q("q_text_stats",
       (s, dir) => TextStats.qualityStats(Tables(s, dir, "documents"))
