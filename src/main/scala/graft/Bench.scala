@@ -45,6 +45,11 @@ object Bench {
     // BASELINE.md micro-bench shapes (range/filter/sum MiscBenchmark.scala:40,
     // keyed agg AggregateBenchmark.scala:124, broadcast hash join
     // JoinBenchmark.scala:42) — reported as M rows/s for direct comparison.
+    // The probe runs TWICE — before and after the query sweep — so a
+    // host-throttle window is detectable from the artifact alone: if any
+    // shape disagrees >1.5× between the two probes the artifact stamps
+    // itself "throttled" (round-9 verdict item 2; previously this evidence
+    // lived only in SCALE.md prose).
     import org.apache.spark.sql.functions._
     def mrowsPerSec(rows: Long)(body: => Unit): Double = {
       body // warm-up (codegen compile)
@@ -57,47 +62,52 @@ object Bench {
       }.min
       rows / (best / 1e9) / 1e6
     }
-    val nRF = 500L << 21
-    val microRangeFilterSum = mrowsPerSec(nRF) {
-      spark.range(nRF).filter(col("id") % 2 === 0)
-        .agg(sum(col("id"))).write.format("noop").mode("overwrite").save()
+    val microShapes: Seq[(String, () => Double)] = {
+      val nRF = 500L << 21
+      val nAgg = 1L << 27
+      val nJoin = 20L << 21
+      // stddev / kurtosis aggregates (AggregateBenchmark.scala:80–90: 83.0 /
+      // 63.0 M rows/s) and single-long-key sort kernel (SortBenchmark.scala:
+      // 60–90 — sortWithinPartitions mirrors the radix UnsafeExternalSorter
+      // path without a range-partitioning exchange).
+      val nStat = 1L << 26
+      val nSort = 1L << 25
+      Seq(
+        "range_filter_sum_mrows" -> (() => mrowsPerSec(nRF) {
+          spark.range(nRF).filter(col("id") % 2 === 0)
+            .agg(sum(col("id"))).write.format("noop").mode("overwrite").save()
+        }),
+        "keyed_agg_mrows" -> (() => mrowsPerSec(nAgg) {
+          spark.range(nAgg)
+            .select((col("id") % 500).as("k"), col("id").as("v"))
+            .groupBy("k").agg(sum(col("v"))).write.format("noop").mode("overwrite").save()
+        }),
+        "broadcast_join_mrows" -> (() => mrowsPerSec(nJoin) {
+          val dim = spark.range(1L << 16).select(col("id").as("k"), (col("id") * 2).as("dv"))
+          spark.range(nJoin).select((col("id") % (1L << 16)).as("k"))
+            .join(broadcast(dim), "k")
+            .agg(sum(col("dv"))).write.format("noop").mode("overwrite").save()
+        }),
+        "stddev_agg_mrows" -> (() => mrowsPerSec(nStat) {
+          spark.range(nStat)
+            .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
+            .groupBy("k").agg(stddev(col("v"))).write.format("noop").mode("overwrite").save()
+        }),
+        "kurtosis_agg_mrows" -> (() => mrowsPerSec(nStat) {
+          spark.range(nStat)
+            .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
+            .groupBy("k").agg(kurtosis(col("v"))).write.format("noop").mode("overwrite").save()
+        }),
+        "sort_mrows" -> (() => mrowsPerSec(nSort) {
+          spark.range(nSort).select(xxhash64(col("id")).as("k"))
+            .sortWithinPartitions("k").write.format("noop").mode("overwrite").save()
+        }))
     }
-    val nAgg = 1L << 27
-    val microKeyedAgg = mrowsPerSec(nAgg) {
-      spark.range(nAgg)
-        .select((col("id") % 500).as("k"), col("id").as("v"))
-        .groupBy("k").agg(sum(col("v"))).write.format("noop").mode("overwrite").save()
-    }
-    val nJoin = 20L << 21
-    val microBhj = mrowsPerSec(nJoin) {
-      val dim = spark.range(1L << 16).select(col("id").as("k"), (col("id") * 2).as("dv"))
-      spark.range(nJoin).select((col("id") % (1L << 16)).as("k"))
-        .join(broadcast(dim), "k")
-        .agg(sum(col("dv"))).write.format("noop").mode("overwrite").save()
-    }
-    // stddev / kurtosis aggregates (AggregateBenchmark.scala:80–90: 83.0 /
-    // 63.0 M rows/s) and single-long-key global sort (SortBenchmark.scala:
-    // 60–90 — range-partition + per-partition radix sort in modern Spark).
-    val nStat = 1L << 26
-    val microStddev = mrowsPerSec(nStat) {
-      spark.range(nStat)
-        .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
-        .groupBy("k").agg(stddev(col("v"))).write.format("noop").mode("overwrite").save()
-    }
-    val microKurtosis = mrowsPerSec(nStat) {
-      spark.range(nStat)
-        .select((col("id") % 100).as("k"), (col("id") % 1000).cast("double").as("v"))
-        .groupBy("k").agg(kurtosis(col("v"))).write.format("noop").mode("overwrite").save()
-    }
-    // SortBenchmark measures the in-memory sorter kernel (radix on a single
-    // long key), not a range-partitioning exchange — sortWithinPartitions
-    // is the faithful mirror (UnsafeExternalSorter radix path, no shuffle).
-    val nSort = 1L << 25
-    val microSort = mrowsPerSec(nSort) {
-      spark.range(nSort).select(xxhash64(col("id")).as("k"))
-        .sortWithinPartitions("k").write.format("noop").mode("overwrite").save()
-    }
-    val micro = f"""{"range_filter_sum_mrows":$microRangeFilterSum%.1f,"keyed_agg_mrows":$microKeyedAgg%.1f,"broadcast_join_mrows":$microBhj%.1f,"stddev_agg_mrows":$microStddev%.1f,"kurtosis_agg_mrows":$microKurtosis%.1f,"sort_mrows":$microSort%.1f}"""
+    def runMicros(): Seq[(String, Double)] =
+      microShapes.map { case (k, f) => k -> f() }
+    def microJson(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val microPre = runMicros()
 
     var errors = List.empty[(String, String)]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -119,10 +129,22 @@ object Bench {
     // calibration probe for separating host throttle windows from real
     // regressions without paying the full query sweep
     if (sys.env.get("SPARK_GRAFT_MICRO_ONLY").contains("1")) {
-      println("{\"metric\":\"micro_only\",\"micro\":" + micro + "}")
+      println("{\"metric\":\"micro_only\",\"micro\":" + microJson(microPre) + "}")
       spark.stop()
       return
     }
+    // Per-query HARNESS FLOOR (round-9 verdict item 8): what timeOne charges
+    // a query that does no work — view re-registration (the common prefix of
+    // most query bodies) + noop write + clearCache. Reported (not
+    // subtracted) so 0.3-s-class queries are interpretable: their real cost
+    // is roughly value − floor_sec. Best-of-5, same policy as the micros.
+    val floorSec = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      graft.core.Tables.registerViews(spark, sfDir)
+      spark.sql("SELECT 1 AS one").write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, fn, timeOne(name, fn, recordError = true))
     }
@@ -137,6 +159,25 @@ object Bench {
         name -> (if (t2 >= 0) math.min(t1, t2) else t1)
       } else name -> t1
     }
+
+    // POST-sweep probe (same shapes, same JVM). First shed as much sweep
+    // residue as possible — streaming state maintenance threads and cached
+    // blocks depress the stat shapes even in a clean host window — then
+    // measure. A >1.5× per-shape disagreement between the probes stamps the
+    // artifact "throttled": either the host throttled mid-run or the JVM is
+    // churned; both mean the per-query times are upper bounds.
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    spark.catalog.clearCache()
+    System.gc()
+    val microPost = runMicros()
+    val microRatio = microPre.zip(microPost).map { case ((_, a), (_, b)) =>
+      math.max(a, b) / math.max(1e-9, math.min(a, b)) }.max
+    val throttled = microRatio > 1.5
+    // headline micro = per-shape BEST of the two probes: the machine's
+    // demonstrated capability, robust to a throttle window hitting one end
+    val micro = microJson(
+      microPre.zip(microPost).map { case ((k, a), (_, b)) => k -> math.max(a, b) })
 
 
     // Errors are BUDGETED like everything else on the metric line: round 7's
@@ -173,7 +214,7 @@ object Bench {
     // the long cheap tail folded into others_sec, micro + errors always kept.
     def fmt(v: Double): String = f"$v%.2f"
     val desc = results.sortBy { case (_, v) => -v }
-    val fixed = s""","errors":$es,"micro":$micro,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fixed = s""","errors":$es,"micro":$micro,"micro_pre":${microJson(microPre)},"micro_post":${microJson(microPost)},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"floor_sec":${f"$floorSec%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val budget = 1700 - fixed.length - head.length - 60 // 60 ≈ ,"others_sec":…,"others_n":…}
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

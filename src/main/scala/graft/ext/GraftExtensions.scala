@@ -517,6 +517,24 @@ case class FtsPhrase(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_phrase_wild(text, 'data quer*')`: true iff the document contains a
+  * contiguous token sequence where each space-separated SLOT matches — an
+  * exact term, or a `*`/`?` wildcard pattern (Lucene's MultiPhraseQuery,
+  * query syntax `"data quer*"`). Lowered by [[RewriteFtsMatch]]: index
+  * path = position-list adjacency fold with per-slot pattern unions over
+  * a POSITIONAL v1 index ([[graft.fts.Search.matchPhraseWildPositional]]);
+  * scan path = per-start-offset slot checks over the token array (exact
+  * slots compare, pattern slots run the codegen'd LIKE). */
+case class FtsPhraseWild(left: Expression, right: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_phrase_wild"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsPhraseWild =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
 /** `fts_score(text, 'q terms')`: the document's BM25(k1=1.2, b=0.75) score
   * for the query — RANKED retrieval on the SQL surface, so
   * `SELECT doc_id, fts_score(text,'q') AS s FROM docs
@@ -805,6 +823,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         Some((if (ts.isEmpty) emptyIds(entry)
           else graft.fts.Search.matchPhrasePositional(
             persistedIx(entry), ts, entry.buckets), idAttr))
+      case FtsPhraseWild(a: Attribute, Literal(q: UTF8String, StringType))
+          if entryFor(a).exists(e => e._1.analyzer.isV1 && e._1.positional) =>
+        val (entry, idAttr) = entryFor(a).get
+        val slots = wildSlots(q)
+        Some((if (slots.isEmpty) emptyIds(entry)
+          else graft.fts.Search.matchPhraseWildPositional(
+            persistedIx(entry), slots, entry.buckets), idAttr))
       case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
@@ -843,8 +868,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           val (h, t) = parseWildcard(p)
           Some((wildcardIdsDf(entry, h, t), idAttr))
         } else
-          Some((graft.fts.Search.matchPatternIds(
-            persistedIx(entry), normPattern(p)), idAttr))
+          Some((patternIdsDf(entry, normPattern(p)), idAttr))
       case FtsFuzzy(a: Attribute, Literal(t: UTF8String, StringType),
                     Literal(k: Int, org.apache.spark.sql.types.IntegerType))
           // v1 only: an analyzer index's dictionary is stemmed, so edit
@@ -911,6 +935,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private final case class PatternConj(entry: IndexCatalog.Entry,
                                        idAttr: Attribute, pattern: String)
       extends FtsConjunct
+  /** `fts_phrase_wild` — wildcard-slot phrase; index-exact only against a
+    * POSITIONAL v1 index (patterns measure the v1 term space, and the
+    * adjacency fold needs position lists). */
+  private final case class WildPhraseConj(entry: IndexCatalog.Entry,
+                                          idAttr: Attribute,
+                                          slots: Seq[String])
+      extends FtsConjunct
   private final case class NearConj(entry: IndexCatalog.Entry,
                                     idAttr: Attribute, attr: Attribute,
                                     a: String, b: String, slop: Int)
@@ -957,6 +988,60 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       throw new IllegalArgumentException(
         s"fts_wildcard all-star pattern '$p' matches every token — use a term range")
     n
+  }
+
+  /** Normalized wildcard-phrase slots: the space-separated words of the
+    * slot string, each an exact term or a `*`/`?` pattern with at least
+    * one literal character (a meta-only slot would cost a dictionary-wide
+    * union per phrase position — rejected loud, like the all-star
+    * wildcard). */
+  private def wildSlots(q: UTF8String): Seq[String] = {
+    val slots = q.toString.toLowerCase(Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    slots.foreach { s =>
+      if (!s.matches("[a-z0-9*?]+"))
+        throw new IllegalArgumentException(
+          s"fts_phrase_wild slot '$s' must normalize to [a-z0-9*?]+ " +
+            "(the only charset the frozen grammar indexes)")
+      if (s.forall(c => c == '*' || c == '?'))
+        throw new IllegalArgumentException(
+          s"fts_phrase_wild slot '$s' needs at least one literal character " +
+            "— a metacharacter-only slot matches the whole dictionary")
+    }
+    slots
+  }
+
+  /** Wildcard-phrase SCAN path: some start offset i where tokens(i+j)
+    * satisfies slot j for every j — exact slots compare, pattern slots run
+    * the codegen'd LIKE. Guarded CaseWhen keeps 3VL (NULL text → NULL) and
+    * never evaluates the sequence with a sub-1 stop (Sequence would
+    * auto-descend into index 0). The repeated FtsTokenize collapses under
+    * subexpression elimination. */
+  private def wildPhraseExists(text: Expression, slots: Seq[String]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.IntegerType
+    val n = slots.size
+    def s(v: String) = Literal(UTF8String.fromString(v), StringType)
+    val toks = FtsTokenize(text)
+    val iv = NamedLambdaVariable("i", IntegerType, nullable = false)
+    val checks = slots.zipWithIndex.map[Expression] { case (slot, j) =>
+      val elem = ElementAt(toks,
+        if (j == 0) iv else Add(iv, Literal(j)))
+      if (slot.exists(c => c == '*' || c == '?'))
+        new Like(elem, s(slot.replace('*', '%').replace('?', '_')))
+      else EqualTo(elem, s(slot))
+    }.reduce(And(_, _))
+    // Sequence is TimeZoneAwareExpression even over ints — it stays
+    // unresolved (and trips PLAN_VALIDATION) until a zone is bound
+    val starts = new Sequence(
+      Literal(1), Subtract(Size(toks), Literal(n - 1)), None,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    CaseWhen(
+      Seq(
+        (IsNull(text), Literal(null, BooleanType)),
+        (GreaterThanOrEqual(Size(toks), Literal(n)),
+          ArrayExists(starts, LambdaFunction(checks, Seq(iv))))),
+      Some(Literal.FalseLiteral))
   }
 
   /** General-pattern SCAN path: exists(tokens, t → t LIKE pattern) with
@@ -1111,6 +1196,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         graft.fts.Index.readReversed(
           org.apache.spark.sql.SparkSession.active, entry.indexDir), tail)
     else graft.fts.Search.matchWildcardIds(persistedIx(entry), s"$head*$tail")
+
+  /** General-pattern id set, handing [[graft.fts.Search.matchPatternIds]]
+    * the reversed-term projection when the index persisted one, so
+    * head-less patterns with a literal TAIL (`*ing`, `*a?d`) push as a
+    * prefix range over the reversed dictionary instead of scanning the
+    * full term column. */
+  private def patternIdsDf(entry: IndexCatalog.Entry,
+                           pat: String): org.apache.spark.sql.DataFrame =
+    graft.fts.Search.matchPatternIds(persistedIx(entry), pat,
+      if (entry.reversed)
+        Some(graft.fts.Index.readReversed(
+          org.apache.spark.sql.SparkSession.active, entry.indexDir))
+      else None)
 
   /** Per-doc BM25 scores for `terms` as an optimized logical plan over the
     * persisted index — postings pruned to the terms' buckets, doc lengths
@@ -1378,7 +1476,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
               e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsPhrase] ||
               e.isInstanceOf[FtsPrefix] || e.isInstanceOf[FtsWildcard] ||
               e.isInstanceOf[FtsTermRange] || e.isInstanceOf[FtsNear] ||
-              e.isInstanceOf[FtsPhraseSlop]) &&
+              e.isInstanceOf[FtsPhraseSlop] ||
+              e.isInstanceOf[FtsPhraseWild]) &&
             !projectList.exists(_.exists(_.isInstanceOf[FtsScore])) =>
         coveredMatch(projectList, cond, grandchild) match {
           case Some(covered) =>
@@ -1534,6 +1633,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     case _ => Right(or)
                   }
                 } else Right(or)
+              case FtsPhraseWild(a: Attribute, Literal(q: UTF8String, StringType))
+                  // positional v1 only: patterns measure the v1 term
+                  // space, and the fold needs position lists — no tf-only
+                  // residual exists (the scan path handles unindexed runs)
+                  if entryFor(a).exists(e => e._1.analyzer.isV1 && e._1.positional) =>
+                val (e, id) = entryFor(a).get
+                Left(WildPhraseConj(e, id, wildSlots(q)))
               case FtsNear(a: Attribute, Literal(ta: UTF8String, StringType),
                            Literal(tb: UTF8String, StringType),
                            Literal(sl: Int, org.apache.spark.sql.types.IntegerType))
@@ -1617,9 +1723,16 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   semi(cur, wildcardIdsDf(entry, h, t)
                     .queryExecution.optimizedPlan, idAttr)
                 case (cur, PatternConj(entry, idAttr, pat)) =>
-                  semi(cur, graft.fts.Search.matchPatternIds(
-                      persistedIx(entry), pat)
+                  semi(cur, patternIdsDf(entry, pat)
                     .queryExecution.optimizedPlan, idAttr)
+                case (cur, WildPhraseConj(entry, idAttr, slots)) =>
+                  // position-list adjacency fold with pattern-slot unions
+                  // — pure postings plan, text never re-read
+                  if (slots.isEmpty) Filter(Literal.FalseLiteral, cur)
+                  else semi(cur,
+                    graft.fts.Search.matchPhraseWildPositional(
+                      persistedIx(entry), slots, entry.buckets)
+                      .queryExecution.optimizedPlan, idAttr)
                 case (cur, FuzzyConj(entry, idAttr, t, k)) =>
                   // distance over the length-banded term dictionary; the
                   // matched terms drive the ordinary postings union — the
@@ -1722,6 +1835,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
           val (h, t) = parseWildcard(p)
           FtsHasTokenWildcard(text, h, t)
         } else tokenPatternExists(text, normPattern(p))
+      case FtsPhraseWild(text, Literal(q: UTF8String, StringType)) =>
+        val slots = wildSlots(q)
+        if (slots.isEmpty) Literal.FalseLiteral
+        else wildPhraseExists(text, slots)
       case FtsNear(text, Literal(ta: UTF8String, StringType),
                    Literal(tb: UTF8String, StringType),
                    Literal(sl: Int, org.apache.spark.sql.types.IntegerType)) =>
@@ -1764,6 +1881,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPhrase(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsPhraseWild(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPrefix(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsWildcard(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsNear(_, a, b, s)
@@ -1790,6 +1908,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         s"fts_match_any requires a literal query string, got: ${m.right.sql}")
       case m: FtsPhrase => throw new IllegalArgumentException(
         s"fts_phrase requires a literal query string, got: ${m.right.sql}")
+      case m: FtsPhraseWild => throw new IllegalArgumentException(
+        s"fts_phrase_wild requires a literal slot string, got: ${m.right.sql}")
       case m: FtsPrefix => throw new IllegalArgumentException(
         s"fts_prefix requires a literal prefix string, got: ${m.right.sql}")
       case m: FtsWildcard => throw new IllegalArgumentException(
@@ -1848,6 +1968,9 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_phrase"),
         new ExpressionInfo(classOf[FtsPhrase].getName, "fts_phrase"),
         (args: Seq[Expression]) => FtsPhrase(args(0), args(1))),
+      (new FunctionIdentifier("fts_phrase_wild"),
+        new ExpressionInfo(classOf[FtsPhraseWild].getName, "fts_phrase_wild"),
+        (args: Seq[Expression]) => FtsPhraseWild(args(0), args(1))),
       (new FunctionIdentifier("fts_score"),
         new ExpressionInfo(classOf[FtsScore].getName, "fts_score"),
         (args: Seq[Expression]) => FtsScore(args(0), args(1))),

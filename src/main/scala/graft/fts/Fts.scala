@@ -646,21 +646,52 @@ object Search {
     * RANGE (parquet row-group min/max pruning against the term-sorted
     * layout); the residual check is a codegen'd LIKE (`*`→`%`, `?`→`_` —
     * terms are [a-z0-9]+ so no escaping exists) evaluated on the PRUNED
-    * postings rows directly: no dictionary shuffle, no join. */
-  def matchPatternIds(ix: FtsIndex, pattern: String): DataFrame = {
+    * postings rows directly: no dictionary shuffle, no join.
+    *
+    * A pattern whose FIRST character is a metacharacter (`*ing`, `?abc`,
+    * `*a?b`) has an empty literal head, so nothing pushes as a range on
+    * the forward layout. When the index was persisted WITH the
+    * reversed-term projection, pass it as `revPostings`: a term matches
+    * `p` iff its reversal matches `reverse(p)`, so the pattern's literal
+    * TAIL pushes as a prefix range over the reversed dictionary (the
+    * [[matchSuffixIds]] trick generalized to arbitrary patterns), with
+    * the reversed LIKE as residual. Only a pattern with metacharacters at
+    * BOTH ends (`*a?`, `?b*`) is range-free on both layouts — that shape
+    * costs one full pass over the postings' term column (still the
+    * dictionary-sized table, never the corpus), and this method says so
+    * loudly on stderr so the cost is attributable. */
+  def matchPatternIds(ix: FtsIndex, pattern: String,
+                      revPostings: Option[DataFrame] = None): DataFrame = {
     val norm = pattern.toLowerCase(java.util.Locale.ROOT)
     require(norm.matches("[a-z0-9*?]+"),
       s"wildcard pattern must normalize to [a-z0-9*?]+, got '$pattern'")
     require(norm.exists(_ != '*'),
       s"all-star pattern '$pattern' matches every token — use a term range")
-    val head = norm.takeWhile(c => c != '*' && c != '?')
-    var p = ix.postings
-    if (head.nonEmpty) {
-      val upper = head.init + (head.last + 1).toChar
-      p = p.filter(col("term") >= head && col("term") < upper)
+    def rangedLike(postings: DataFrame, pat: String): DataFrame = {
+      val head = pat.takeWhile(c => c != '*' && c != '?')
+      var p = postings
+      if (head.nonEmpty) {
+        val upper = head.init + (head.last + 1).toChar
+        p = p.filter(col("term") >= head && col("term") < upper)
+      }
+      p.filter(col("term").like(pat.replace('*', '%').replace('?', '_')))
+        .select("doc_id").distinct()
     }
-    p.filter(col("term").like(norm.replace('*', '%').replace('?', '_')))
-      .select("doc_id").distinct()
+    val headless = norm.head == '*' || norm.head == '?'
+    val rnorm = norm.reverse
+    val revHasHead = !(rnorm.head == '*' || rnorm.head == '?')
+    if (headless && revHasHead && revPostings.isDefined)
+      rangedLike(revPostings.get, rnorm)
+    else {
+      if (headless)
+        // Document the cost: no literal head on either end (or no reversed
+        // layout) — the LIKE runs over the whole term dictionary.
+        System.err.println(s"[graft.fts] wildcard pattern '$pattern' has no " +
+          "pushable literal head" +
+          (if (revHasHead) " (no reversed layout supplied)" else "") +
+          " — full postings term scan")
+      rangedLike(ix.postings, norm)
+    }
   }
 
   /** Docs matching all `must` terms and none of the `mustNot` terms —
@@ -715,6 +746,53 @@ object Search {
       .agg(count(lit(1)).as("n_slots"),
         sort_array(collect_list(struct(col("idx"), col("positions")))).as("tp"))
       .filter(col("n_slots") === phrase.size) // every slot's term present
+      .withColumn("ends", aggregate(
+        slice(col("tp"), lit(2), size(col("tp")) - 1),
+        col("tp").getItem(0).getField("positions"),
+        (acc, e) => filter(e.getField("positions"),
+          p => array_contains(acc, p - 1))))
+      .filter(size(col("ends")) > 0)
+      .select("doc_id")
+  }
+
+  /** WILDCARD-slot phrase over POSITIONAL postings — Lucene's
+    * MultiPhraseQuery surface (`"data quer*"`): each phrase slot is an
+    * exact term or a `*`/`?` pattern. A pattern slot's position list is
+    * the UNION of the position lists of every dictionary term matching
+    * the pattern — the pattern prunes the postings exactly like
+    * [[matchPatternIds]] (literal head pushed as a term RANGE, codegen'd
+    * LIKE as residual), so the corpus is never read and a selective head
+    * still gets row-group pruning; the per-doc flatten is over a handful
+    * of position arrays. After the union, the adjacency fold is EXACTLY
+    * [[matchPhrasePositional]]'s left-fold intersection, so exact and
+    * wildcard slots compose in any order. */
+  def matchPhraseWildPositional(ix: FtsIndex, slots: Seq[String],
+                                buckets: Int = 64): DataFrame = {
+    require(slots.nonEmpty, "empty phrase")
+    def isPattern(s: String) = s.exists(c => c == '*' || c == '?')
+    val slotFrames = slots.zipWithIndex.map { case (slot, i) =>
+      val base =
+        if (!isPattern(slot))
+          Index.lookup(ix, Seq(slot), buckets)
+            .select(col("doc_id"), col("positions"))
+        else {
+          val head = slot.takeWhile(c => c != '*' && c != '?')
+          var p = ix.postings
+          if (head.nonEmpty) {
+            val upper = head.init + (head.last + 1).toChar
+            p = p.filter(col("term") >= head && col("term") < upper)
+          }
+          p.filter(col("term").like(slot.replace('*', '%').replace('?', '_')))
+            .groupBy("doc_id")
+            .agg(array_sort(flatten(collect_list(col("positions")))).as("positions"))
+        }
+      base.select(col("doc_id"), lit(i).as("idx"), col("positions"))
+    }
+    slotFrames.reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_slots"),
+        sort_array(collect_list(struct(col("idx"), col("positions")))).as("tp"))
+      .filter(col("n_slots") === slots.size) // every slot matched something
       .withColumn("ends", aggregate(
         slice(col("tp"), lit(2), size(col("tp")) - 1),
         col("tp").getItem(0).getField("positions"),

@@ -75,6 +75,12 @@ object QueryParser {
   /** `"a b"~k` — ordered sloppy phrase: terms in phrase order with at most
     * `slop` extra tokens interleaved (span ≤ ts−1+slop). */
   final case class SloppyPhrase(ts: Seq[String], slop: Int) extends Node
+  /** `"data quer*"` — phrase with `*`/`?` WILDCARD slots (Lucene's
+    * MultiPhraseQuery): each slot is an exact term or a pattern; a pattern
+    * slot matches any dictionary term of that shape at that position.
+    * Like the other multi-term clauses (Prefix/Wildcard/Fuzzy) it FILTERS
+    * without scoring — constant-score treatment. */
+  final case class WildPhrase(slots: Seq[String]) extends Node
   final case class Prefix(p: String) extends Node
   final case class Wildcard(pat: String) extends Node
   final case class Fuzzy(t: String, maxEdits: Int) extends Node
@@ -285,15 +291,57 @@ object QueryParser {
         }
       case PhraseT(raw, slop, boost) :: rest =>
         toks = rest
-        val ts = Analyzer.tokenizeString(raw)
-        if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""")
-        else {
-          // slop on a 1-token phrase is the plain term; slop 0 the exact
-          // phrase — normalize so downstream lowering stays canonical
+        val words = raw.split("\\s+").filter(_.nonEmpty).toSeq
+        val hasMeta = words.exists(_.exists(c => c == '*' || c == '?'))
+        if (words.exists(_.contains('~')))
+          fail(s"""phrase "$raw": fuzzy terms inside a quoted phrase are """ +
+            "not supported — '~' binds to the whole phrase as slop " +
+            "(\"a b\"~2), never to a word inside it")
+        if (hasMeta) {
+          // wildcard-slot phrase — Lucene's MultiPhraseQuery. Before this
+          // branch existed the tokenizer SILENTLY dropped '*'/'?' ("quer*"
+          // matched the literal term "quer"); now metacharacters mean
+          // pattern slots, and malformed slots fail loud.
+          if (slop != 0)
+            fail(s"""phrase "$raw": wildcard slots inside a sloppy """ +
+              "phrase (~k) are not supported — use the exact form " +
+              "\"a b*\" or widen the pattern")
+          // same rule as term-level wildcards: multi-term clauses filter
+          // without scoring, so a boost would be a silent no-op — reject
+          if (boost != 1.0)
+            fail(s"""phrase "$raw": boost applies to scoring clauses """ +
+              "only — wildcard phrases filter without scoring")
+          val slots = words.flatMap { w =>
+            if (w.exists(c => c == '*' || c == '?')) {
+              val n = w.toLowerCase(java.util.Locale.ROOT)
+              if (!n.matches("[a-z0-9*?]+"))
+                fail(s"phrase wildcard slot '$w' must normalize to " +
+                  "[a-z0-9*?]+ (no punctuation mixed with wildcards)")
+              if (n.forall(c => c == '*' || c == '?'))
+                fail(s"phrase wildcard slot '$w' needs at least one " +
+                  "literal character")
+              Seq(n)
+            } else Analyzer.tokenizeString(w) // 0..n exact slots
+          }
+          if (slots.isEmpty) fail(s"""phrase "$raw" has no tokens""")
+          // a single surviving slot is no phrase: canonicalize to the
+          // plain wildcard/term clause so lowering stays uniform
           val inner =
-            if (slop == 0 || ts.size == 1) Phrase(ts)
-            else SloppyPhrase(ts, slop)
+            if (slots.size > 1) WildPhrase(slots)
+            else if (slots.head.exists(c => c == '*' || c == '?')) Wildcard(slots.head)
+            else Term(slots.head)
           if (boost == 1.0) inner else Boosted(inner, boost)
+        } else {
+          val ts = Analyzer.tokenizeString(raw)
+          if (ts.isEmpty) fail(s"""phrase "$raw" has no tokens""")
+          else {
+            // slop on a 1-token phrase is the plain term; slop 0 the exact
+            // phrase — normalize so downstream lowering stays canonical
+            val inner =
+              if (slop == 0 || ts.size == 1) Phrase(ts)
+              else SloppyPhrase(ts, slop)
+            if (boost == 1.0) inner else Boosted(inner, boost)
+          }
         }
       case WordT(raw) :: rest if raw.indexOf(':') > 0 &&
           isFieldName(raw.substring(0, raw.indexOf(':'))) =>
@@ -446,7 +494,8 @@ object QueryParser {
     case Phrase(ts) => ts
     case SloppyPhrase(ts, _) => ts
     case Near(a, b, _) => Seq(a, b)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _)
+       | WildPhrase(_) => Nil
     // field-scoped clauses filter without scoring: fts_query_score is
     // single-field BM25, and the default column's corpus statistics say
     // nothing about another field's terms
@@ -466,7 +515,8 @@ object QueryParser {
     case Phrase(ts) => ts.map(_ -> w)
     case SloppyPhrase(ts, _) => ts.map(_ -> w)
     case Near(a, b, _) => Seq(a -> w, b -> w)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _) => Nil
+    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _)
+       | WildPhrase(_) => Nil
     case Scoped(_, _) => Nil
     case Boosted(inner, bw) => scoringWeights(inner, w * bw)
     case AndN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
@@ -510,6 +560,8 @@ object QueryParser {
     case Phrase(ts) => graft.ext.FtsPhrase(text, Literal(ts.mkString(" ")))
     case SloppyPhrase(ts, k) =>
       graft.ext.FtsPhraseSlop(text, Literal(ts.mkString(" ")), Literal(k))
+    case WildPhrase(slots) =>
+      graft.ext.FtsPhraseWild(text, Literal(slots.mkString(" ")))
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
     case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))

@@ -57,6 +57,16 @@ object Rank {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
       val n = nodes.count()
+      if (seeds.nonEmpty) {
+        // A seed set disjoint from the graph would make the teleport
+        // vector all-zero: ranks decay to 0 each step and the Σrank=1
+        // invariant silently breaks. Fail loud instead (seeds are a
+        // handful of ids, so this membership probe is a broadcast semi).
+        val present = nodes.filter(col("node").isin(seeds: _*)).count()
+        require(present == seeds.size,
+          s"personalization seeds absent from the graph: ${seeds.size - present} " +
+            s"of ${seeds.size} seeds have no vertex (teleport mass would leak)")
+      }
       val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("out"))
       // teleport share per node: uniform 1/n, or 1/|seeds| on seeds only
       val teleport =

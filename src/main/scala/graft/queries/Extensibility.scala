@@ -56,14 +56,14 @@ object Extensibility extends QueryPack {
         // half-EVEN in the oracle engine — a cent of divergence on .5
         s.sql("""SELECT l_returnflag,
                    CAST(round(sum(graft_margin(l_extendedprice, l_discount, l_tax)), 2)
-                     AS DECIMAL(18,2)) AS charge
+                     AS DOUBLE) AS charge
                  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
       },
       Some("""SELECT l_returnflag,
                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,2)) *
                          (1 - CAST(l_discount AS DECIMAL(4,2))) *
                          (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
-                  AS DECIMAL(18,2)) AS charge
+                  AS DOUBLE) AS charge
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // SQL session VARIABLES (SPARK-46908: DECLARE / SET VAR / IDENTIFIER-

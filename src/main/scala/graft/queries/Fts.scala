@@ -956,6 +956,31 @@ object Fts extends QueryPack {
                  AND NOT len(list_filter(t, x -> x LIKE 'qu_r_')) > 0
                ORDER BY doc_id""")),
 
+    // WILDCARD SLOTS INSIDE A QUOTED PHRASE — Lucene's MultiPhraseQuery
+    // ('"d?ta quer*"'): each slot is an exact term or a pattern; a pattern
+    // slot's position list is the UNION of the position lists of every
+    // dictionary term matching it (head-range + LIKE over the postings,
+    // the q_fts_sql_pattern machinery), then the same adjacency fold as
+    // the exact positional phrase. Before round 10 the tokenizer silently
+    // DROPPED the metacharacters ('"data quer*"' matched the literal
+    // phrase "data quer"); now they mean pattern slots.
+    Q("q_fts_query_phrase_wild",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql_pos"), positional = true)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qpw")
+        s.sql("""SELECT doc_id FROM documents_qpw
+                 WHERE fts_query(text, '"d?ta quer*" AND vector')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len([i FOR i IN range(1, len(t))
+                          IF t[i] LIKE 'd_ta' AND t[i+1] LIKE 'quer%']) > 0
+                 AND list_contains(t, 'vector')
+               ORDER BY doc_id""")),
+
     // The QUERY-STRING language (QueryParser): one Lucene-style string —
     // `vector AND ("data query" OR quer*) NOT slow` — parsed at analysis
     // time into the fts_match/fts_phrase/fts_prefix tree glued with

@@ -172,7 +172,7 @@ object Relational extends QueryPack {
     // q_window_rank hand-writes. Shared-SQL: DuckDB runs the identical
     // statement.
     sqlQ("q_join_lateral",
-      """SELECT n_name, x.c_custkey, x.bal
+      """SELECT n_name, x.c_custkey, CAST(x.bal AS DOUBLE) AS bal
          FROM nation, LATERAL (
            SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
            FROM customer WHERE c_nationkey = n_nationkey
@@ -251,6 +251,63 @@ object Relational extends QueryPack {
               JOIN (VALUES ('A', 'returned'), ('N', 'open'), ('R', 'refused'))
                 AS dim(flag, disposition) ON l_returnflag = flag
               GROUP BY disposition ORDER BY disposition""")),
+
+    // The AUTOMATIC complement to q_join_salted: the same hot-key shape left
+    // UNSALTED, handled by AQE's OptimizeSkewedJoin at runtime (reference
+    // SortMergeJoinExec.scala:35 has no such rescue — Spark 3+ re-plans from
+    // map-stage sizes). 75% of lineitem rows collapse onto one join key, so
+    // one shuffle partition carries ~24× the median; after the map stage AQE
+    // splits it into advisory-sized slices, each merge-joining against a
+    // replicated read of the dim side's matching partition. The detection
+    // thresholds target cluster-scale partitions (256 MB default), so the
+    // query pins fixture-scale values on an ISOLATED newSession (conf must
+    // not leak into sibling queries); at 100 TB the defaults fire unaided.
+    // The post-join groupBy is on a DIFFERENT key (g), which needs its own
+    // Exchange regardless — so the skew split costs no extra shuffle and
+    // AQE accepts it without forceOptimizeSkewedJoin. PlanShapeSpec asserts
+    // skew=true on this exact query's executed plan.
+    Q("q_join_skew_aqe",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ, not BHJ
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        // Two fixture-scale accommodations, both about SIZE not shape:
+        // (1) a skewed reduce partition is split into MAPPER-granular
+        // slices, so the hot key's bytes must arrive from >1 map task —
+        // the fixture parquet is a single row group (one data-carrying
+        // scan task); the round-robin repartition stands in for the
+        // thousands of scan partitions a cluster read has naturally.
+        // (2) shuffle compression flattens mild skew (a 24× row skew on
+        // two near-constant columns measured only 2.0× in bytes), so the
+        // hot key carries 90% of rows INCLUDING the incompressible
+        // price/partkey columns — at cluster scale real payloads do this
+        // on their own.
+        val fact = Tables(s2, dir, "lineitem")
+          .select(when(col("l_orderkey") % 10 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey") % 1000).as("k"),
+            col("l_quantity"), col("l_extendedprice"), col("l_partkey"))
+          .repartition(16)
+        val dim = s2.range(1000).select(col("id").as("k"), (col("id") % 7).as("g"))
+        fact.join(dim, "k")
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("qty"),
+            d(sum(dec(col("l_extendedprice")))).as("rev"),
+            sum(col("l_partkey")).as("pk"))
+          .orderBy("g")
+      },
+      Some("""SELECT g, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+              sum(l_partkey) AS pk
+              FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                                ELSE l_orderkey % 1000 END AS k,
+                           l_quantity, l_extendedprice, l_partkey
+                    FROM lineitem) f
+              JOIN (SELECT range AS k, range % 7 AS g FROM range(0, 1000)) d
+                USING (k)
+              GROUP BY g ORDER BY g""")),
 
     // TPC-H Q5 shape: the 6-table star — fact⋈fact (lineitem⋈orders) rides
     // join selection (SMJ at scale, AQE re-plans), the dimension chain

@@ -446,13 +446,13 @@ object Scalars extends QueryPack {
       (s, dir) => {
         graft.core.Tables.registerViews(s, dir)
         s.sql("""SELECT l_orderkey,
-                   CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue,
+                   CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
                    CASE WHEN revenue > 400000 THEN 'large' ELSE 'small' END AS band
                  FROM lineitem GROUP BY l_orderkey
                  ORDER BY revenue DESC, l_orderkey LIMIT 20""")
       },
       Some("""WITH r AS (SELECT l_orderkey,
-                CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS revenue
+                CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
               FROM lineitem GROUP BY l_orderkey)
               SELECT l_orderkey, revenue,
                 CASE WHEN revenue > 400000 THEN 'large' ELSE 'small' END AS band

@@ -123,6 +123,60 @@ object Sources extends QueryPack {
               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ANALYZE TABLE → CBO sizeInBytes flipping a JOIN-SIDE decision — the
+    // capability the reference's AnalyzeTableCommand (AnalyzeTableCommand
+    // .scala:35) + Statistics(sizeInBytes) row (SURVEY §4.1) exist for. The
+    // table must be EXTERNAL over files landed outside the metastore (the
+    // classic reason ANALYZE exists — an INSERT would autogather basic
+    // stats and pre-fill totalSize): with no stats and fallBackToHdfs off,
+    // the relation reports defaultSizeInBytes=Long.Max, so the planner
+    // refuses to broadcast it and falls back to sort-merge; ANALYZE writes
+    // the real byte size into the metastore and the SAME join re-plans as
+    // a broadcast-hash join. Both plans are asserted HERE (the flip is the
+    // semantics under test — a silent non-flip must fail the row, not just
+    // a spec), then the broadcast-side result ships as the oracle row.
+    // Isolated newSession: the lowered broadcast threshold (the parquet
+    // side must stay above it at every fixture sf) must not leak into
+    // sibling queries.
+    Q("q_cbo_stats",
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        s2.sql("DROP TABLE IF EXISTS graft_cbo_nation")
+        val loc = tmp("cbo_nation_text")
+        Tables(s2, dir, "nation").selectExpr("n_nationkey", "n_name")
+          .coalesce(1).write.mode("overwrite")
+          .option("delimiter", "|").csv(loc)
+        // DO_NOT_UPDATE_STATS: the metastore otherwise computes "fast
+        // stats" (numFiles/totalSize) AT CREATION for a table over an
+        // existing location, pre-filling exactly the number ANALYZE is
+        // supposed to supply; explicit ANALYZE still writes stats.
+        s2.sql(s"""CREATE EXTERNAL TABLE graft_cbo_nation
+                   (n_nationkey BIGINT, n_name STRING)
+                   ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+                   STORED AS TEXTFILE LOCATION '$loc'
+                   TBLPROPERTIES('DO_NOT_UPDATE_STATS'='true')""")
+        Tables(s2, dir, "customer").createOrReplaceTempView("cbo_customer")
+        def joined = s2.sql(
+          """SELECT n_name, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+             FROM cbo_customer JOIN graft_cbo_nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name""")
+        val pre = joined.queryExecution.sparkPlan.toString
+        require(pre.contains("SortMergeJoin") && !pre.contains("BroadcastHashJoin"),
+          s"pre-ANALYZE plan must sort-merge (no stats => Long.Max size):\n${pre.take(800)}")
+        s2.sql("ANALYZE TABLE graft_cbo_nation COMPUTE STATISTICS")
+        val post = joined
+        val postPlan = post.queryExecution.sparkPlan.toString
+        require(postPlan.contains("BroadcastHashJoin"),
+          s"post-ANALYZE plan must broadcast the analyzed table:\n${postPlan.take(800)}")
+        post
+      },
+      Some("""SELECT n_name, count(*) AS n,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
     // AVRO (§2.1 — excluded until round 9 because the spark-avro CONNECTOR
     // jar is absent from the image): graft-avro is a from-scratch minimal
     // connector over the avro CORE jars that DO ship (sources/Avro.scala) —

@@ -56,11 +56,26 @@ object ZoneMap {
                  ranges: Seq[ZoneRange]): Pruned = {
     val manifest = spark.read.parquet(s"$dir/manifest")
     val total = manifest.count()
+    val fieldTypes = manifest.schema.fields.map(f => f.name -> f.dataType).toMap
     val pred = ranges.map { r =>
+      val dt = fieldTypes.getOrElse(s"min_${r.column}",
+        throw new IllegalArgumentException(
+          s"zone column '${r.column}' has no manifest stats; manifest columns: " +
+            fieldTypes.keys.toSeq.sorted.mkString(", ")))
+      // Cast each bound to the zone column's OWN type and fail loud if the
+      // cast is lossy-to-null (e.g. a malformed date string vs a timestamp
+      // zone): an implicit null bound would turn the whole predicate NULL
+      // and silently prune EVERY file instead of erroring.
+      def bound(v: Any, which: String): Column = {
+        val c = lit(v).cast(dt)
+        val ok = spark.range(1).select(c.isNotNull).head().getBoolean(0)
+        require(ok, s"zone $which bound '$v' is not castable to ${r.column}'s type $dt")
+        c
+      }
       val keepLo = Option(r.hi)
-        .map(h => col(s"min_${r.column}") <= lit(h)).getOrElse(lit(true))
+        .map(h => col(s"min_${r.column}") <= bound(h, "hi")).getOrElse(lit(true))
       val keepHi = Option(r.lo)
-        .map(l => col(s"max_${r.column}") >= lit(l)).getOrElse(lit(true))
+        .map(l => col(s"max_${r.column}") >= bound(l, "lo")).getOrElse(lit(true))
       keepLo && keepHi
     }.reduceOption(_ && _).getOrElse(lit(true))
     // the manifest is |files|-sized: this collect is the point, not a leak

@@ -330,6 +330,27 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_query_phrase_wild answers wildcard-slot phrases index-only") {
+    graft.fts.IndexCatalog.clear()
+    try {
+      // '"d?ta quer*" AND vector': pattern slots union position lists over
+      // the PRUNED postings (quer* head pushes as a term range), the
+      // adjacency fold runs on position arrays — the corpus text column is
+      // never scanned or re-tokenized
+      val plan = planOf("q_fts_query_phrase_wild")
+      assert(!plan.contains("documents.parquet") &&
+          !plan.contains("fts_tokenize"),
+        s"wildcard phrase must answer index-only:\n${plan.linesIterator.take(30).mkString("\n")}")
+      assert(plan.contains("LIKE d_ta"),
+        "the ?-slot must run as a translated LIKE on the term")
+      // LikeSimplification turns the pure-prefix slot's LIKE 'quer%' into
+      // StartsWith, which pushes into the parquet scan alongside the range
+      assert(plan.contains("GreaterThanOrEqual(term,quer") &&
+          plan.contains("StringStartsWith(term,quer)"),
+        "the *-slot's literal head must push as a term range + StartsWith")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_sql_not lowers NOT fts_match_any to an anti-join, no scan") {
     graft.fts.IndexCatalog.clear()
     val plan = planOf("q_fts_sql_not")
@@ -528,6 +549,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Scan hive"),
       s"TEXTFILE hive table must read via HiveTableScanExec:\n${plan.take(1500)}")
     assert(df.collect().nonEmpty, "hive round-trip must produce rows")
+  }
+
+  test("q_join_skew_aqe gets a runtime skew split on its executed plan") {
+    // the ORACLE row's own plan (not a synthetic frame): 75% of lineitem
+    // collapses onto join key 0 and AQE's OptimizeSkewedJoin must split
+    // that shuffle partition after the map stage reports sizes. Execute
+    // first — skew handling only shows on the final adaptive plan.
+    val df = SparkEntry.queries("q_join_skew_aqe")(spark, "/root/testdata/sf0.01")
+    assert(df.collect().length == 7, "one output row per group key g ∈ [0,7)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+      s"expected AQE skew-split partitions in the final plan:\n${plan.take(2000)}")
+  }
+
+  test("q_cbo_stats flips SMJ -> broadcast after ANALYZE (asserted in-query)") {
+    // the query body REQUIREs pre=SortMergeJoin and post=BroadcastHashJoin;
+    // this test just drives it and checks the broadcast survives execution
+    val df = SparkEntry.queries("q_cbo_stats")(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
   test("AQE splits a skewed join partition at runtime") {

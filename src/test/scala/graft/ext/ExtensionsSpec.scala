@@ -658,7 +658,8 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
-      "fts_phrase", "fts_score", "fts_prefix", "fts_near", "fts_snippet",
+      "fts_phrase", "fts_phrase_wild", "fts_score", "fts_prefix",
+      "fts_near", "fts_snippet",
       "fts_wildcard", "fts_query", "fts_fuzzy", "fts_query_score",
       "fts_term_range", "fts_phrase_slop",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",

@@ -48,6 +48,38 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("a \"b c"))
   }
 
+  test("wildcard slots inside a quoted phrase parse to WildPhrase") {
+    assert(parse("\"data quer*\"") == WildPhrase(Seq("data", "quer*")))
+    assert(parse("\"d?ta QUER* stream\"") ==
+      WildPhrase(Seq("d?ta", "quer*", "stream")))
+    // exact words still pass through the v1 grammar (may split)
+    assert(parse("\"Spark-SQL quer*\"") ==
+      WildPhrase(Seq("spark", "sql", "quer*")))
+    // single surviving slot canonicalizes to the plain clause
+    assert(parse("\"quer*\"") == Wildcard("quer*"))
+    assert(parse("\"data\"") == Phrase(Seq("data")))
+  }
+
+  test("wildcard phrases filter without scoring and compose with booleans") {
+    assert(scoringTerms(parse("\"data quer*\" AND vector")) == Seq("vector"))
+    assert(parse("a AND \"b c*\"") ==
+      AndN(Term("a"), WildPhrase(Seq("b", "c*"))))
+  }
+
+  test("malformed wildcard-phrase slots fail loud") {
+    // meta-only slot would union the whole dictionary per position
+    intercept[IllegalArgumentException](parse("\"data *\""))
+    intercept[IllegalArgumentException](parse("\"data ??\""))
+    // punctuation glued to a wildcard slot is ambiguous under v1 — reject
+    intercept[IllegalArgumentException](parse("\"data qu-er*\""))
+    // wildcards in a SLOPPY phrase are unsupported (loud, not silent)
+    intercept[IllegalArgumentException](parse("\"data quer*\"~2"))
+    // boost on a non-scoring clause is a silent no-op — reject
+    intercept[IllegalArgumentException](parse("\"data quer*\"^2"))
+    // fuzzy inside a phrase: '~' only binds to the whole phrase
+    intercept[IllegalArgumentException](parse("\"data query~1\""))
+  }
+
   test("missing close paren / trailing input fail loud") {
     intercept[IllegalArgumentException](parse("(a OR b"))
     intercept[IllegalArgumentException](parse("a ) b"))
@@ -311,6 +343,32 @@ class QueryParserSpec extends SparkSpec {
       val got = spark.table("qp_stream").collect().map(_.getLong(0)).toSet
       assert(got == Set(1L, 3L), s"got $got")
     } finally q.stop()
+  }
+
+  test("wildcard phrase matches on the SCAN path with 3VL nulls") {
+    // no index: fts_phrase_wild lowers to per-offset slot checks over the
+    // token array (exact = comparison, pattern = codegen'd LIKE)
+    install()
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq(
+      (1L, "fast data query engine"),
+      (2L, "data quality matters"),          // qu* but quality ≠ quer*
+      (3L, "big data queries at scale"),
+      (4L, "query data inversion"),          // reversed order — no match
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = docs.where("fts_query(text, '\"data quer*\"')")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got === Array(1L, 3L))
+    // NULL text is NULL, not false: NOT(match) keeps it dropped too
+    val kept = docs.where("NOT fts_query(text, '\"data quer*\"')")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L))
+    // ?-slots and a phrase longer than some docs' token streams
+    val q2 = docs.where("fts_query(text, '\"b?g d?ta quer*\"')")
+      .select("doc_id").as[Long].collect()
+    assert(q2 === Array(3L))
   }
 
   test("fts_query serves an analyzer-configured index through entryTerms") {

@@ -51,6 +51,30 @@ class SearchSpec extends SparkSpec {
     assert(r3.isEmpty) // both terms in doc 1 but never adjacent in this order
   }
 
+  test("wildcard-slot phrase: pattern slots union their matching terms") {
+    val pix = Index.buildPositional(docs)
+    def wild(slots: Seq[String]): Array[Long] =
+      Search.matchPhraseWildPositional(pix, slots)
+        .collect().map(_.getLong(0)).sorted
+    // "big data" with a starred second slot: d* matches data in docs 1,2
+    assert(wild(Seq("big", "d*")) === Array(1L, 2L))
+    // pattern in first position: s* data → "...big data" no; "spark
+    // streaming of data" has no s*-term ADJACENT to data
+    assert(wild(Seq("s*", "data")).isEmpty)
+    // ? is exactly one char: b?g data = big data
+    assert(wild(Seq("b?g", "data")) === Array(1L, 2L))
+    assert(wild(Seq("b??g", "data")).isEmpty)
+    // a pattern matching SEVERAL terms unions their positions: doc 3
+    // "spark streaming of data streams" — s* adjacent to 'of' is
+    // 'streaming' (pos 2); 'of' is pos 3
+    assert(wild(Seq("s*", "of")) === Array(3L))
+    assert(wild(Seq("of", "d*", "s*")) === Array(3L)) // of data streams
+    // exact-only slots degrade to the exact positional phrase
+    assert(wild(Seq("big", "data")) ===
+      Search.matchPhrasePositional(pix, Seq("big", "data"))
+        .collect().map(_.getLong(0)).sorted)
+  }
+
   test("sloppy phrase: ordered chain within the slop window") {
     val pix = Index.buildPositional(docs)
     def slop(phrase: Seq[String], k: Int): Array[Long] =

@@ -4,14 +4,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale spot-run (test-scope dev driver): materializes an N×-sf0.1 corpus
-  * under target/ (replicas with disjoint id ranges — the natural "more
-  * documents" growth, not wider rows) and times a handful of DATA-BOUND
-  * queries at 1× and N× to measure how wall-time scales with corpus size.
-  * Pair-based shapes (LSH dedup) are excluded on purpose: replicating a
-  * corpus k× multiplies true near-dup PAIRS by k², so their wall-time
-  * measures the data's duplicate structure, not the engine.
+  * under target/ and times DATA-BOUND queries at 1× and N× to measure how
+  * wall-time scales with corpus size. N=5 ≈ sf0.5, N=10 ≈ sf1.
   *
-  *   sbt "Test/runMain graft.tools.ScaleSpot 4"
+  * Growth model: replicas with DISJOINT id ranges (the natural "more
+  * documents" growth, not wider rows). Replica k's document TEXT is
+  * token-shuffled by a per-replica hash order — the token multiset (tf,
+  * df, doc length, BM25 statistics) is preserved, but the shingle
+  * sequences differ, so replicas do NOT near-duplicate each other: true
+  * near-dup pairs grow LINEARLY with the corpus (each replica carries the
+  * original's internal duplicate structure), which is the honest
+  * more-data regime for the pair-based LSH shapes (a verbatim-replica
+  * corpus would grow pairs k² and measure the data, not the engine —
+  * the round-9 exclusion this lifts).
+  *
+  *   sbt "Test/runMain graft.tools.ScaleSpot 5"
+  *   sbt "Test/runMain graft.tools.ScaleSpot 10"
   */
 object ScaleSpot {
   def main(args: Array[String]): Unit = {
@@ -30,24 +38,39 @@ object ScaleSpot {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- materialize the scaled corpus (replicas, disjoint id ranges) ----
-    def scaleTable(name: String, idCol: String): Unit = {
+    def replicas(name: String, idCol: String)(
+        perReplica: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
+        : Unit = {
       val src = spark.read.parquet(s"$base/$name.parquet")
       val maxId = src.agg(max(col(idCol))).collect()(0).getLong(0) + 1
-      val reps = (0 until factor).map { k =>
-        src.withColumn(idCol, col(idCol) + lit(k * maxId))
-      }
-      reps.reduce(_ unionByName _)
+      (0 until factor).map { k =>
+        perReplica(src.withColumn(idCol, col(idCol) + lit(k * maxId)), k)
+      }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    scaleTable("documents", "doc_id")
-    scaleTable("embeddings", "vec_id")
+    replicas("documents", "doc_id") { (df, k) =>
+      if (k == 0) df
+      else {
+        // per-replica deterministic token shuffle: same multiset (tf/df/
+        // len/BM25 stats preserved), different shingle sequences
+        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)
+        val keyed = transform(toks,
+          t => struct(xxhash64(t, lit(k)).as("h"), t.as("t")))
+        df.withColumn("text",
+          array_join(transform(array_sort(keyed), s => s.getField("t")), " "))
+      }
+    }
+    replicas("embeddings", "vec_id")((df, _) => df)
+    replicas("lineitem", "l_orderkey")((df, _) => df)
     // small tables some query setups read incidentally
     for (t <- Seq("nation", "region"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     val names = Seq("q_text_dsir", "q_fts_sql_bm25", "q_fts_query_ranked",
-      "q_sim_sql", "q_sim_ivfpq", "q_dedup_exact", "q_text_stats")
+      "q_sim_sql", "q_sim_ivfpq", "q_sim_knn_exact", "q_dedup_exact",
+      "q_dedup_minhash", "q_graph_pagerank", "q_text_stats")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
