@@ -770,25 +770,35 @@ object Search {
                                 buckets: Int = 64): DataFrame = {
     require(slots.nonEmpty, "empty phrase")
     def isPattern(s: String) = s.exists(c => c == '*' || c == '?')
-    val slotFrames = slots.zipWithIndex.map { case (slot, i) =>
-      val base =
-        if (!isPattern(slot))
-          Index.lookup(ix, Seq(slot), buckets)
-            .select(col("doc_id"), col("positions"))
-        else {
-          val head = slot.takeWhile(c => c != '*' && c != '?')
-          var p = ix.postings
-          if (head.nonEmpty) {
-            val upper = head.init + (head.last + 1).toChar
-            p = p.filter(col("term") >= head && col("term") < upper)
-          }
-          p.filter(col("term").like(slot.replace('*', '%').replace('?', '_')))
-            .groupBy("doc_id")
-            .agg(array_sort(flatten(collect_list(col("positions")))).as("positions"))
+    val spark = ix.postings.sparkSession
+    // ALL exact slots ride ONE bucket-pruned postings lookup (the
+    // matchPhrasePositional shape: distinct terms → broadcast order join,
+    // a repeated term matches several slots); each pattern slot adds its
+    // own range+LIKE pass — one scan per pattern, not per slot.
+    val exact = slots.zipWithIndex.filterNot { case (s, _) => isPattern(s) }
+    val exactFrames =
+      if (exact.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val order = exact.map { case (t, i) => (t, i) }.toDF("term", "idx")
+        Seq(Index.lookup(ix, exact.map(_._1).distinct, buckets)
+          .join(broadcast(order), "term")
+          .select(col("doc_id"), col("idx"), col("positions")))
+      }
+    val patternFrames = slots.zipWithIndex.collect {
+      case (slot, i) if isPattern(slot) =>
+        val head = slot.takeWhile(c => c != '*' && c != '?')
+        var p = ix.postings
+        if (head.nonEmpty) {
+          val upper = head.init + (head.last + 1).toChar
+          p = p.filter(col("term") >= head && col("term") < upper)
         }
-      base.select(col("doc_id"), lit(i).as("idx"), col("positions"))
+        p.filter(col("term").like(slot.replace('*', '%').replace('?', '_')))
+          .groupBy("doc_id")
+          .agg(array_sort(flatten(collect_list(col("positions")))).as("positions"))
+          .select(col("doc_id"), lit(i).as("idx"), col("positions"))
     }
-    slotFrames.reduce(_ unionByName _)
+    (exactFrames ++ patternFrames).reduce(_ unionByName _)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_slots"),
         sort_array(collect_list(struct(col("idx"), col("positions")))).as("tp"))

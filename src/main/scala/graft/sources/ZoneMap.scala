@@ -68,7 +68,11 @@ object ZoneMap {
       // and silently prune EVERY file instead of erroring.
       def bound(v: Any, which: String): Column = {
         val c = lit(v).cast(dt)
-        val ok = spark.range(1).select(c.isNotNull).head().getBoolean(0)
+        // ANSI mode throws on the probe itself; legacy mode yields NULL —
+        // either way the caller gets the same loud error
+        val ok =
+          try spark.range(1).select(c.isNotNull).head().getBoolean(0)
+          catch { case _: Exception => false }
         require(ok, s"zone $which bound '$v' is not castable to ${r.column}'s type $dt")
         c
       }

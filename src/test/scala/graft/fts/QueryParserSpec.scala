@@ -66,6 +66,12 @@ class QueryParserSpec extends SparkSpec {
       AndN(Term("a"), WildPhrase(Seq("b", "c*"))))
   }
 
+  test("wildcard phrases compose with field scopes and NOT") {
+    assert(parse("title:\"data quer*\"") ==
+      Scoped("title", WildPhrase(Seq("data", "quer*"))))
+    assert(parse("-\"data quer*\"") == NotN(WildPhrase(Seq("data", "quer*"))))
+  }
+
   test("malformed wildcard-phrase slots fail loud") {
     // meta-only slot would union the whole dictionary per position
     intercept[IllegalArgumentException](parse("\"data *\""))

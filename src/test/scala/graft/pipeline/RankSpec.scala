@@ -47,6 +47,17 @@ class RankSpec extends SparkSpec {
       s"the unseeded island gets no teleport and no inflow: $per")
   }
 
+  test("seeds absent from the graph fail loud instead of leaking mass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // seed 99 has no vertex: its teleport share would vanish and ranks
+    // decay toward 0, silently breaking the documented sum-to-1 invariant
+    val e = intercept[IllegalArgumentException] {
+      Rank.personalizedPageRank(edges, seeds = Seq(1L, 99L)).collect()
+    }
+    assert(e.getMessage.contains("seeds absent"))
+  }
+
   test("parallel edges weigh double") {
     import spark.implicits._
     // 1 sends two of three shares to 2, one to 3

@@ -32,6 +32,25 @@ class ZoneMapSpec extends SparkSpec {
     assert(viaZone == full)
   }
 
+  test("un-castable bounds and unknown zone columns fail loud") {
+    written
+    // a malformed date string vs the timestamp zone column would cast to
+    // NULL, turn every manifest predicate NULL, and silently prune ALL
+    // files — the failure mode must be an error, not an empty frame
+    val bad = intercept[IllegalArgumentException] {
+      ZoneMap.pruneFiles(spark, dir,
+        Seq(ZoneMap.ZoneRange("o_orderdate", "not-a-date", null)))
+    }
+    assert(bad.getMessage.contains("not castable") ||
+      bad.getMessage.contains("not-a-date"))
+    // a zone column with no manifest stats is a caller error, same rule
+    val missing = intercept[IllegalArgumentException] {
+      ZoneMap.pruneFiles(spark, dir,
+        Seq(ZoneMap.ZoneRange("o_nope", "a", "b")))
+    }
+    assert(missing.getMessage.contains("o_nope"))
+  }
+
   test("open bounds and no-range degenerate to full reads") {
     written
     val all = spark.read.parquet(sf("orders")).count()
