@@ -86,6 +86,165 @@ object Multimodal {
     }
   }
 
+  // ---- REAL header-level decode (no codec library needed) -----------------
+
+  /** Parse (fmt, width, height) from REAL image container headers — PNG
+    * IHDR, JPEG SOFn marker walk, GIF logical screen descriptor — straight
+    * off the bytes. This is NOT the stub: dimension extraction (the
+    * metadata a curation pipeline actually filters on — size cuts, aspect
+    * ratios, thumbnail detection) needs only the header grammar, which is
+    * pure byte arithmetic; full pixel decode remains the documented stub.
+    * Returns None for anything unrecognized or truncated (the caller
+    * decides whether that's a filter or an error). */
+  def imageDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16be(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u16le(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32be(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 |
+      u8(i + 2) << 8 | u8(i + 3)).toInt
+    val n = bytes.length
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (n >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      Some(("png", u32be(16), u32be(20)))
+    else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) { // JPEG SOI
+      // walk the marker chain: FF mm [len16 payload]; SOFn (C0–CF minus
+      // C4/C8/CC) carries height at +5, width at +7 inside its segment
+      var i = 2
+      while (i + 9 < n) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", u16be(i + 7), u16be(i + 5)))
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else i += 2 + u16be(i + 2)
+      }
+      None
+    } else if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      Some(("gif", u16le(6), u16le(8))) // logical screen is LITTLE-endian
+    else None
+  }
+
+  /** Header decode over a media frame — same per-partition batch shape as
+    * the stub decode (a real pixel decoder would init here), but the
+    * dimensions are REAL parses of the container headers. Unrecognized
+    * payloads surface as fmt "unknown" with −1 dims (loud in data, never
+    * dropped silently). */
+  def headerDims(media: Dataset[MediaRecord]): Dataset[MediaDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        imageDims(r.bytes) match {
+          case Some((f, w, h)) => MediaDims(r.doc_id, f, w, h)
+          case None => MediaDims(r.doc_id, "unknown", -1, -1)
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL image fixtures: spec-correct PNG signature+IHDR,
+    * a JPEG SOI→APP0→DQT→SOF0→SOS marker chain, or a GIF89a logical
+    * screen descriptor, carrying dims derived from the id (width =
+    * id%300+1, height = id%200+1 — the formulas the DuckDB oracle
+    * replays). Bytes after the parsed header are filler: header parsing
+    * never reads them, exactly like real thumbnails vs full payloads. */
+  def synthImage(id: Long): Array[Byte] = {
+    val w = (id % 300 + 1).toInt
+    val h = (id % 200 + 1).toInt
+    (id % 3) match {
+      case 0 => pngBytes(w, h)
+      case 1 => jpegBytes(w, h)
+      case _ => gifBytes(w, h)
+    }
+  }
+
+  private def be32(v: Int) = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+  private[pipeline] def pngBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) // bit depth/color/CRC filler
+
+  private[pipeline] def jpegBytes(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++                  // SOI
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++    // APP0/JFIF
+      "JFIF".getBytes ++ Array.fill[Byte](10)(0) ++
+      Array[Byte](0xff.toByte, 0xdb.toByte) ++ be16(67) ++    // DQT
+      Array.fill[Byte](65)(1) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++    // SOF0
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 0x11, 0) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)                   // EOI
+
+  private[pipeline] def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  /** Parse (sample_rate, channels, bits, n_samples) from a REAL WAV/RIFF
+    * header — the audio companion to [[imageDims]]: chunk-walk the RIFF
+    * container ("RIFF" size "WAVE", then "fmt " and "data" chunks, all
+    * little-endian), derive duration as n_samples = data_bytes /
+    * block_align. Header grammar only; sample decode stays the stub. */
+  def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24
+    def tag(i: Int, t: String) = t.indices.forall(j => bytes(i + j) == t(j).toByte)
+    val n = bytes.length
+    if (n < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, blockAlign
+    var dataBytes = -1L
+    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+      val size = u32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= n)
+        fmt = Some((u32(i + 12).toInt, u16(i + 10), u16(i + 22), u16(i + 20)))
+      else if (tag(i, "data")) dataBytes = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    fmt.flatMap { case (rate, ch, bits, ba) =>
+      if (dataBytes < 0 || ba <= 0) None
+      else Some((rate, ch, bits, dataBytes / ba))
+    }
+  }
+
+  /** Deterministic REAL WAV fixture: canonical RIFF/WAVE with a fmt chunk
+    * and a data chunk sized for `nSamples` frames — rate/channels/samples
+    * derived from the id by the formulas the oracle replays. */
+  def synthWav(id: Long): Array[Byte] = {
+    val rate = if (id % 2 == 0) 16000 else 44100
+    val ch = (id % 2 + 1).toInt
+    val bits = 16
+    val nSamples = id % 1000 + 1
+    val ba = ch * bits / 8
+    val dataLen = (nSamples * ba).toInt
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    "RIFF".getBytes ++ le32(36L + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate.toLong * ba) ++
+      le16(ba) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataLen) ++ new Array[Byte](dataLen)
+  }
+
+  /** Header decode for audio payloads — unrecognized ones surface loudly
+    * as rate −1, like [[headerDims]]. */
+  def audioInfo(media: Dataset[MediaRecord]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        wavInfo(r.bytes) match {
+          case Some((rate, ch, bits, ns)) =>
+            AudioInfo(r.doc_id, rate, ch, bits, ns)
+          case None => AudioInfo(r.doc_id, -1, -1, -1, -1L)
+        }
+      }
+    }
+  }
+
   /** RESIZE stage: stride-downsample the payload to ≤ `target` bytes
     * (stride k = ⌈n/target⌉, keep bytes 0, k, 2k, …) — the deterministic
     * stand-in for an image resample (a real deployment decodes, resamples
@@ -112,6 +271,13 @@ object Multimodal {
     }
   }
 }
+
+/** Header-parsed media dimensions (REAL parse, not the stub). */
+final case class MediaDims(doc_id: Long, fmt: String, width: Int, height: Int)
+
+/** Header-parsed audio properties (REAL WAV/RIFF parse, not the stub). */
+final case class AudioInfo(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_samples: Long)
 
 /** One sampled frame: which doc, which frame slot, stub checksum. */
 final case class FrameSample(doc_id: Long, frame_idx: Int, checksum: Long)

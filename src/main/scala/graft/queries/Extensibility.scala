@@ -86,6 +86,23 @@ object Extensibility extends QueryPack {
                                   FROM lineitem)
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // IDENTIFIER() clause (SPARK-43205, Spark 3.4/4): templated table and
+    // column names from session variables WITHOUT string interpolation —
+    // the SQL-injection-safe parameterization path (an identifier slot can
+    // never smuggle a predicate). The oracle replays the resolved query.
+    Q("q_sql_identifier",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING DEFAULT 'lineitem'")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_col STRING DEFAULT 'l_returnflag'")
+        s.sql("""SELECT IDENTIFIER(graft_col) AS flag, count(*) AS n
+                 FROM IDENTIFIER(graft_tbl)
+                 GROUP BY IDENTIFIER(graft_col)
+                 ORDER BY flag""")
+      },
+      Some("""SELECT l_returnflag AS flag, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY flag""")),
+
     // Dataset.observe (SPARK-29345) — named metrics collected ON the
     // executors as a query runs, the monitoring surface a pipeline uses
     // to validate a batch without a second pass (row counts, null rates,

@@ -1283,6 +1283,37 @@ object Pipeline extends QueryPack {
     // one-reducer sort kept for oracle parity — the 100 TB swap is
     // approx_percentile in the same plan position; everything else is
     // unchanged.
+    // Deterministic QUALITY-WEIGHTED SAMPLING + epoch reshuffle — the
+    // RNG-free way a training pipeline thins a corpus: per-doc keep
+    // probability p from a quality proxy, uniform u derived from
+    // md5(doc_id, epoch) — no RNG state, so any worker (or engine)
+    // recomputes the identical sample, and changing the epoch tag reseeds
+    // the whole draw. Keep iff u < p. Stateless, embarrassingly parallel,
+    // resumable — the properties 100 TB curation needs. Oracle replays
+    // md5 bit-for-bit (both engines agree on md5 hex).
+    Q("q_pipeline_sample_det",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH sc AS (SELECT doc_id, lang,
+                     least(1.0, n_chars / 2000.0) AS p,
+                     CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':ep1')), 1, 6), 16, 10) AS DOUBLE)
+                       / 16777216.0 AS u
+                   FROM documents)
+                 SELECT lang, count(*) AS kept,
+                   CAST(round(sum(p), 3) AS DOUBLE) AS expected
+                 FROM sc WHERE u < p
+                 GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+                  least(1.0, n_chars / 2000.0) AS p,
+                  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ep1'), 1, 6) AS BIGINT) AS DOUBLE)
+                    / 16777216.0 AS u
+                FROM documents)
+              SELECT lang, count(*) AS kept,
+                CAST(round(sum(p), 3) AS DOUBLE) AS expected
+              FROM sc WHERE u < p
+              GROUP BY lang ORDER BY lang""")),
+
     Q("q_pipeline_quality_cut",
       (s, dir) => {
         val scored = Tables(s, dir, "documents").select(col("doc_id"),
@@ -1357,6 +1388,80 @@ object Pipeline extends QueryPack {
     // row per frame (flatMap in mapPartitions — codec init once per
     // partition); the oracle recomputes every frame checksum from char
     // ranges (the synthetic text is pure ASCII, so bytes == chars).
+    // TRIANGLE COUNTING — the third classic graph primitive next to
+    // pagerank/components: count 3-cycles via the canonical two-join plan
+    // (orient every edge low→high so each triangle is built exactly once,
+    // wedge join e1.dst=e2.src, close with a semi-membership join). Pure
+    // equi-joins on edge keys — two shuffles, no BNLJ — which is why this
+    // shape scales to billion-edge graphs; the high-degree-vertex wedge
+    // explosion is the known cost (mitigated in production by degree
+    // ordering, which the low→high orientation already approximates).
+    Q("q_graph_triangles",
+      (s, dir) => {
+        val e = Tables(s, dir, "lineitem").select(
+            (col("l_orderkey") % 100).as("a"), (col("l_suppkey") % 100).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("src"),
+            greatest(col("a"), col("b")).as("dst"))
+          .distinct()
+        val e1 = e.select(col("src").as("x"), col("dst").as("y"))
+        val e2 = e.select(col("src").as("y"), col("dst").as("z"))
+        val closing = e.select(col("src").as("x"), col("dst").as("z"))
+        e1.join(e2, "y")
+          .join(closing, Seq("x", "z"), "left_semi")
+          .agg(count(lit(1)).as("triangles"))
+      },
+      Some("""WITH e AS (
+                SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+                FROM (SELECT l_orderkey % 100 AS a, l_suppkey % 100 AS b
+                      FROM lineitem)
+                WHERE a <> b)
+              SELECT count(*) AS triangles
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src
+              WHERE EXISTS (SELECT 1 FROM e e3
+                            WHERE e3.src = e1.src AND e3.dst = e2.dst)""")),
+
+    // REAL header-level image decode — PNG IHDR / JPEG SOFn marker walk /
+    // GIF logical-screen parsing straight off the binary column (no codec
+    // library; pixel decode stays the documented stub). The fixtures are
+    // SPEC-CORRECT container headers generated deterministically from the
+    // id, so the oracle closes the loop: the parsed (fmt, width, height)
+    // must equal the generator's formulas, proving the byte-walk reads the
+    // real grammar (big-endian PNG/JPEG, little-endian GIF, marker-chain
+    // skipping over APP0/DQT segments).
+    Q("q_multimodal_headers",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "synth", Multimodal.synthImage(id)))
+        Multimodal.headerDims(media).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'png'
+                     WHEN doc_id % 3 = 1 THEN 'jpeg'
+                     ELSE 'gif' END AS fmt,
+                CAST(doc_id % 300 + 1 AS INT) AS width,
+                CAST(doc_id % 200 + 1 AS INT) AS height
+              FROM documents ORDER BY doc_id""")),
+
+    // REAL WAV/RIFF header decode (audio companion to the image row):
+    // chunk-walk "RIFF…WAVE" → fmt → data, little-endian fields, duration
+    // from data bytes / block align. Fixtures are canonical WAV files
+    // generated from the id; oracle replays the generator formulas.
+    Q("q_multimodal_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "wav", Multimodal.synthWav(id)))
+        Multimodal.audioInfo(media).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+                CAST(doc_id % 2 + 1 AS INT) AS channels,
+                CAST(16 AS INT) AS bits,
+                doc_id % 1000 + 1 AS n_samples
+              FROM documents ORDER BY doc_id""")),
+
     Q("q_multimodal_frames",
       (s, dir) => {
         import s.implicits._

@@ -69,6 +69,41 @@ object Scalars extends QueryPack {
               CASE WHEN p_partkey % 2 = 0 THEN p_brand ELSE p_type END AS e
               FROM part ORDER BY p_partkey""")),
 
+    // COLLATION-aware comparison semantics (Spark 4, SPARK-46830: COLLATE
+    // on the string type — equality/grouping under UTF8_LCASE match
+    // case-insensitively INSIDE the engine, no lower() rewrite in user
+    // code). Mixed-case derived data so the collation actually decides;
+    // outputs are canonicalized through lower() so the arbitrary grouping
+    // representative never reaches the hash. The oracle replays with
+    // explicit lower() — the observable relation must be identical.
+    Q("q_collation",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH mixed AS (
+                   SELECT c_custkey, c_acctbal,
+                     CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                          ELSE lower(c_mktsegment) END AS seg
+                   FROM customer)
+                 SELECT lower(seg COLLATE UTF8_LCASE) AS seg, count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+                   count(CASE WHEN seg COLLATE UTF8_LCASE = 'Building'
+                              THEN 1 END) AS n_bld
+                 FROM mixed
+                 GROUP BY seg COLLATE UTF8_LCASE
+                 ORDER BY seg""")
+      },
+      Some("""WITH mixed AS (
+                SELECT c_custkey, c_acctbal,
+                  CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                       ELSE lower(c_mktsegment) END AS seg
+                FROM customer)
+              SELECT lower(seg) AS seg, count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+                count(CASE WHEN lower(seg) = 'building' THEN 1 END) AS n_bld
+              FROM mixed
+              GROUP BY lower(seg)
+              ORDER BY seg""")),
+
     // Second datetime sweep: add_months/next_day/unix round-trips.
     Q("q_date2",
       (s, dir) => t(s, dir, "orders").select(
@@ -87,6 +122,78 @@ object Scalars extends QueryPack {
               strftime(CAST(o_orderdate AS DATE) + CAST(((8 - isodow(CAST(o_orderdate AS DATE))) % 7 +
                 CASE WHEN isodow(CAST(o_orderdate AS DATE)) = 1 THEN 7 ELSE 0 END) AS INTEGER), '%Y-%m-%d') AS nd
               FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
+    // INTERVAL arithmetic (ANSI year-month / day-time intervals, the §2.9
+    // CalendarInterval row): date ± INTERVAL, timestamp ± day-time,
+    // timestampdiff units. Dates render as strings (determinism contract).
+    Q("q_interval",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT o_orderkey,
+                   date_format(CAST(o_orderdate AS DATE) + INTERVAL '2' MONTH, 'yyyy-MM-dd') AS plus2m,
+                   date_format(CAST(o_orderdate AS DATE) - INTERVAL '45' DAY, 'yyyy-MM-dd') AS minus45d,
+                   date_format(o_orderdate + INTERVAL '36' HOUR, 'yyyy-MM-dd HH:mm:ss') AS plus36h,
+                   timestampdiff(DAY, TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+                 FROM orders ORDER BY o_orderkey LIMIT 300""")
+      },
+      Some("""SELECT o_orderkey,
+                strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+                strftime(CAST(o_orderdate AS DATE) - INTERVAL 45 DAY, '%Y-%m-%d') AS minus45d,
+                strftime(o_orderdate + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS plus36h,
+                datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+              FROM orders ORDER BY o_orderkey LIMIT 300""")),
+
+    // Null-safe comparison family: `<=>` / IS [NOT] DISTINCT FROM, nvl2,
+    // ifnull, nullifzero-style guards — three-valued logic made explicit.
+    Q("q_null2",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH w AS (SELECT o_orderkey,
+                     nullif(o_orderstatus, 'O') AS st,
+                     nullif(o_orderpriority, '1-URGENT') AS pri
+                   FROM orders)
+                 SELECT o_orderkey,
+                   (st <=> pri) AS ns_eq,
+                   (st IS DISTINCT FROM pri) AS dist,
+                   nvl2(st, 'open?no', 'open') AS tag,
+                   ifnull(st, '-') AS st_or_dash
+                 FROM w ORDER BY o_orderkey LIMIT 500""")
+      },
+      Some("""WITH w AS (SELECT o_orderkey,
+                  nullif(o_orderstatus, 'O') AS st,
+                  nullif(o_orderpriority, '1-URGENT') AS pri
+                FROM orders)
+              SELECT o_orderkey,
+                (st IS NOT DISTINCT FROM pri) AS ns_eq,
+                (st IS DISTINCT FROM pri) AS dist,
+                CASE WHEN st IS NOT NULL THEN 'open?no' ELSE 'open' END AS tag,
+                coalesce(st, '-') AS st_or_dash
+              FROM w ORDER BY o_orderkey LIMIT 500""")),
+
+    // Bitwise surface: & | ^ ~, shifts, bit_count — the hash/bitmap
+    // building blocks (simhash, bloom membership) on the SQL surface.
+    Q("q_bitwise",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_orderkey, l_linenumber,
+                   (l_orderkey & 255) AS lo_byte,
+                   (l_orderkey | 15) AS or15,
+                   (l_orderkey ^ l_linenumber) AS xored,
+                   CAST(~l_orderkey AS BIGINT) AS flipped,
+                   shiftleft(l_linenumber, 3) AS shl,
+                   shiftright(l_orderkey, 2) AS shr,
+                   bit_count(l_orderkey) AS pop
+                 FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                (l_orderkey & 255) AS lo_byte,
+                (l_orderkey | 15) AS or15,
+                CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS xored,
+                (~l_orderkey) AS flipped,
+                CAST((l_linenumber << 3) AS INTEGER) AS shl,
+                (l_orderkey >> 2) AS shr,
+                CAST(bit_count(l_orderkey) AS INTEGER) AS pop
+              FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400""")),
 
     Q("q_like",
       (s, dir) => t(s, dir, "part").select(
@@ -175,12 +282,107 @@ object Scalars extends QueryPack {
               len(string_split(p_name, ' ')) AS n_words
               FROM part ORDER BY p_partkey""")),
 
+    // Spark 3.4/4 collection additions (array_compact/insert/append/
+    // prepend, array_distinct/position, arrays_zip via struct access) —
+    // DuckDB's list_* family replays each. get() returns NULL out of
+    // bounds (vs element_at's ANSI error), the lenient accessor.
+    Q("q_array2",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH tt AS (SELECT p_partkey, split(p_name, ' ') AS toks
+                             FROM part)
+                 SELECT p_partkey,
+                   array_join(array_compact(array_insert(toks, 1, NULL)), ',') AS compacted,
+                   array_join(array_append(array_prepend(toks, 'S'), 'E'), ',') AS fenced,
+                   array_join(sort_array(array_distinct(toks)), ',') AS dedupd,
+                   array_position(toks, 'bolt') AS bolt_at,
+                   get(toks, 99) AS oob
+                 FROM tt ORDER BY p_partkey""")
+      },
+      Some("""WITH tt AS (SELECT p_partkey, string_split(p_name, ' ') AS toks
+                          FROM part)
+              SELECT p_partkey,
+                array_to_string(list_filter(list_prepend(NULL, toks), x -> x IS NOT NULL), ',') AS compacted,
+                array_to_string(list_append(list_prepend('S', toks), 'E'), ',') AS fenced,
+                array_to_string(list_sort(list_distinct(toks)), ',') AS dedupd,
+                CAST(coalesce(list_position(toks, 'bolt'), 0) AS BIGINT) AS bolt_at,
+                toks[100] AS oob
+              FROM tt ORDER BY p_partkey""")),
+
+    // ANSI-mode-safe TRY arithmetic (Spark 3.2+ try_divide/try_cast/
+    // try_add): errors become NULL instead of runtime failures — how a
+    // 100 TB batch survives one malformed row. DuckDB replays with CASE
+    // guards + its own try_cast.
+    Q("q_try",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_orderkey, l_linenumber,
+                   CAST(round(try_divide(CAST(l_quantity AS DECIMAL(18,2)),
+                              CAST(l_linenumber - 1 AS DECIMAL(18,2))), 4)
+                     AS DOUBLE) AS per_prev,
+                   try_cast(l_returnflag AS INT) AS flag_n,
+                   try_cast(CAST(l_quantity AS STRING) AS DOUBLE) AS qty_rt
+                 FROM lineitem
+                 ORDER BY l_orderkey, l_linenumber LIMIT 200""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                CAST(round(CASE WHEN l_linenumber = 1 THEN NULL
+                     ELSE CAST(l_quantity AS DECIMAL(18,2)) /
+                          (l_linenumber - 1) END, 4) AS DOUBLE) AS per_prev,
+                try_cast(l_returnflag AS INT) AS flag_n,
+                try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_rt
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber LIMIT 200""")),
+
     Q("q_explode",
       (s, dir) => t(s, dir, "part")
         .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
         .orderBy("p_partkey", "w"),
       Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
               FROM part ORDER BY p_partkey, w""")),
+
+    // Generator/TVF surface beyond plain explode: posexplode through
+    // LATERAL VIEW (the reference's Generate operator,
+    // catalyst/.../plans/logical/basicLogicalOperators.scala Generate) —
+    // ordinal-preserving flattening, the shape token-position pipelines
+    // need. Oracle replays the ordinal with a DuckDB list comprehension.
+    Q("q_tvf_posexplode",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH tt AS (SELECT p_partkey, split(p_name, ' ') AS toks
+                             FROM part)
+                 SELECT p_partkey, pos, tok
+                 FROM tt LATERAL VIEW posexplode(toks) x AS pos, tok
+                 ORDER BY p_partkey, pos""")
+      },
+      Some("""WITH tt AS (SELECT p_partkey, string_split(p_name, ' ') AS toks
+                          FROM part),
+              ex AS (SELECT p_partkey,
+                       unnest([{'pos': i - 1, 'tok': toks[i]}
+                               FOR i IN range(1, len(toks) + 1)]) AS u
+                     FROM tt)
+              SELECT p_partkey, CAST(u.pos AS INT) AS pos, u.tok AS tok
+              FROM ex ORDER BY p_partkey, pos""")),
+
+    // stack() — the generator spelling of UNPIVOT (n-row constant fan-out
+    // per input row, reference Generate + the unpivot rewrite). Oracle is
+    // the UNION ALL it desugars to.
+    Q("q_tvf_stack",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT p_partkey, k, v FROM (
+                   SELECT p_partkey,
+                     stack(2, 'size', CAST(p_size AS DOUBLE),
+                              'price', p_retailprice) AS (k, v)
+                   FROM part)
+                 ORDER BY p_partkey, k""")
+      },
+      Some("""SELECT p_partkey, k, v FROM (
+                SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v
+                FROM part
+                UNION ALL
+                SELECT p_partkey, 'price', p_retailprice FROM part)
+              ORDER BY p_partkey, k""")),
 
     Q("q_higher_order",
       (s, dir) => {
@@ -372,6 +574,33 @@ object Scalars extends QueryPack {
     // DuckDB's are bias-corrected sample statistics — spell the population
     // formula out in the oracle (round(4): two-pass vs streaming moments
     // agree well past 4 decimals).
+    // Ordered-set + linear-regression aggregates (Spark 3.3/3.4: mode,
+    // median, percentile_cont WITHIN GROUP, regr_slope/intercept/r2).
+    // mode() is computed over l_linenumber, whose per-group mode is UNIQUE
+    // (every order contributes line 1), so the tie-breaking difference
+    // between engines can never surface; regression outputs are rounded
+    // (double accumulation order differs across engines).
+    Q("q_agg_stats2",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""SELECT l_returnflag,
+                   mode(l_linenumber) AS line_mode,
+                   median(l_quantity) AS qty_med,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS qty_q1,
+                   round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+                 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+                mode(l_linenumber) AS line_mode,
+                median(l_quantity) AS qty_med,
+                quantile_cont(l_quantity, 0.25) AS qty_q1,
+                round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 3) AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Q("q_stats",
       (s, dir) => t(s, dir, "lineitem").agg(
         round(stddev_samp(col("l_quantity")), 6).as("sd"),

@@ -208,6 +208,40 @@ object Sources extends QueryPack {
               FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // DSv2 WRITE path (§2.1 plugin API, write side — the reference's
+    // CreatableRelationProvider re-expressed on WriteBuilder/BatchWrite/
+    // DataWriter): mode("overwrite") goes through SupportsTruncate (the
+    // previous generation is deleted only inside driver-side commit), then
+    // a second mode("append") job adds a disjoint slice — distinct
+    // queryIds keep file names collision-free. Each task writes to
+    // dir/_tmp and commit() renames into place, so readers only ever see
+    // fully-committed containers. The read-back aggregate must equal the
+    // oracle's union of both slices straight off parquet.
+    Q("q_source_avro_write",
+      (s, dir) => {
+        val out = tmp("orders_avro_w")
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) fs.delete(p, true): Unit
+        val orders = Tables(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        // decoy generation that TRUNCATE must remove
+        orders.filter(col("o_orderkey") % 2 === 0).limit(5)
+          .write.format("graft-avro").mode("append").save(out)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft-avro").mode("overwrite").save(out)
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("graft-avro").mode("append").save(out)
+        s.read.format("graft-avro").load(out)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // DataSource V2 PLUGIN API (§2.1 Source plugin API, reference
     // sources/interfaces.scala:71,267 RelationProvider/PrunedFilteredScan —
     // re-expressed on the connector interfaces): graft-synth generates a
@@ -347,6 +381,32 @@ object Sources extends QueryPack {
     // Streaming exact dedup: the landing dir holds the events file TWICE
     // (at-least-once redelivery), dropDuplicatesWithinWatermark(event_id)
     // emits each exactly once — oracle aggregates the SINGLE batch copy.
+    // CUSTOM STREAMING SOURCE PLUGIN (§2.1 + §2.10 — the reference's
+    // streaming Source/Offset contract, execution/streaming/Source.scala,
+    // re-expressed as a DSv2 MicroBatchStream on graft-synth): the offset
+    // is "rows emitted so far", each trigger admits rowsPerBatch ids, and
+    // batch + stream share the same partition/reader machinery, so the
+    // streamed aggregate must equal the oracle's batch replay from
+    // range(). rowsPerBatch=700 over 3000 rows forces ≥ 5 micro-batches —
+    // the offset log, not a single-batch degenerate.
+    Q("q_stream_source_plugin",
+      (s, dir) => {
+        val q = s.readStream.format("graft-synth")
+          .option("rows", 3000).option("partitions", 4)
+          .option("rowsPerBatch", 700).load()
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("toks"))
+          .writeStream.format("memory").queryName("synth_stream_agg")
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("synth_stream_agg").orderBy("lang")
+      },
+      Some("""SELECT CASE CAST(range % 4 AS INT) WHEN 0 THEN 'en'
+                     WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'ja' END AS lang,
+                count(*) AS n,
+                sum(1 + range % 32) AS toks
+              FROM range(0, 3000) GROUP BY 1 ORDER BY lang""")),
+
     Q("q_stream_dedup",
       (s, dir) => StreamOps.runStreamDedup(s, dir),
       Some("""SELECT event_type, count(*) AS n,

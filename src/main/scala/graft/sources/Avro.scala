@@ -122,10 +122,15 @@ class AvroProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-avro"
 
+  // write path hands us the DataFrame's schema instead of inferring from
+  // (possibly nonexistent) files
+  override def supportsExternalMetadata(): Boolean = true
+
   private def listFiles(dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
       .map(_.getPath.toString).sorted.toSeq
   }
 
@@ -143,18 +148,149 @@ class AvroProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val dir = properties.get("path")
-    new AvroTable(listFiles(dir), schema)
+    new AvroTable(dir, listFiles(dir), schema)
   }
 }
 
-private[sources] class AvroTable(files: Seq[String], schema0: StructType)
-    extends Table with SupportsRead {
+private[sources] class AvroTable(dir: String, files: Seq[String],
+                                 schema0: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_avro(${files.size} files)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(files, schema0)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(dir, info.schema(), info.queryId())
+}
+
+/** DSv2 WRITE path — the full connector commit protocol (§2.1 plugin API,
+  * write side; the reference's CreatableRelationProvider contract
+  * re-expressed on WriteBuilder/BatchWrite/DataWriter):
+  *  - each task writes its partition to `dir/_tmp/…-<task>.avro` (task id
+  *    in the name, so a speculative or retried attempt never collides),
+  *  - `DataWriter.commit` ships the temp path back as the commit message,
+  *  - driver-side `BatchWrite.commit` renames every temp into place (and
+  *    first deletes the previous generation under TRUNCATE = overwrite),
+  *  - `abort` deletes the temps — a failed job leaves the destination
+  *    untouched. This is the FileCommitProtocol shape: readers only ever
+  *    see fully-committed containers. */
+private[sources] class AvroWriteBuilder(dir: String, schema: StructType,
+                                        queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new AvroBatchWrite(dir, schema, doTruncate, queryId)
+    }
+}
+
+private[sources] case class AvroCommitMessage(tmpPath: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class AvroBatchWrite(dir: String, schema: StructType,
+                                      truncate: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(dir, AvroSchemas.toAvro(schema).toString, schema,
+      queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(new Configuration())
+    if (truncate && fs.exists(base))
+      fs.listStatus(base)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+        .foreach(s => fs.delete(s.getPath, false))
+    messages.foreach {
+      case AvroCommitMessage(tmp) =>
+        val t = new Path(tmp)
+        val dest = new Path(base, t.getName.stripPrefix("tmp-"))
+        if (!fs.rename(t, dest))
+          throw new java.io.IOException(s"graft-avro commit: rename $t -> $dest failed")
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }
+    val tmpDir = new Path(base, "_tmp")
+    if (fs.exists(tmpDir) && fs.listStatus(tmpDir).isEmpty)
+      fs.delete(tmpDir, true): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    messages.foreach {
+      case AvroCommitMessage(tmp) => fs.delete(new Path(tmp), false): Unit
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class AvroWriterFactory(dir: String, avroJson: String,
+                                         schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new AvroDataWriter(dir, avroJson, schema, partitionId, taskId, queryId)
+}
+
+private[sources] class AvroDataWriter(dir: String, avroJson: String,
+                                      schema: StructType, partitionId: Int,
+                                      taskId: Long, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val sch = new Schema.Parser().parse(avroJson)
+  // queryId in the name: append jobs from different applications can
+  // never collide; taskId isolates speculative attempts within a job
+  private val tmpPath = new Path(new Path(dir, "_tmp"),
+    f"tmp-part-$queryId%s-$partitionId%05d-$taskId.avro")
+  private val fs = tmpPath.getFileSystem(new Configuration())
+  private val out = fs.create(tmpPath, true)
+  private val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
+  writer.create(sch, out)
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(sch)
+    var c = 0
+    while (c < schema.length) {
+      rec.put(c,
+        if (row.isNullAt(c)) null
+        else schema(c).dataType match {
+          case StringType => row.getUTF8String(c).toString
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(c))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(c))
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(c))
+          case LongType => java.lang.Long.valueOf(row.getLong(c))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(c))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(c))
+          case other => throw new IllegalArgumentException(
+            s"graft-avro write does not support ${other.catalogString}")
+        })
+      c += 1
+    }
+    writer.append(rec): Unit
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    AvroCommitMessage(tmpPath.toString)
+  }
+
+  override def abort(): Unit = {
+    scala.util.Try(writer.close())
+    fs.delete(tmpPath, false): Unit
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class AvroScanBuilder(files: Seq[String], full: StructType)

@@ -69,22 +69,27 @@ class SynthDocsProvider extends TableProvider
                         properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("rowsPerBatch", "250").toLong)
 }
 
-private[sources] class SynthTable(rows: Long, partitions: Int)
+private[sources] class SynthTable(rows: Long, partitions: Int,
+                                  rowsPerBatch: Long)
     extends Table with SupportsRead {
-  require(rows >= 0 && partitions > 0,
-    s"graft-synth needs rows >= 0 and partitions > 0, got $rows/$partitions")
+  require(rows >= 0 && partitions > 0 && rowsPerBatch > 0,
+    s"graft-synth needs rows >= 0, partitions > 0, rowsPerBatch > 0, " +
+      s"got $rows/$partitions/$rowsPerBatch")
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions)
+    new SynthScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
+private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
+                                        rowsPerBatch: Long = 250L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L          // inclusive
@@ -114,7 +119,8 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(lo, hi, partitions, required)
+  override def build(): Scan =
+    new SynthScan(lo, hi, partitions, required, rowsPerBatch)
 }
 
 private[sources] case class SynthRange(lo: Long, hi: Long,
@@ -122,7 +128,8 @@ private[sources] case class SynthRange(lo: Long, hi: Long,
     extends InputPartition
 
 private[sources] class SynthScan(lo: Long, hi: Long, partitions: Int,
-                                 required: StructType)
+                                 required: StructType,
+                                 rowsPerBatch: Long = 250L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -138,6 +145,59 @@ private[sources] class SynthScan(lo: Long, hi: Long, partitions: Int,
       val start = lo + n * i / p
       val end = lo + n * (i + 1) / p
       SynthRange(start, end, required): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory
+
+  // STREAMING source plugin (§2.10 + §2.1: the reference's
+  // streaming Source/Offset contract — execution/streaming/Source.scala —
+  // re-expressed on MicroBatchStream): the offset is simply "rows emitted
+  // so far"; each trigger admits the next `rowsPerBatch` ids until the
+  // configured total is drained, then latestOffset stops advancing and
+  // processAllAvailable() unblocks. Batch and stream share the SAME
+  // partition/reader machinery, so stream∘agg ≡ batch∘agg by
+  // construction — the equivalence the oracle row asserts.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(hi, partitions, required, rowsPerBatch)
+}
+
+private[sources] case class SynthOffset(n: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class SynthMicroBatchStream(rows: Long, partitions: Int,
+                                             required: StructType,
+                                             rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  // monotonic admission cursor; deserializeOffset bumps it so a restart
+  // from a checkpoint never reports latest < start
+  private var planned = 0L
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def latestOffset(): Offset = {
+    planned = math.min(rows, planned + rowsPerBatch)
+    SynthOffset(planned)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toLong
+    planned = math.max(planned, n)
+    SynthOffset(n)
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SynthOffset].n
+    val hi = end.asInstanceOf[SynthOffset].n
+    val n = math.max(0L, hi - lo)
+    if (n == 0) return Array.empty
+    val p = math.min(partitions.toLong, n).toInt
+    (0 until p).map { i =>
+      SynthRange(lo + n * i / p, lo + n * (i + 1) / p, required): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

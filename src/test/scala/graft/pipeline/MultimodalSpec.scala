@@ -14,6 +14,53 @@ class MultimodalSpec extends SparkSpec {
     assert(r.checksum == expected)
   }
 
+  test("imageDims parses real PNG/JPEG/GIF headers and rejects junk") {
+    assert(Multimodal.imageDims(Multimodal.pngBytes(640, 480)) ==
+      Some(("png", 640, 480)))
+    // JPEG walks APP0+DQT before reaching SOF0; dims are (height, width)
+    // inside the segment but returned as (width, height)
+    assert(Multimodal.imageDims(Multimodal.jpegBytes(1024, 768)) ==
+      Some(("jpeg", 1024, 768)))
+    // GIF logical screen is little-endian
+    assert(Multimodal.imageDims(Multimodal.gifBytes(300, 7)) ==
+      Some(("gif", 300, 7)))
+    // big dims exercise the multi-byte paths
+    assert(Multimodal.imageDims(Multimodal.pngBytes(65535, 1)) ==
+      Some(("png", 65535, 1)))
+    assert(Multimodal.imageDims(Multimodal.gifBytes(65535, 43210)) ==
+      Some(("gif", 65535, 43210)))
+    // junk, truncation, and a JPEG whose marker chain never yields SOF
+    assert(Multimodal.imageDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Multimodal.pngBytes(10, 10).take(12)).isEmpty)
+    assert(Multimodal.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty)
+    assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
+  }
+
+  test("headerDims surfaces unknown payloads loudly instead of dropping") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val media = Seq(
+      MediaRecord(1L, "synth", Multimodal.synthImage(1L)),
+      MediaRecord(2L, "synth", "garbage".getBytes)).toDS()
+    val out = Multimodal.headerDims(media).collect().sortBy(_.doc_id)
+    assert(out(0).fmt == "jpeg" && out(0).width == 2 && out(0).height == 2)
+    assert(out(1) == MediaDims(2L, "unknown", -1, -1))
+  }
+
+  test("wavInfo chunk-walks real RIFF containers") {
+    // synthWav(4): 16 kHz mono, 5 samples
+    assert(Multimodal.wavInfo(Multimodal.synthWav(4L)) ==
+      Some((16000, 1, 16, 5L)))
+    // synthWav(7): 44.1 kHz stereo, 8 samples
+    assert(Multimodal.wavInfo(Multimodal.synthWav(7L)) ==
+      Some((44100, 2, 16, 8L)))
+    // junk / truncated / a RIFF that never reaches a data chunk
+    assert(Multimodal.wavInfo("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.wavInfo(Multimodal.synthWav(4L).take(20)).isEmpty)
+    assert(Multimodal.wavInfo(Array.empty[Byte]).isEmpty)
+  }
+
   test("features pipeline preserves row count and schema") {
     val docs = spark.read.parquet(sf("documents"))
     val f = Multimodal.features(spark, docs)

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, udf}
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.types._
 
@@ -61,6 +62,45 @@ class AvroSpec extends SparkSpec {
     assert(scan.inputRDD.getNumPartitions == 2,
       "one planned partition per container file")
     assert(back.count() == 3)
+  }
+
+  test("DSv2 write: overwrite truncates only at commit; append never collides") {
+    wipe()
+    val sparkS = spark
+    import sparkS.implicits._
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c")).toDF("id", "s")
+    // decoy that overwrite must remove
+    Seq((99L, "zzz")).toDF("id", "s")
+      .write.format("graft-avro").mode("append").save(dir)
+    a.write.format("graft-avro").mode("overwrite").save(dir)
+    b.write.format("graft-avro").mode("append").save(dir)
+    val back = spark.read.format("graft-avro").load(dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // no temp litter after commit
+    val p = new org.apache.hadoop.fs.Path(dir, "_tmp")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(p) || fs.listStatus(p).isEmpty,
+      "committed writes must not leave files under _tmp")
+  }
+
+  test("DSv2 write: a failing job aborts without touching the destination") {
+    wipe()
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((1L, "keep")).toDF("id", "s")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val boom = spark.range(10).select(col("id"),
+      udf((i: Long) => { require(i < 5, "boom"); "x" }).apply(col("id")).as("s"))
+    intercept[Exception] {
+      boom.write.format("graft-avro").mode("overwrite").save(dir)
+    }
+    // the failed overwrite must leave the previous generation intact
+    // (truncation happens only inside driver-side commit)
+    val back = spark.read.format("graft-avro").load(dir)
+      .as[(Long, String)].collect()
+    assert(back.toSeq == Seq((1L, "keep")))
   }
 
   test("unsupported schemas fail loud on write") {

@@ -64,4 +64,24 @@ class SynthDocsSpec extends SparkSpec {
     assert(scanOf(synth(64, parts = 5).select("doc_id"))
       .inputRDD.getNumPartitions == 5)
   }
+
+  test("micro-batch stream admits rowsPerBatch per trigger and drains") {
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000).option("partitions", 3)
+      .option("rowsPerBatch", 120).load()
+      .groupBy("lang").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("synth_mb")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // 1000 rows at 120/trigger: at least 9 non-empty micro-batches —
+      // the offset log is real admission control, not one giant batch
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 9,
+        q.recentProgress.map(p => p.batchId -> p.numInputRows).mkString(","))
+      val total = spark.table("synth_mb")
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      assert(total == 1000L)
+    } finally q.stop()
+  }
 }
