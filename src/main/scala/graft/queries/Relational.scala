@@ -425,6 +425,132 @@ object Relational extends QueryPack {
     // side is bounded by the (selective) big-order keys before the
     // customer join; top-100 by order value plans as
     // TakeOrderedAndProject.
+    // TPC-H Q7 shape (volume shipping): the DOUBLE-dimension join — the
+    // same nation table joins twice under two aliases (supplier's nation
+    // and customer's nation), so analysis must keep the attribute sets
+    // apart; both tiny sides broadcast, facts stay the only shuffles.
+    // Shared SQL: DuckDB runs the identical statement.
+    sqlQ("q_tpch_q7",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+         ORDER BY supp_nation, cust_nation, l_year"""),
+
+    // TPC-H Q14 shape (promo revenue): conditional aggregation over a
+    // fact⋈dim join with a tight date window — the filter must reach the
+    // lineitem scan, part broadcasts. Ratio computed on DOUBLE casts of
+    // the exact decimal sums so both engines divide identical IEEE values.
+    sqlQ("q_tpch_q14",
+      """SELECT CAST(round(100.0 *
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+           4) AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"""),
+
+    // TPC-H Q19 shape (discounted revenue): the DISJUNCTION of composite
+    // brand/size/quantity predicates — the classic test of OR-predicate
+    // handling (common join key stays an equi-join; per-branch residuals
+    // evaluate post-join; CNF extraction can still push the shared
+    // p_partkey/quantity bounds).
+    sqlQ("q_tpch_q19",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""),
+
+    // TPC-H Q22 shape (global sales opportunity): scalar AVG subquery as
+    // the filter threshold + NOT EXISTS anti-join against orders — the
+    // "rich customers who never ordered" pattern (correlated-existential
+    // decorrelation into a left-anti join, threshold broadcast). The
+    // fixture gives every customer ~10 orders, so the existential is
+    // narrowed to URGENT orders to keep the anti-join non-degenerate
+    // (~20% of priorities ⇒ ~10% of customers have none).
+    sqlQ("q_tpch_q22",
+      """WITH avg_bal AS (
+           SELECT avg(CAST(c_acctbal AS DOUBLE)) AS ab
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT CAST(c_nationkey % 5 AS INT) AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer, avg_bal
+         WHERE CAST(c_acctbal AS DOUBLE) > ab
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey % 5
+         ORDER BY cntry"""),
+
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS whose
+    // correlation mixes equality (l_orderkey = o_orderkey) with an
+    // INEQUALITY on the correlated column (l_shipdate > o_orderdate) —
+    // decorrelation must carry the non-equi conjunct into the semi-join
+    // condition, not re-execute per row.
+    sqlQ("q_tpch_q4",
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // TPC-H Q15 shape (top supplier): a derived revenue view consumed
+    // TWICE — once as the join input, once under a scalar MAX — and the
+    // equality filter on an exact DECIMAL aggregate (ties included by
+    // definition, so the row set is deterministic without a LIMIT).
+    sqlQ("q_tpch_q15",
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey"""),
+
+    // NOT IN (subquery) — the NULL-AWARE anti-join (reference
+    // BroadcastHashJoinExec's isNullAwareAntiJoin lineage): one branch
+    // over a null-free subquery behaves like a plain anti-join; the other
+    // nullif-injects a NULL into the subquery, where three-valued logic
+    // makes NOT IN never-true and the count collapses to 0 — the classic
+    // SQL trap, pinned as data so neither engine can silently "fix" it.
+    sqlQ("q_join_notin",
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey NOT IN
+              (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)) AS n_no_null,
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey NOT IN
+              (SELECT nullif(n_nationkey, 12) FROM nation
+               WHERE n_regionkey = 2)) AS n_with_null"""),
+
     Q("q_join_q18",
       (s, dir) => {
         val li = t(s, dir, "lineitem")

@@ -563,6 +563,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected AQE skew-split partitions in the final plan:\n${plan.take(2000)}")
   }
 
+  test("q_join_notin plans NULL-AWARE anti-joins for NOT IN") {
+    // the trailing `true` on BroadcastHashJoin … LeftAnti is the
+    // isNullAwareAntiJoin flag — plain anti-join semantics would get the
+    // three-valued NOT IN wrong when the build side contains a NULL
+    val df = SparkEntry.queries("q_join_notin")(spark, "/root/testdata/sf0.001")
+    assert(df.collect().length == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    // the executed-plan string repeats subtrees (final + initial plan +
+    // subquery references) — require presence in BOTH branches, i.e. both
+    // the plain and the nullif build sides show the flag
+    assert("LeftAnti, BuildRight, true".r.findAllIn(plan).size >= 2,
+      s"both NOT IN branches must be null-aware anti-joins:\n${plan.take(2000)}")
+    assert(!plan.contains("LeftAnti, BuildRight, false"),
+      "no branch may degrade to a null-oblivious anti-join")
+  }
+
   test("q_cbo_stats flips SMJ -> broadcast after ANALYZE (asserted in-query)") {
     // the query body REQUIREs pre=SortMergeJoin and post=BroadcastHashJoin;
     // this test just drives it and checks the broadcast survives execution
