@@ -575,6 +575,47 @@ object Fts extends QueryPack {
       },
       Some(bm25Oracle)),
 
+    // The SOURCE-AGNOSTIC ingest claim made executable (SCALE.md's Kafka
+    // design section): the SAME foreachBatch delta ingest that consumes
+    // file streams here consumes a CUSTOM DSv2 streaming source — the
+    // graft-synth MicroBatchStream standing in for a Kafka topic (offset
+    // = rows emitted ≈ topic offset; rowsPerBatch = admission control;
+    // Trigger.AvailableNow drains multi-batch, ≥ 2 delta partitions
+    // REQUIREd in-query so a single-giant-batch degenerate fails loud).
+    // The merged index then serves a boolean query whose oracle replays
+    // the generator's closed-form token stream in DuckDB.
+    Q("q_fts_incremental_synth",
+      (s, dir) => {
+        val deltaDir = graft.core.Scratch.dir("fts_index_incr_synth")
+        val fs = new org.apache.hadoop.fs.Path(deltaDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(deltaDir), true)
+        val stream = s.readStream.format("graft-synth")
+          .option("rows", 3000).option("partitions", 4)
+          .option("rowsPerBatch", 700).load()
+          .select("doc_id", "text")
+        graft.fts.IncrementalIndex.start(stream, deltaDir).awaitTermination()
+        val parts = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$deltaDir/postings_delta"))
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        require(parts >= 2,
+          s"synth ingest must land multiple micro-batch deltas, got $parts")
+        val ix = graft.fts.IncrementalIndex.read(s, deltaDir)
+        val must = Search.matchAllIds(ix, Seq("w3", "w7"))
+        val not = Search.matchAnyIds(ix, Seq("w12")).withColumnRenamed("doc_id", "nid")
+        must.join(not, must("doc_id") === not("nid"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+                SELECT range AS doc_id,
+                  ['w' || CAST((range + i) % 16 AS VARCHAR)
+                   FOR i IN range(0, CAST(1 + range % 32 AS INT))] AS t
+                FROM range(0, 3000))
+              SELECT doc_id FROM docs
+              WHERE list_contains(t, 'w3') AND list_contains(t, 'w7')
+                AND NOT list_contains(t, 'w12')
+              ORDER BY doc_id""")),
+
     // The rest of the incremental lifecycle: fold the delta log into the
     // canonical bucketed layout (compaction), read it back, and score
     // through the partition-pruned lookup — results must equal the

@@ -312,7 +312,12 @@ object Scalars extends QueryPack {
     // ANSI-mode-safe TRY arithmetic (Spark 3.2+ try_divide/try_cast/
     // try_add): errors become NULL instead of runtime failures — how a
     // 100 TB batch survives one malformed row. DuckDB replays with CASE
-    // guards + its own try_cast.
+    // guards + its own try_cast. SCALE note: try_* error-to-NULL is
+    // EXCEPTION-driven per miss — the un-bounded first cut of this query
+    // ran 600k divisions with 150k thrown-and-caught DIVIDE_BY_ZERO
+    // exceptions and took 9 s at sf0.1; a zero-HEAVY column wants the
+    // explicit CASE guard (identical semantics, no throw). The bound
+    // keeps the row a semantics pin, not an exception benchmark.
     Q("q_try",
       (s, dir) => {
         graft.core.Tables.registerViews(s, dir)
@@ -323,6 +328,7 @@ object Scalars extends QueryPack {
                    try_cast(l_returnflag AS INT) AS flag_n,
                    try_cast(CAST(l_quantity AS STRING) AS DOUBLE) AS qty_rt
                  FROM lineitem
+                 WHERE l_orderkey <= 500
                  ORDER BY l_orderkey, l_linenumber LIMIT 200""")
       },
       Some("""SELECT l_orderkey, l_linenumber,
@@ -332,6 +338,7 @@ object Scalars extends QueryPack {
                 try_cast(l_returnflag AS INT) AS flag_n,
                 try_cast(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_rt
               FROM lineitem
+              WHERE l_orderkey <= 500
               ORDER BY l_orderkey, l_linenumber LIMIT 200""")),
 
     Q("q_explode",

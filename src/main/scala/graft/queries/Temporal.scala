@@ -191,6 +191,45 @@ object Temporal extends QueryPack {
     // The oracle replays the identical semantics with a lag() break
     // flag + running session id — per-user session counts must agree
     // exactly.
+    // DYNAMIC-GAP session windows (SPARK-36465): the gap is an expression
+    // over the row — purchases keep a session alive 30 min, everything
+    // else 5 — so sessions are the UNION of per-event intervals
+    // [ts, ts+gap(event)), not a fixed-lag chain. The oracle replays
+    // interval-union semantics with a running MAX of interval ends (the
+    // lag-based fixed-gap formulation is wrong here: a long-gap event can
+    // bridge over a short-gap successor).
+    Q("q_session_dynamic",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+        ev.groupBy(session_window(col("ts"),
+            when(col("event_type") === "purchase", "30 minutes")
+              .otherwise("5 minutes")),
+          col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+                epoch(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 1800 ELSE 300 END AS fin
+              FROM events),
+              d AS (SELECT user_id, ts,
+                CASE WHEN max(fin) OVER w IS NULL
+                       OR epoch(ts) >= max(fin) OVER w
+                     THEN 1 ELSE 0 END AS brk
+              FROM g
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              s AS (SELECT user_id,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM d)
+              SELECT user_id, count(DISTINCT sid) AS n_sessions,
+                count(*) AS n_events
+              FROM s GROUP BY user_id ORDER BY user_id""")),
+
     Q("q_session_batch",
       (s, dir) => {
         val ev = EventTime.toTimestamp(Tables(s, dir, "events"))

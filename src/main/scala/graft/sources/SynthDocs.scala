@@ -171,8 +171,37 @@ private[sources] case class SynthOffset(n: Long)
 private[sources] class SynthMicroBatchStream(rows: Long, partitions: Int,
                                              required: StructType,
                                              rowsPerBatch: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // Trigger.AvailableNow: the drain target is the configured total, which
+  // is already fixed — admission still advances rowsPerBatch per trigger
+  // (multi-batch drain, not one giant batch) and stops at `rows`, which
+  // is exactly the AvailableNow contract. Without this marker Spark
+  // would wrap the source and freeze the FIRST latestOffset() as the
+  // target, draining a single batch.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  // SupportsAdmissionControl (pulled in by the AvailableNow marker): the
+  // PROPER per-batch admission API — stateless, start-offset-driven, so
+  // a checkpoint restart resumes from the committed offset with no
+  // driver-side cursor involved.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val from = start.asInstanceOf[SynthOffset].n
+    val step = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SynthOffset(math.min(rows, from + step))
+  }
   // monotonic admission cursor; deserializeOffset bumps it so a restart
   // from a checkpoint never reports latest < start
   private var planned = 0L
