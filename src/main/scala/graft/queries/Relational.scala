@@ -252,6 +252,46 @@ object Relational extends QueryPack {
                 AS dim(flag, disposition) ON l_returnflag = flag
               GROUP BY disposition ORDER BY disposition""")),
 
+    // DYNAMIC PARTITION PRUNING — the 100 TB warehouse feature this suite
+    // still lacked: the fact table is WRITTEN partitioned by the join
+    // column, the dimension carries a selective filter, and the planner
+    // injects the dim's qualifying keys as a RUNTIME partition filter on
+    // the fact scan (dynamicpruning#… in PartitionFilters — REQUIREd
+    // in-query, so a silent fallback to a full fact scan fails the row).
+    // At scale this is the difference between reading one partition and
+    // reading the table; the broadcast exchange is REUSED as the pruning
+    // subquery, so DPP costs nothing extra.
+    Q("q_join_dpp",
+      (s, dir) => {
+        val out = graft.core.Scratch.dir("lineitem_part_dpp")
+        t(s, dir, "lineitem")
+          .select((col("l_suppkey") % 25).as("l_nk"), col("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").partitionBy("l_nk").parquet(out)
+        val fact = s.read.parquet(out)
+        // the PRUNING side must be a real table SCAN with a selective
+        // filter — the rule declines a filtered LocalRelation (found out
+        // the hard way; an in-memory dim wants broadcast-join pruning,
+        // which already reads nothing extra)
+        val dim = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+        val joined = fact.join(broadcast(dim), fact("l_nk") === dim("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n"),
+            d(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+              .as("revenue"))
+          .orderBy("n_name")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          s"the fact scan must carry a runtime partition filter:\n${plan.take(1200)}")
+        joined
+      },
+      Some("""SELECT n_name, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN nation ON l_suppkey % 25 = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY n_name""")),
+
     // The AUTOMATIC complement to q_join_salted: the same hot-key shape left
     // UNSALTED, handled by AQE's OptimizeSkewedJoin at runtime (reference
     // SortMergeJoinExec.scala:35 has no such rescue — Spark 3+ re-plans from
