@@ -20,6 +20,12 @@ object Verify {
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle type-divergence lint (HUGEINT/decimal-widening class). Loud
+    // warning only here — the HARD gate is OracleLintSpec under sbt test;
+    // aborting the driver's Verify run over a lint would zero the round.
+    graft.core.OracleLint.lintAll(SparkEntry.oracleSql).foreach { v =>
+      System.err.println(s"[verify] ORACLE LINT VIOLATION: $v")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

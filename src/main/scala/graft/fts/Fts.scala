@@ -941,6 +941,67 @@ object Search {
       .reduce((a, b) => a.join(b, "doc_id"))
   }
 
+  /** ANALYZER × SYNONYM × FUZZY composition — the documented ORDER in
+    * which the three query-rewrite features stack, pinned here because a
+    * real deployment hits the ordering immediately (Lucene resolves it
+    * the same way: the query passes the index's analyzer BEFORE term-level
+    * rewrites, FuzzyQuery expands over the as-indexed dictionary, and
+    * synonym entries are themselves analyzed when the graph is compiled):
+    *
+    *  1. **Analyzer first.** Every raw query term runs the index's
+    *     pipeline (stopword → stem → min-length). A stopped term
+    *     contributes NO group (it does not become an unsatisfiable MUST);
+    *     a stemmed term continues as its stem.
+    *  2. **Synonyms post-stem.** The synonym map's keys AND members are
+    *     normalized through the SAME pipeline when the map is compiled,
+    *     so lookup happens stem-to-stem: raw key 'lookups' matches query
+    *     term 'lookup', raw member 'scans' reaches the postings as 'scan'.
+    *  3. **Fuzzy against the ANALYZED dictionary.** A trailing `~k` marks
+    *     a term fuzzy; the edit-distance expansion runs AFTER analysis
+    *     (`querries~1` → stem → `querry` → distance-1 → `query`) and over
+    *     the as-indexed (= analyzed) term dictionary — the only dictionary
+    *     that exists in the index. A fuzzy term takes the expansion as its
+    *     whole group; synonyms do NOT additionally apply to it (mirroring
+    *     Lucene, where FuzzyQuery is a term-level rewrite outside the
+    *     synonym graph).
+    *
+    * Groups then MUST-intersect exactly like [[matchSynonymIds]]: each is
+    * one pruned any-terms postings filter (the fuzzy group's terms come
+    * from the length-banded dictionary expansion of [[matchFuzzyIds]]),
+    * meeting in id-set joins — the corpus side never sees the distance
+    * function or the raw (pre-analysis) terms. */
+  def matchCompoundIds(ix: FtsIndex, cfg: AnalyzerConfig,
+                       rawTerms: Seq[String],
+                       synonyms: Map[String, Seq[String]] = Map.empty,
+                       maxEdits: Int = 1): DataFrame = {
+    require(rawTerms.nonEmpty, "empty query")
+    // compile the synonym map through the pipeline (step 2): keys and
+    // members stem/stop/min-len exactly like query terms; entries whose
+    // key is stopped vanish, members dedupe post-analysis
+    val syn: Map[String, Seq[String]] = synonyms.toSeq
+      .flatMap { case (k, ms) =>
+        cfg.normalizeTerms(Seq(k)).headOption.map(_ -> cfg.normalizeTerms(ms))
+      }
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
+      .map { case (k, ms) => k -> ms.distinct }
+    val groups = rawTerms.flatMap { raw =>
+      val (base, fuzzy) = raw.lastIndexOf('~') match {
+        case i if i > 0 && raw.drop(i + 1).forall(_.isDigit) &&
+            raw.length > i + 1 => (raw.take(i), Some(raw.drop(i + 1).toInt))
+        case _ => (raw, None)
+      }
+      // step 1: analyzer first — a stopped/too-short term yields no group
+      cfg.normalizeTerms(Seq(base)).headOption.map { t =>
+        fuzzy match {
+          case Some(k) => matchFuzzyIds(ix, t, k) // step 3
+          case None => matchAnyIds(ix, (t +: syn.getOrElse(t, Nil)).distinct)
+        }
+      }
+    }
+    require(groups.nonEmpty, s"query '${rawTerms.mkString(" ")}' analyzed to nothing")
+    groups.reduce((a, b) => a.join(b, "doc_id"))
+  }
+
   /** Synonym-BLENDED BM25 top-k: each group scores as ONE pseudo-term —
     * member postings union with tf SUMMED per doc and df = docs
     * containing any member (Lucene SynonymQuery's blended statistics) —

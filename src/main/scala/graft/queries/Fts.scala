@@ -340,6 +340,53 @@ object Fts extends QueryPack {
                SELECT DISTINCT doc_id FROM toks JOIN hits USING (term)
                ORDER BY doc_id""")),
 
+    // ANALYZER × SYNONYM × FUZZY composition (Search.matchCompoundIds) —
+    // pins the documented ordering: analyzer FIRST (stop → stem → min-len),
+    // synonyms POST-stem (map keys and members are themselves analyzed),
+    // fuzzy AFTER analysis against the ANALYZED dictionary. Every ordering
+    // fact is observable in the row set:
+    //  - 'the' is stopped → contributes no MUST group (else 0 rows);
+    //  - 'querries~1' stems to 'querry' BEFORE the edit-distance expansion
+    //    (raw 'querries' is 3 edits from 'query' → pre-stem fuzzy = 0 rows);
+    //  - query term 'lookup' meets raw synonym key 'lookups' and raw member
+    //    'scans' only because both sides of the map analyze to
+    //    'lookup'→'scan' (un-analyzed map = 0 rows: 'lookup' is not in the
+    //    corpus and 'scans' is not a corpus term).
+    // Oracle replays pipeline → map compile → expansion → MUST-intersect.
+    Q("q_fts_compose",
+      (s, dir) => {
+        val cfg = graft.fts.AnalyzerConfig(
+          stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+        val ix = Index.buildWithAnalyzer(Tables(s, dir, "documents"), cfg)
+        Search.matchCompoundIds(ix, cfg,
+          Seq("the", "querries~1", "lookup"),
+          Map("lookups" -> Seq("scans"))).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     list_filter($DTOKS, x -> x <> 'the'),
+                     x -> CASE
+                       WHEN x LIKE '%ies' AND NOT (x LIKE '%eies' OR x LIKE '%aies')
+                         THEN substr(x, 1, len(x) - 3) || 'y'
+                       WHEN x LIKE '%es' AND NOT (x LIKE '%aes' OR x LIKE '%ees' OR x LIKE '%oes')
+                         THEN substr(x, 1, len(x) - 1)
+                       WHEN x LIKE '%s' AND NOT (x LIKE '%us' OR x LIKE '%ss')
+                         THEN substr(x, 1, len(x) - 1)
+                       ELSE x END),
+                   x -> len(x) >= 2) AS t
+                 FROM documents),
+               tk AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               dict AS (SELECT DISTINCT term FROM tk),
+               fz AS (SELECT term FROM dict
+                      WHERE abs(len(term) - 6) <= 1
+                        AND levenshtein(term, 'querry') <= 1),
+               g1 AS (SELECT DISTINCT doc_id FROM tk JOIN fz USING (term)),
+               g2 AS (SELECT DISTINCT doc_id FROM tk
+                      WHERE term IN ('lookup', 'scan'))
+               SELECT doc_id FROM g1 JOIN g2 USING (doc_id)
+               ORDER BY doc_id""")),
+
     // TF-IDF (reference IDF semantics: ln((N+1)/(df+1)), length-normalized tf).
     Q("q_fts_tfidf",
       (s, dir) => Search.tfidfTopK(Tables(s, dir, "documents"),

@@ -334,13 +334,13 @@ object Relational extends QueryPack {
           .groupBy("g")
           .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("qty"),
             d(sum(dec(col("l_extendedprice")))).as("rev"),
-            sum(col("l_partkey")).as("pk"))
+            sum(col("l_partkey")).cast("bigint").as("pk"))
           .orderBy("g")
       },
       Some("""SELECT g, count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
-              sum(l_partkey) AS pk
+              CAST(sum(l_partkey) AS BIGINT) AS pk
               FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
                                 ELSE l_orderkey % 1000 END AS k,
                            l_quantity, l_extendedprice, l_partkey

@@ -404,7 +404,7 @@ object Sources extends QueryPack {
       Some("""SELECT CASE CAST(range % 4 AS INT) WHEN 0 THEN 'en'
                      WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'ja' END AS lang,
                 count(*) AS n,
-                sum(1 + range % 32) AS toks
+                CAST(sum(1 + range % 32) AS BIGINT) AS toks
               FROM range(0, 3000) GROUP BY 1 ORDER BY lang""")),
 
     Q("q_stream_dedup",

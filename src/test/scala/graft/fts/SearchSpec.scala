@@ -241,6 +241,45 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet.contains(1L))
   }
 
+  test("compound: analyzer-first, synonyms post-stem, fuzzy on analyzed dict") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the query planner uses scan primitives"),
+      (2L, "queries against the scan layer"), // 'queries' indexes as 'query'
+      (3L, "query without the other group"),
+      (4L, "scan only here")
+    ).toDF("doc_id", "text")
+    val cfg = AnalyzerConfig(stopWords = Seq("the"), sStem = true, minTokenLen = 2)
+    val aix = Index.buildWithAnalyzer(corpus, cfg)
+
+    def run(terms: Seq[String], syn: Map[String, Seq[String]]): Set[Long] =
+      Search.matchCompoundIds(aix, cfg, terms, syn)
+        .collect().map(_.getLong(0)).toSet
+
+    // the full composition: 'the' stopped (no empty MUST group);
+    // 'querries~1' → stem 'querry' → 1-edit 'query' (incl. doc 2, whose
+    // raw 'queries' only exists in the dictionary AS its stem); 'lookup'
+    // hits via the analyzed map key 'lookups'→'lookup', member
+    // 'scans'→'scan'
+    assert(run(Seq("the", "querries~1", "lookup"),
+      Map("lookups" -> Seq("scans"))) == Set(1L, 2L))
+
+    // fuzzy pre-stem would be empty: raw 'querries' is 3 edits from
+    // 'query'; the non-empty result above proves post-stem expansion.
+    // Directly: the expansion input really is the stem
+    assert(run(Seq("querries~1"), Map.empty) == Set(1L, 2L, 3L))
+    // un-analyzed members would miss: 'scans' is not a corpus term
+    assert(run(Seq("lookup"), Map("lookup" -> Seq("scans"))) == Set(1L, 2L, 4L))
+    // a term that is ONLY a stopword analyzes to nothing → hard error,
+    // not a match-nothing MUST
+    intercept[IllegalArgumentException] {
+      run(Seq("the"), Map.empty)
+    }
+    // fuzzy terms skip synonym expansion (Lucene's term-level rewrite):
+    // a synonym keyed on the analyzed fuzzy term must not widen the group
+    assert(run(Seq("querries~0"), Map("querry" -> Seq("scan"))) == Set.empty)
+  }
+
   test("BM25F: field weights scale tf before saturation") {
     import spark.implicits._
     val fielded = Seq(

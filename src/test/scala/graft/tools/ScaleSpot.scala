@@ -37,36 +37,13 @@ object ScaleSpot {
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- materialize the scaled corpus (replicas, disjoint id ranges) ----
-    def replicas(name: String, idCol: String)(
-        perReplica: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame)
-        : Unit = {
-      val src = spark.read.parquet(s"$base/$name.parquet")
-      val maxId = src.agg(max(col(idCol))).collect()(0).getLong(0) + 1
-      (0 until factor).map { k =>
-        perReplica(src.withColumn(idCol, col(idCol) + lit(k * maxId)), k)
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
-    replicas("documents", "doc_id") { (df, k) =>
-      if (k == 0) df
-      else {
-        // per-replica deterministic token shuffle: same multiset (tf/df/
-        // len/BM25 stats preserved), different shingle sequences
-        val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
-          t => length(t) > 0)
-        val keyed = transform(toks,
-          t => struct(xxhash64(t, lit(k)).as("h"), t.as("t")))
-        df.withColumn("text",
-          array_join(transform(array_sort(keyed), s => s.getField("t")), " "))
-      }
-    }
-    replicas("embeddings", "vec_id")((df, _) => df)
-    replicas("lineitem", "l_orderkey")((df, _) => df)
+    // ---- materialize the scaled corpus (replicas, disjoint id ranges;
+    //      growth model documented on ScaleCorpus) ----
+    ScaleCorpus.documents(spark, out, factor)
+    ScaleCorpus.embeddings(spark, out, factor)
+    ScaleCorpus.lineitem(spark, out, factor)
     // small tables some query setups read incidentally
-    for (t <- Seq("nation", "region"))
-      spark.read.parquet(s"$base/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    ScaleCorpus.smallTables(spark, out)
 
     val names = Seq("q_text_dsir", "q_fts_sql_bm25", "q_fts_query_ranked",
       "q_sim_sql", "q_sim_ivfpq", "q_sim_knn_exact", "q_dedup_exact",
