@@ -241,6 +241,16 @@ object Bench {
         (metricLine + "\n" + s"""{"bench_detail":true,"queries":$qsFull}""" +
           "\n").getBytes("UTF-8"))
     }
+    // Append the throttle stamp to a repo-side time series so throttle
+    // windows are visible across rounds without opening each BENCH_r{N}
+    // artifact (PROGRESS.jsonl is driver-owned, so the stamp lives here).
+    scala.util.Try {
+      val stamp = s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","total_sec":${fmt(total)},"n_queries":${results.size},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"floor_sec":${f"$floorSec%.3f"}}""" + "\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        stamp.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     println(metricLine)
   }
 }

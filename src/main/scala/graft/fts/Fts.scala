@@ -1043,6 +1043,75 @@ object Search {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** HIGHLIGHTING (Lucene highlighter semantics, deterministically
+    * pinned): for every document containing ANY query term, return the
+    * best fixed-width token window as a snippet — the window anchored at
+    * a query-term hit that contains the MOST query-term occurrences, ties
+    * broken by earliest position. Runs entirely on the token/position
+    * frame: candidate anchors are the hit positions themselves (the
+    * optimal window always starts at a hit — shifting a window right to
+    * its first hit never loses an occurrence), so per-doc work is
+    * O(hits²) with hits ≤ doc length, never O(len²). The position
+    * self-join shuffles once on doc_id and stays partition-local; the
+    * text is re-read only for the one winning window per doc.
+    *
+    * Output: (doc_id, snippet, n_hits), snippet = the window's tokens
+    * joined by a space (the frozen grammar drops punctuation, so the
+    * snippet is a normalized excerpt, not a byte-offset substring). */
+  def highlight(docs: DataFrame, terms: Seq[String], window: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    require(window >= 1, "window must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Analyzer.tokenize(col(textCol)).as("t"))
+    // 1-based positions: slice() is 1-based, and the DuckDB oracle's list
+    // comprehension indexes 1-based — keep the two engines aligned
+    val hits = toks
+      .select(col("doc_id"), posexplode(col("t")))
+      .filter(col("col").isin(terms.distinct: _*))
+      .select(col("doc_id"), (col("pos") + 1).as("p"))
+    val cnt = hits.as("a").join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.p") >= col("a.p") && col("b.p") <= col("a.p") + (window - 1))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.p").as("p"))
+      .agg(count(lit(1)).as("n_hits"))
+    val best = cnt.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("n_hits").desc, col("p").asc)))
+      .filter(col("rk") === 1)
+      .drop("rk")
+    best.join(toks, "doc_id")
+      .select(col("doc_id"),
+        array_join(slice(col("t"), col("p"), lit(window)), " ").as("snippet"),
+        col("n_hits"))
+  }
+
+  /** DID-YOU-MEAN suggestion (Lucene DirectSpellChecker semantics): for a
+    * misspelled term, candidates are dictionary terms within `maxEdits`,
+    * ranked by (edit distance ASC, document frequency DESC, term ASC) —
+    * closer beats more-frequent, frequency breaks distance ties, the term
+    * string makes the ranking total. Expansion runs over the length-banded
+    * term DICTIONARY exactly like [[matchFuzzyIds]] (|vocab|-sized, never
+    * corpus-sized); df comes from one aggregation over the pruned postings
+    * of the surviving candidates. Returns the top `n` suggestions as
+    * (term, suggestion, dist, df). */
+  def suggest(ix: FtsIndex, term: String, maxEdits: Int = 2,
+              n: Int = 3): DataFrame = {
+    val dict = ix.postings.select(col("term")).distinct()
+      .filter(abs(length(col("term")) - lit(term.length)) <= maxEdits)
+      .filter(levenshtein(col("term"), lit(term)) <= maxEdits)
+      .filter(col("term") =!= term) // the exact term is not a suggestion
+    val dfs = ix.postings.join(broadcast(dict), "term")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    dfs
+      .select(lit(term).as("term"), col("term").as("suggestion"),
+        levenshtein(col("term"), lit(term)).as("dist"), col("df"))
+      .orderBy(col("dist").asc, col("df").desc, col("suggestion").asc)
+      .limit(n)
+  }
+
   /** MORE-LIKE-THIS (Lucene's find-similar-documents): the source doc's
     * terms rank by classic tf·ln(N/df) against the corpus, the top
     * `nTerms` become a BM25 query, and the source doc is excluded from

@@ -306,6 +306,61 @@ object Dedup {
       .select(col(idCol), coalesce(col("kept_text"), lit("")).as(textCol))
   }
 
+  /** EXACT-SUBSTRING deduplication at token granularity (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * operation, re-expressed relationally): a token position is DUPLICATED
+    * when it lies inside any k-token window whose k-gram occurs in at
+    * least `minDocs` DISTINCT documents; duplicated positions are removed
+    * and the survivors reassemble in order. Deterministic by construction
+    * — no suffix array needed when the span floor is a fixed k: every
+    * duplicated span of length ≥ k is a union of duplicated k-windows, so
+    * marking k-windows marks exactly the maximal duplicated spans.
+    *
+    * Scale shape (mirrors [[dedupLines]] one level down): posexplode to
+    * token positions (narrow) → k-gram per position via a length-guarded
+    * slice (narrow) → k-gram df aggregation (map-side partial, ONE shuffle
+    * on the gram hash) → semi-join window starts against the hot grams →
+    * covered positions explode (≤ k per start, narrow) → anti-join tokens
+    * minus covered (shuffle on (doc, pos)) → order-preserving reassembly
+    * (one shuffle on doc_id). Never all-pairs, no driver state; the hot
+    * side is bounded by corpus-tokens/minDocs.
+    *
+    * Returns (idCol, textCol cleaned, n_dropped). */
+  def exactSubstrDedup(docs: DataFrame, k: Int = 5, minDocs: Long = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
+    val toks = docs.select(col(idCol),
+        graft.fts.Analyzer.tokenize(col(textCol)).as("t"))
+      .select(col(idCol), size(col("t")).as("len"),
+        posexplode(col("t")).as(Seq("pos", "tok")), col("t"))
+    // k-gram starting at pos (only where a full window fits); the gram is
+    // the joined token run — tokens are [a-z0-9]+ so ' ' never collides
+    val grams = toks.filter(col("pos") <= col("len") - k)
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("t"), col("pos") + 1, lit(k)), " ").as("gram"))
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDocs).select("gram")
+    val covered = grams.join(hot, Seq("gram"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.select(col(idCol), col("pos"), col("tok"))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        size(graft.fts.Analyzer.tokenize(col(textCol))).as("n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean"), lit("")).as(textCol),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).cast("bigint")
+          .as("n_dropped"))
+  }
+
   /** Near-duplicate pairs at `threshold` via MinHash LSH + exact verify. */
   def nearDupPairsMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sets = shingleSets(docs)

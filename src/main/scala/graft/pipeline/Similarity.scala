@@ -623,6 +623,34 @@ object Similarity {
       qv, codebooks, queryId, k, idCol)
   }
 
+  /** IVF-PQ serve with a REFINE step (FAISS IndexRefineFlat / the
+    * standard two-stage ANN serving): ADC over the probed cells produces
+    * a SHORTLIST of `refine` candidates (cheap — code rows only), the
+    * shortlist alone joins back to the stored vectors for EXACT cosine
+    * re-ranking, and the top-k is exact-over-shortlist. This is the fix
+    * for ADC's quantization error dominating tightly-clustered corpora
+    * (measured in AnnRecallSpot: ADC-only recall@10 collapses as cluster
+    * density grows; refined recall recovers to ~1.0) at a cost of one
+    * `refine`-row broadcast-join against the corpus — candidate-bounded,
+    * corpus-size-free. Ranking convention matches every serving path:
+    * cosim rounded to 4 dp, ties to the lower id. */
+  def ivfPqTopKRefined(emb: DataFrame, dir: String, queryId: Long, k: Int,
+                       nprobe: Int = 4, refine: Int = 100,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(refine >= k, "refine shortlist must be at least k")
+    val shortlist = ivfPqTopK(emb, dir, queryId, refine, nprobe, idCol, vecCol)
+      .select(col(idCol))
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv")).limit(1)
+    emb.join(broadcast(shortlist), idCol)
+      .crossJoin(broadcast(qRow))
+      .withColumn("cosim", round(cosine(asDouble(col(vecCol)), col("qv")), 4))
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-ROW probe set: the `nprobe` nearest cells (1-based) as an array
     * column — [[nearestCells]] as an expression, for operators where every
     * row is a query (no driver round-trip per query). Scores sort

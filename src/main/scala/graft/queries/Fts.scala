@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.fts.{Index, Search}
+import scala.jdk.CollectionConverters._
 
 /** Full-text query layer verification (SURVEY.md §7 — the layer the
   * reference fork intended but never shipped). DuckDB oracles re-derive the
@@ -33,9 +34,21 @@ object Fts extends QueryPack {
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
     val streamDir = java.nio.file.Paths.get(landing)
     java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("documents.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the fixture ships documents.parquet as one FILE; a Spark-written
+    // corpus (e.g. the ScaleCorpus ×N replicas) is a DIRECTORY of part
+    // files — stage whichever shape this dir has (part files land flat in
+    // the landing dir; the file stream globs *.parquet either way)
+    val src = java.nio.file.Paths.get(path)
+    val parts =
+      if (java.nio.file.Files.isDirectory(src))
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq(src)
+    require(parts.nonEmpty, s"no parquet files to stage under $path")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, streamDir.resolve(f"documents_$i%05d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     val docsStream = s.readStream.schema(schema).parquet(streamDir.toString)
     graft.fts.IncrementalIndex.start(docsStream, deltaDir,
       positional = positional, analyzer = analyzer)
@@ -386,6 +399,62 @@ object Fts extends QueryPack {
                       WHERE term IN ('lookup', 'scan'))
                SELECT doc_id FROM g1 JOIN g2 USING (doc_id)
                ORDER BY doc_id""")),
+
+    // HIGHLIGHTING: for every doc matching ANY of ('spark','query'), the
+    // best 8-token window — anchored at a query-term hit, containing the
+    // most query-term occurrences, earliest on ties — as a normalized
+    // snippet (Search.highlight; Lucene highlighter semantics pinned
+    // deterministically). Oracle replays anchor enumeration, window
+    // counting, and the slice.
+    Q("q_fts_highlight",
+      (s, dir) => Search.highlight(Tables(s, dir, "documents"),
+          Seq("spark", "query"), window = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               hits AS (SELECT doc_id,
+                          unnest([i FOR i IN range(1, len(t)+1)
+                                  IF t[i] IN ('spark','query')]) AS p
+                        FROM toks),
+               cnt AS (SELECT a.doc_id, a.p, count(*) AS n_hits
+                       FROM hits a JOIN hits b ON a.doc_id = b.doc_id
+                         AND b.p BETWEEN a.p AND a.p + 7
+                       GROUP BY 1, 2),
+               best AS (SELECT doc_id, p, n_hits,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, p) AS rk
+                        FROM cnt)
+               SELECT b.doc_id,
+                 array_to_string(t[b.p:b.p+7], ' ') AS snippet, b.n_hits
+               FROM best b JOIN toks USING (doc_id) WHERE rk = 1
+               ORDER BY doc_id""")),
+
+    // DID-YOU-MEAN (Search.suggest, Lucene DirectSpellChecker ranking):
+    // dictionary candidates within 2 edits ranked (distance ASC, df DESC,
+    // term ASC), top 3 per misspelling; two misspellings unioned. The
+    // expansion runs over the length-banded term dictionary, df over the
+    // pruned postings — never a corpus scan per suggestion.
+    Q("q_fts_suggest",
+      (s, dir) => {
+        val ix = Index.build(Tables(s, dir, "documents"))
+        Search.suggest(ix, "qurey").unionByName(Search.suggest(ix, "streem"))
+          .orderBy("term", "dist", "suggestion")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               dt AS (SELECT DISTINCT doc_id, term FROM toks),
+               dict AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+               q(term) AS (VALUES ('qurey'), ('streem')),
+               cand AS (SELECT q.term, d.term AS suggestion,
+                          CAST(levenshtein(d.term, q.term) AS INTEGER) AS dist,
+                          d.df,
+                          row_number() OVER (PARTITION BY q.term
+                            ORDER BY levenshtein(d.term, q.term), d.df DESC,
+                                     d.term) AS rk
+                        FROM dict d CROSS JOIN q
+                        WHERE abs(len(d.term) - len(q.term)) <= 2
+                          AND levenshtein(d.term, q.term) <= 2
+                          AND d.term <> q.term)
+               SELECT term, suggestion, dist, df FROM cand WHERE rk <= 3
+               ORDER BY term, dist, suggestion""")),
 
     // TF-IDF (reference IDF semantics: ln((N+1)/(df+1)), length-normalized tf).
     Q("q_fts_tfidf",

@@ -575,6 +575,87 @@ object Relational extends QueryPack {
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          ORDER BY s_suppkey"""),
 
+    // TPC-H Q2 shape (minimum-cost supplier; partsupp is absent from the
+    // fixture so "cost" is the supplier's account balance and eligibility
+    // is having shipped the part): a correlated scalar MIN subquery whose
+    // equality correlation must decorrelate into a per-part aggregate
+    // joined back — never a per-row re-execution.
+    sqlQ("q_tpch_q2",
+      """SELECT DISTINCT p_partkey, s_suppkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS bal
+         FROM part, supplier, lineitem
+         WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+           AND p_size <= 2
+           AND s_acctbal = (SELECT min(s2.s_acctbal)
+                            FROM supplier s2, lineitem l2
+                            WHERE l2.l_partkey = p_partkey
+                              AND l2.l_suppkey = s2.s_suppkey)
+         ORDER BY p_partkey, s_suppkey"""),
+
+    // TPC-H Q9 shape (product-type profit; no partsupp → profit is the
+    // discounted revenue): 4-table join with a non-anchored LIKE on the
+    // part name (no pushable prefix — a residual filter after the
+    // broadcast dim join), two-level grouping on (nation, year).
+    sqlQ("q_tpch_q9",
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+         FROM part, supplier, lineitem, nation
+         WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+           AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+         GROUP BY n_name, year(l_shipdate)
+         ORDER BY nation, o_year"""),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join with
+    // an EXTRA non-join predicate in the ON clause (it must filter the
+    // right side only, never turn the join inner), then a histogram of
+    // the per-customer counts — customers with zero orders count in the
+    // c_count=0 bucket, the classic outer-join-preservation check.
+    sqlQ("q_tpch_q13",
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""),
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated AVG threshold —
+    // each lineitem compares against 0.2× the mean quantity OF ITS PART.
+    // The threshold is built from an exact DECIMAL sum divided once as
+    // DOUBLE (engine-identical; a naive avg(DOUBLE) would accumulate in
+    // engine-specific order). Decorrelates to a per-part aggregate + join.
+    sqlQ("q_tpch_q17",
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+           AND CAST(l_quantity AS DOUBLE) <
+               (SELECT 0.2 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE) / count(*)
+                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting; the fixture has
+    // no commit/receipt dates so "late" is shipping after the order
+    // date): the hardest decorrelation in the suite — an EXISTS and a
+    // NOT EXISTS over the SAME fact self-join, the NOT EXISTS correlating
+    // on BOTH the outer lineitem (l_orderkey, <> l_suppkey) AND a column
+    // of a third table (o_orderdate) — must lower to one semi- and one
+    // anti-join against per-order aggregates of the self-joined fact.
+    sqlQ("q_tpch_q21",
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""),
+
     // NOT IN (subquery) — the NULL-AWARE anti-join (reference
     // BroadcastHashJoinExec's isNullAwareAntiJoin lineage): one branch
     // over a null-free subquery behaves like a plain anti-join; the other

@@ -64,9 +64,19 @@ object StreamOps {
     fs.delete(new org.apache.hadoop.fs.Path(landing), true)
     val streamDir = java.nio.file.Paths.get(landing)
     java.nio.file.Files.createDirectories(streamDir)
-    for (i <- 1 to copies) {
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-        streamDir.resolve(s"events_$i.parquet"),
+    // fixture = one FILE; a Spark-written events table (ScaleCorpus ×N
+    // replicas) = a DIRECTORY of part files — stage either shape
+    val src = java.nio.file.Paths.get(path)
+    val parts =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } else Seq(src)
+    require(parts.nonEmpty, s"no parquet files to stage under $path")
+    for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {
+      java.nio.file.Files.copy(p,
+        streamDir.resolve(f"events_${i}_$j%05d.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     graft.core.EventTime.toTimestamp(

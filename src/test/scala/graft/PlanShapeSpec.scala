@@ -432,6 +432,20 @@ class PlanShapeSpec extends SparkSpec {
       "serving must read code rows, never the raw vectors")
   }
 
+  test("q_fts_highlight: anchor join is an equi-join, best window bounds map-side") {
+    val plan = planOf("q_fts_highlight")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the position self-join must meet on doc_id, never a nested loop")
+    assert(plan.contains("WindowGroupLimit"),
+      "the rk=1 best-window filter must bound per-doc state map-side")
+  }
+
+  test("q_dedup_substr: gram/cover/reassembly joins never go nested-loop") {
+    val plan = planOf("q_dedup_substr")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact-substring dedup is equi-joins on gram and (doc, pos) only")
+  }
+
   test("q_join_asof plans as window aggregation, never a nested-loop join") {
     val plan = planOf("q_join_asof")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
