@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -1344,6 +1344,65 @@ object Pipeline extends QueryPack {
     // same semantics as the naive single-partition global window DuckDB can
     // afford at oracle scale. Hash equality proves the distributed prefix
     // sum is exactly the sequential one.
+    // RAG-style document CHUNKING (pipeline/Chunking.scala): sliding
+    // 8-token windows with 2-token overlap (stride 6), chunk c = tokens
+    // [c*6, c*6+8), last chunk short — shuffle-FREE (tokenize → narrow
+    // generate → slice projections; chunk rows inherit the scan's
+    // partitioning, and (doc_id, chunk_id) is the stable upsert key the
+    // streaming vector index wants). Oracle replays the window algebra.
+    Q("q_pipeline_chunk",
+      (s, dir) => Chunking.chunk(Tables(s, dir, "documents"),
+          size = 8, overlap = 2)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               c AS (SELECT doc_id, t,
+                       unnest(range(0,
+                         CAST(floor((len(t) - 1) / 6) AS INT) + 1)) AS cid
+                     FROM toks WHERE len(t) >= 1)
+               SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                 array_to_string(t[cid*6+1 : cid*6+8], ' ') AS text,
+                 CAST(least(8, len(t) - cid*6) AS INT) AS n_toks
+               FROM c ORDER BY doc_id, chunk_id""")),
+
+    // CHUNK-LEVEL RETRIEVAL — chunking composed with the FTS index, the
+    // RAG serving shape (retrieve the best-matching CHUNK, not document):
+    // chunks become the corpus rows (key doc_id*1000+chunk_id — stride 6
+    // bounds chunks/doc far below 1000 at any doc length the fixture
+    // grammar yields), BM25 over the chunk index, top-10 chunks for
+    // ('spark','query'). Chunk-level dl/avgdl make short focused chunks
+    // outrank long diluted documents — the reason RAG indexes chunks.
+    // Oracle replays chunking + BM25 end-to-end.
+    Q("q_pipeline_chunk_bm25",
+      (s, dir) => {
+        val chunks = Chunking.chunk(Tables(s, dir, "documents"),
+            size = 8, overlap = 2)
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+            col("text"))
+        graft.fts.Search.scoreBm25(graft.fts.Index.build(chunks),
+          Seq("spark", "query"), k = 10)
+          .withColumnRenamed("doc_id", "chunk_key")
+      },
+      Some(s"""WITH toks0 AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               c AS (SELECT doc_id, t,
+                       unnest(range(0,
+                         CAST(floor((len(t) - 1) / 6) AS INT) + 1)) AS cid
+                     FROM toks0 WHERE len(t) >= 1),
+               chunks AS (SELECT doc_id * 1000 + cid AS ck,
+                            t[cid*6+1 : cid*6+8] AS t FROM c),
+               tk AS (SELECT ck, unnest(t) AS term FROM chunks),
+               tf AS (SELECT ck, term, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+               dl AS (SELECT ck, count(*)::DOUBLE AS dl FROM tk GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.ck,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING(term) JOIN dl USING(ck) CROSS JOIN stats
+                      GROUP BY tf.ck)
+               SELECT ck AS chunk_key, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, chunk_key LIMIT 10""")),
+
     Q("q_pipeline_pack",
       (s, dir) => Packing.packByBudget(Tables(s, dir, "documents"), 2048L),
       Some("""WITH t AS (SELECT doc_id,

@@ -126,6 +126,28 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 8, s"recall too low: ${(exact & ivf).size}/10")
   }
 
+  test("ivfPqTopKRefined: corpus-wide shortlist reduces to exact brute force") {
+    // with refine >= |corpus| and all cells probed, the shortlist IS the
+    // corpus, so the exact re-rank must equal bruteForceTopK row-for-row
+    // (same rounding, same tie rule) — the degenerate contract that pins
+    // the refine stage's ranking convention
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    try {
+      val layout = graft.core.Scratch.dir("simspec_refined")
+      Similarity.writeCelledPq(clustered, layout)
+      val n = clustered.count().toInt
+      val refined = Similarity.ivfPqTopKRefined(clustered, layout, 0L, 10,
+        nprobe = 16, refine = n).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = Similarity.bruteForceTopK(clustered, 0L, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(refined.toSeq == exact.toSeq)
+    } finally clustered.unpersist()
+  }
+
   test("k-means-trained IVF centroids beat (or saturate) the untrained seeds") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),
