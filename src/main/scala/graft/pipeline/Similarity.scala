@@ -571,24 +571,56 @@ object Similarity {
       qRow.get.getSeq[Double](0).toArray, codebooks, queryId, k, idCol)
   }
 
+  /** Element-wise residual of `v` against its 1-based `cell`'s centroid —
+    * the quantity RESIDUAL IVF-PQ encodes instead of the raw vector. */
+  private def residualExpr(v: Column, cell: Column,
+                           centroids: Seq[Array[Double]]): Column = {
+    val centArr = element_at(
+      array(centroids.map(c => array(c.map(lit): _*)): _*), cell)
+    zip_with(v, centArr, (x, c) => x - c)
+  }
+
   /** IVF-PQ BUILD: the cell-partitioned layout + quantizer from
     * [[writeCelled]], PLUS a cell-partitioned CODES projection
     * (`$dir/_codes`: idCol, pq_codes — underscore dir, so the celled read
     * skips it) and the PQ codebooks (`$dir/_pq`). The FAISS-standard
     * composition: serving partition-prunes to the probe cells and scans m
     * small ints per candidate — at 100 TB, nprobe/nlist of a corpus 32×
-    * smaller than the raw vectors. */
+    * smaller than the raw vectors.
+    *
+    * `residual = true` builds the STANDARD FAISS IVF-PQ encoding: codes
+    * quantize `v − centroid(cell)` rather than `v`, and the codebooks
+    * train on those residuals. On clustered data this is the difference
+    * between wasting the codebook's resolution re-describing WHICH
+    * cluster (already known from the cell) and spending all of it on the
+    * within-cluster offsets that actually rank candidates — measured in
+    * AnnRecallSpot: raw-ADC recall@10 collapses with cluster density
+    * while residual-ADC holds (serving reads the per-layout `_pqmeta`
+    * marker and builds per-probed-cell LUTs; same scan, same row width). */
   def writeCelledPq(emb: DataFrame, dir: String, nlist: Int = 16,
                     m: Int = 8, ncent: Int = 16, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    trainIters: Int = DefaultTrainIters): Unit = {
-    val celled = writeCelled(emb, dir, nlist, idCol, vecCol, trainIters)
-    val codebooks = trainPqCodebooks(emb, m, ncent, trainIters, idCol, vecCol)
-    celled.select(col(idCol), col("cell"),
-        pqEncode(asDouble(col(vecCol)), codebooks).as("pq_codes"))
+                    trainIters: Int = DefaultTrainIters,
+                    residual: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    val (celled, centroids, _) =
+      writeCelledWith(emb, dir, nlist, idCol, vecCol, trainIters)
+    val encodeInput =
+      if (residual)
+        celled.select(col(idCol), col("cell"),
+          residualExpr(asDouble(col(vecCol)), col("cell"), centroids)
+            .as(vecCol))
+      else celled.select(col(idCol), col("cell"), asDouble(col(vecCol)).as(vecCol))
+    val codebooks =
+      trainPqCodebooks(encodeInput, m, ncent, trainIters, idCol, vecCol)
+    encodeInput.select(col(idCol), col("cell"),
+        pqEncode(col(vecCol), codebooks).as("pq_codes"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_codes")
-    writePqBooks(emb.sparkSession, dir, codebooks)
+    writePqBooks(spark, dir, codebooks)
+    import spark.implicits._
+    Seq(residual).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_pqmeta")
   }
 
   private[graft] def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -599,28 +631,77 @@ object Similarity {
       .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
   }
 
+  /** RESIDUAL-ADC top-k over probed code rows: the LUT is PER CELL — the
+    * query's residual against each probed cell's centroid replaces the
+    * raw query in the table build — and the scan picks its cell's LUT
+    * through one chained CASE on the partition column (nprobe branches of
+    * m lookups; same code-row scan as [[pqTopKOnCodes]], no extra IO). */
+  private def pqTopKOnCodesResidual(codes: DataFrame, qv: Array[Double],
+                                    codebooks: Seq[Seq[Array[Double]]],
+                                    centroids: Seq[Array[Double]],
+                                    cells: Seq[Int], queryId: Long,
+                                    k: Int, idCol: String): DataFrame = {
+    val m = codebooks.size
+    val sub = qv.length / m
+    def adcFor(cell: Int): Column = {
+      val cent = centroids(cell - 1) // cells are 1-based
+      val qr = qv.indices.map(i => qv(i) - cent(i))
+      val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+        codebooks(s).map { cb =>
+          (0 until sub).map { i =>
+            val d = qr(s * sub + i) - cb(i); d * d
+          }.sum
+        }
+      }
+      (0 until m).map { s =>
+        element_at(array(lut(s).map(lit): _*),
+          element_at(col("pq_codes"), s + 1) + 1)
+      }.reduce(_ + _)
+    }
+    // one chained CaseWhen (branch per probed cell), not a nested fold —
+    // each .when() appends a branch to the same expression
+    val adc = cells.tail.foldLeft(
+      when(col("cell") === cells.head, adcFor(cells.head))) {
+      (acc, c) => acc.when(col("cell") === c, adcFor(c))
+    }
+    codes.filter(col(idCol) =!= queryId)
+      .withColumn("adc", round(adc, 6))
+      .select(col(idCol), col("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ SERVE: probe the quantizer's `nprobe` nearest cells — a
     * PARTITION filter on the codes layout — and rank the survivors by ADC
     * over their code rows. Serve-only like the other persisted paths;
-    * `emb` is consulted only for the query id's vector. */
+    * `emb` is consulted only for the query id's vector. Residual layouts
+    * (`writeCelledPq(residual = true)`, detected from the `_pqmeta`
+    * marker) serve through the per-cell residual LUTs. */
   def ivfPqTopK(emb: DataFrame, dir: String, queryId: Long, k: Int,
                 nprobe: Int = 4, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$dir/_codes")
-    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+    require(p.getFileSystem(hconf).exists(p),
       s"no IVF-PQ layout at $dir — build it once with writeCelledPq() " +
         "(build and serve are separate steps)")
     val (centroids, cNorms) = readQuantizer(spark, dir)
     val codebooks = readPqCodebooks(spark, dir)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_pqmeta")
+    val residual = metaPath.getFileSystem(hconf).exists(metaPath) &&
+      spark.read.parquet(s"$dir/_pqmeta").head().getBoolean(0)
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol))).limit(1).collect().headOption
     if (qRow.isEmpty) return emptyTopK(emb, idCol)
     val qv = qRow.get.getSeq[Double](0).toArray
     val probes = nearestCells(qv, centroids, cNorms, nprobe)
-    pqTopKOnCodes(
-      spark.read.parquet(s"$dir/_codes").filter(col("cell").isin(probes: _*)),
-      qv, codebooks, queryId, k, idCol)
+    val codes =
+      spark.read.parquet(s"$dir/_codes").filter(col("cell").isin(probes: _*))
+    if (residual)
+      pqTopKOnCodesResidual(codes, qv, codebooks, centroids,
+        probes, queryId, k, idCol)
+    else pqTopKOnCodes(codes, qv, codebooks, queryId, k, idCol)
   }
 
   /** IVF-PQ serve with a REFINE step (FAISS IndexRefineFlat / the

@@ -492,6 +492,21 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // RESIDUAL IVF-PQ (the standard FAISS encoding — codes quantize
+    // v − centroid(cell), codebooks train on residuals, serving builds
+    // per-probed-cell LUTs off the _pqmeta marker): same recall@10 >= 0.8
+    // contract through the residual layout + refine. Why it matters is
+    // MEASURED (AnnRecallSpot, x10 density): raw ADC 0.038 vs residual
+    // ADC 0.262 at identical code width — the codebook spends its bits on
+    // within-cluster offsets, the part that actually ranks candidates.
+    Q("q_sim_ivfpq_residual",
+      (s, dir) => recallCheck(s, dir) { emb =>
+        val layoutDir = graft.core.Scratch.dir("ivfpq_residual_cells")
+        Similarity.writeCelledPq(emb, layoutDir, residual = true)
+        Similarity.ivfPqTopKRefined(emb, layoutDir, 0L, 10)
+      },
+      Some("SELECT true AS ok")),
+
     Q("q_sim_ivfpq",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

@@ -148,6 +148,38 @@ class SimilaritySpec extends SparkSpec {
     } finally clustered.unpersist()
   }
 
+  test("residual IVF-PQ: serve detects the layout, ADC >= raw-ADC recall") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    try {
+      val exact = Similarity.bruteForceTopK(clustered, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      def recallOf(residual: Boolean): Int = {
+        val layout = graft.core.Scratch.dir(s"simspec_res_$residual")
+        Similarity.writeCelledPq(clustered, layout, residual = residual)
+        val got = Similarity.ivfPqTopK(clustered, layout, 0L, 10, nprobe = 16)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size
+      }
+      val raw = recallOf(residual = false)
+      val res = recallOf(residual = true)
+      // residual codes spend the codebook on within-cluster offsets — the
+      // part that ranks candidates — so they can only help on this fixture
+      assert(res >= raw, s"residual ADC recall $res < raw $raw")
+      // and the refine stage over a residual layout still reduces to exact
+      val n = clustered.count().toInt
+      val layout = graft.core.Scratch.dir("simspec_res_true")
+      val refined = Similarity.ivfPqTopKRefined(clustered, layout, 0L, 10,
+        nprobe = 16, refine = n).collect().map(_.getLong(0)).toSeq
+      val exactRows = Similarity.bruteForceTopK(clustered, 0L, 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(refined == exactRows)
+    } finally clustered.unpersist()
+  }
+
   test("k-means-trained IVF centroids beat (or saturate) the untrained seeds") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),

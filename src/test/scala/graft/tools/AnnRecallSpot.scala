@@ -27,6 +27,7 @@ object AnnRecallSpot {
     // two-stage PQ serving (args 2/3; defaults = the layout defaults)
     val ncent = if (args.length > 1) args(1).toInt else 16
     val refine = if (args.length > 2) args(2).toInt else 100
+    val residual = args.length > 3 && args(3) == "residual"
     val out = s"/root/repo/target/sfscale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -55,7 +56,8 @@ object AnnRecallSpot {
       clustered.count()
       try {
         val layout = graft.core.Scratch.dir(s"annrecall_${tag}_ivfpq")
-        Similarity.writeCelledPq(clustered, layout, ncent = ncent)
+        Similarity.writeCelledPq(clustered, layout, ncent = ncent,
+          residual = residual)
         val recalls = (0L until 16L).map { qid =>
           val exact = Similarity.bruteForceTopK(clustered, qid, 10)
             .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -99,7 +101,7 @@ object AnnRecallSpot {
       // the exact dual stays a bounded full pass
       ("knn_join_1x", knnJoinRecall(base, "b", 100)),
       (s"knn_join_${factor}x", knnJoinRecall(out, "s", 100)))
-    println(s"""{"scale_factor":$factor,"ncent":$ncent,"refine":$refine,"recall_at_10":{""" +
+    println(s"""{"scale_factor":$factor,"ncent":$ncent,"refine":$refine,"residual":$residual,"recall_at_10":{""" +
       r.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",") + "}}")
   }
 }
