@@ -575,6 +575,103 @@ object Relational extends QueryPack {
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          ORDER BY s_suppkey"""),
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+    // range + BETWEEN + < predicates all pushed to the parquet scan, one
+    // exact-decimal aggregate, no join, no shuffle beyond the final agg.
+    sqlQ("q_tpch_q6",
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND CAST(l_discount AS DOUBLE) BETWEEN 0.02 AND 0.06
+           AND CAST(l_quantity AS DOUBLE) < 24"""),
+
+    // TPC-H Q8 (national market share): the 8-table join — nation joined
+    // TWICE under different roles (customer's for the region filter,
+    // supplier's for the share), a conditional sum over exact decimals
+    // ratioed against the group total, one double division at output.
+    sqlQ("q_tpch_q8",
+      """WITH allv AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+             n2.n_name AS supp_nation
+           FROM part, supplier, lineitem, orders, customer,
+                nation n1, nation n2, region
+           WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             AND s_nationkey = n2.n_nationkey
+             AND r_name = 'EUROPE' AND p_name LIKE '%widget%')
+         SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol
+                               ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) /
+                 CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+         FROM allv GROUP BY o_year ORDER BY o_year"""),
+
+    // TPC-H Q11 shape (value concentration; no partsupp → supplier value
+    // is lineitem revenue): a group aggregate compared against a SCALAR
+    // fraction of the global total — the same corpus aggregated at two
+    // granularities, the scalar side broadcast into the filter.
+    sqlQ("q_tpch_q11",
+      """WITH sv AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT l_suppkey, CAST(value AS DOUBLE) AS value FROM sv
+         WHERE CAST(value AS DOUBLE) >
+           (SELECT 0.0105 * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                 AS DOUBLE) FROM lineitem)
+         ORDER BY value DESC, l_suppkey"""),
+
+    // TPC-H Q12 shape (shipping-mode priority; no l_shipmode → group by
+    // return flag): join + date window + the two complementary
+    // conditional counts in one aggregate pass.
+    sqlQ("q_tpch_q12",
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders, lineitem
+         WHERE o_orderkey = l_orderkey
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT over
+    // a NOT IN-filtered join — the distinct-agg rewrite stacked on a
+    // null-free anti-join, grouped by part attributes.
+    sqlQ("q_tpch_q16",
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM part, lineitem
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#13' AND p_size IN (1, 2, 3, 4, 5)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_size"""),
+
+    // TPC-H Q20 shape (excess-share suppliers; no partsupp availqty →
+    // the threshold is a share of the part's total shipped quantity): IN
+    // over a GROUPED subquery whose HAVING carries a correlated scalar
+    // aggregate on the group key — decorrelation inside decorrelation,
+    // both folding to aggregates + joins.
+    sqlQ("q_tpch_q20",
+      """SELECT s_name, s_suppkey FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l1.l_suppkey FROM lineitem l1, part
+           WHERE l1.l_partkey = p_partkey AND p_name LIKE '%bolt%'
+           GROUP BY l1.l_suppkey, l1.l_partkey
+           HAVING CAST(sum(CAST(l1.l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+             (SELECT 0.15 * CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE)
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+         ORDER BY s_suppkey"""),
+
     // TPC-H Q2 shape (minimum-cost supplier; partsupp is absent from the
     // fixture so "cost" is the supplier's account balance and eligibility
     // is having shipped the part): a correlated scalar MIN subquery whose
