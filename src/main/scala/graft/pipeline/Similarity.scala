@@ -571,6 +571,33 @@ object Similarity {
       qRow.get.getSeq[Double](0).toArray, codebooks, queryId, k, idCol)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/embedding training: for every
+    * query row, the `k` nearest corpus vectors carrying a DIFFERENT
+    * label — the "similar but wrong" examples a triplet/InfoNCE trainer
+    * wants, mined exactly (the query side is the bounded anchor sample a
+    * trainer mines per step, broadcast; the corpus side is one scan).
+    * Per-query top-k is the rank-filtered window Spark 4 bounds map-side
+    * via WindowGroupLimit — the same shape as [[knnJoin]], which is also
+    * the scale path when the anchor set grows: cell-prune with knnJoin,
+    * then apply the label-mismatch residual before the window.
+    * Returns (q_id, n_id, cosim), ties to the lower neighbor id. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("nv"), col(labelCol).as("n_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosim").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("cosim", round(cosine(col("nv"), col("qv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("cosim"))
+  }
+
   /** Element-wise residual of `v` against its 1-based `cell`'s centroid —
     * the quantity RESIDUAL IVF-PQ encodes instead of the raw vector. */
   private def residualExpr(v: Column, cell: Column,

@@ -492,6 +492,33 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // HARD-NEGATIVE MINING (contrastive training's data step): for each
+    // of 8 anchor vectors, the top-5 most-similar corpus vectors with a
+    // DIFFERENT label — broadcast anchors × one corpus scan, per-anchor
+    // top-k bounded map-side (WindowGroupLimit). Exact, so the oracle
+    // replays it brute-force; the pruned scale path is knnJoin + the
+    // label-mismatch residual (documented on Similarity.hardNegatives).
+    Q("q_sim_hard_negatives",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 8), emb, 5)
+          .orderBy("q_id", "n_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+                    FROM e WHERE vec_id < 8),
+              sc AS (SELECT q_id, e.vec_id AS n_id,
+                       round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))), 4) AS cosim
+                     FROM e CROSS JOIN q WHERE e.label <> q.q_label)
+              SELECT q_id, n_id, cosim FROM (
+                SELECT q_id, n_id, cosim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosim DESC, n_id) AS rk
+                FROM sc) WHERE rk <= 5
+              ORDER BY q_id, n_id""")),
+
     // RESIDUAL IVF-PQ (the standard FAISS encoding — codes quantize
     // v − centroid(cell), codebooks train on residuals, serving builds
     // per-probed-cell LUTs off the _pqmeta marker): same recall@10 >= 0.8
