@@ -230,6 +230,105 @@ object Multimodal {
       "data".getBytes ++ le32(dataLen) ++ new Array[Byte](dataLen)
   }
 
+  /** [[synthWav]] with REAL PCM content: the data chunk carries 16-bit LE
+    * interleaved samples v(id, frame, ch) = ((id·31 + frame·7 + ch·13)
+    * mod 2048) − 1024 — a deterministic waveform both engines can derive
+    * in closed form, so feature extraction over the BYTES (a real parse)
+    * is oracle-checkable against the generator formula (the
+    * parse↔generate loop the image fixtures use). */
+  def synthWavPcm(id: Long): Array[Byte] = {
+    val rate = if (id % 2 == 0) 16000 else 44100
+    val ch = (id % 2 + 1).toInt
+    val bits = 16
+    val nSamples = (id % 1000 + 1).toInt
+    val ba = ch * bits / 8
+    val dataLen = nSamples * ba
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val data = new Array[Byte](dataLen)
+    var s = 0
+    while (s < nSamples) {
+      var c = 0
+      while (c < ch) {
+        val v = (((id * 31 + s * 7 + c * 13) % 2048) - 1024).toInt
+        val off = (s * ch + c) * 2
+        data(off) = v.toByte
+        data(off + 1) = (v >> 8).toByte
+        c += 1
+      }
+      s += 1
+    }
+    "RIFF".getBytes ++ le32(36L + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(rate.toLong * ba) ++
+      le16(ba) ++ le16(bits) ++
+      "data".getBytes ++ le32(dataLen) ++ data
+  }
+
+  /** Decode the 16-bit PCM frames of a WAV payload: chunk-walk to the data
+    * chunk, read little-endian int16 interleaved samples. Returns
+    * (channels, samples in frame-major interleaved order), None when the
+    * container or sample format is unrecognized. */
+  def pcmSamples(bytes: Array[Byte]): Option[(Int, Array[Int])] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int) = u8(i).toLong | u8(i + 1).toLong << 8 |
+      u8(i + 2).toLong << 16 | u8(i + 3).toLong << 24
+    def tag(i: Int, t: String) = t.indices.forall(j => bytes(i + j) == t(j).toByte)
+    val n = bytes.length
+    if (n < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var ch = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= n && (ch < 0 || dataOff < 0)) {
+      val size = u32(i + 4).toInt
+      if (tag(i, "fmt ") && i + 24 <= n) { ch = u16(i + 10); bits = u16(i + 22) }
+      else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    if (ch <= 0 || bits != 16 || dataOff < 0 ||
+        dataOff + dataLen > n) return None
+    val out = new Array[Int](dataLen / 2)
+    var j = 0
+    while (j < out.length) {
+      out(j) = (u8(dataOff + 2 * j) | (u8(dataOff + 2 * j + 1) << 8)).toShort.toInt
+      j += 1
+    }
+    Some((ch, out))
+  }
+
+  /** Windowed RMS energy over a WAV payload's decoded PCM — the canonical
+    * audio feature-extract (silence detection, VAD pre-filtering, loudness
+    * normalization all start here). Window `w` counts FRAMES; channels
+    * pool into the window's RMS. Pure per-row work in the one-decoder-
+    * per-partition mapPartitions shape; emits (doc_id, win, rms) with
+    * rms = √(Σv²/count) rounded to 4 dp (one exact integer sum, one
+    * double divide, one sqrt — engine-reproducible). Unrecognized
+    * payloads surface loudly as window −1. */
+  def audioRms(media: Dataset[MediaRecord], window: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        pcmSamples(r.bytes) match {
+          case Some((ch, samples)) =>
+            val frames = samples.length / ch
+            (0 until (frames + window - 1) / window).map { w =>
+              val from = w * window * ch
+              val until = math.min(frames, (w + 1) * window) * ch
+              var sumsq = 0L; var i = from
+              while (i < until) { sumsq += samples(i).toLong * samples(i); i += 1 }
+              val rms = math.sqrt(sumsq.toDouble / (until - from))
+              // HALF_UP like Spark's round() and DuckDB's round()
+              (r.doc_id, w, BigDecimal(rms)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+            }
+          case None => Seq((r.doc_id, -1, -1.0))
+        }
+      }
+    }.toDF("doc_id", "win", "rms")
+  }
+
   /** Header decode for audio payloads — unrecognized ones surface loudly
     * as rate −1, like [[headerDims]]. */
   def audioInfo(media: Dataset[MediaRecord]): Dataset[AudioInfo] = {

@@ -1644,6 +1644,34 @@ object Pipeline extends QueryPack {
                 doc_id % 1000 + 1 AS n_samples
               FROM documents ORDER BY doc_id""")),
 
+    // AUDIO FEATURE EXTRACTION over REAL bytes: the fixture WAVs carry
+    // actual 16-bit LE PCM (synthWavPcm's closed-form waveform), audioRms
+    // chunk-walks the RIFF container, decodes the interleaved samples,
+    // and emits per-256-frame-window RMS — the canonical silence/VAD/
+    // loudness pre-filter. The oracle never parses a byte: it re-derives
+    // the waveform from the generator formula and replays Σv²/count —
+    // the parse↔generate loop, now over sample CONTENT, not just headers.
+    Q("q_multimodal_rms",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "wav",
+            Multimodal.synthWavPcm(id)))
+        Multimodal.audioRms(media).orderBy("doc_id", "win")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 1000 + 1 AS INT) AS n,
+                           CAST(doc_id % 2 + 1 AS INT) AS ch
+                         FROM documents WHERE doc_id < 200),
+              fr AS (SELECT doc_id, ch, unnest(range(0, n)) AS s FROM d),
+              smp AS (SELECT doc_id, s, unnest(range(0, ch)) AS c FROM fr),
+              v AS (SELECT doc_id, CAST(s // 256 AS INT) AS w,
+                      ((doc_id*31 + s*7 + c*13) % 2048) - 1024 AS v
+                    FROM smp)
+              SELECT doc_id, w AS win,
+                round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 4) AS rms
+              FROM v GROUP BY doc_id, w ORDER BY doc_id, win""")),
+
     Q("q_multimodal_frames",
       (s, dir) => {
         import s.implicits._

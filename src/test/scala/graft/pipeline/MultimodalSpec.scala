@@ -61,6 +61,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavInfo(Array.empty[Byte]).isEmpty)
   }
 
+  test("pcmSamples decodes the synthWavPcm waveform byte-exactly") {
+    // synthWavPcm(5): stereo, 6 frames; sample (s, c) = ((5*31+s*7+c*13) % 2048) - 1024
+    val Some((ch, samples)) = Multimodal.pcmSamples(Multimodal.synthWavPcm(5L))
+    assert(ch == 2 && samples.length == 12)
+    for (s <- 0 until 6; c <- 0 until 2)
+      assert(samples(s * 2 + c) == ((5 * 31 + s * 7 + c * 13) % 2048) - 1024)
+    // negative samples round-trip through the LE int16 encoding
+    assert(samples.exists(_ < 0))
+    // junk and zero-filled-data wavs decode too (zeros), corrupt rejects
+    assert(Multimodal.pcmSamples(Multimodal.synthWav(4L)).exists(_._2.forall(_ == 0)))
+    assert(Multimodal.pcmSamples("RIFFxxxx".getBytes).isEmpty)
+  }
+
   test("features pipeline preserves row count and schema") {
     val docs = spark.read.parquet(sf("documents"))
     val f = Multimodal.features(spark, docs)

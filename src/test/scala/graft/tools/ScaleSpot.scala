@@ -38,16 +38,23 @@ object ScaleSpot {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- materialize the scaled corpus (replicas, disjoint id ranges;
-    //      growth model documented on ScaleCorpus) ----
-    ScaleCorpus.documents(spark, out, factor)
-    ScaleCorpus.embeddings(spark, out, factor)
-    ScaleCorpus.lineitem(spark, out, factor)
+    //      growth model documented on ScaleCorpus; skip tables a prior
+    //      run of either spot tool already wrote) ----
+    def ensure(name: String)(build: => Unit): Unit =
+      if (!new java.io.File(s"$out/$name.parquet").exists()) build
+    ensure("documents")(ScaleCorpus.documents(spark, out, factor))
+    ensure("embeddings")(ScaleCorpus.embeddings(spark, out, factor))
+    ensure("lineitem")(ScaleCorpus.lineitem(spark, out, factor))
     // small tables some query setups read incidentally
-    ScaleCorpus.smallTables(spark, out)
+    ensure("nation")(ScaleCorpus.smallTables(spark, out))
 
     val names = Seq("q_text_dsir", "q_fts_sql_bm25", "q_fts_query_ranked",
       "q_sim_sql", "q_sim_ivfpq", "q_sim_knn_exact", "q_dedup_exact",
-      "q_dedup_minhash", "q_graph_pagerank", "q_text_stats")
+      "q_dedup_minhash", "q_graph_pagerank", "q_text_stats",
+      // round-11 additions: the token-position self-join (substr dedup),
+      // the shuffle-free chunker + chunk-corpus BM25, histogram BPE
+      "q_dedup_substr", "q_pipeline_chunk", "q_pipeline_chunk_bm25",
+      "q_text_bpe", "q_fts_highlight")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
