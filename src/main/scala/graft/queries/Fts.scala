@@ -516,6 +516,35 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
                ORDER BY doc_id""")),
 
+    // FACETED SEARCH — the result-page sidebar every search UI renders
+    // (counts per facet value over the match set): fts_match lowers to
+    // the pruned postings semi-join and the facet aggregation runs over
+    // the surviving (doc_id, lang, source) rows — the match never
+    // re-tokenizes, the facet columns come from the corpus row, and the
+    // GROUP BY is matched-set-sized, not corpus-sized. Two facet
+    // dimensions in one GROUPING SETS pass (Lucene's per-field facet
+    // counts, here one Expand over the semi-joined rows).
+    Q("q_fts_facets",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_facets"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_fct")
+        s.sql("""SELECT lang, source, count(*) AS n
+                 FROM documents_fct
+                 WHERE fts_match(text, 'spark query')
+                 GROUP BY GROUPING SETS ((lang), (source))
+                 ORDER BY lang NULLS LAST, source NULLS LAST""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, source, $DTOKS AS t
+                             FROM documents),
+               m AS (SELECT lang, source FROM toks
+                     WHERE list_contains(t, 'spark')
+                       AND list_contains(t, 'query'))
+               SELECT lang, source, count(*) AS n FROM m
+               GROUP BY GROUPING SETS ((lang), (source))
+               ORDER BY lang NULLS LAST, source NULLS LAST""")),
+
     // Phrase through the SQL surface over the SAME registered table: the
     // rewrite lowers fts_phrase to the all-terms postings semi-join (cheap
     // candidates, partition-pruned) plus a token-canonical containment

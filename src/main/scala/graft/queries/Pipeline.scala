@@ -758,6 +758,95 @@ object Pipeline extends QueryPack {
       },
       Some("SELECT true AS ok")),
 
+    // STREAMING CHUNK-VECTOR LIFECYCLE — the RAG maintenance loop end to
+    // end: documents chunk (stable key doc_id·1000+chunk_id), chunks get
+    // feature-hash embeddings, the chunk vectors stream-ingest into the
+    // IVF-PQ delta index, and a DOCUMENT EDIT re-chunks — the shrunken
+    // doc's surviving chunk keys UPSERT while its stale tail chunks
+    // TOMBSTONE (the chunk-count change is exactly why the stable
+    // composite key matters: without it an edit strands orphan chunks).
+    // Serving must equal the in-memory ADC baseline over the post-edit
+    // chunk corpus both pre- and post-compaction, with every stale key
+    // absent. Approximate path engine-specific → verdict row.
+    Q("q_sim_stream_chunks",
+      (s, dir) => {
+        val toks16 = graft.fts.Analyzer.tokenize(col("text"))
+        def embed(c: org.apache.spark.sql.Column) = transform(
+          sequence(lit(0), lit(15)),
+          b => size(filter(c, t =>
+            pmod(xxhash64(t), lit(16)) === b.cast("bigint"))).cast("double"))
+        def chunksOf(docs: org.apache.spark.sql.DataFrame) =
+          Chunking.chunk(docs, size = 8, overlap = 2)
+            .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+              embed(graft.fts.Analyzer.tokenize(col("text"))).as("embedding"))
+        val docs = Tables(s, dir, "documents").filter(col("doc_id") < 120)
+        val chunks = chunksOf(docs).persist()
+        chunks.count()
+        try {
+          val root = graft.core.Scratch.dir("vec_stream_chunks_q")
+          val hconf = s.sparkContext.hadoopConfiguration
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          Similarity.writeQuantizer(chunks, root, trainIters = 1)
+          val landing = s"$root/landing"
+          val stage = s"$root/stage_0"
+          chunks.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stage/part-*")).head.getPath
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+            new org.apache.hadoop.fs.Path(s"$landing/b0.parquet"), false, hconf)
+          StreamVectorIndex.start(s.readStream
+            .schema(chunks.schema).parquet(landing), root).awaitTermination()
+          // the EDIT: doc 7 shrinks to its first 10 tokens → re-chunk
+          import s.implicits._
+          val edited = docs.filter(col("doc_id") === 7L)
+            .withColumn("text",
+              array_join(slice(toks16, 1, 10), " "))
+            .persist()
+          val newChunks = chunksOf(edited).persist()
+          val newKeys = newChunks.select("vec_id").as[Long].collect().toSet
+          val oldKeys = chunks.filter(col("vec_id") >= 7000L && col("vec_id") < 8000L)
+            .select("vec_id").as[Long].collect().toSet
+          val stale = (oldKeys -- newKeys).toSeq.sorted
+          require(stale.nonEmpty, "fixture: the edit must shed at least one chunk")
+          StreamVectorIndex.delete(s, root, stale.toDF("vec_id"))
+          StreamVectorIndex.upsert(s, root, newChunks)
+          val survivors = chunks
+            .filter(col("vec_id") < 7000L || col("vec_id") >= 8000L)
+            .unionByName(newChunks).persist()
+          val preCompact = StreamVectorIndex.topK(survivors, root, 0L, 10)
+            .collect().toSeq
+          val baseDir = graft.core.Scratch.dir("vec_stream_chunks_q_base")
+          fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+          StreamVectorIndex.compact(s, root, baseDir)
+          val postCompact = StreamVectorIndex.topK(survivors, root, 0L, 10)
+            .collect().toSeq
+          val (cents, norms) = Similarity.readQuantizer(s, root)
+          val books = Similarity.readPqCodebooks(s, root)
+          val qv = survivors.filter(col("vec_id") === 0L)
+            .select(col("embedding")).limit(1).collect()(0)
+            .getSeq[Double](0).toArray
+          val probes = Similarity.nearestCells(qv, cents, norms, 4)
+          val v = col("embedding")
+          val batch = Similarity.pqTopKOnCodes(
+            survivors.select(col("vec_id"),
+                Similarity.cellExpr(v, cents, norms).as("cell"),
+                Similarity.pqEncode(v, books).as("pq_codes"))
+              .filter(col("cell").isin(probes: _*)),
+            qv, books, 0L, 10).collect().toSeq
+          val staleSet = stale.toSet
+          val verdict = s.range(1).select(
+            lit(preCompact == batch && postCompact == batch &&
+              batch.size == 10 &&
+              !preCompact.exists(r => staleSet(r.getLong(0)))).as("ok"))
+          newChunks.unpersist(); edited.unpersist(); survivors.unpersist()
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally chunks.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     // HYBRID retrieval — RRF fusion of the lexical and vector rankings:
     // BM25 top-20 for ('spark','query') over the documents index fused
     // with exact-cosine top-20 around vector 0 by reciprocal rank
