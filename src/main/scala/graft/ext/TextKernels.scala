@@ -74,6 +74,20 @@ object TextKernels {
     * sorting kernel) is detected during the merge and the call falls back
     * to a hash-set intersection — correct on any input, never silently
     * undercounts. */
+  /** Unicode-normalize `s` under the named form (NFC/NFD/NFKC/NFKD,
+    * case-insensitive). Shared by interpreted eval and generated code. */
+  def normalizeForm(s: UTF8String, form: UTF8String): UTF8String = {
+    val f = form.toString.toUpperCase(Locale.ROOT) match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other => throw new IllegalArgumentException(
+        s"text_normalize: unknown form '$other' (want NFC/NFD/NFKC/NFKD)")
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
+  }
+
   def intersectCard(a: ArrayData, b: ArrayData): Long = {
     if (!isAscending(a) || !isAscending(b)) return intersectCardUnsorted(a, b)
     val na = a.numElements(); val nb = b.numElements()
@@ -165,7 +179,10 @@ object TextKernels {
       (args: Seq[Expression]) => SimhashExpr(args.head)),
     (new FunctionIdentifier("graft_intersect_card"),
       new ExpressionInfo(classOf[IntersectCardExpr].getName, "graft_intersect_card"),
-      (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1))))
+      (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1))),
+    (new FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[TextNormalizeExpr].getName, "text_normalize"),
+      (args: Seq[Expression]) => TextNormalizeExpr(args(0), args(1))))
 
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -213,6 +230,40 @@ case class SimhashExpr(child: Expression)
       s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.simhash($c);")
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
+}
+
+/** Unicode normalization as a native codegen expression —
+  * `text_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD')`. Spark ships no
+  * normalizer builtin, yet a multilingual corpus MUST normalize before
+  * tokenize/dedup/hash: the same visible text arrives precomposed from
+  * one source and decomposed from another (é vs e+U+0301), and every
+  * downstream equality — dedup shingles, FTS terms, exact-match joins,
+  * content hashes — silently misses across the two encodings. One
+  * compiled `java.text.Normalizer` call per row (form resolved per call,
+  * a cheap enum lookup; normalization of already-normal ASCII is an
+  * O(n) verification pass, so the common case costs a scan, not a
+  * rewrite). NFC oracle-verified against DuckDB's nfc_normalize
+  * (q_text_nfc); compatibility forms pinned in ScalarFunctionsSpec. */
+case class TextNormalizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "text_normalize"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"text_normalize requires (STRING, STRING), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(s: Any, f: Any): Any =
+    TextKernels.normalizeForm(s.asInstanceOf[UTF8String], f.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, f) =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.normalizeForm($s, $f);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TextNormalizeExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class IntersectCardExpr(left: Expression, right: Expression)

@@ -1247,6 +1247,36 @@ object Pipeline extends QueryPack {
     // doc_id (%3 → an email, %4 → a dotted-quad, %5 → a phone; doc 0 gets
     // all three). The oracle replays seeding, RE2-portable patterns, and
     // replacement order, and every redacted doc hash-matches.
+    // UNICODE NORMALIZATION (text_normalize, a native codegen Expression —
+    // Spark ships no normalizer builtin): the same visible text arrives
+    // precomposed from one source and decomposed from another
+    // (é vs e+U+0301), and every downstream equality — dedup shingles,
+    // FTS terms, content hashes — silently misses across the encodings
+    // until an NFC pass runs first. The fixture text gains a decomposed
+    // suffix (combining acute + the NFC-INVARIANT ﬁ ligature, which NFC
+    // must NOT touch — that's NFKC's job, pinned in the spec); md5 of the
+    // normalized string proves byte identity with DuckDB's nfc_normalize.
+    Q("q_text_nfc",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_nfc")
+        s.sql("""SELECT doc_id,
+                   CAST(length(raw) AS INT) AS len_raw,
+                   CAST(length(text_normalize(raw, 'NFC')) AS INT) AS len_nfc,
+                   md5(text_normalize(raw, 'NFC')) AS h
+                 FROM (SELECT doc_id, text || ' cafe\u0301 \uFB01le' AS raw
+                       FROM documents_nfc)
+                 ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+                CAST(length(raw) AS INTEGER) AS len_raw,
+                CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc,
+                md5(nfc_normalize(raw)) AS h
+              FROM (SELECT doc_id,
+                      text || ' cafe' || chr(769) || ' ' || chr(64257) || 'le' AS raw
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     Q("q_text_pii",
       (s, dir) => {
         val phone = concat(lit("555-"),

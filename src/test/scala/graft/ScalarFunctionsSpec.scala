@@ -54,6 +54,31 @@ class ScalarFunctionsSpec extends SparkSpec {
     assert(mb2 == 1.0)
   }
 
+  test("text_normalize: all four Unicode forms, codegen and SQL surface") {
+    graft.ext.GraftExtensions.install(spark)
+    def norm(s: String, form: String): String = {
+      import spark.implicits._
+      Seq(s).toDF("s")
+        .selectExpr(s"text_normalize(s, '$form') AS n")
+        .collect()(0).getString(0)
+    }
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9"    // precomposed e-acute
+    assert(norm(decomposed, "NFC") == composed)
+    assert(norm(composed, "NFD") == decomposed)
+    // NFC leaves compatibility characters ALONE; NFKC folds them
+    assert(norm("ﬁle", "NFC") == "ﬁle")
+    assert(norm("ﬁle", "NFKC") == "file")
+    assert(norm("①", "NFKC") == "1") // circled one → digit
+    assert(norm("ﬁle", "NFKD") == "file")
+    // idempotence + ASCII passthrough + case-insensitive form name
+    assert(norm(norm(decomposed, "NFC"), "NFC") == composed)
+    assert(norm("plain ascii", "nfc") == "plain ascii")
+    // unknown form fails loud
+    val e = intercept[Exception](norm("x", "NFX"))
+    assert(e.getMessage != null)
+  }
+
   test("stat helper API: approxQuantile / cov / corr / crosstab / freqItems / sampleBy") {
     val li = spark.read.parquet(sf("lineitem"))
     val q = li.stat.approxQuantile("l_quantity", Array(0.5), 0.01)
