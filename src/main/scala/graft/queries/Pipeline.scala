@@ -63,6 +63,43 @@ object Pipeline extends QueryPack {
       Some("""SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts,
               count(*) - count(DISTINCT text) AS dup_docs FROM documents""")),
 
+    // NORMALIZE-THEN-DEDUP — why text_normalize exists, demonstrated as
+    // data: the fixture mixes encodings the way multi-source crawls do —
+    // all 500 docs carry a DECOMPOSED e+U+0301 suffix, and 250 re-ingested
+    // copies carry the PRECOMPOSED é of the SAME visible text. Raw
+    // exact-dedup sees 750 distinct content keys (every copy missed); the
+    // NFC pre-pass collapses exactly the 250 cross-encoding pairs back to
+    // 500. The n_raw − n_nfc gap IS the silent dup leak a pipeline ships
+    // without normalization. Oracle replays fixture + counts via
+    // nfc_normalize, hash-exact.
+    Q("q_dedup_nfc",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_dnfc")
+        s.sql("""WITH decomposed AS (
+                   SELECT doc_id, text || ' cafe\u0301' AS t0 FROM documents_dnfc),
+                 copies AS (
+                   SELECT doc_id + 10000 AS doc_id, text || ' caf\u00e9' AS t0
+                   FROM documents_dnfc WHERE doc_id % 2 = 0),
+                 fixture AS (SELECT * FROM decomposed
+                             UNION ALL SELECT * FROM copies)
+                 SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(t0)) AS n_raw,
+                   count(DISTINCT md5(text_normalize(t0, 'NFC'))) AS n_nfc
+                 FROM fixture""")
+      },
+      Some("""WITH decomposed AS (
+                SELECT doc_id, text || ' cafe' || chr(769) AS t0 FROM documents),
+              copies AS (
+                SELECT doc_id + 10000 AS doc_id, text || ' caf' || chr(233) AS t0
+                FROM documents WHERE doc_id % 2 = 0),
+              fixture AS (SELECT * FROM decomposed
+                          UNION ALL SELECT * FROM copies)
+              SELECT count(*) AS n_docs,
+                count(DISTINCT md5(t0)) AS n_raw,
+                count(DISTINCT md5(nfc_normalize(t0))) AS n_nfc
+              FROM fixture""")),
+
     Q("q_dedup_minhash",
       (s, dir) => Dedup.nearDupPairsMinhash(Tables(s, dir, "documents"), 0.8),
       Some(nearDupOracle)),
