@@ -664,7 +664,7 @@ class ExtensionsSpec extends SparkSpec {
       "fts_term_range", "fts_phrase_slop",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
-      "graft_intersect_card"))
+      "graft_intersect_card", "text_normalize"))
     GraftExtensions.install(spark)
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
