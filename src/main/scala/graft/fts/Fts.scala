@@ -59,12 +59,22 @@ object Analyzer {
     * of the contract [[AnalyzerConfig.normalizeTerms]] mirrors). Duplicate
     * tokens are PRESERVED (tf must survive; `array_except` would dedup). */
   def tokenizeWith(c: Column, cfg: AnalyzerConfig): Column = {
+    // NFC first, matching AnalyzerConfig.tokenizeQuery: normalization must
+    // precede the grammar split (a decomposed combining mark is a
+    // non-[a-z0-9] byte that would otherwise SPLIT the token it belongs to)
+    val c0 =
+      if (cfg.nfc)
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.ext.TextNormalizeExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(c),
+            org.apache.spark.sql.catalyst.expressions.Literal("NFC")))
+      else c
     var toks =
       if (cfg.cjkBigrams)
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.ext.FtsTokenizeCjk(
-            org.apache.spark.sql.GraftColumnBridge.expression(c)))
-      else tokenize(c)
+            org.apache.spark.sql.GraftColumnBridge.expression(c0)))
+      else tokenize(c0)
     if (cfg.stopWords.nonEmpty)
       toks = filter(toks, t => !t.isin(cfg.stopWords: _*))
     if (cfg.sStem) toks = transform(toks, sStemCol(_))
@@ -105,7 +115,8 @@ final case class AnalyzerConfig(
     stopWords: Seq[String] = Nil,
     sStem: Boolean = false,
     minTokenLen: Int = 1,
-    cjkBigrams: Boolean = false) {
+    cjkBigrams: Boolean = false,
+    nfc: Boolean = false) {
 
   // the describe/parse round-trip is the persistence format — a stopword
   // carrying a delimiter would replay a DIFFERENT pipeline at query time,
@@ -121,7 +132,7 @@ final case class AnalyzerConfig(
 
   /** Stable textual form, recorded in the index-side properties file. */
   def describe: String =
-    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams"
+    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams;nfc=$nfc"
 
   /** The S-stemmer on a plain string — the query-side mirror of the column
     * pipeline (property-tested equal in AnalyzerSpec). */
@@ -140,7 +151,11 @@ final case class AnalyzerConfig(
     * base-tokenized already (lowercase single tokens / CJK bigrams). */
   def normalizeTerms(terms: Seq[String]): Seq[String] = {
     val stop = stopWords.toSet
-    terms.filterNot(stop)
+    val base =
+      if (nfc) terms.map(
+        java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+      else terms
+    base.filterNot(stop)
       .map(sStemString)
       .filter(t => t.length >= math.max(1, minTokenLen))
   }
@@ -149,9 +164,12 @@ final case class AnalyzerConfig(
     * tokenizer (v1 grammar, or the CJK-bigram kernel when `cjkBigrams`),
     * then [[normalizeTerms]] — '東京都' becomes bigrams ('東京', '京都'). */
   def tokenizeQuery(raw: String): Seq[String] = {
+    val r =
+      if (nfc) java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+      else raw
     val base =
-      if (cjkBigrams) graft.ext.FtsTokenizeCjk.tokenizeString(raw)
-      else Analyzer.tokenizeString(raw)
+      if (cjkBigrams) graft.ext.FtsTokenizeCjk.tokenizeString(r)
+      else Analyzer.tokenizeString(r)
     normalizeTerms(base)
   }
 }
@@ -166,7 +184,8 @@ object AnalyzerConfig {
       stopWords = kv.getOrElse("stop", "").split("\\|").filter(_.nonEmpty).toSeq,
       sStem = kv.getOrElse("sstem", "false").toBoolean,
       minTokenLen = kv.getOrElse("min", "1").toInt,
-      cjkBigrams = kv.getOrElse("cjk", "false").toBoolean)
+      cjkBigrams = kv.getOrElse("cjk", "false").toBoolean,
+      nfc = kv.getOrElse("nfc", "false").toBoolean)
   }
 }
 

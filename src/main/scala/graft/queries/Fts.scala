@@ -516,6 +516,38 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'spark') AND list_contains(t, 'query')
                ORDER BY doc_id""")),
 
+    // The ANALYZER's NFC STAGE end-to-end (AnalyzerConfig(nfc = true),
+    // persisted as `nfc=true` in the config format): the corpus gains a
+    // DECOMPOSED 'cafe'+U+0301 suffix. Without NFC the combining mark is
+    // a delimiter and the index carries term 'cafe'; WITH the stage the
+    // mark composes into é BEFORE the grammar splits, the indexed term
+    // becomes 'caf', and the decomposed QUERY normalizes to the same
+    // 'caf' through tokenizeQuery — index and query side agree through
+    // the config, and the raw 'cafe' term matches NOTHING. Both counts
+    // emitted; oracle replays nfc_normalize + grammar + containment.
+    Q("q_fts_analyzer_nfc",
+      (s, dir) => {
+        val cfg = graft.fts.AnalyzerConfig(nfc = true)
+        val docs2 = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" cafe\u0301")).as("text"))
+        val ix = Index.buildWithAnalyzer(docs2, cfg)
+        val hit = Search.matchAllIds(ix, cfg.tokenizeQuery("cafe\u0301"))
+          .agg(count(lit(1)).as("n_composed"))
+        val miss = Search.matchAllIds(ix, Seq("cafe"))
+          .agg(count(lit(1)).as("n_raw_term"))
+        hit.crossJoin(miss)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                list_filter(string_split_regex(
+                  lower(nfc_normalize(text || ' cafe' || chr(769))),
+                  '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+              FROM documents)
+              SELECT
+                (SELECT count(*) FROM t WHERE list_contains(toks, 'caf'))
+                  AS n_composed,
+                (SELECT count(*) FROM t WHERE list_contains(toks, 'cafe'))
+                  AS n_raw_term""")),
+
     // FACETED SEARCH — the result-page sidebar every search UI renders
     // (counts per facet value over the match set): fts_match lowers to
     // the pruned postings semi-join and the facet aggregation runs over

@@ -68,6 +68,30 @@ class AnalyzerSpec extends SparkSpec {
       == Seq("table", "table"))
   }
 
+  test("nfc stage: decomposed text tokenizes like precomposed, both sides") {
+    val cfg = AnalyzerConfig(nfc = true)
+    // without NFC the combining mark U+0301 is a non-[a-z0-9] byte that
+    // SPLITS the token; with it 'cafe'+mark composes to 'café' first and
+    // survives as one token (é itself then splits under the frozen ASCII
+    // grammar — but IDENTICALLY on both encodings, which is the contract)
+    val decomposed = "cafe\u0301 shop"
+    val precomposed = "caf\u00e9 shop"
+    assert(tokensWith(decomposed, cfg) == tokensWith(precomposed, cfg),
+      "index-side column pipeline must unify the encodings")
+    assert(cfg.tokenizeQuery(decomposed) == cfg.tokenizeQuery(precomposed),
+      "query-side string pipeline must unify the encodings")
+    assert(cfg.tokenizeQuery(decomposed) == tokensWith(precomposed, cfg),
+      "index and query sides must agree with each other")
+    // WITHOUT nfc the encodings diverge — the miss the stage exists to fix
+    val raw = AnalyzerConfig()
+    assert(tokensWith(decomposed, raw) != tokensWith(precomposed, raw))
+    // the config round-trips through its persistence format
+    assert(AnalyzerConfig.parse(cfg.describe) == cfg)
+    assert(!AnalyzerConfig.parse(AnalyzerConfig().describe).nfc)
+    // pre-nfc persisted strings (no nfc= key) still parse, defaulting off
+    assert(!AnalyzerConfig.parse("v2;stop=;sstem=false;min=1;cjk=false").nfc)
+  }
+
   test("column S-stemmer equals the query-side string mirror (property)") {
     val cfg = AnalyzerConfig(sStem = true)
     val suffixed = for {
