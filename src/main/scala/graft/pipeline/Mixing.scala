@@ -31,6 +31,36 @@ import org.apache.spark.sql.functions._
   * corpus-sized frame. */
 object Mixing {
 
+  /** TEMPERATURE-weighted per-source budgets — the mT5/XLM-R alpha-
+    * sampling step that turns raw source sizes into training-mixture
+    * weights: w_s ∝ n_s^alpha (alpha < 1 UP-samples small sources,
+    * alpha = 1 is proportional, alpha = 0 uniform), budget_s =
+    * ⌊total · w_s / Σw⌋. Feeds [[mixByBudget]] unchanged.
+    *
+    * Distributed part: ONE aggregation to (source, token_count) —
+    * |sources|-rows, collected (a 100 TB corpus has few sources; this is
+    * the same driver-resident budget map mixByBudget already takes).
+    * Determinism across engines: pow is transcendental, so the weight is
+    * ROUNDED to 4 dp and integer-scaled before any division — the
+    * remaining arithmetic is exact BIGINT (a float Σw would differ by
+    * summation order between engines and flip a ⌊·⌋ boundary). */
+  def temperatureBudgets(docs: DataFrame, totalBudget: Long, alpha: Double,
+                         textCol: String = "text",
+                         sourceCol: String = "source"): Map[String, Long] = {
+    require(totalBudget >= 0 && alpha >= 0.0, "need totalBudget, alpha >= 0")
+    val counts = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(TextStats.estBpeTokens(col(textCol))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // integer-scaled 4-dp weights: w4 = round(n^alpha, 4dp) * 10^4
+    val w4 = counts.map { case (s, n) =>
+      s -> math.round(math.pow(n.toDouble, alpha) * 10000.0)
+    }
+    val sw = w4.map(_._2).sum
+    if (sw == 0L) w4.map { case (s, _) => s -> 0L }.toMap
+    else w4.map { case (s, w) => s -> totalBudget * w / sw }.toMap
+  }
+
   /** Documents selected for the mixture: `(doc_id, source, toks)` — per
     * source, the md5-ordered prefix whose token count STARTS inside that
     * source's budget (exclusive prefix sum, so a straddling document is

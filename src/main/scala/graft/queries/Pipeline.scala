@@ -1696,6 +1696,44 @@ object Pipeline extends QueryPack {
     // Spark runs the per-source DISTRIBUTED prefix sum (see
     // graft.pipeline.Mixing); the oracle states the same semantics as the
     // naive per-source window DuckDB can afford at oracle scale.
+    // TEMPERATURE-weighted mixing (mT5/XLM-R alpha-sampling): per-source
+    // budgets derive FROM THE DATA as w_s ∝ n_s^0.3 over the per-source
+    // token counts (alpha<1 up-samples small sources), then the standard
+    // budget mixer applies. Weights are rounded to 4 dp and integer-
+    // scaled BEFORE any division so every remaining step is exact BIGINT
+    // arithmetic — a float Σw would differ by summation order across
+    // engines and flip a floor boundary. Oracle replays counts → pow →
+    // scaling → integer budgets → the md5-prefix mix.
+    Q("q_pipeline_mix_temp",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Mixing.mixByBudget(docs,
+            Mixing.temperatureBudgets(docs, totalBudget = 10000L, alpha = 0.3))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mixed_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source,
+                  sum(CAST(ceil(strlen(text) / 4.0) AS BIGINT)) AS n
+                FROM documents GROUP BY 1),
+              w AS (SELECT source,
+                      CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 10000) AS BIGINT)
+                        AS w4 FROM n),
+              tot AS (SELECT sum(w4) AS sw FROM w),
+              b AS (SELECT source, (10000 * w4) // sw AS budget FROM w, tot),
+              t AS (SELECT doc_id, source,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+                      CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks
+                    FROM documents),
+              c AS (SELECT t.source, t.toks, b.budget,
+                      sum(toks) OVER (PARTITION BY t.source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - toks AS strt
+                    FROM t JOIN b USING (source))
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS mixed_tokens
+              FROM c WHERE strt < budget
+              GROUP BY source ORDER BY source""")),
+
     Q("q_pipeline_mix",
       (s, dir) => Mixing.mixByBudget(Tables(s, dir, "documents"),
           Map("src0" -> 1000L, "src1" -> 5000L, "src2" -> 800L,
