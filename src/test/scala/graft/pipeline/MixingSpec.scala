@@ -18,6 +18,27 @@ class MixingSpec extends SparkSpec {
       (i, if (i < 4) "a" else "b", "x" * 32)
     })
 
+  test("temperature budgets: alpha endpoints and exact integer split") {
+    // sources: a = 32 tokens (4 docs × 8), b = 8 tokens (1 doc)
+    val skewed = mkDocs(
+      (0L until 4L).map(i => (i, "a", "x" * 32)) :+ ((9L, "b", "x" * 32)))
+    // alpha = 1: proportional — w4(a) = 320000, w4(b) = 80000
+    val prop = Mixing.temperatureBudgets(skewed, 1000L, alpha = 1.0)
+    assert(prop == Map("a" -> 800L, "b" -> 200L))
+    // alpha = 0: uniform — every source weight 1.0
+    val unif = Mixing.temperatureBudgets(skewed, 1000L, alpha = 0.0)
+    assert(unif == Map("a" -> 500L, "b" -> 500L))
+    // 0 < alpha < 1 flattens: b's share strictly between uniform and
+    // proportional
+    val temp = Mixing.temperatureBudgets(skewed, 1000L, alpha = 0.3)
+    assert(temp("b") > 200L && temp("b") < 500L, temp.toString)
+    // budgets never exceed the total and feed the mixer unchanged
+    assert(temp.values.sum <= 1000L)
+    assert(Mixing.mixByBudget(skewed, temp).count() > 0)
+    // zero total → all-zero budgets (selects nothing, loud in data)
+    assert(Mixing.temperatureBudgets(skewed, 0L, 0.3).values.forall(_ == 0L))
+  }
+
   test("budget caps each source independently; zero budget drops the source") {
     val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 0L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
