@@ -125,11 +125,33 @@ object Bench {
                                            // scratch frames skew the rest
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // SPARK_GRAFT_MICRO_ONLY=1: print the micro line and stop — a quick
-    // calibration probe for separating host throttle windows from real
-    // regressions without paying the full query sweep
+    // SPARK_GRAFT_MICRO_ONLY=1: probe-only mode — run the micro shapes a
+    // second time (so the same pre/post disagreement ratio the full sweep
+    // stamps is measurable from a probe alone), print the line, stamp the
+    // repo-side history, and stop. This is the cheap gate for the
+    // probe-gated full bench (round-11 verdict item 2): loop probes, run
+    // the sweep only inside a window where ratio < 1.3 AND the absolute
+    // shapes are near the machine's demonstrated capability.
     if (sys.env.get("SPARK_GRAFT_MICRO_ONLY").contains("1")) {
-      println("{\"metric\":\"micro_only\",\"micro\":" + microJson(microPre) + "}")
+      // ratio over runs 2 vs 3: run 1 absorbs JIT ramp (observed 1.7×
+      // pre/post disagreement on a quiet host purely from compilation),
+      // so a probe ratio that means "host throttle" must compare two
+      // post-ramp runs, like the full sweep's pre/post pair does.
+      val second = runMicros()
+      val third = runMicros()
+      val ratio = second.zip(third).map { case ((_, a), (_, b)) =>
+        math.max(a, b) / math.max(1e-9, math.min(a, b)) }.max
+      val best = microJson(microPre.zip(second).zip(third).map {
+        case (((k, a), (_, b)), (_, c)) => k -> math.max(a, math.max(b, c)) })
+      val line = s"""{"metric":"micro_only","micro":$best,"micro_pre":${microJson(second)},"micro_post":${microJson(third)},"micro_ratio":${f"$ratio%.2f"}}"""
+      scala.util.Try {
+        val stamp = s"""{"ts":${System.currentTimeMillis / 1000},"probe":true,"micro_ratio":${f"$ratio%.2f"},"micro":$best}""" + "\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+          stamp.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
+      println(line)
       spark.stop()
       return
     }

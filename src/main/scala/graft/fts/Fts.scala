@@ -1012,7 +1012,9 @@ object Search {
       // step 1: analyzer first — a stopped/too-short term yields no group
       cfg.normalizeTerms(Seq(base)).headOption.map { t =>
         fuzzy match {
-          case Some(k) => matchFuzzyIds(ix, t, k) // step 3
+          // step 3 — clamp the user-supplied ~k to the caller's cap so
+          // 'x~9' can't run an unbounded dictionary expansion
+          case Some(k) => matchFuzzyIds(ix, t, math.min(k, maxEdits))
           case None => matchAnyIds(ix, (t +: syn.getOrElse(t, Nil)).distinct)
         }
       }

@@ -119,4 +119,22 @@ object Bpe {
             textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       explode(graft.fts.Analyzer.tokenize(col(textCol))).as("word"))
+
+  /** REAL per-document token counts under a trained merge table:
+    * `(idCol, toks)` with toks = Σ n_pieces over the doc's words — the
+    * number of tokens a training run over this tokenizer actually
+    * consumes, as opposed to [[TextStats.estBpeTokens]]'s closed-form
+    * estimate. Same scale shape as [[applyMerges]]: distinct words encode
+    * once, the doc→word stream broadcast-joins word → n_pieces, one
+    * groupBy(doc) sums. Token-free docs keep a 0 row (left join against
+    * the id spine) so budget arithmetic sees every document. */
+  def countTokens(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val perDoc = applyMerges(words(docs, idCol, textCol), merges)
+      .groupBy(col(idCol))
+      .agg(sum(col("n_pieces")).cast("bigint").as("toks"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("toks"), lit(0L)).as("toks"))
+  }
 }

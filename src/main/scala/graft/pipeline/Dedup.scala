@@ -329,15 +329,23 @@ object Dedup {
   def exactSubstrDedup(docs: DataFrame, k: Int = 5, minDocs: Long = 2,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 1 && minDocs >= 2, "need k >= 1 and minDocs >= 2")
-    val toks = docs.select(col(idCol),
-        graft.fts.Analyzer.tokenize(col(textCol)).as("t"))
-      .select(col(idCol), size(col("t")).as("len"),
-        posexplode(col("t")).as(Seq("pos", "tok")), col("t"))
+    val tokArr = docs.select(col(idCol),
+      graft.fts.Analyzer.tokenize(col(textCol)).as("t"))
+    val toks = tokArr.select(col(idCol),
+      posexplode(col("t")).as(Seq("pos", "tok")))
     // k-gram starting at pos (only where a full window fits); the gram is
-    // the joined token run — tokens are [a-z0-9]+ so ' ' never collides
-    val grams = toks.filter(col("pos") <= col("len") - k)
-      .select(col(idCol), col("pos"),
-        array_join(slice(col("t"), col("pos") + 1, lit(k)), " ").as("gram"))
+    // the joined token run — tokens are [a-z0-9]+ so ' ' never collides.
+    // Built per-doc BEFORE exploding (transform over positions), so the
+    // exploded rows never carry the full token array: O(len·k) chars per
+    // doc, not the O(len²) of an array column replicated per position.
+    // Nulls appear only at the trailing len-k+1..len-1 positions, so the
+    // post-filter posexplode index still equals the window start.
+    val grams = tokArr.select(col(idCol),
+      posexplode(filter(
+        transform(col("t"), (_, i) =>
+          when(i <= size(col("t")) - k,
+            array_join(slice(col("t"), i + 1, lit(k)), " "))),
+        g => g.isNotNull)).as(Seq("pos", "gram")))
     val hot = grams.groupBy("gram")
       .agg(countDistinct(col(idCol)).as("df"))
       .where(col("df") >= minDocs).select("gram")

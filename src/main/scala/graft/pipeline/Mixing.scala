@@ -46,19 +46,36 @@ object Mixing {
     * summation order between engines and flip a ⌊·⌋ boundary). */
   def temperatureBudgets(docs: DataFrame, totalBudget: Long, alpha: Double,
                          textCol: String = "text",
-                         sourceCol: String = "source"): Map[String, Long] = {
+                         sourceCol: String = "source"): Map[String, Long] =
+    temperatureBudgetsCounted(docs.select(col(sourceCol),
+        TextStats.estBpeTokens(col(textCol)).as("toks")),
+      totalBudget, alpha, sourceCol)
+
+  /** [[temperatureBudgets]] over an EXPLICIT per-doc token-count frame
+    * `(sourceCol, toksCol)` — the real-tokenizer path: feed it
+    * [[Bpe.countTokens]] output (joined to sources) so budgets are
+    * measured in the same units the training run consumes. The default
+    * overload's [[TextStats.estBpeTokens]] is the estimator FALLBACK for
+    * when no trained tokenizer exists yet. */
+  def temperatureBudgetsCounted(perDoc: DataFrame, totalBudget: Long,
+                                alpha: Double,
+                                sourceCol: String = "source",
+                                toksCol: String = "toks"): Map[String, Long] = {
     require(totalBudget >= 0 && alpha >= 0.0, "need totalBudget, alpha >= 0")
-    val counts = docs
+    val counts = perDoc
       .groupBy(col(sourceCol).cast("string").as("source"))
-      .agg(sum(TextStats.estBpeTokens(col(textCol))).as("n"))
+      .agg(sum(col(toksCol)).cast("bigint").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     // integer-scaled 4-dp weights: w4 = round(n^alpha, 4dp) * 10^4
     val w4 = counts.map { case (s, n) =>
       s -> math.round(math.pow(n.toDouble, alpha) * 10000.0)
     }
-    val sw = w4.map(_._2).sum
-    if (sw == 0L) w4.map { case (s, _) => s -> 0L }.toMap
-    else w4.map { case (s, w) => s -> totalBudget * w / sw }.toMap
+    val sw = w4.map(w => BigInt(w._2)).sum
+    // product in BigInt: totalBudget ~ 1e12-1e13 tokens at 100 TB and
+    // w4 can reach ~1e16, so the Long product overflows — the quotient
+    // is always <= totalBudget and fits back in a Long.
+    if (sw == 0) w4.map { case (s, _) => s -> 0L }.toMap
+    else w4.map { case (s, w) => s -> (BigInt(totalBudget) * w / sw).toLong }.toMap
   }
 
   /** Documents selected for the mixture: `(doc_id, source, toks)` — per
@@ -69,17 +86,30 @@ object Mixing {
     * a zero budget keeps nothing; tokens are [[TextStats.estBpeTokens]]. */
   def mixByBudget(docs: DataFrame, budgets: Map[String, Long],
                   idCol: String = "doc_id", textCol: String = "text",
-                  sourceCol: String = "source"): DataFrame = {
+                  sourceCol: String = "source"): DataFrame =
+    mixByBudgetCounted(docs.select(col(idCol), col(sourceCol),
+        TextStats.estBpeTokens(col(textCol)).as("toks")),
+      budgets, idCol, sourceCol)
+
+  /** [[mixByBudget]] over an EXPLICIT per-doc token-count frame
+    * `(idCol, sourceCol, toksCol)` — pair with
+    * [[temperatureBudgetsCounted]] so selection and budgets use the same
+    * token units (real BPE via [[Bpe.countTokens]], or any other
+    * counter); the text-column overload's estimator is the fallback. */
+  def mixByBudgetCounted(perDoc: DataFrame, budgets: Map[String, Long],
+                         idCol: String = "doc_id",
+                         sourceCol: String = "source",
+                         toksCol: String = "toks"): DataFrame = {
     require(budgets.nonEmpty, "empty budget map selects nothing")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
-    val spark = docs.sparkSession
+    val spark = perDoc.sparkSession
     import spark.implicits._
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val local = docs
+    val local = perDoc
       .select(col(sourceCol).cast("string").as("source"),
         substring(md5(col(idCol).cast("string")), 1, 8).as("h"),
         col(idCol).cast("long").as("doc_id"),
-        TextStats.estBpeTokens(col(textCol)).as("toks"))
+        col(toksCol).cast("long").as("toks"))
       .where(col("source").isin(budgets.keys.toSeq: _*))
       .repartitionByRange(nPart, col("source"), col("h"), col("doc_id"))
       .sortWithinPartitions("source", "h", "doc_id")

@@ -203,7 +203,11 @@ object Multimodal {
       if (tag(i, "fmt ") && i + 24 <= n)
         fmt = Some((u32(i + 12).toInt, u16(i + 10), u16(i + 22), u16(i + 20)))
       else if (tag(i, "data")) dataBytes = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // chunks are word-aligned; a corrupt size must not stall or wrap
+      // the walk — unrecognized payloads surface as None, never a hang.
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (size < 0 || next <= i || next > Int.MaxValue) return None
+      i = next.toInt
     }
     fmt.flatMap { case (rate, ch, bits, ba) =>
       if (dataBytes < 0 || ba <= 0) None
@@ -281,13 +285,16 @@ object Multimodal {
     var ch = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= n && (ch < 0 || dataOff < 0)) {
-      val size = u32(i + 4).toInt
+      val size = u32(i + 4)
       if (tag(i, "fmt ") && i + 24 <= n) { ch = u16(i + 10); bits = u16(i + 22) }
-      else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
-      i += 8 + size + (size & 1)
+      else if (tag(i, "data")) { dataOff = i + 8; dataLen = size.toInt }
+      // same corrupt-size guard as wavInfo: never stall, never wrap.
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (size < 0 || next <= i || next > Int.MaxValue) return None
+      i = next.toInt
     }
-    if (ch <= 0 || bits != 16 || dataOff < 0 ||
-        dataOff + dataLen > n) return None
+    if (ch <= 0 || bits != 16 || dataOff < 0 || dataLen < 0 ||
+        dataOff.toLong + dataLen > n) return None
     val out = new Array[Int](dataLen / 2)
     var j = 0
     while (j < out.length) {

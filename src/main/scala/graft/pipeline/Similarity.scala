@@ -644,6 +644,10 @@ object Similarity {
         pqEncode(col(vecCol), codebooks).as("pq_codes"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/_codes")
+    // per-cell population histogram (nlist rows) — serving derives the
+    // density-adaptive refine shortlist from it without scanning codes
+    encodeInput.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_cellhist")
     writePqBooks(spark, dir, codebooks)
     import spark.implicits._
     Seq(residual).toDF("residual").coalesce(1)
@@ -740,14 +744,20 @@ object Similarity {
     * (measured in AnnRecallSpot: ADC-only recall@10 collapses as cluster
     * density grows; refined recall recovers to ~1.0) at a cost of one
     * `refine`-row broadcast-join against the corpus — candidate-bounded,
-    * corpus-size-free. Ranking convention matches every serving path:
-    * cosim rounded to 4 dp, ties to the lower id. */
+    * corpus-size-free. `refine = 0` (the default) sizes the shortlist
+    * from the probed cells' populations ([[adaptiveRefine]]) so dense
+    * clusters don't outgrow a fixed constant. Ranking convention matches
+    * every serving path: cosim rounded to 4 dp, ties to the lower id. */
   def ivfPqTopKRefined(emb: DataFrame, dir: String, queryId: Long, k: Int,
-                       nprobe: Int = 4, refine: Int = 100,
+                       nprobe: Int = 4, refine: Int = 0,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    require(refine >= k, "refine shortlist must be at least k")
-    val shortlist = ivfPqTopK(emb, dir, queryId, refine, nprobe, idCol, vecCol)
+    require(refine == 0 || refine >= k,
+      "refine shortlist must be at least k (0 = density-adaptive)")
+    val eff =
+      if (refine > 0) refine
+      else adaptiveRefine(emb, dir, queryId, k, nprobe, idCol, vecCol)
+    val shortlist = ivfPqTopK(emb, dir, queryId, eff, nprobe, idCol, vecCol)
       .select(col(idCol))
     val qRow = emb.filter(col(idCol) === queryId)
       .select(asDouble(col(vecCol)).as("qv")).limit(1)
@@ -757,6 +767,44 @@ object Similarity {
       .select(col(idCol), col("cosim"))
       .orderBy(col("cosim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** DENSITY-ADAPTIVE refine shortlist (round-11 verdict item 1; the
+    * FAISS IndexRefineFlat k_factor made population-aware): a FIXED
+    * shortlist silently degrades as cluster density grows — a probed
+    * cell with 830 members vs a 100-candidate shortlist measured 0.163
+    * recall@10 at ×10 density — so the default derives from the probed
+    * cells' member counts: `max(10·k, ⌈candidates/2⌉)` where candidates
+    * = Σ members(probed). The counts come from the build-time `_cellhist`
+    * histogram (nlist rows — no corpus scan at serve time); layouts built
+    * before the histogram existed fall back to one partition-pruned count
+    * over the code rows the ADC stage scans anyway. The ⌈/2⌉ keeps the
+    * exact-rerank join candidate-bounded (≤ half the probed population)
+    * while covering any cluster whose size is within 2× the probe set —
+    * the regime where the fixed default was measured losing neighbors. */
+  private[graft] def adaptiveRefine(emb: DataFrame, dir: String, queryId: Long,
+                                    k: Int, nprobe: Int, idCol: String,
+                                    vecCol: String): Int = {
+    val spark = emb.sparkSession
+    val floor = math.max(100, 10 * k)
+    val qRow = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol))).limit(1).collect().headOption
+    if (qRow.isEmpty) return floor // serve path returns empty anyway
+    val (centroids, cNorms) = readQuantizer(spark, dir)
+    val probes =
+      nearestCells(qRow.get.getSeq[Double](0).toArray, centroids, cNorms, nprobe)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val histPath = new org.apache.hadoop.fs.Path(s"$dir/_cellhist")
+    val candidates =
+      if (histPath.getFileSystem(hconf).exists(histPath))
+        spark.read.parquet(s"$dir/_cellhist")
+          .filter(col("cell").isin(probes: _*))
+          .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      else
+        spark.read.parquet(s"$dir/_codes")
+          .filter(col("cell").isin(probes: _*)).count()
+    math.max(floor.toLong, (candidates + 1) / 2)
+      .min(Int.MaxValue.toLong).toInt
   }
 
   /** Per-ROW probe set: the `nprobe` nearest cells (1-based) as an array

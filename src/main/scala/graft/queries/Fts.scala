@@ -41,8 +41,11 @@ object Fts extends QueryPack {
     val src = java.nio.file.Paths.get(path)
     val parts =
       if (java.nio.file.Files.isDirectory(src))
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        // Using closes the directory stream (Files.list holds an fd open)
+        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        }
       else Seq(src)
     require(parts.nonEmpty, s"no parquet files to stage under $path")
     parts.zipWithIndex.foreach { case (p, i) =>

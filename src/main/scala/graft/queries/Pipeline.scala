@@ -1734,6 +1734,63 @@ object Pipeline extends QueryPack {
               FROM c WHERE strt < budget
               GROUP BY source ORDER BY source""")),
 
+    // REAL-BPE mixture budgets (round-11 verdict item 3): budgets and
+    // selection both measured in the tokens a training run over the
+    // TRAINED tokenizer actually consumes (Bpe.train → Bpe.countTokens →
+    // temperatureBudgetsCounted → mixByBudgetCounted), closing the
+    // units loop the estimator path approximates. Learned merges are
+    // engine-specific (no SQL replay of the iterative argmax — the
+    // q_text_bpe precedent), so the row is a verdict over the REAL
+    // contracts: (1) the distributed two-phase prefix-sum mixer equals an
+    // independent single-window replay of the same semantics, (2) per-
+    // source overflow is bounded by its straddling document (exclusive-
+    // prefix contract), (3) counts are genuine BPE output — compression
+    // holds (tokens < chars) and totals are positive, (4) budget totals
+    // never exceed the requested total.
+    Q("q_pipeline_mix_bpe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val merges = Bpe.train(docs, numMerges = 30)
+        val perDoc = docs.select(col("doc_id"), col("source"))
+          .join(Bpe.countTokens(docs, merges), "doc_id")
+          .persist() // counted once; budgets, mix, and replay all scan it
+        perDoc.count()
+        try {
+          val total = 10000L
+          val budgets =
+            Mixing.temperatureBudgetsCounted(perDoc, total, alpha = 0.3)
+          val sel = Mixing.mixByBudgetCounted(perDoc, budgets)
+          import s.implicits._
+          val bdf = broadcast(budgets.toSeq.toDF("source", "budget"))
+          // independent replay: one window cumsum over the same counts
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("h", "doc_id")
+          val replay = perDoc
+            .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 8))
+            .join(bdf, "source")
+            .withColumn("strt", sum(col("toks")).over(w) - col("toks"))
+            .where(col("strt") < col("budget"))
+          val mismatch = sel.select("doc_id")
+            .unionAll(replay.select("doc_id"))
+            .groupBy("doc_id").agg(count(lit(1)).as("c"))
+            .filter(col("c") =!= 2).count()
+          val overflow = sel.groupBy("source")
+            .agg(sum(col("toks")).as("got"), max(col("toks")).as("mx"))
+            .join(bdf, "source")
+            .filter(col("got") >= col("budget") + col("mx")).count()
+          val t = docs.join(perDoc.select("doc_id", "toks"), "doc_id")
+            .agg(sum(length(col("text"))).as("chars"),
+              sum(col("toks")).as("toks")).head()
+          val verdict = s.range(1).select(
+            lit(mismatch == 0 && overflow == 0 &&
+              t.getLong(1) > 0 && t.getLong(1) < t.getLong(0) &&
+              budgets.values.sum <= total).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally perDoc.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
     Q("q_pipeline_mix",
       (s, dir) => Mixing.mixByBudget(Tables(s, dir, "documents"),
           Map("src0" -> 1000L, "src1" -> 5000L, "src2" -> 800L,

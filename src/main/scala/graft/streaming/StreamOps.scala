@@ -70,8 +70,11 @@ object StreamOps {
     val parts =
       if (java.nio.file.Files.isDirectory(src)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(src).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        // Using closes the directory stream (Files.list holds an fd open)
+        scala.util.Using.resource(java.nio.file.Files.list(src)) { st =>
+          st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        }
       } else Seq(src)
     require(parts.nonEmpty, s"no parquet files to stage under $path")
     for (i <- 1 to copies; (p, j) <- parts.zipWithIndex) {

@@ -39,6 +39,40 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.temperatureBudgets(skewed, 0L, 0.3).values.forall(_ == 0L))
   }
 
+  test("counted path: real BPE counts drive budgets and selection") {
+    import spark.implicits._
+    // corpus where BPE counts differ sharply from the /4 estimator:
+    // 'aaaa…' compresses to few pieces under merges trained on it
+    val bpeDocs = mkDocs(
+      (0L until 4L).map(i => (i, "a", "aaaaaaaa " * 4)) ++
+        (4L until 8L).map(i => (i, "b", "zq xv jk wp")))
+    val merges = Bpe.train(bpeDocs, numMerges = 10)
+    val counts = Bpe.countTokens(bpeDocs, merges)
+    val got = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 'aaaaaaaa' → merges learn aa, aaaa, aaaaaaaa → 1 piece × 4 words;
+    // the 2-char b-side words can halve at best
+    assert(got(0L) == 4L, s"a-side real count ${got(0L)}")
+    assert(got(4L) <= 8L && got(4L) >= 4L, s"b-side real count ${got(4L)}")
+    val perDoc = bpeDocs.select(col("doc_id"), col("source"))
+      .join(counts, "doc_id")
+    val budgets = Mixing.temperatureBudgetsCounted(perDoc, 100L, alpha = 1.0)
+    // proportional split over the REAL totals (a = 16, b = 4·got(4))
+    val aTot = 16.0; val bTot = 4.0 * got(4L)
+    assert(budgets("a") == (BigInt(100) * math.round(aTot * 10000) /
+      (math.round(aTot * 10000) + math.round(bTot * 10000))).toLong,
+      budgets.toString)
+    // selection spends the same units: budget exactly a's total → all of
+    // a (prefix covers the whole source), none beyond
+    val sel = Mixing.mixByBudgetCounted(perDoc, Map("a" -> 16L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sel.length == 4 && sel.forall(_._2 == 4L), sel.toSeq.toString)
+    // token-free docs surface as 0-count rows, not dropped
+    val withEmpty = mkDocs(Seq((0L, "a", "hello world"), (1L, "a", "...")))
+    val c2 = Bpe.countTokens(withEmpty, Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2(1L) == 0L && c2(0L) == 10L, c2.toString)
+  }
+
   test("budget caps each source independently; zero budget drops the source") {
     val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 0L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -148,6 +148,43 @@ class SimilaritySpec extends SparkSpec {
     } finally clustered.unpersist()
   }
 
+  test("adaptive refine: shortlist tracks probed-cell population, default serve clears recall") {
+    val clustered = spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id"),
+        Similarity.clusteredVec(col("vec_id"), col("embedding")).as("embedding"))
+      .persist()
+    clustered.count()
+    try {
+      val layout = graft.core.Scratch.dir("simspec_adaptive")
+      Similarity.writeCelledPq(clustered, layout)
+      // probing ALL cells → candidates = whole corpus → the adaptive
+      // shortlist must be ⌈n/2⌉ (the density term dominates the floor)
+      val n = clustered.count()
+      val all = Similarity.adaptiveRefine(clustered, layout, 0L, 10, 16,
+        "vec_id", "embedding")
+      assert(all == math.max(100L, (n + 1) / 2),
+        s"adaptive refine $all for all-cell probe of $n vectors")
+      // narrow probe on the sf fixture: small cells → floor wins
+      val narrow = Similarity.adaptiveRefine(clustered, layout, 0L, 10, 1,
+        "vec_id", "embedding")
+      assert(narrow >= 100, s"floor not honored: $narrow")
+      // ALL-DEFAULT serving (refine = 0 → adaptive) clears the contract
+      val exact = Similarity.bruteForceTopK(clustered, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Similarity.ivfPqTopKRefined(clustered, layout, 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact & got).size >= 8, s"recall too low: ${(exact & got).size}/10")
+      // pre-histogram layouts still serve (partition-pruned count fallback)
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+      }
+      rmrf(new java.io.File(layout, "_cellhist"))
+      val fallback = Similarity.adaptiveRefine(clustered, layout, 0L, 10, 16,
+        "vec_id", "embedding")
+      assert(fallback == all, s"fallback count $fallback != histogram $all")
+    } finally clustered.unpersist()
+  }
+
   test("residual IVF-PQ: serve detects the layout, ADC >= raw-ADC recall") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),

@@ -26,7 +26,9 @@ object AnnRecallSpot {
     // codebook resolution + shortlist size — THE two recall dials of
     // two-stage PQ serving (args 2/3; defaults = the layout defaults)
     val ncent = if (args.length > 1) args(1).toInt else 16
-    val refine = if (args.length > 2) args(2).toInt else 100
+    // 0 = the density-adaptive default (shortlist derived from the probed
+    // cells' _cellhist populations); a positive value pins it fixed
+    val refine = if (args.length > 2) args(2).toInt else 0
     val residual = args.length > 3 && args(3) == "residual"
     val out = s"/root/repo/target/sfscale_x$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
