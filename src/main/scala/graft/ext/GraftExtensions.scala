@@ -673,6 +673,31 @@ case class FtsFuzzy(text: Expression, term: Expression, maxEdits: Expression)
     copy(text = newChildren(0), term = newChildren(1), maxEdits = newChildren(2))
 }
 
+/** `fts_regexp(text, 'pattern')`: true iff the document contains a token
+  * the regex matches IN FULL — Lucene's RegexpQuery (implicitly anchored
+  * at both ends), query syntax `/pattern/`. Index terms are the frozen v1
+  * grammar's lowercase `[a-z0-9]+`, so the pattern is matched against
+  * that dictionary; an uppercase literal can never match. Lowered by
+  * [[RewriteFtsMatch]] (reference seed: RLike,
+  * sql/catalyst/.../regexpExpressions.scala:125): a pattern with an
+  * anchored LITERAL prefix pushes the prefix as a term RANGE into the
+  * sorted postings (row-group min/max pruning — the wildcard
+  * [[graft.fts.Search.matchPatternIds]] plan with RLIKE as the residual
+  * instead of LIKE); a prefix-free pattern runs the codegen'd RLIKE over
+  * the postings' term column (dictionary-sized, never the corpus) and the
+  * matched rows drive the ordinary id-set semi-join. Scan path: an
+  * exists(tokens, RLIKE) over the token array. Keep patterns RE2-portable
+  * (no lookaround/backrefs) — the oracle engine replays them. */
+case class FtsRegexp(text: Expression, pattern: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(text, pattern)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_regexp"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsRegexp =
+    copy(text = newChildren(0), pattern = newChildren(1))
+}
+
 /** Lowers [[FtsMatch]] along one of two paths:
   *
   *  1. **Index-backed** (the 100 TB path): a `fts_match` conjunct in a
@@ -877,6 +902,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val (entry, idAttr) = entryFor(a).get
         Some((graft.fts.Search.matchFuzzyIds(persistedIx(entry),
           singleTerm(t, "fts_fuzzy"), k), idAttr))
+      case FtsRegexp(a: Attribute, Literal(p: UTF8String, StringType))
+          // v1 only, like wildcard/fuzzy: the pattern measures the v1
+          // term space, not an analyzer's stemmed dictionary
+          if entryFor(a).exists(_._1.analyzer.isV1) =>
+        val (entry, idAttr) = entryFor(a).get
+        Some((graft.fts.Search.matchRegexpIds(persistedIx(entry),
+          p.toString), idAttr))
       // a disjunction whose every branch is index-exact on the SAME id is
       // itself index-exact: the union of the branch id sets (recursive, so
       // nested Ors flatten; mirrors the filter pass's OrConj)
@@ -934,6 +966,12 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
     * its LIKE-free [[WildcardConj]] plan. */
   private final case class PatternConj(entry: IndexCatalog.Entry,
                                        idAttr: Attribute, pattern: String)
+      extends FtsConjunct
+  /** `fts_regexp` / the query language's `/pattern/` — anchored-literal-
+    * prefix term range + full-match RLIKE residual over the pruned
+    * postings ([[graft.fts.Search.matchRegexpIds]]). */
+  private final case class RegexpConj(entry: IndexCatalog.Entry,
+                                      idAttr: Attribute, pattern: String)
       extends FtsConjunct
   /** `fts_phrase_wild` — wildcard-slot phrase; index-exact only against a
     * POSITIONAL v1 index (patterns measure the v1 term space, and the
@@ -1619,6 +1657,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
                 val (e, id) = entryFor(a).get
                 Left(FuzzyConj(e, id, singleTerm(t, "fts_fuzzy"), k))
+              case FtsRegexp(a: Attribute, Literal(p: UTF8String, StringType))
+                  if entryFor(a).exists(_._1.analyzer.isV1) =>
+                val (e, id) = entryFor(a).get
+                Left(RegexpConj(e, id, p.toString))
               case or: org.apache.spark.sql.catalyst.expressions.Or =>
                 val branchIds = splitDisjunctivePredicates(or)
                   .map(b => exactIdsDf(b, entryFor))
@@ -1724,6 +1766,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                     .queryExecution.optimizedPlan, idAttr)
                 case (cur, PatternConj(entry, idAttr, pat)) =>
                   semi(cur, patternIdsDf(entry, pat)
+                    .queryExecution.optimizedPlan, idAttr)
+                case (cur, RegexpConj(entry, idAttr, pat)) =>
+                  // prefix-ranged full-match RLIKE over the pruned
+                  // postings — dictionary-sized, the corpus never sees
+                  // the regex engine
+                  semi(cur, graft.fts.Search.matchRegexpIds(
+                    persistedIx(entry), pat)
                     .queryExecution.optimizedPlan, idAttr)
                 case (cur, WildPhraseConj(entry, idAttr, slots)) =>
                   // position-list adjacency fold with pattern-slot unions
@@ -1877,6 +1926,27 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                 Some(Literal(k))),
               Literal(0)),
             Seq(v)))
+      case FtsRegexp(text, Literal(p: UTF8String, StringType)) =>
+        // scan fallback: exists(tokens, t -> t RLIKE '^(?:pat)$') — the
+        // codegen'd built-in compiles the literal pattern once. Full-term
+        // anchoring = Lucene RegexpQuery semantics; same 3VL as the other
+        // kernels (NULL text → NULL through ArrayExists).
+        val pat = p.toString
+        if (pat.isEmpty) throw new IllegalArgumentException(
+          "fts_regexp pattern must be non-empty")
+        try java.util.regex.Pattern.compile(pat)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"fts_regexp pattern '$pat' does not compile: ${e.getMessage}")
+        }
+        val v = org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable(
+          "t", StringType, nullable = false)
+        org.apache.spark.sql.catalyst.expressions.ArrayExists(
+          FtsTokenize(text),
+          org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+            org.apache.spark.sql.catalyst.expressions.RLike(v,
+              Literal(UTF8String.fromString("^(?:" + pat + ")$"), StringType)),
+            Seq(v)))
       // NULL query literal: three-valued logic, same as every SQL predicate
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
@@ -1884,6 +1954,7 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case FtsPhraseWild(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPrefix(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsWildcard(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsRegexp(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsNear(_, a, b, s)
           if Seq(a, b, s).exists {
             case Literal(null, _) => true; case _ => false } =>
@@ -1992,6 +2063,9 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_fuzzy"),
         new ExpressionInfo(classOf[FtsFuzzy].getName, "fts_fuzzy"),
         (args: Seq[Expression]) => FtsFuzzy(args(0), args(1), args(2))),
+      (new FunctionIdentifier("fts_regexp"),
+        new ExpressionInfo(classOf[FtsRegexp].getName, "fts_regexp"),
+        (args: Seq[Expression]) => FtsRegexp(args(0), args(1))),
       // `fts_term_range(text, lo, hi[, incl_lo, incl_hi])` — dictionary
       // range query (bounds default inclusive, Lucene's `[lo TO hi]`)
       (new FunctionIdentifier("fts_term_range"),

@@ -713,6 +713,53 @@ object Search {
     }
   }
 
+  /** The longest ANCHORED LITERAL prefix of a regex — the characters a
+    * full match must start with, hence pushable as a term RANGE. Only
+    * bare `[a-z0-9]` characters are literal here (the dictionary's whole
+    * alphabet); the run stops at the first metacharacter, and its last
+    * character is dropped again when a `*`/`?`/`{` quantifier follows
+    * (the quantifier can make it optional: `spark?` matches "spar").
+    * A pattern containing `|` anywhere gets NO prefix — the alternation
+    * could be top-level (`abc|xyz` matches "xyz"), and detecting nesting
+    * buys little over the conservative answer. */
+  private[graft] def regexLiteralPrefix(pattern: String): String = {
+    if (pattern.contains('|')) return ""
+    val run = pattern.takeWhile(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+    if (run.length < pattern.length && "*?{".contains(pattern.charAt(run.length)))
+      run.dropRight(1)
+    else run
+  }
+
+  /** doc_ids containing any token the regex matches IN FULL — Lucene's
+    * RegexpQuery semantics (implicit `^…$` anchoring), the `/pattern/`
+    * term of the query language. Same scale shape as [[matchPatternIds]]:
+    * the pattern's anchored literal prefix ([[regexLiteralPrefix]]) pushes
+    * as a term RANGE into the sorted postings (parquet row-group min/max
+    * pruning) with the codegen'd RLIKE as residual over the PRUNED rows;
+    * a prefix-free pattern costs one full pass over the postings' term
+    * column (dictionary-sized, never the corpus — said loudly on stderr,
+    * like the headless wildcard). The matched rows ARE postings rows, so
+    * the id set needs no further join. */
+  def matchRegexpIds(ix: FtsIndex, pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "fts_regexp pattern must be non-empty")
+    // fail loud at plan time, not per-row inside the scan
+    try java.util.regex.Pattern.compile(pattern)
+    catch { case e: java.util.regex.PatternSyntaxException =>
+      throw new IllegalArgumentException(
+        s"fts_regexp pattern '$pattern' does not compile: ${e.getMessage}")
+    }
+    val anchored = "^(?:" + pattern + ")$"
+    val head = regexLiteralPrefix(pattern)
+    var p = ix.postings
+    if (head.nonEmpty) {
+      val upper = head.init + (head.last + 1).toChar
+      p = p.filter(col("term") >= head && col("term") < upper)
+    } else
+      System.err.println(s"[graft.fts] regexp pattern '$pattern' has no " +
+        "anchored literal prefix — full postings term scan")
+    p.filter(col("term").rlike(anchored)).select("doc_id").distinct()
+  }
+
   /** Docs matching all `must` terms and none of the `mustNot` terms —
     * semi-join + anti-join against the postings (reference join types,
     * catalyst/.../plans/logical/basicLogicalOperators.scala:270). */

@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{And, Expression, Literal, Not,
   *    multi-`*` / `?` words → general wildcard patterns (pushed head range
   *    + LIKE over pruned postings — Lucene's full WildcardQuery)
   *  - term~k (k ∈ 1,2; bare `~` = 2) → [[graft.ext.FtsFuzzy]] (typo-tolerant)
+  *  - /pattern/ → [[graft.ext.FtsRegexp]] (Lucene RegexpQuery: some token
+  *    matches the regex in full; anchored-literal-prefix patterns push a
+  *    term range, the rest scan the dictionary — never the corpus)
   *  - a NEAR/k b       → [[graft.ext.FtsNear]]    (proximity, either order)
   *  - term^w / "phrase"^w → boost: a no-op for boolean matching, a score
   *    multiplier for `fts_query_score` ([[scoringWeights]])
@@ -83,6 +86,10 @@ object QueryParser {
   final case class WildPhrase(slots: Seq[String]) extends Node
   final case class Prefix(p: String) extends Node
   final case class Wildcard(pat: String) extends Node
+  /** `/pattern/` — Lucene RegexpQuery: some token matches the regex IN
+    * FULL (implicit `^…$` anchoring). Filters without scoring, like the
+    * other multi-term clauses. */
+  final case class Regex(pat: String) extends Node
   final case class Fuzzy(t: String, maxEdits: Int) extends Node
   final case class TermRange(lo: String, hi: String,
                              inclLo: Boolean, inclHi: Boolean) extends Node
@@ -106,6 +113,7 @@ object QueryParser {
   private case object NotT extends Tok
   private final case class NearT(slop: Int) extends Tok
   private final case class PhraseT(raw: String, slop: Int, boost: Double) extends Tok
+  private final case class RegexT(pat: String) extends Tok
   private final case class WordT(raw: String) extends Tok
 
   private val NearRe = "(?i)near/(\\d+)".r
@@ -164,6 +172,38 @@ object QueryParser {
             s"fts_query: unexpected '${q.charAt(math.min(j, q.length - 1))}' " +
               s"directly after a phrase in query: $q")
           out += PhraseT(q.substring(i + 1, end), slop, boost); i = j
+        case '/' =>
+          // `/pattern/` — regex term (Lucene RegexpQuery syntax). Read RAW
+          // to the closing unescaped '/' (regex metacharacters like '('
+          // must not hit the grammar); `\/` escapes a literal slash.
+          var j = i + 1
+          val sb = new StringBuilder
+          var closed = false
+          while (j < q.length && !closed) {
+            q.charAt(j) match {
+              case '\\' if j + 1 < q.length && q.charAt(j + 1) == '/' =>
+                sb += '/'; j += 2
+              case '/' => closed = true; j += 1
+              case c => sb += c; j += 1
+            }
+          }
+          require(closed, s"fts_query: unterminated /regex/ in query: $q")
+          require(sb.nonEmpty, s"fts_query: empty /regex/ in query: $q")
+          // validate at parse time — a bad pattern is a loud analysis
+          // error, not a per-row runtime failure
+          try java.util.regex.Pattern.compile(sb.toString)
+          catch { case e: java.util.regex.PatternSyntaxException =>
+            throw new IllegalArgumentException(
+              s"fts_query: regex '/${sb}/' does not compile " +
+                s"(${e.getDescription}) in query: $q")
+          }
+          // like phrases: anything glued after the closing '/' would
+          // silently tokenize into an AND'd term — reject loud
+          require(j >= q.length || q.charAt(j).isWhitespace ||
+              q.charAt(j) == '(' || q.charAt(j) == ')',
+            s"fts_query: unexpected '${q.charAt(math.min(j, q.length - 1))}' " +
+              s"directly after a /regex/ in query: $q")
+          out += RegexT(sb.toString); i = j
         case _ =>
           var j = i
           while (j < q.length && !q.charAt(j).isWhitespace &&
@@ -225,13 +265,20 @@ object QueryParser {
         toks = rest
         if (restRaw.isEmpty) {
           toks match {
-            case (LPar | PhraseT(_, _, _) | LBrT(_)) :: _ => ()
+            case (LPar | PhraseT(_, _, _) | LBrT(_) | RegexT(_)) :: _ => ()
             case _ => fail(s"'${raw.head}' must be directly attached to a " +
-              "term, phrase, range, or (group)")
+              "term, phrase, range, regex, or (group)")
           }
         } else {
           if (restRaw.head == '+' || restRaw.head == '-')
             fail(s"term '$raw': at most one leading '+'/'-' operator")
+          if (restRaw.head == '/')
+            // `-/pat/` lexed as one word (the '/' only starts a regex
+            // token at token-initial position) — the v1 grammar would
+            // silently strip the slashes into a plain term; demand the
+            // spaced form instead
+            fail(s"term '$raw': write '${raw.head} /regex/' with a space " +
+              "— '+'/'-' glued to a regex is ambiguous")
           toks = WordT(restRaw) :: toks
         }
         val inner = parsePrimary()
@@ -359,8 +406,18 @@ object QueryParser {
             case _ => fail(s"field scope '$field:' needs a term, phrase, " +
               "range, or (group) directly after ':'")
           }
-        } else toks = WordT(restRaw) :: toks
+        } else if (restRaw.head == '/')
+          // `field:/pat/` lexes as one word (the '/' only starts a regex
+          // token at token-initial position) and the v1 grammar would
+          // silently strip the slashes — demand the grouped form, which
+          // lexes the regex properly
+          fail(s"field scope '$field:': write '$field:(/regex/)' — a " +
+            "regex glued to ':' is ambiguous")
+        else toks = WordT(restRaw) :: toks
         Scoped(field, parsePrimary())
+      case RegexT(pat) :: rest =>
+        toks = rest
+        Regex(pat)
       case WordT(raw) :: rest =>
         toks = rest
         wordNode(raw)
@@ -494,8 +551,8 @@ object QueryParser {
     case Phrase(ts) => ts
     case SloppyPhrase(ts, _) => ts
     case Near(a, b, _) => Seq(a, b)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _)
-       | WildPhrase(_) => Nil
+    case Prefix(_) | Wildcard(_) | Regex(_) | Fuzzy(_, _)
+       | TermRange(_, _, _, _) | WildPhrase(_) => Nil
     // field-scoped clauses filter without scoring: fts_query_score is
     // single-field BM25, and the default column's corpus statistics say
     // nothing about another field's terms
@@ -515,8 +572,8 @@ object QueryParser {
     case Phrase(ts) => ts.map(_ -> w)
     case SloppyPhrase(ts, _) => ts.map(_ -> w)
     case Near(a, b, _) => Seq(a -> w, b -> w)
-    case Prefix(_) | Wildcard(_) | Fuzzy(_, _) | TermRange(_, _, _, _)
-       | WildPhrase(_) => Nil
+    case Prefix(_) | Wildcard(_) | Regex(_) | Fuzzy(_, _)
+       | TermRange(_, _, _, _) | WildPhrase(_) => Nil
     case Scoped(_, _) => Nil
     case Boosted(inner, bw) => scoringWeights(inner, w * bw)
     case AndN(l, r) => scoringWeights(l, w) ++ scoringWeights(r, w)
@@ -564,6 +621,7 @@ object QueryParser {
       graft.ext.FtsPhraseWild(text, Literal(slots.mkString(" ")))
     case Prefix(p) => graft.ext.FtsPrefix(text, Literal(p))
     case Wildcard(w) => graft.ext.FtsWildcard(text, Literal(w))
+    case Regex(p) => graft.ext.FtsRegexp(text, Literal(p))
     case Fuzzy(t, k) => graft.ext.FtsFuzzy(text, Literal(t), Literal(k))
     case TermRange(lo, hi, il, ih) =>
       graft.ext.FtsTermRange(text, Literal(lo), Literal(hi),

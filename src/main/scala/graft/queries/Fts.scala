@@ -1177,6 +1177,34 @@ object Fts extends QueryPack {
                  AND NOT len(list_filter(t, x -> x LIKE 'qu_r_')) > 0
                ORDER BY doc_id""")),
 
+    // REGEX TERMS in the query language — Lucene's RegexpQuery
+    // (`/pattern/`, full-term match): the one Lucene query type that had
+    // no counterpart here before round 12. `/quer[a-z]+/` carries the
+    // anchored literal prefix 'quer', which pushes as a term RANGE into
+    // the sorted postings (the wildcard machinery's row-group pruning)
+    // with the codegen'd RLIKE as residual over the PRUNED rows; the
+    // prohibited `/sl.w/` regex anti-joins its id set through the same
+    // covering classifier (prefix 'sl'), so the id-only query never scans
+    // the corpus — plan-asserted in PlanShapeSpec. The oracle replays
+    // full-match semantics with regexp_full_match (patterns are
+    // RE2-portable by contract).
+    Q("q_fts_query_regex",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_qrx")
+        s.sql("""SELECT doc_id FROM documents_qrx
+                 WHERE fts_query(text, 'vector AND /quer[a-z]+/ NOT /sl.w/')
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE list_contains(t, 'vector')
+                 AND len(list_filter(t, x -> regexp_full_match(x, 'quer[a-z]+'))) > 0
+                 AND NOT len(list_filter(t, x -> regexp_full_match(x, 'sl.w'))) > 0
+               ORDER BY doc_id""")),
+
     // WILDCARD SLOTS INSIDE A QUOTED PHRASE — Lucene's MultiPhraseQuery
     // ('"d?ta quer*"'): each slot is an exact term or a pattern; a pattern
     // slot's position list is the UNION of the position lists of every

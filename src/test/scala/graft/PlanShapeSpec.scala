@@ -330,6 +330,26 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("q_fts_query_regex answers /regex/ terms index-only with a pushed prefix range") {
+    graft.fts.IndexCatalog.clear()
+    try {
+      // 'vector AND /quer[a-z]+/ NOT /sl.w/': both regexes carry anchored
+      // literal prefixes, so both push term RANGES into the sorted
+      // postings with the full-match RLIKE as residual; the prohibited
+      // regex anti-joins through the covering classifier. The corpus is
+      // never scanned and never re-tokenized.
+      val plan = planOf("q_fts_query_regex")
+      assert(!plan.contains("documents.parquet") &&
+          !plan.contains("fts_tokenize"),
+        s"regex algebra must answer index-only:\n${plan.linesIterator.take(30).mkString("\n")}")
+      assert(plan.contains("GreaterThanOrEqual(term,quer"),
+        "regex literal prefix must push as a term range")
+      assert(plan.contains("quer[a-z]+") && plan.contains("sl.w"),
+        "the residual must be the anchored full-match RLIKE on the term")
+      assert(plan.contains("LeftAnti"), "NOT-regex must anti-join")
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("q_fts_query_phrase_wild answers wildcard-slot phrases index-only") {
     graft.fts.IndexCatalog.clear()
     try {

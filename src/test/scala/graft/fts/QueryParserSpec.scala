@@ -133,6 +133,32 @@ class QueryParserSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse("foo-*-bar")) // star touches nothing
   }
 
+  test("regex terms: /pattern/ parses raw, composes with booleans") {
+    assert(parse("/quer[a-z]+/") == Regex("quer[a-z]+"))
+    // regex metacharacters must NOT hit the grammar: parens, spaces,
+    // brackets inside the slashes are pattern text
+    assert(parse("a AND /x(y|z) [0-9]/") ==
+      AndN(Term("a"), Regex("x(y|z) [0-9]")))
+    assert(parse("NOT /sl.w/ OR b") ==
+      OrN(NotN(Regex("sl.w")), Term("b")))
+    // escaped slash is a literal '/', spaced +/- attach
+    assert(parse("""/a\/b/""") == Regex("a/b"))
+    assert(parse("- /sl.w/ a") == AndN(NotN(Regex("sl.w")), Term("a")))
+    // grouped field scope lexes the regex properly
+    assert(parse("title:(/quer.*/)") == Scoped("title", Regex("quer.*")))
+    // regexes filter without scoring (Lucene constant-score treatment)
+    assert(scoringTerms(parse("a /b.*/ c")) == Seq("a", "c"))
+  }
+
+  test("regex rejections: unterminated, empty, non-compiling, glued") {
+    intercept[IllegalArgumentException](parse("/abc"))
+    intercept[IllegalArgumentException](parse("//"))
+    intercept[IllegalArgumentException](parse("/ab[/"))   // bad pattern
+    intercept[IllegalArgumentException](parse("/ab/x"))   // glued suffix
+    intercept[IllegalArgumentException](parse("-/ab/"))   // glued operator
+    intercept[IllegalArgumentException](parse("title:/ab/")) // glued scope
+  }
+
   test("fuzzy syntax: term~k parses, bare ~ defaults to 2 edits") {
     assert(parse("querry~1") == Fuzzy("querry", 1))
     assert(parse("querry~2") == Fuzzy("querry", 2))

@@ -225,6 +225,35 @@ class SearchSpec extends SparkSpec {
     assert(viaRev == ids("*ert"))
   }
 
+  test("regex: full-term match, prefix push, dictionary fallback") {
+    import spark.implicits._
+    val rdocs = Seq(
+      (1L, "query quarry"), (2L, "quay"), (3L, "qy cert"),
+      (4L, "query only here")).toDF("doc_id", "text")
+    val rix = Index.build(rdocs)
+    def ids(p: String): Set[Long] =
+      Search.matchRegexpIds(rix, p).collect().map(_.getLong(0)).toSet
+    // full-term anchoring: 'quar.*' must not match 'query'
+    assert(ids("quar.*") == Set(1L))          // quarry
+    assert(ids("qu[a-z]+y") == Set(1L, 2L, 4L)) // query quarry quay; qy has
+                                                // no [a-z]+ run between u and y
+    assert(ids("q.*y") == Set(1L, 2L, 3L, 4L)) // query quarry quay qy
+    // prefix-free pattern: dictionary scan, same answer shape
+    assert(ids(".*ert") == Set(3L))           // cert
+    assert(ids("(query|cert)") == Set(1L, 3L, 4L))
+    intercept[IllegalArgumentException](Search.matchRegexpIds(rix, "ab["))
+    intercept[IllegalArgumentException](Search.matchRegexpIds(rix, ""))
+    // the pushable literal prefix: quantifiers drop their target char,
+    // alternation anywhere kills the push (top-level can't be ruled out)
+    assert(Search.regexLiteralPrefix("quer[a-z]+") == "quer")
+    assert(Search.regexLiteralPrefix("spark?x") == "spar")
+    assert(Search.regexLiteralPrefix("spark+x") == "spark")
+    assert(Search.regexLiteralPrefix("ab{2}c") == "a")
+    assert(Search.regexLiteralPrefix("abc|xyz") == "")
+    assert(Search.regexLiteralPrefix(".*ert") == "")
+    assert(Search.regexLiteralPrefix("plain") == "plain")
+  }
+
   test("fuzzy match expands over the dictionary within the edit budget") {
     // 'spak' is one deletion from 'spark' → docs 1 and 3; nothing else
     // in the vocabulary is within one edit
