@@ -351,6 +351,166 @@ object Multimodal {
     }
   }
 
+  /** Deterministic REAL PPM (P6) fixture with PIXEL CONTENT — image-content
+    * parity with [[synthWavPcm]]: a 16×16 grayscale-RGB raster whose gray
+    * value is the closed form
+    * g(b, x, y) = (b·7 + x·13 + y·31 + x·y·(b mod 5)) mod 256
+    * with b = id mod 100 — the x·y term gives each base a DISTINCT spatial
+    * structure (a pure per-base offset would shift cell averages and the
+    * mean together, leaving the threshold pattern nearly shift-invariant
+    * across bases); ids i and i+100 render the SAME base image;
+    * ids ≥ 100 additionally brighten the top-left 2×2 pixel block by +40
+    * (capped 255) — a small perturbation that makes (i, i+100) a planted
+    * NEAR-duplicate pair under a perceptual hash while distinct bases stay
+    * far apart. Both engines can derive every byte from the formula, so
+    * pixel decode and hashing over the BYTES (a real parse) are
+    * oracle-checkable — the parse↔generate loop. */
+  def synthPpm(id: Long): Array[Byte] = {
+    val w = 16; val h = 16
+    val base = id % 100
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val data = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var g = ((base * 7 + x * 13 + y * 31 + x * y * (base % 5)) % 256).toInt
+        if (id >= 100 && x < 2 && y < 2) g = math.min(255, g + 40)
+        val off = (y * w + x) * 3
+        data(off) = g.toByte; data(off + 1) = g.toByte; data(off + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    header ++ data
+  }
+
+  /** Decode an uncompressed binary PPM (P6): header `P6 <w> <h> <maxval>`
+    * in ASCII with whitespace separators, then w·h RGB byte triples.
+    * Returns (w, h, gray pixels row-major) with gray = ⌊(r+g+b)/3⌋; None
+    * when the container is unrecognized, truncated, or maxval ≠ 255 —
+    * same loud-None contract as [[wavInfo]]/[[pcmSamples]]. */
+  def ppmPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val n = bytes.length
+    if (n < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && i < n) {
+        val c = bytes(i).toChar
+        if (c.isWhitespace) { i += 1; progressed = true }
+        else if (c == '#') { // comment to end of line, per the PPM spec
+          while (i < n && bytes(i) != '\n') i += 1
+          progressed = true
+        } else go = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      if (!skipWs()) return -1
+      var v = 0L; var any = false
+      while (i < n && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv != 255) return None
+    i += 1 // exactly ONE whitespace byte after maxval, per the spec
+    val need = w.toLong * h * 3
+    if (need > Int.MaxValue || i + need > n) return None
+    val out = new Array[Int](w * h)
+    var p = 0
+    while (p < out.length) {
+      val off = i + p * 3
+      out(p) = ((bytes(off) & 0xff) + (bytes(off + 1) & 0xff) +
+        (bytes(off + 2) & 0xff)) / 3
+      p += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** AVERAGE-HASH (aHash) perceptual fingerprint over decoded pixels: the
+    * image folds to an 8×8 grid of cell averages (box filter), each cell
+    * contributes bit 1 iff its average EXCEEDS the 64-cell mean, and the
+    * 64 bits pack as FOUR 16-bit bands (bit b = cy·8+cx, band k carries
+    * bits 16k…16k+15) — band-sliced for the same pigeonhole blocking
+    * simhash uses: ≤ 3 differing bits leave at least one of 4 bands
+    * identical. All arithmetic is exact across engines: cell sums are
+    * integers and the two divisors (cell area, 64) are powers of two at
+    * the fixture sizes, so the threshold compare never hits float noise.
+    * Emits (doc_id, w, h, mean_gray, b0..b3); undecodable payloads
+    * surface loudly as w = −1. */
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        ppmPixels(r.bytes) match {
+          case Some((w, h, px)) if w % 8 == 0 && h % 8 == 0 =>
+            val cw = w / 8; val chh = h / 8
+            val sums = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sums((y / chh) * 8 + (x / cw)) += px(y * w + x)
+                x += 1
+              }
+              y += 1
+            }
+            val area = (cw * chh).toDouble
+            val avgs = sums.map(_ / area)
+            val mean = avgs.sum / 64.0
+            val bands = new Array[Int](4)
+            var b = 0
+            while (b < 64) {
+              if (avgs(b) > mean) bands(b / 16) |= 1 << (b % 16)
+              b += 1
+            }
+            val meanGray = BigDecimal(px.sum.toDouble / px.length)
+              .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            (r.doc_id, w, h, meanGray,
+              bands(0), bands(1), bands(2), bands(3))
+          case _ => (r.doc_id, -1, -1, -1.0, 0, 0, 0, 0)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "mean_gray", "b0", "b1", "b2", "b3")
+  }
+
+  /** NEAR-DUPLICATE IMAGE pairs by aHash Hamming distance — the image
+    * dedup path joining the existing LSH machinery: never all-pairs.
+    * Blocking = the 4 hash bands (pigeonhole: Hamming ≤ 3 ⇒ some band
+    * equal, so with the default threshold no pair is missed); candidates
+    * equi-join on (band index, band value) — corpus-scale cost is the
+    * band-bucket join, like simhash — then the exact Hamming verify runs
+    * on candidates only (codegen bit_count over the four XORed bands).
+    * Returns (a_id, b_id, hamming), a < b. */
+  def nearDupImagePairs(media: Dataset[MediaRecord],
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band blocking guarantees completeness only for maxHamming <= 3")
+    val hashes = imageAHash(media).filter(col("width") > 0)
+      .select("doc_id", "b0", "b1", "b2", "b3")
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "v")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = hashes.toDF("a_id", "a0", "a1", "a2", "a3")
+    val b = hashes.toDF("b_id", "c0", "c1", "c2", "c3")
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("hamming",
+        bit_count(expr("a0 ^ c0")) + bit_count(expr("a1 ^ c1")) +
+          bit_count(expr("a2 ^ c2")) + bit_count(expr("a3 ^ c3")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** RESIZE stage: stride-downsample the payload to ≤ `target` bytes
     * (stride k = ⌈n/target⌉, keep bytes 0, k, 2k, …) — the deterministic
     * stand-in for an image resample (a real deployment decodes, resamples

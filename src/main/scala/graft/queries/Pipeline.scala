@@ -1923,6 +1923,102 @@ object Pipeline extends QueryPack {
                 round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 4) AS rms
               FROM v GROUP BY doc_id, w ORDER BY doc_id, win""")),
 
+    // IMAGE PIXEL CONTENT (round-11 verdict item 6 — image parity with the
+    // audio PCM path): REAL uncompressed P6 PPM payloads decode to pixels
+    // (header walk + RGB triples → gray), then the aHash perceptual
+    // fingerprint folds them to an 8×8 cell grid, thresholds at the cell
+    // mean, and packs 4×16-bit bands. All arithmetic exact (integer sums,
+    // power-of-two divisors), so the oracle replays pixels → cells → mean
+    // → bits → bands from the generator formula while Spark parses the
+    // BYTES — the parse↔generate loop.
+    Q("q_multimodal_pixels",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "ppm",
+            Multimodal.synthPpm(id)))
+        Multimodal.imageAHash(media).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS b
+                         FROM documents WHERE doc_id < 200),
+              px AS (SELECT doc_id, x, y,
+                       CASE WHEN doc_id >= 100 AND x < 2 AND y < 2
+                         THEN least(255, (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 + 40)
+                         ELSE (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 END AS g
+                     FROM d
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS y)),
+              cell AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS cb,
+                         sum(g) / 4.0 AS avg
+                       FROM px GROUP BY doc_id, cb),
+              m AS (SELECT doc_id, sum(avg) / 64.0 AS mean FROM cell GROUP BY doc_id),
+              mg AS (SELECT doc_id, round(sum(g) / 256.0, 4) AS mean_gray
+                     FROM px GROUP BY doc_id),
+              bands AS (SELECT c.doc_id, cb // 16 AS band,
+                          CAST(sum(CASE WHEN c.avg > m.mean
+                            THEN 1::BIGINT << (cb % 16) ELSE 0 END) AS INT) AS v
+                        FROM cell c JOIN m USING (doc_id)
+                        GROUP BY c.doc_id, band)
+              SELECT d.doc_id, 16 AS width, 16 AS height, mg.mean_gray,
+                CAST(max(CASE WHEN band = 0 THEN v END) AS INT) AS b0,
+                CAST(max(CASE WHEN band = 1 THEN v END) AS INT) AS b1,
+                CAST(max(CASE WHEN band = 2 THEN v END) AS INT) AS b2,
+                CAST(max(CASE WHEN band = 3 THEN v END) AS INT) AS b3
+              FROM d JOIN mg USING (doc_id) JOIN bands USING (doc_id)
+              GROUP BY d.doc_id, mg.mean_gray
+              ORDER BY doc_id""")),
+
+    // NEAR-DUPLICATE IMAGE DEDUP over the decoded pixels (round-11
+    // verdict item 6): aHash bands block candidates (pigeonhole — ≤ 3
+    // differing bits leave one of 4 bands equal, so blocking misses no
+    // pair at the default threshold) and the exact Hamming verify runs on
+    // candidates only, never all-pairs — the simhash scale shape with a
+    // perceptual hash. The fixture plants (i, i+100) near-dup pairs (same
+    // base image, 2×2 brightened block); the oracle is the brute-force
+    // all-pairs replay DuckDB can afford at oracle scale.
+    Q("q_dedup_image",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "ppm",
+            Multimodal.synthPpm(id)))
+        Multimodal.nearDupImagePairs(media).orderBy("a_id", "b_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS b
+                         FROM documents WHERE doc_id < 200),
+              px AS (SELECT doc_id, x, y,
+                       CASE WHEN doc_id >= 100 AND x < 2 AND y < 2
+                         THEN least(255, (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 + 40)
+                         ELSE (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 END AS g
+                     FROM d
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS y)),
+              cell AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS cb,
+                         sum(g) / 4.0 AS avg
+                       FROM px GROUP BY doc_id, cb),
+              m AS (SELECT doc_id, sum(avg) / 64.0 AS mean FROM cell GROUP BY doc_id),
+              bands AS (SELECT c.doc_id, cb // 16 AS band,
+                          CAST(sum(CASE WHEN c.avg > m.mean
+                            THEN 1::BIGINT << (cb % 16) ELSE 0 END) AS INT) AS v
+                        FROM cell c JOIN m USING (doc_id)
+                        GROUP BY c.doc_id, band),
+              h AS (SELECT doc_id,
+                      max(CASE WHEN band = 0 THEN v END) AS b0,
+                      max(CASE WHEN band = 1 THEN v END) AS b1,
+                      max(CASE WHEN band = 2 THEN v END) AS b2,
+                      max(CASE WHEN band = 3 THEN v END) AS b3
+                    FROM bands GROUP BY doc_id)
+              SELECT a_id, b_id, hamming FROM (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                  CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+                       bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+                    AS INT) AS hamming
+                FROM h x JOIN h y ON x.doc_id < y.doc_id)
+              WHERE hamming <= 3
+              ORDER BY a_id, b_id""")),
+
     Q("q_multimodal_frames",
       (s, dir) => {
         import s.implicits._

@@ -1,5 +1,7 @@
 package graft.pipeline
 
+// (pixel/aHash tests appended at the bottom of this suite)
+
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
@@ -99,5 +101,53 @@ class MultimodalSpec extends SparkSpec {
     val expected = kept.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 2147483647L)
     assert(r(1L).checksum == expected)
     assert(r(2L).n_out == 2 && r(3L).n_out == 0 && r(3L).checksum == 0L)
+  }
+
+  test("ppm parse↔generate: decoded pixels equal the generator formula") {
+    val bytes = Multimodal.synthPpm(7L)
+    val Some((w, h, px)) = Multimodal.ppmPixels(bytes)
+    assert(w == 16 && h == 16 && px.length == 256)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(px(y * 16 + x) == (7 * 7 + x * 13 + y * 31 + x * y * 2) % 256,
+        s"pixel ($x,$y)")
+    // the spiked variant brightens exactly the top-left 2x2 block
+    val Some((_, _, px2)) = Multimodal.ppmPixels(Multimodal.synthPpm(107L))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val base = (7 * 7 + x * 13 + y * 31 + x * y * 2) % 256
+      val want = if (x < 2 && y < 2) math.min(255, base + 40) else base
+      assert(px2(y * 16 + x) == want, s"spiked pixel ($x,$y)")
+    }
+    // comments + arbitrary whitespace parse per the spec
+    val wsHeader = "P6 #c\n 2\t1 #z\n 255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.ppmPixels(wsHeader).contains((2, 1, Array(20, 50))) ||
+      Multimodal.ppmPixels(wsHeader).exists { case (w2, h2, p2) =>
+        w2 == 2 && h2 == 1 && p2.sameElements(Array(20, 50)) })
+    // corrupt shapes surface as None, never a crash
+    assert(Multimodal.ppmPixels("P5\n1 1\n255\n".getBytes).isEmpty)
+    assert(Multimodal.ppmPixels("P6\n4 4\n255\nxy".getBytes).isEmpty) // truncated
+    assert(Multimodal.ppmPixels("P6\n1 1\n65535\n".getBytes).isEmpty)
+    assert(Multimodal.ppmPixels(Array.emptyByteArray).isEmpty)
+  }
+
+  test("aHash: planted near-dups pair within 3 bits, distinct bases do not") {
+    import spark.implicits._
+    val media = spark.range(200).as[Long]
+      .map(id => MediaRecord(id, "ppm", Multimodal.synthPpm(id)))
+    val hashes = Multimodal.imageAHash(media).collect()
+    assert(hashes.length == 200 && hashes.forall(_.getInt(1) == 16))
+    val pairs = Multimodal.nearDupImagePairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100 }
+    assert(planted.length == 100,
+      s"all 100 planted (i, i+100) pairs must verify <= 3 bits; got ${planted.length}")
+    val cross = pairs.filterNot { case (a, b, _) => b == a + 100 }
+    assert(cross.length < 20,
+      s"distinct bases should rarely collide within 3 bits; got ${cross.length}: ${cross.take(5).toSeq}")
+    // an undecodable payload drops out instead of pairing with everything
+    val withJunk = media.union(Seq(
+      MediaRecord(999L, "ppm", "not a ppm".getBytes)).toDS())
+    assert(!Multimodal.nearDupImagePairs(withJunk).collect()
+      .exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L))
   }
 }
