@@ -73,4 +73,58 @@ class OracleLintSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM t WHERE s = 'sum(l_partkey) (('"
     assert(OracleLint.lint("q", sql).isEmpty)
   }
+
+  // The regex lint encodes TODAY's DuckDB widening rules; a DuckDB version
+  // bump that changes them would break the driver's hash compare without
+  // touching this repo's source. This probe asks the ACTUAL oracle engine:
+  // DESCRIBE (binder-only — no execution) every oracle over the sf0.001
+  // views and fail the build on any column typed HUGEINT or DECIMAL(38,·)
+  // — the two widening targets Spark's 64-bit/double surface can't hash-
+  // match. Narrower DECIMALs pass: they only arise from explicit casts
+  // pinned identically on both sides (q_zonemap's DECIMAL(18,2)).
+  test("DuckDB DESCRIBE probe: no oracle column widens to HUGEINT/DECIMAL(38)") {
+    val checker = java.io.File.createTempFile("oracle_describe", ".py")
+    val oracles = java.io.File.createTempFile("oracle_sql", ".json")
+    try {
+      val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\": \"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", " ").replace("\t", " ") + "\""
+      }.mkString("{", ",\n", "}")
+      java.nio.file.Files.write(oracles.toPath, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(checker.toPath,
+        """import sys, os, json, glob
+          |try:
+          |    import duckdb
+          |except ImportError:
+          |    print("SKIP: no duckdb"); sys.exit(0)
+          |oracle = json.load(open(sys.argv[1])); sf = sys.argv[2]
+          |con = duckdb.connect()
+          |for p in glob.glob(os.path.join(sf, '*.parquet')):
+          |    t = os.path.basename(p)[:-len('.parquet')]
+          |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+          |bad = []
+          |for name, sql in sorted(oracle.items()):
+          |    try:
+          |        rows = con.execute("DESCRIBE " + sql).fetchall()
+          |    except Exception as e:
+          |        bad.append(f"{name}: DESCRIBE failed: {str(e)[:160]}")
+          |        continue
+          |    for col, typ, *_ in rows:
+          |        if 'HUGEINT' in typ.upper() or typ.upper().startswith('DECIMAL(38'):
+          |            bad.append(f"{name}: column '{col}' types as {typ}")
+          |print("\n".join(bad) if bad else "OK")
+          |""".stripMargin.getBytes("UTF-8"))
+      val sfDir = "/root/testdata/sf0.001"
+      assume(new java.io.File(sfDir).isDirectory, "fixtures not present")
+      val out = new StringBuilder
+      val rc = scala.sys.process.Process(Seq("python3",
+          checker.getAbsolutePath, oracles.getAbsolutePath, sfDir))
+        .run(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+        .exitValue()
+      val text = out.result().trim
+      assume(rc == 0 && !text.startsWith("SKIP"),
+        s"oracle engine unavailable for the probe: $text")
+      assert(text == "OK", s"divergent oracle output types:\n$text")
+    } finally { checker.delete(); oracles.delete() }
+  }
 }
