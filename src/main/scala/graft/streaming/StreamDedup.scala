@@ -175,6 +175,10 @@ object StreamDedup {
     else emptyLike(spark, like)
   }
 
+  /** Store layout v2: band rows carry the doc's shingle-set size `n` (from
+    * [[Dedup.bandKeys]]) so the candidate join can size-prune in place; a
+    * v1 store (no `n`) is not readable by this version — rebuild it by
+    * re-ingesting (the store is derived state, never the source of truth). */
   private def appendStoreBands(bands: DataFrame, dir: String): Unit =
     bands.write.mode(SaveMode.Append)
       .option("path", s"$dir/store_bands")
@@ -242,17 +246,36 @@ object StreamDedup {
     }
   }
 
+  /** SPARK_GRAFT_TRACE=1: per-stage wall times on stderr — scale-profiling
+    * aid for the lifecycle spot tools, zero cost when unset. */
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private def traced[T](label: String)(body: => T): T =
+    if (!trace) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[graft.trace] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private def dedupBatch(batch: DataFrame, dir: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
-    val sets = Dedup.shingleSets(batch) // persisted + counted inside
+    val sets = traced("shingleSets")(Dedup.shingleSets(batch)) // persisted + counted inside
     val bands = Dedup.bandKeys(sets).persist()
-    bands.count()
+    traced("bandKeys")(bands.count())
     // historical candidates: stored doc (aid, earlier by construction) ×
     // new doc (bid) meeting in an LSH bucket — the store side reads
-    // co-located in its buckets, only the batch's bands shuffle
+    // co-located in its buckets, only the batch's bands shuffle. Band rows
+    // carry the shingle-set size (store layout v2), so the exact
+    // size-ratio prune (J ≥ t needs min/max sizes ≥ t — can never drop a
+    // verifiable pair) kills hot-bucket collision pairs while they are
+    // generated, before the distinct or any store-set read sees them.
     val crossCands = readStoreBands(spark, dir, bands).as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.n") >= lit(threshold) * col("b.n") &&
+          col("b.n") >= lit(threshold) * col("a.n"))
       .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
       .distinct()
       .persist() // feeds the count, the aid/bucket pruning, AND the verify
@@ -262,7 +285,8 @@ object StreamDedup {
       // the distinct aid set (≤ AidPushdownCap, for parquet id pushdown)
       // or, on a hot band where candidates grow with the store, just the
       // distinct partition buckets (≤ SetBuckets): see storeSetsForVerify.
-      val nCand = crossCands.count()
+      val nCand = traced("crossCands")(crossCands.count())
+      if (trace) System.err.println(s"[graft.trace] nCand=$nCand")
       // verify needs both sides' shingle sets: aid from the store — read
       // PRUNED to the candidates' partitions — bid from the new batch
       val crossDropped =
@@ -280,23 +304,30 @@ object StreamDedup {
           .select(col("bid").as("doc_id"))
       // within-batch: smaller id wins, same verify — over the band rows
       // already materialized above (no second minhash pass)
-      val batchDropped = Dedup.verifyJaccard(
-          Dedup.minhashCandidatesFromBands(bands), sets, threshold)
+      val batchCands = Dedup.minhashCandidatesFromBands(bands, threshold)
+      if (trace) traced("batchCands") {
+        System.err.println(s"[graft.trace] nBatchCand=${batchCands.count()}")
+      }
+      val batchDropped = Dedup.verifyJaccard(batchCands, sets, threshold)
         .select(col("bid").as("doc_id"))
 
       val dropped = crossDropped.union(batchDropped).distinct()
-      batch.join(dropped, Seq("doc_id"), "left_anti")
-        .write.mode(SaveMode.Append).parquet(s"$dir/kept")
+      traced("verify+kept") {
+        batch.join(dropped, Seq("doc_id"), "left_anti")
+          .write.mode(SaveMode.Append).parquet(s"$dir/kept")
+      }
       // ALL signatures enter the store (drop rule: dominated by any
       // earlier doc, kept or not), partitioned for the pruned verify read.
       // Repartition ON the partition column first: each partition dir is
       // then written by exactly one task (16 files per batch, not
       // tasks × partitions file fragments).
-      sets.withColumn("sbucket", pmod(col("doc_id"), lit(SetBuckets.toLong)))
-        .repartition(col("sbucket"))
-        .write.mode(SaveMode.Append).partitionBy("sbucket")
-        .parquet(s"$dir/store_sets")
-      appendStoreBands(bands, dir)
+      traced("storeSetsWrite") {
+        sets.withColumn("sbucket", pmod(col("doc_id"), lit(SetBuckets.toLong)))
+          .repartition(col("sbucket"))
+          .write.mode(SaveMode.Append).partitionBy("sbucket")
+          .parquet(s"$dir/store_sets")
+      }
+      traced("storeBandsWrite")(appendStoreBands(bands, dir))
     } finally {
       crossCands.unpersist()
       bands.unpersist()
