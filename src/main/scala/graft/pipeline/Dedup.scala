@@ -428,4 +428,47 @@ object Dedup {
     val sets = shingleSets(docs)
     verifyJaccard(blockingCandidates(sets, threshold), sets, threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over
+    * embeddings — cluster the vectors, then within each cluster drop every
+    * vector whose cosine similarity to an earlier (lower-id) member reaches
+    * `threshold`. Returns the kept rows with their cluster id as `cell`.
+    *
+    * Determinism / oracle replay: cluster centers are the `nlist` lowest-id
+    * vectors (the IVF coarse quantizer's seeding, Similarity.centroidsOf);
+    * assignment is the argmax over dot(v,c)/‖c‖ ROUNDED to 9 dp with a
+    * first-max tiebreak, so a SQL oracle replays the assignment exactly
+    * (sequential IEEE-double dot products agree bit-for-bit across
+    * engines). Lloyd-refined centers (Similarity.trainCentroids) drop in
+    * when cross-engine replay is not needed. The paper keeps one arbitrary
+    * member per duplicate group (its ablation shows the keep policy barely
+    * matters); lowest id is the deterministic choice here.
+    *
+    * Scale shape: never all-pairs — the verify join meets only inside a
+    * cluster (the paper's own O(N²/k) argument), and `nlist` grows with the
+    * corpus (the paper uses 50k clusters for LAION) keeping E[cluster] =
+    * N/nlist bounded. Centroids travel as plan literals — fine to ~1k
+    * cells; past that, assign via the persisted celled layout
+    * (Similarity.writeCelled) instead. */
+  def semDedup(emb: DataFrame, nlist: Int = 16, threshold: Double = 0.8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
+      .select(v).collect().map(_.getSeq[Double](0).toArray).toSeq
+    val scores = array(cents.map { c =>
+      round(Similarity.dot(v, array(c.map(lit): _*)) /
+        lit(math.sqrt(c.map(x => x * x).sum)), 9)
+    }: _*)
+    val assigned = emb
+      .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
+      .persist() // scanned by both verify sides and the kept anti-join
+    assigned.count()
+    val a = assigned.select(col("cell"), col(idCol).as("aid"), v.as("va"))
+    val b = assigned.select(col("cell"), col(idCol).as("bid"), v.as("vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("aid") < col("bid") &&
+        round(Similarity.cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("bid").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+  }
 }

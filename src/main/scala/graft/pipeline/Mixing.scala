@@ -78,6 +78,74 @@ object Mixing {
     else w4.map { case (s, w) => s -> (BigInt(totalBudget) * w / sw).toLong }.toMap
   }
 
+  /** Repeat-capped temperature budgets — the data-constrained regime
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language Models",
+    * arXiv:2305.16264: repeating data beyond ~4 epochs stops helping): no
+    * source may be budgeted more than `maxEpochs` passes over its own
+    * tokens, and the tokens a capped source gives up are redistributed
+    * proportionally among the uncapped ones. */
+  def temperatureBudgetsCapped(docs: DataFrame, totalBudget: Long,
+                               alpha: Double, maxEpochs: Double = 4.0,
+                               textCol: String = "text",
+                               sourceCol: String = "source"): Map[String, Long] =
+    temperatureBudgetsCappedCounted(docs.select(col(sourceCol),
+        TextStats.estBpeTokens(col(textCol)).as("toks")),
+      totalBudget, alpha, maxEpochs, sourceCol)
+
+  /** [[temperatureBudgetsCapped]] over an explicit `(sourceCol, toksCol)`
+    * per-doc count frame (the [[Bpe.countTokens]] real-tokenizer path).
+    *
+    * EXACT waterfilling, no iteration: order sources by cap/weight — the
+    * order caps bind as the uncapped scale factor grows — then the capped
+    * set is a prefix of that order (standard waterfill argument: if source
+    * i's cap exceeds its share at i's step, every later source's does
+    * too). Source i is capped iff cap_i · SW_i < (B − CC_{i−1}) · w_i,
+    * with CC = cumulative caps before i and SW = Σ weights from i on.
+    * All comparisons are BigInt cross-multiplications and the sort key is
+    * ⌊cap·10¹²/w⌋ (tie: source name) — no float ratio anywhere, so an SQL
+    * oracle replays every boundary exactly at any magnitude (budgets ~1e13
+    * × weights ~1e17 overflow Long products). An uncapped source's
+    * ⌊(B−CC*)·w/SW*⌋ never exceeds its cap (that's the prefix condition),
+    * and if EVERY source caps the mixture under-fills: Σ budgets =
+    * Σ caps < total — you cannot buy more than maxEpochs × the data you
+    * have. */
+  def temperatureBudgetsCappedCounted(perDoc: DataFrame, totalBudget: Long,
+                                      alpha: Double, maxEpochs: Double,
+                                      sourceCol: String = "source",
+                                      toksCol: String = "toks"): Map[String, Long] = {
+    require(totalBudget >= 0 && alpha >= 0.0 && maxEpochs > 0.0,
+      "need totalBudget, alpha >= 0 and maxEpochs > 0")
+    val counts = perDoc
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(toksCol)).cast("bigint").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val m4 = math.round(maxEpochs * 10000.0)
+    val rows = counts.map { case (s, n) =>
+      (s, math.round(math.pow(n.toDouble, alpha) * 10000.0),
+        (BigInt(n) * m4 / 10000).toLong)
+    }
+    val (zero, pos) = rows.partition(_._2 <= 0)
+    val key12 = BigInt(10).pow(12)
+    val ordered = pos.sortBy { case (s, w, cap) => (BigInt(cap) * key12 / w, s) }
+    val B = BigInt(totalBudget)
+    var ccPrev = BigInt(0)
+    var swFrom = ordered.iterator.map(r => BigInt(r._2)).sum
+    var i = 0
+    val capped = Map.newBuilder[String, Long]
+    while (i < ordered.length &&
+        BigInt(ordered(i)._3) * swFrom < (B - ccPrev) * ordered(i)._2) {
+      val (s, w, cap) = ordered(i)
+      capped += s -> cap
+      ccPrev += cap
+      swFrom -= w
+      i += 1
+    }
+    val free = ordered.drop(i).map { case (s, w, _) =>
+      s -> (if (swFrom == 0) 0L else ((B - ccPrev) * w / swFrom).toLong)
+    }
+    (zero.map(z => z._1 -> 0L) ++ free).toMap ++ capped.result()
+  }
+
   /** Documents selected for the mixture: `(doc_id, source, toks)` — per
     * source, the md5-ordered prefix whose token count STARTS inside that
     * source's budget (exclusive prefix sum, so a straddling document is

@@ -236,6 +236,49 @@ object Pipeline extends QueryPack {
               SELECT aid, bid, round(c, 4) AS cosim FROM p
               WHERE round(c, 4) >= 0.8 ORDER BY aid, bid""")),
 
+    // SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup — the
+    // q_dedup_embed seeded-clone fixture run through Dedup.semDedup.
+    // Identical clones score identically against every center, so they land
+    // in the same cell and die at cosine 1.0; the oracle replays center
+    // seeding (16 lowest ids), the rounded scaled-dot argmax with first-max
+    // tiebreak, the within-cell pair verify, and the keep-lowest-id policy.
+    Q("q_dedup_semantic",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val seeded = emb.unionByName(
+          emb.filter(col("vec_id") < 5)
+            .withColumn("vec_id", col("vec_id") + 100000L))
+        Dedup.semDedup(seeded)
+          .select(col("vec_id"), col("cell"), col("label"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                            FROM embeddings),
+              e AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000, label, v FROM base WHERE vec_id < 5),
+              cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+                        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+              scored AS (SELECT e.vec_id, e.label, c.cid,
+                           round(list_dot_product(e.v, c.cv) /
+                                 sqrt(list_dot_product(c.cv, c.cv)), 9) AS s
+                         FROM e CROSS JOIN cents c),
+              assigned AS (SELECT vec_id, label, cid::INTEGER AS cell FROM (
+                             SELECT vec_id, label, cid,
+                               row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) AS rn
+                             FROM scored) WHERE rn = 1),
+              av AS (SELECT a.vec_id, a.cell, e.v
+                     FROM assigned a JOIN e USING (vec_id)),
+              dropped AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+                          ON a.cell = b.cell AND a.vec_id < b.vec_id
+                          WHERE round(list_dot_product(a.v, b.v) /
+                            (sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8)
+              SELECT vec_id, cell, label FROM assigned
+              WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              ORDER BY vec_id""")),
+
     // DECONTAMINATION — eval-set overlap removal, the step every serious
     // training pipeline runs before training: corpus docs whose shingle
     // Jaccard against ANY benchmark doc reaches 0.8 are dropped. Cross-
@@ -1730,6 +1773,74 @@ object Pipeline extends QueryPack {
                         ROWS UNBOUNDED PRECEDING) - toks AS strt
                     FROM t JOIN b USING (source))
               SELECT source, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS mixed_tokens
+              FROM c WHERE strt < budget
+              GROUP BY source ORDER BY source""")),
+
+    // DATA-CONSTRAINED repeat caps (Muennighoff et al. 2023,
+    // arXiv:2305.16264): temperature budgets, but no source is asked for
+    // more than maxEpochs passes over its own tokens; freed budget
+    // redistributes proportionally among the uncapped sources via EXACT
+    // integer waterfilling (sort by cap/weight, cap the binding prefix —
+    // Mixing.temperatureBudgetsCappedCounted). total=55000 @ alpha=0.3,
+    // maxEpochs=1.5 caps 12 of the fixture's 20 sources and leaves 8
+    // proportional, pinning both branches AND the redistribution
+    // arithmetic. The oracle replays the sort key, the prefix condition,
+    // the budget floors, and the md5-prefix mix.
+    Q("q_pipeline_mix_capped",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val budgets = Mixing.temperatureBudgetsCapped(docs,
+          totalBudget = 55000L, alpha = 0.3, maxEpochs = 1.5)
+        import s.implicits._
+        val bdf = budgets.toSeq.toDF("source", "budget")
+        Mixing.mixByBudget(docs, budgets)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mixed_tokens"))
+          .join(broadcast(bdf), "source")
+          .select(col("source"), col("budget"), col("n_docs"),
+            col("mixed_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source,
+                  sum(CAST(ceil(strlen(text) / 4.0) AS BIGINT)) AS n
+                FROM documents GROUP BY 1),
+              w AS (SELECT source, n,
+                      CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 10000) AS BIGINT)
+                        AS w4,
+                      (n * 15000) // 10000 AS cap
+                    FROM n),
+              ord AS (SELECT *, row_number() OVER (
+                        ORDER BY (cap * 1000000000000) // w4, source) AS i
+                      FROM w),
+              pre AS (SELECT *,
+                        coalesce(sum(cap) OVER (ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS ccprev,
+                        sum(w4) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS swfrom
+                      FROM ord),
+              flag AS (SELECT *,
+                         bool_and(cap * swfrom < (55000 - ccprev) * w4)
+                           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS iscap
+                       FROM pre),
+              agg AS (SELECT
+                        coalesce(sum(CASE WHEN iscap THEN cap END), 0) AS ccstar,
+                        coalesce(sum(CASE WHEN NOT iscap THEN w4 END), 0) AS swstar
+                      FROM flag),
+              b AS (SELECT source,
+                      CASE WHEN iscap THEN cap
+                           ELSE ((55000 - ccstar) * w4) // swstar END AS budget
+                    FROM flag, agg),
+              t AS (SELECT doc_id, source,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+                      CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS toks
+                    FROM documents),
+              c AS (SELECT t.source, t.toks, b.budget,
+                      sum(toks) OVER (PARTITION BY t.source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) - toks AS strt
+                    FROM t JOIN b USING (source))
+              SELECT source, min(budget) AS budget, count(*) AS n_docs,
                 CAST(sum(toks) AS BIGINT) AS mixed_tokens
               FROM c WHERE strt < budget
               GROUP BY source ORDER BY source""")),

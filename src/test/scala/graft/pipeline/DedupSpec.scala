@@ -127,4 +127,25 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == "twice here\ntwice here\na")
     assert(out(2L) == "twice here\nb")
   }
+
+  test("semDedup: cluster-blocked cosine dedup keeps lowest id per group") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(0f, 1.0f, 0f, 0f), 1),
+      (2L, Array(0.99f, 0.01f, 0f, 0f), 0), // near-dup of 0, same cell
+      (3L, Array(0f, 0.98f, 0.02f, 0f), 1), // near-dup of 1, same cell
+      (4L, Array(0f, 0f, 1.0f, 0f), 2),     // orthogonal to everything: kept
+      (5L, Array(0.60f, 0.62f, 0f, 0f), 3), // near-dup pair 5/6 lands in
+      (6L, Array(0.62f, 0.60f, 0f, 0f), 3)  //   DIFFERENT cells: both kept —
+                                            //   the paper's recall trade-off
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Dedup.semDedup(emb, nlist = 2, threshold = 0.8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 4L, 5L, 6L), kept.toString)
+    // centers (the two lowest ids) anchor their own cells
+    assert(kept(0L) == 1 && kept(1L) == 2, kept.toString)
+    assert(kept(5L) != kept(6L), "the blocked pair must straddle cells")
+  }
 }

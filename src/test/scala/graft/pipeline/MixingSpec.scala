@@ -73,6 +73,26 @@ class MixingSpec extends SparkSpec {
     assert(c2(1L) == 0L && c2(0L) == 10L, c2.toString)
   }
 
+  test("repeat caps: waterfill caps the binding prefix, redistributes exactly") {
+    // a = 32 tokens, b = 8 tokens; alpha 0 → equal weights. total 30:
+    // uncapped split is 15/15, but 1 epoch caps b at 8 — the freed 7
+    // flow to a: floor((30−8)·w/w) = 22.
+    val skewed = mkDocs(
+      (0L until 4L).map(i => (i, "a", "x" * 32)) :+ ((9L, "b", "x" * 32)))
+    val got = Mixing.temperatureBudgetsCapped(skewed, 30L, alpha = 0.0,
+      maxEpochs = 1.0)
+    assert(got == Map("a" -> 22L, "b" -> 8L), got.toString)
+    // every source capped → the mixture under-fills at Σ caps
+    val all = Mixing.temperatureBudgetsCapped(skewed, 1000L, alpha = 0.0,
+      maxEpochs = 2.0)
+    assert(all == Map("a" -> 64L, "b" -> 16L), all.toString)
+    // demand fits under every cap → identical to the uncapped budgets
+    val free = Mixing.temperatureBudgetsCapped(skewed, 20L, alpha = 0.0,
+      maxEpochs = 5.0)
+    assert(free == Mixing.temperatureBudgets(skewed, 20L, alpha = 0.0),
+      free.toString)
+  }
+
   test("budget caps each source independently; zero budget drops the source") {
     val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 0L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
