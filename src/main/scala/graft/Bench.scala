@@ -107,6 +107,13 @@ object Bench {
       microShapes.map { case (k, f) => k -> f() }
     def microJson(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    // Run #1 on a fresh JVM absorbs the JIT ramp (observed 1.7× vs the
+    // steady state on a QUIET host, purely from compilation — the probe
+    // mode below has always discarded it for exactly that reason). The
+    // full sweep's throttle stamp must compare two post-ramp probes, so
+    // microPre is the SECOND run; the ramp run still feeds the headline
+    // best-of (it can only lose).
+    val microRamp = runMicros()
     val microPre = runMicros()
 
     var errors = List.empty[(String, String)]
@@ -133,17 +140,15 @@ object Bench {
     // the sweep only inside a window where ratio < 1.3 AND the absolute
     // shapes are near the machine's demonstrated capability.
     if (sys.env.get("SPARK_GRAFT_MICRO_ONLY").contains("1")) {
-      // ratio over runs 2 vs 3: run 1 absorbs JIT ramp (observed 1.7×
-      // pre/post disagreement on a quiet host purely from compilation),
-      // so a probe ratio that means "host throttle" must compare two
-      // post-ramp runs, like the full sweep's pre/post pair does.
-      val second = runMicros()
+      // ratio over runs 2 vs 3: run 1 (microRamp) absorbs JIT ramp, so a
+      // probe ratio that means "host throttle" compares two post-ramp
+      // runs — the same pairing the full sweep's pre/post stamp now uses.
       val third = runMicros()
-      val ratio = second.zip(third).map { case ((_, a), (_, b)) =>
+      val ratio = microPre.zip(third).map { case ((_, a), (_, b)) =>
         math.max(a, b) / math.max(1e-9, math.min(a, b)) }.max
-      val best = microJson(microPre.zip(second).zip(third).map {
+      val best = microJson(microRamp.zip(microPre).zip(third).map {
         case (((k, a), (_, b)), (_, c)) => k -> math.max(a, math.max(b, c)) })
-      val line = s"""{"metric":"micro_only","micro":$best,"micro_pre":${microJson(second)},"micro_post":${microJson(third)},"micro_ratio":${f"$ratio%.2f"}}"""
+      val line = s"""{"metric":"micro_only","micro":$best,"micro_pre":${microJson(microPre)},"micro_post":${microJson(third)},"micro_ratio":${f"$ratio%.2f"}}"""
       scala.util.Try {
         val stamp = s"""{"ts":${System.currentTimeMillis / 1000},"probe":true,"micro_ratio":${f"$ratio%.2f"},"micro":$best}""" + "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
@@ -196,10 +201,12 @@ object Bench {
     val microRatio = microPre.zip(microPost).map { case ((_, a), (_, b)) =>
       math.max(a, b) / math.max(1e-9, math.min(a, b)) }.max
     val throttled = microRatio > 1.5
-    // headline micro = per-shape BEST of the two probes: the machine's
-    // demonstrated capability, robust to a throttle window hitting one end
+    // headline micro = per-shape BEST across all probes (ramp included —
+    // it can only lose): the machine's demonstrated capability, robust to
+    // a throttle window hitting one end
     val micro = microJson(
-      microPre.zip(microPost).map { case ((k, a), (_, b)) => k -> math.max(a, b) })
+      microRamp.zip(microPre).zip(microPost).map {
+        case (((k, a), (_, b)), (_, c)) => k -> math.max(a, math.max(b, c)) })
 
 
     // Errors are BUDGETED like everything else on the metric line: round 7's
