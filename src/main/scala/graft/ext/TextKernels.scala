@@ -88,6 +88,43 @@ object TextKernels {
     UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Hashed-bigram feature stream (the DSIR feature extractor,
+    * graft.pipeline.Lm): per adjacent token pair under the frozen v1
+    * grammar, the first 3 lowercase hex chars of md5("tokᵢ tokᵢ₊₁") —
+    * 4096 buckets. Byte-identical to
+    * `substring(md5(concat_ws(' ', …)), 1, 3)`, which is what the SQL
+    * oracles replay; md5 (not the internal mixer) because the bucket ids
+    * ARE compared cross-engine. One tokenize + one digest per pair — the
+    * declarative `transform` formulation re-evaluated its non-lambda
+    * subtree (the whole tokenize) per array element, turning feature
+    * extraction O(tokens²) per document. <2 tokens → empty stream. */
+  def bigramBuckets(s: UTF8String): ArrayData = {
+    val toks = FtsTokenize.tokenize(s)
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      md.update(' '.toByte)
+      md.update(toks.getUTF8String(i + 1).getBytes)
+      val d = md.digest()
+      out(i) = UTF8String.fromBytes(Array(
+        HexChars((d(0) >> 4) & 0xF), HexChars(d(0) & 0xF),
+        HexChars((d(1) >> 4) & 0xF)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def intersectCard(a: ArrayData, b: ArrayData): Long = {
     if (!isAscending(a) || !isAscending(b)) return intersectCardUnsorted(a, b)
     val na = a.numElements(); val nb = b.numElements()
@@ -182,7 +219,10 @@ object TextKernels {
       (args: Seq[Expression]) => IntersectCardExpr(args(0), args(1))),
     (new FunctionIdentifier("text_normalize"),
       new ExpressionInfo(classOf[TextNormalizeExpr].getName, "text_normalize"),
-      (args: Seq[Expression]) => TextNormalizeExpr(args(0), args(1))))
+      (args: Seq[Expression]) => TextNormalizeExpr(args(0), args(1))),
+    (new FunctionIdentifier("graft_bigram_buckets"),
+      new ExpressionInfo(classOf[BigramBucketsExpr].getName, "graft_bigram_buckets"),
+      (args: Seq[Expression]) => BigramBucketsExpr(args.head)))
 
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -191,6 +231,20 @@ object TextKernels {
       reg.registerFunction(id, info, builder)
     }
   }
+}
+
+case class BigramBucketsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bigram_buckets"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.bigramBuckets(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.bigramBuckets($c);")
+  override protected def withNewChildInternal(newChild: Expression): BigramBucketsExpr =
+    copy(child = newChild)
 }
 
 case class ShingleHashesExpr(child: Expression, n: Int = 3)

@@ -69,14 +69,19 @@ object Lm {
     * per adjacent token pair → 4096 buckets. The md5 prefix is the
     * engine-portable hash (same trick as [[Mixing]]'s md5 ordering): Spark
     * and any SQL oracle agree on md5 bytes, where builtin hash functions
-    * differ. Docs with fewer than two tokens yield an empty stream. */
-  def bigramBuckets(textCol: Column): Column = {
-    val t = Analyzer.tokenize(textCol)
-    val starts = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-      .otherwise(array().cast("array<int>"))
-    transform(starts, i =>
-      substring(md5(concat_ws(" ", element_at(t, i), element_at(t, i + 1))), 1, 3))
-  }
+    * differ. Docs with fewer than two tokens yield an empty stream.
+    *
+    * Native kernel ([[graft.ext.TextKernels.bigramBuckets]], codegen'd):
+    * the previous `transform(starts, i => md5(…element_at(t, i)…))`
+    * formulation re-evaluated its non-lambda subtree — the whole tokenize
+    * — once per array ELEMENT (Catalyst does not hoist loop-invariant
+    * expressions out of higher-order lambdas), making feature extraction
+    * O(tokens²) per document. Same bytes out (LmSpec pins the md5
+    * prefixes independently). */
+  def bigramBuckets(textCol: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.ext.BigramBucketsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(textCol)))
 
   /** Number of distinct bucket keys `bigramBuckets` can emit (3 hex chars). */
   val DsirBuckets: Int = 4096

@@ -661,10 +661,10 @@ class ExtensionsSpec extends SparkSpec {
       "fts_phrase", "fts_phrase_wild", "fts_score", "fts_prefix",
       "fts_near", "fts_snippet",
       "fts_wildcard", "fts_query", "fts_fuzzy", "fts_query_score",
-      "fts_term_range", "fts_phrase_slop",
+      "fts_term_range", "fts_phrase_slop", "fts_regexp",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
-      "graft_intersect_card", "text_normalize"))
+      "graft_intersect_card", "text_normalize", "graft_bigram_buckets"))
     GraftExtensions.install(spark)
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
