@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The two canonical published web-curation recipes, frozen so every
+  * number is engine-replayable:
+  *
+  *  - [[gopherQuality]] — the Gopher document-quality rules (Rae et al.
+  *    2021, "Scaling Language Models: ... Gopher", arXiv:2112.11446,
+  *    Table A1): doc-level stats thresholds. Emits every signal AND the
+  *    per-rule verdicts, because a curation pipeline tunes thresholds —
+  *    the signals are the artifact, the keep flag is a default.
+  *  - [[c4Clean]] — the C4 cleaning pass (Raffel et al. 2020,
+  *    arXiv:1910.10683 §2.2): line-level retention (terminal punctuation,
+  *    ≥5 words, no "javascript"), then page-level drops (<3 kept lines,
+  *    "lorem ipsum", '{').
+  *
+  * Scale shape: both are single narrow projections — split → per-element
+  * predicates over SMALL arrays (a document's own lines/words; every
+  * lambda references only its lambda variable or cheap attributes) → one
+  * row out per row in. No shuffle, no UDF, no driver state; they inherit
+  * the scan's partitioning and pushdown. At 100 TB these run at IO speed
+  * alongside whatever scan feeds them. */
+object Curation {
+
+  /** Gopher's closed-class stop set (Table A1's "must contain at least 2
+    * of ..."). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), w => length(w) > 0)
+
+  private def lines(textCol: Column): Column = split(textCol, "\n")
+
+  /** Occurrences of literal `sym` in `c` (length-delta counting — exact,
+    * engine-portable; overlap-free for the symbols used here). */
+  private def countOf(c: Column, sym: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sym), "")))
+      / sym.length).cast("long")
+
+  /** Per-document Gopher quality signals + per-rule verdicts + the overall
+    * keep. Frozen definitions (the paper's, with the measurable reading
+    * pinned here so oracles replay):
+    *   words = whitespace-split non-empty; lines = '\n'-split.
+    *   R1 50 ≤ n_words ≤ 100000        R2 3 ≤ mean word length ≤ 10
+    *   R3 (count('#')+count('...'))/n_words ≤ 0.1
+    *   R4 fraction of lines starting with a bullet ('- ', '* ', '• ') ≤ 0.9
+    *   R5 fraction of lines ending with '...' ≤ 0.3
+    *   R6 fraction of words containing an alphabetic char ≥ 0.8
+    *   R7 at least 2 DISTINCT of [[GopherStops]] present as words.
+    * Ratios are rounded to 6 dp before thresholding (integer/integer
+    * ratios are exact in double, the rounding pins ties cross-engine). */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = words(col(textCol))
+    val l = lines(col(textCol))
+    docs.select(col(idCol), w.as("w"), l.as("l"),
+        (countOf(col(textCol), "#") + countOf(col(textCol), "...")).as("syms"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        round(aggregate(col("w"), lit(0L), (a, x) => a + length(x))
+          .cast("double") / size(col("w")), 6).as("mean_word_len"),
+        round(col("syms").cast("double") / size(col("w")), 6).as("symbol_ratio"),
+        round(size(filter(col("l"), x =>
+          x.startsWith("- ") || x.startsWith("* ") || x.startsWith("• ")))
+          .cast("double") / size(col("l")), 6).as("bullet_frac"),
+        round(size(filter(col("l"), x => x.endsWith("...")))
+          .cast("double") / size(col("l")), 6).as("ellipsis_frac"),
+        round(size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("double")
+          / size(col("w")), 6).as("alpha_word_frac"),
+        size(array_intersect(col("w"), array(GopherStops.map(lit): _*)))
+          .cast("long").as("n_stop_kinds"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_kinds") >= 2L)
+  }
+
+  /** C4 cleaning: per line keep iff it ends in terminal punctuation
+    * ('.', '!', '?', '"'), has ≥ 5 whitespace words, and does not contain
+    * "javascript" (case-insensitive); then drop the PAGE when fewer than
+    * 3 lines survive, or the raw text contains "lorem ipsum"
+    * (case-insensitive) or '{'. Returns every input row with the cleaned
+    * text, kept-line count, and the page verdict — callers filter on
+    * `keep` (dropping rows here would hide WHY a page died, and the audit
+    * trail is the point of a curation pass). */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val keptLines = filter(lines(col(textCol)), ln =>
+      (ln.endsWith(".") || ln.endsWith("!") || ln.endsWith("?") ||
+        ln.endsWith("\"")) &&
+        size(filter(split(ln, "\\s+"), w => length(w) > 0)) >= 5 &&
+        !lower(ln).contains("javascript"))
+    docs.select(col(idCol), col(textCol), keptLines.as("kl"))
+      .select(col(idCol),
+        array_join(col("kl"), "\n").as("clean_text"),
+        size(col("kl")).cast("long").as("n_lines_kept"),
+        (size(col("kl")) >= 3 &&
+          !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{")).as("keep"))
+  }
+}

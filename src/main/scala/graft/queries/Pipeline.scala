@@ -19,6 +19,61 @@ object Pipeline extends QueryPack {
   private[queries] val DTOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)"
 
+  /** Seeded multi-line CURATION fixture shared by q_text_gopher /
+    * q_pipeline_c4 (the q_dedup_lines fixture pattern — the sf docs are
+    * single-line and punctuation-free, so both sides derive the same
+    * multi-line corpus deterministically): wrap 6 tokens per line; line i
+    * gets a '- ' bullet when (doc_id+i)%7=0 and ends '.' when
+    * (doc_id+i)%2=0, else '...' when (doc_id+i)%5=0; d%3 docs append a
+    * stop-word sentence (Gopher R7 passes somewhere), d%9 docs a
+    * symbol/junk line (R3 + all three C4 page rules fail somewhere).
+    * Persisted + counted; callers unpersist. */
+  private def curationFixture(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / lit(6.0)).cast("int")
+    val wrapped = array_join(transform(sequence(lit(0), nLines - 1), i =>
+      concat(
+        when(pmod(col("doc_id") + i, lit(7)) === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(toks, i * 6 + 1, lit(6)), " "),
+        when(pmod(col("doc_id") + i, lit(2)) === 0, lit("."))
+          .otherwise(when(pmod(col("doc_id") + i, lit(5)) === 0, lit("..."))
+            .otherwise(lit(""))))), "\n")
+    val fixture = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(wrapped,
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nall of that have with more data rows today."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit("\n# ## lorem ipsum javascript { weird"))
+          .otherwise(lit(""))).as("text"))
+      .persist()
+    fixture.count()
+    fixture
+  }
+
+  /** The SQL mirror of [[curationFixture]] — a WITH prefix ending in a
+    * `fixture(doc_id, text)` CTE; oracles append their own CTEs after it. */
+  private val CurationFixtureSql =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+       wrapped AS (SELECT doc_id,
+         array_to_string([
+           (CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END)
+           || array_to_string(t[i*6+1 : i*6+6], ' ')
+           || (CASE WHEN (doc_id + i) % 2 = 0 THEN '.'
+                    WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END)
+           FOR i IN range(0, cast(ceil(len(t)/6.0) AS INT))], chr(10)) AS w
+         FROM base),
+       fixture AS (SELECT doc_id,
+         w || (CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'all of that have with more data rows today.'
+                 ELSE '' END)
+           || (CASE WHEN doc_id % 9 = 0
+                 THEN chr(10) || '# ## lorem ipsum javascript { weird'
+                 ELSE '' END)
+         AS text FROM wrapped)"""
+
   /** Shared ANN recall harness: derive the clustered fixture, compare the
     * candidate method's top-10 against exact brute force, emit ONE row with
     * the recall@10 ≥ 0.8 verdict. The fixture is persisted for both scans
@@ -1730,6 +1785,84 @@ object Pipeline extends QueryPack {
                FROM r, thr WHERE rep3 <= t
                GROUP BY lang ORDER BY lang""")),
 
+    // GOPHER document-quality rules (Rae et al. 2021, Table A1) over the
+    // seeded multi-line fixture (wrap 6 tokens/line; deterministic '.",
+    // '...' endings, '- ' bullets; d%3 docs gain a stop-word line so R7
+    // passes somewhere, d%9 docs a symbol/junk line so R3 fails
+    // somewhere). EVERY signal column is in the output, so the oracle
+    // pins each rule's arithmetic per doc — keep is derived from the
+    // rounded signals on both sides.
+    Q("q_text_gopher",
+      (s, dir) => {
+        val fixture = curationFixture(s, dir)
+        try {
+          val out = graft.pipeline.Curation.gopherQuality(fixture)
+            .orderBy("doc_id")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally fixture.unpersist()
+      },
+      Some(s"""$CurationFixtureSql,
+               w AS (SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w,
+                       string_split(text, chr(10)) AS l
+                     FROM fixture),
+               sig AS (SELECT doc_id,
+                 len(w)::BIGINT AS n_words,
+                 round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                   / len(w), 6) AS mean_word_len,
+                 round(((len(text) - len(replace(text, '#', '')))
+                   + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+                   / len(w), 6) AS symbol_ratio,
+                 round(len(list_filter(l, x -> starts_with(x, '- ')
+                   OR starts_with(x, '* ') OR starts_with(x, '• ')))::DOUBLE
+                   / len(l), 6) AS bullet_frac,
+                 round(len(list_filter(l, x -> ends_with(x, '...')))::DOUBLE
+                   / len(l), 6) AS ellipsis_frac,
+                 round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / len(w), 6) AS alpha_word_frac,
+                 len(list_intersect(w, ['the','be','to','of','and','that',
+                   'have','with']))::BIGINT AS n_stop_kinds
+               FROM w)
+               SELECT *,
+                 (n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                  AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+                  AND n_stop_kinds >= 2) AS keep
+               FROM sig ORDER BY doc_id""")),
+
+    // C4 cleaning (Raffel et al. 2020 §2.2) over the same fixture: line
+    // retention (terminal punctuation, >= 5 words, no 'javascript'), then
+    // page drops (< 3 kept lines, 'lorem ipsum', '{'). Cleaned text,
+    // kept-line count, and page verdict all hash-exact per doc.
+    Q("q_pipeline_c4",
+      (s, dir) => {
+        val fixture = curationFixture(s, dir)
+        try {
+          val out = graft.pipeline.Curation.c4Clean(fixture)
+            .orderBy("doc_id")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally fixture.unpersist()
+      },
+      Some(s"""$CurationFixtureSql,
+               kl AS (SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)), x ->
+                   (ends_with(x, '.') OR ends_with(x, '!')
+                    OR ends_with(x, '?') OR ends_with(x, '"'))
+                   AND len(list_filter(string_split_regex(x, '\\s+'),
+                         y -> len(y) > 0)) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS kl
+                 FROM fixture)
+               SELECT doc_id,
+                 coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+                 len(kl)::BIGINT AS n_lines_kept,
+                 (len(kl) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')) AS keep
+               FROM kl ORDER BY doc_id""")),
+
     // CORPUS MIXING — per-source token budgets (the training-mixture
     // weights step): each source contributes its md5-ordered document
     // prefix until the budget is reached. Budgets pin the edges: src1
@@ -1829,8 +1962,9 @@ object Pipeline extends QueryPack {
                         coalesce(sum(CASE WHEN NOT iscap THEN w4 END), 0) AS swstar
                       FROM flag),
               b AS (SELECT source,
-                      CASE WHEN iscap THEN cap
-                           ELSE ((55000 - ccstar) * w4) // swstar END AS budget
+                      (CASE WHEN iscap THEN cap
+                            ELSE ((55000 - ccstar) * w4) // swstar
+                       END)::BIGINT AS budget
                     FROM flag, agg),
               t AS (SELECT doc_id, source,
                       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
