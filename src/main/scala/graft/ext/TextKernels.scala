@@ -82,10 +82,34 @@ object TextKernels {
       case "NFD" => java.text.Normalizer.Form.NFD
       case "NFKC" => java.text.Normalizer.Form.NFKC
       case "NFKD" => java.text.Normalizer.Form.NFKD
+      // accent folding (Lucene ASCIIFoldingFilter's common core / DuckDB
+      // strip_accents semantics): decompose, drop combining marks,
+      // recompose — é→e, ñ→n, ł→l; standalone letters with no mark
+      // decomposition (ø, œ) pass through, same as utf8proc/ICU
+      case "STRIP_ACCENTS" => return stripAccents(s)
       case other => throw new IllegalArgumentException(
-        s"text_normalize: unknown form '$other' (want NFC/NFD/NFKC/NFKD)")
+        s"text_normalize: unknown form '$other' " +
+          "(want NFC/NFD/NFKC/NFKD/STRIP_ACCENTS)")
     }
     UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
+  }
+
+  /** NFD → drop non-spacing marks → NFC; the string-side mirror is
+    * [[graft.fts.AnalyzerConfig.foldString]]. */
+  def stripAccents(s: UTF8String): UTF8String =
+    UTF8String.fromString(stripAccentsString(s.toString))
+
+  def stripAccentsString(s: String): String = {
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
   }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {

@@ -69,12 +69,22 @@ object Analyzer {
             org.apache.spark.sql.GraftColumnBridge.expression(c),
             org.apache.spark.sql.catalyst.expressions.Literal("NFC")))
       else c
+    // ACCENT FOLDING after composition, before the grammar split (a mark
+    // or accented letter is a non-[a-z0-9] byte that would split tokens):
+    // Lucene's ASCIIFoldingFilter position in the chain
+    val c1 =
+      if (cfg.foldAccents)
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.ext.TextNormalizeExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(c0),
+            org.apache.spark.sql.catalyst.expressions.Literal("STRIP_ACCENTS")))
+      else c0
     var toks =
       if (cfg.cjkBigrams)
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.ext.FtsTokenizeCjk(
-            org.apache.spark.sql.GraftColumnBridge.expression(c0)))
-      else tokenize(c0)
+            org.apache.spark.sql.GraftColumnBridge.expression(c1)))
+      else tokenize(c1)
     if (cfg.stopWords.nonEmpty)
       toks = filter(toks, t => !t.isin(cfg.stopWords: _*))
     if (cfg.sStem) toks = transform(toks, sStemCol(_))
@@ -116,7 +126,8 @@ final case class AnalyzerConfig(
     sStem: Boolean = false,
     minTokenLen: Int = 1,
     cjkBigrams: Boolean = false,
-    nfc: Boolean = false) {
+    nfc: Boolean = false,
+    foldAccents: Boolean = false) {
 
   // the describe/parse round-trip is the persistence format — a stopword
   // carrying a delimiter would replay a DIFFERENT pipeline at query time,
@@ -132,7 +143,7 @@ final case class AnalyzerConfig(
 
   /** Stable textual form, recorded in the index-side properties file. */
   def describe: String =
-    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams;nfc=$nfc"
+    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams;nfc=$nfc;fold=$foldAccents"
 
   /** The S-stemmer on a plain string — the query-side mirror of the column
     * pipeline (property-tested equal in AnalyzerSpec). */
@@ -151,10 +162,11 @@ final case class AnalyzerConfig(
     * base-tokenized already (lowercase single tokens / CJK bigrams). */
   def normalizeTerms(terms: Seq[String]): Seq[String] = {
     val stop = stopWords.toSet
-    val base =
+    val base0 =
       if (nfc) terms.map(
         java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
       else terms
+    val base = if (foldAccents) base0.map(foldString) else base0
     base.filterNot(stop)
       .map(sStemString)
       .filter(t => t.length >= math.max(1, minTokenLen))
@@ -163,10 +175,16 @@ final case class AnalyzerConfig(
   /** A RAW query string through the full pipeline: the config's base
     * tokenizer (v1 grammar, or the CJK-bigram kernel when `cjkBigrams`),
     * then [[normalizeTerms]] — '東京都' becomes bigrams ('東京', '京都'). */
+  /** Accent folding on a plain string — the query-side mirror of the
+    * STRIP_ACCENTS column stage (same kernel). */
+  def foldString(t: String): String =
+    if (!foldAccents) t else graft.ext.TextKernels.stripAccentsString(t)
+
   def tokenizeQuery(raw: String): Seq[String] = {
-    val r =
+    val r0 =
       if (nfc) java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
       else raw
+    val r = foldString(r0)
     val base =
       if (cjkBigrams) graft.ext.FtsTokenizeCjk.tokenizeString(r)
       else Analyzer.tokenizeString(r)
@@ -185,7 +203,8 @@ object AnalyzerConfig {
       sStem = kv.getOrElse("sstem", "false").toBoolean,
       minTokenLen = kv.getOrElse("min", "1").toInt,
       cjkBigrams = kv.getOrElse("cjk", "false").toBoolean,
-      nfc = kv.getOrElse("nfc", "false").toBoolean)
+      nfc = kv.getOrElse("nfc", "false").toBoolean,
+      foldAccents = kv.getOrElse("fold", "false").toBoolean)
   }
 }
 

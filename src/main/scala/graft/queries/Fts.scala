@@ -551,6 +551,41 @@ object Fts extends QueryPack {
                 (SELECT count(*) FROM t WHERE list_contains(toks, 'cafe'))
                   AS n_raw_term""")),
 
+    // The ANALYZER's ACCENT-FOLDING stage (AnalyzerConfig(foldAccents =
+    // true), Lucene ASCIIFoldingFilter's position in the chain, persisted
+    // as `fold=true`): the corpus gains precomposed 'café niño'. Folding
+    // runs BEFORE the grammar split (an accented letter is a non-[a-z0-9]
+    // byte that would split the token), so the index carries 'cafe'/'nino'
+    // and the UPPERCASE ACCENTED query 'CAFÉ nino' normalizes to the same
+    // terms through tokenizeQuery — while the raw accented term matches
+    // NOTHING. Oracle replays DuckDB strip_accents (same utf8proc
+    // semantics as the kernel's NFD→drop-Mn→NFC, parity probed) + grammar.
+    Q("q_fts_analyzer_fold",
+      (s, dir) => {
+        val cfg = graft.fts.AnalyzerConfig(foldAccents = true)
+        val docs2 = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" café niño")).as("text"))
+        val ix = Index.buildWithAnalyzer(docs2, cfg)
+        val hit = Search.matchAllIds(ix,
+            cfg.tokenizeQuery("CAFÉ niño"))
+          .agg(count(lit(1)).as("n_folded"))
+        val miss = Search.matchAllIds(ix, Seq("café"))
+          .agg(count(lit(1)).as("n_accented_term"))
+        hit.crossJoin(miss)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                list_filter(string_split_regex(
+                  lower(strip_accents(
+                    text || ' caf' || chr(233) || ' ni' || chr(241) || 'o')),
+                  '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+              FROM documents)
+              SELECT
+                (SELECT count(*) FROM t WHERE list_contains(toks, 'cafe')
+                   AND list_contains(toks, 'nino')) AS n_folded,
+                (SELECT count(*) FROM t
+                   WHERE list_contains(toks, 'caf' || chr(233)))
+                  AS n_accented_term""")),
+
     // FACETED SEARCH — the result-page sidebar every search UI renders
     // (counts per facet value over the match set): fts_match lowers to
     // the pruned postings semi-join and the facet aggregation runs over

@@ -74,6 +74,11 @@ class ScalarFunctionsSpec extends SparkSpec {
     // idempotence + ASCII passthrough + case-insensitive form name
     assert(norm(norm(decomposed, "NFC"), "NFC") == composed)
     assert(norm("plain ascii", "nfc") == "plain ascii")
+    // accent folding (Lucene ASCIIFolding core / DuckDB strip_accents):
+    // marks drop, no-decomposition letters (ø) pass through
+    assert(norm(composed, "STRIP_ACCENTS") == "cafe")
+    assert(norm(decomposed, "strip_accents") == "cafe")
+    assert(norm("søren", "STRIP_ACCENTS") == "søren")
     // unknown form fails loud
     val e = intercept[Exception](norm("x", "NFX"))
     assert(e.getMessage != null)

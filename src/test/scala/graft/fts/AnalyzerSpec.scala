@@ -92,6 +92,31 @@ class AnalyzerSpec extends SparkSpec {
     assert(!AnalyzerConfig.parse("v2;stop=;sstem=false;min=1;cjk=false").nfc)
   }
 
+  test("foldAccents stage: accented and plain text tokenize identically") {
+    val cfg = AnalyzerConfig(foldAccents = true)
+    // folding runs BEFORE the grammar split: é/ñ are non-[a-z0-9] bytes
+    // that would otherwise split the token. Stroked letters (ł, ø) have
+    // NO mark decomposition — they pass through the fold (utf8proc/ICU
+    // semantics, probed equal to DuckDB strip_accents) and then split
+    // under the frozen ASCII grammar, identically on both sides.
+    assert(tokensWith("café niño łódź", cfg)
+      == Seq("cafe", "nino", "odz"))
+    // decomposed input folds the same way (NFD→drop marks→NFC kernel)
+    assert(tokensWith("café", cfg) == Seq("cafe"))
+    // query side mirrors, including through uppercase
+    assert(cfg.tokenizeQuery("CAFÉ Niño") == Seq("cafe", "nino"))
+    assert(cfg.tokenizeQuery("café") == tokensWith("cafe", cfg))
+    // no-mark letters pass through unchanged (ø has no decomposition)
+    assert(tokensWith("søren", cfg) == tokensWith("søren", AnalyzerConfig()))
+    // WITHOUT the stage the accented form splits — the miss it exists to fix
+    assert(tokensWith("café shop", AnalyzerConfig())
+      != tokensWith("cafe shop", AnalyzerConfig()))
+    // persistence round-trip; pre-fold strings parse with the stage off
+    assert(AnalyzerConfig.parse(cfg.describe) == cfg)
+    assert(!AnalyzerConfig.parse(
+      "v2;stop=;sstem=false;min=1;cjk=false;nfc=false").foldAccents)
+  }
+
   test("column S-stemmer equals the query-side string mirror (property)") {
     val cfg = AnalyzerConfig(sStem = true)
     val suffixed = for {
