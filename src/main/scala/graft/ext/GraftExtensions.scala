@@ -501,6 +501,27 @@ case class FtsMatchAny(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** `fts_match_min(text, 'q terms', k)`: true iff the document contains at
+  * least k DISTINCT query terms — Lucene's
+  * BooleanQuery.setMinimumNumberShouldMatch / Elasticsearch's
+  * minimum_should_match. Lowered by [[RewriteFtsMatch]]: index path =
+  * pruned-postings distinct-term count ≥ k
+  * ([[graft.fts.Search.matchMinIds]] — index-exact, covering for id-only
+  * projections); scan path = size(array_intersect(tokens, terms)) ≥ k
+  * (array_intersect dedups, so the count is distinct-terms on both
+  * paths). k above the analyzed term count matches nothing (the analyzer
+  * may drop stopwords — a data condition); k < 1 fails loud. */
+case class FtsMatchMin(first: Expression, second: Expression,
+                       third: Expression)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fts_match_min"
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FtsMatchMin =
+    copy(first = newChildren(0), second = newChildren(1), third = newChildren(2))
+}
+
 /** `fts_phrase(text, 'exact phrase')`: true iff the document contains the
   * phrase as a contiguous token sequence (the SQL surface of
   * [[graft.fts.Search.matchPhrase]]). Lowered by [[RewriteFtsMatch]]:
@@ -836,6 +857,17 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         val ts = entryTerms(entry, q)
         Some((if (ts.isEmpty) emptyIds(entry)
           else matchingIdsDf(entry, ts, requireAll = false), idAttr))
+      case FtsMatchMin(a: Attribute, Literal(q: UTF8String, StringType),
+                       Literal(k: Int, org.apache.spark.sql.types.IntegerType))
+          if entryFor(a).isDefined =>
+        val (entry, idAttr) = entryFor(a).get
+        if (k < 1) throw new IllegalArgumentException(
+          s"fts_match_min: minimum_should_match must be >= 1, got $k")
+        val ts = entryTerms(entry, q)
+        Some((if (ts.isEmpty || k > ts.distinct.size) emptyIds(entry)
+          else graft.fts.Search.matchMinIds(graft.fts.FtsIndex(
+            graft.fts.Index.lookup(persistedIx(entry), ts.distinct,
+              entry.buckets), null, null), ts, k), idAttr))
       // phrase/near are index-exact on any POSITIONAL index: v1 positions
       // under the frozen grammar, analyzer positions in analyzed space
       // (query tokens replay the same pipeline). prefix/wildcard keep
@@ -1511,7 +1543,8 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       case p @ Project(projectList, Filter(cond, grandchild))
           if p.resolved &&
             cond.exists(e => e.isInstanceOf[FtsMatch] ||
-              e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsPhrase] ||
+              e.isInstanceOf[FtsMatchAny] || e.isInstanceOf[FtsMatchMin] ||
+              e.isInstanceOf[FtsPhrase] ||
               e.isInstanceOf[FtsPrefix] || e.isInstanceOf[FtsWildcard] ||
               e.isInstanceOf[FtsTermRange] || e.isInstanceOf[FtsNear] ||
               e.isInstanceOf[FtsPhraseSlop] ||
@@ -1854,6 +1887,19 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         else terms.map[Expression](t =>
             ArrayContains(FtsTokenize(text), Literal(UTF8String.fromString(t), StringType)))
           .reduce(org.apache.spark.sql.catalyst.expressions.Or(_, _))
+      case FtsMatchMin(text, Literal(q: UTF8String, StringType),
+                       Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+        if (k < 1) throw new IllegalArgumentException(
+          s"fts_match_min: minimum_should_match must be >= 1, got $k")
+        val terms = queryTerms(q).distinct
+        if (terms.isEmpty || k > terms.size) Literal.FalseLiteral
+        else org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          org.apache.spark.sql.catalyst.expressions.Size(
+            org.apache.spark.sql.catalyst.expressions.ArrayIntersect(
+              FtsTokenize(text),
+              org.apache.spark.sql.catalyst.expressions.CreateArray(
+                terms.map(t => Literal(UTF8String.fromString(t), StringType))))),
+          Literal(k))
       case FtsPhrase(text, Literal(q: UTF8String, StringType)) =>
         val terms = phraseTerms(q)
         if (terms.isEmpty) Literal.FalseLiteral
@@ -1950,6 +1996,10 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
       // NULL query literal: three-valued logic, same as every SQL predicate
       case FtsMatch(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsMatchAny(_, Literal(null, _)) => Literal(null, BooleanType)
+      case FtsMatchMin(_, q, k)
+          if Seq(q, k).exists {
+            case Literal(null, _) => true; case _ => false } =>
+        Literal(null, BooleanType)
       case FtsPhrase(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPhraseWild(_, Literal(null, _)) => Literal(null, BooleanType)
       case FtsPrefix(_, Literal(null, _)) => Literal(null, BooleanType)
@@ -1977,6 +2027,9 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
         s"fts_match requires a literal query string, got: ${m.right.sql}")
       case m: FtsMatchAny => throw new IllegalArgumentException(
         s"fts_match_any requires a literal query string, got: ${m.right.sql}")
+      case m: FtsMatchMin => throw new IllegalArgumentException(
+        "fts_match_min requires a literal query string and a literal INT " +
+          s"threshold, got: ${m.sql}")
       case m: FtsPhrase => throw new IllegalArgumentException(
         s"fts_phrase requires a literal query string, got: ${m.right.sql}")
       case m: FtsPhraseWild => throw new IllegalArgumentException(
@@ -2036,6 +2089,9 @@ object GraftExtensions {
       (new FunctionIdentifier("fts_match_any"),
         new ExpressionInfo(classOf[FtsMatchAny].getName, "fts_match_any"),
         (args: Seq[Expression]) => FtsMatchAny(args(0), args(1))),
+      (new FunctionIdentifier("fts_match_min"),
+        new ExpressionInfo(classOf[FtsMatchMin].getName, "fts_match_min"),
+        (args: Seq[Expression]) => FtsMatchMin(args(0), args(1), args(2))),
       (new FunctionIdentifier("fts_phrase"),
         new ExpressionInfo(classOf[FtsPhrase].getName, "fts_phrase"),
         (args: Seq[Expression]) => FtsPhrase(args(0), args(1))),

@@ -577,6 +577,29 @@ object Search {
     ix.postings.filter(col("term").isin(terms.distinct: _*))
       .select("doc_id").distinct()
 
+  /** doc_ids containing at least `minMatch` DISTINCT of the terms —
+    * Lucene BooleanQuery.setMinimumNumberShouldMatch / Elasticsearch's
+    * minimum_should_match contract. minMatch = 1 ≡ [[matchAnyIds]];
+    * minMatch = |terms| ≡ [[matchAllIds]]; a threshold ABOVE the distinct
+    * term count is unsatisfiable and returns the empty set (the analyzer
+    * may legitimately shrink a query by dropping stopwords, so this is a
+    * data condition, not an error); minMatch < 1 fails loud. Same
+    * pruned-postings shape as matchAllIds: the distinct-term count runs
+    * over the query terms' rows only, map-side partial first. */
+  def matchMinIds(ix: FtsIndex, terms: Seq[String], minMatch: Int): DataFrame = {
+    val ts = terms.distinct
+    require(minMatch >= 1, s"minimum_should_match must be >= 1, got $minMatch")
+    if (minMatch > ts.size)
+      ix.postings.filter(
+        org.apache.spark.sql.GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral))
+        .select("doc_id")
+    else ix.postings.filter(col("term").isin(ts: _*))
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("n_terms"))
+      .filter(col("n_terms") >= minMatch)
+      .select("doc_id")
+  }
+
   /** doc_ids containing any term within `maxEdits` Levenshtein edits of
     * the query term — TYPO-TOLERANT search. Expansion runs over the TERM
     * DICTIONARY, not the corpus: distinct terms are |vocab| (millions at

@@ -777,6 +777,30 @@ object Fts extends QueryPack {
                WHERE list_contains(t, 'vector') OR list_contains(t, 'stream')
                ORDER BY doc_id""")),
 
+    // MINIMUM-SHOULD-MATCH through the SQL surface — Lucene
+    // BooleanQuery.setMinimumNumberShouldMatch / ES minimum_should_match:
+    // fts_match_min(text, terms, k) keeps docs containing >= k DISTINCT
+    // query terms, strictly between OR (k=1) and AND (k=|terms|). Index
+    // path = pruned-postings distinct-term count >= k (index-exact,
+    // covering for id-only projections); the oracle counts distinct
+    // containment via list_intersect (which dedups, same as the scan
+    // path's array_intersect).
+    Q("q_fts_sql_min",
+      (s, dir) => {
+        graft.ext.GraftExtensions.install(s)
+        graft.fts.Index.createIndex(s, s"$dir/documents.parquet",
+          graft.core.Scratch.dir("fts_index_sql"))
+        Tables(s, dir, "documents").createOrReplaceTempView("documents_ixmin")
+        s.sql("""SELECT doc_id, lang FROM documents_ixmin
+                 WHERE fts_match_min(text, 'spark query vector slow', 2)
+                 ORDER BY doc_id""")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents)
+               SELECT doc_id, lang FROM toks
+               WHERE len(list_intersect(t,
+                 ['spark', 'query', 'vector', 'slow'])) >= 2
+               ORDER BY doc_id""")),
+
     // Incremental index maintenance end-to-end: documents stream in through
     // a foreachBatch delta-append sink (IncrementalIndex), and BM25 over the
     // merge-on-read view must equal BM25 over a from-scratch batch index —

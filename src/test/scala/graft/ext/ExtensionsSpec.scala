@@ -77,6 +77,47 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.fts.IndexCatalog.clear()
   }
 
+  test("fts_match_min: scan and index paths agree on the >= k distinct contract") {
+    GraftExtensions.install(spark)
+    val docsPath = sf("documents")
+    val ixDir = "/root/repo/target/ttmp/fts_index_min_spec"
+    graft.fts.Index.write(graft.fts.Index.build(spark.read.parquet(docsPath)), ixDir)
+    // ground truth: >= 2 distinct of the 4 terms via the library id set
+    val ix = graft.fts.Index.build(spark.read.parquet(docsPath))
+    val terms = Seq("spark", "query", "vector", "slow")
+    val expect = graft.fts.Search.matchMinIds(ix, terms, 2)
+      .collect().map(_.getLong(0)).toSet
+    // sanity: strictly between OR (k=1) and AND (k=4)
+    val anyN = graft.fts.Search.matchAnyIds(ix, terms).count()
+    val allN = graft.fts.Search.matchAllIds(ix, terms).count()
+    assert(allN <= expect.size && expect.size <= anyN)
+    // scan path (unregistered): array_intersect lowering, no joins
+    spark.read.parquet(docsPath).createOrReplaceTempView("docs_min_scan")
+    val scan = spark.sql("""SELECT doc_id FROM docs_min_scan
+      WHERE fts_match_min(text, 'spark query vector slow', 2)""")
+    assert(scan.queryExecution.optimizedPlan.toString.contains("array_intersect"),
+      scan.queryExecution.optimizedPlan.toString)
+    assert(scan.collect().map(_.getLong(0)).toSet == expect)
+    // index path (registered): index-only distinct-count plan
+    graft.fts.IndexCatalog.register(docsPath, ixDir)
+    try {
+      spark.read.parquet(docsPath).createOrReplaceTempView("docs_min_ix")
+      val ixq = spark.sql("""SELECT doc_id FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query vector slow', 2)""")
+      assert(scansOnlyPostings(ixq),
+        s"expected index-only plan:\n${ixq.queryExecution.optimizedPlan}")
+      assert(ixq.collect().map(_.getLong(0)).toSet == expect)
+      // k above the term count matches nothing; k = 1 equals OR; k < 1 loud
+      assert(spark.sql("""SELECT doc_id FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query', 3)""").count() == 0)
+      assert(spark.sql("""SELECT doc_id FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query vector slow', 1)""").count() == anyN)
+      val e = intercept[Exception](spark.sql("""SELECT doc_id FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query', 0)""").collect())
+      assert(e.getMessage.contains("minimum_should_match"), e.getMessage)
+    } finally graft.fts.IndexCatalog.clear()
+  }
+
   test("index path follows renames but refuses name-only impostors") {
     GraftExtensions.install(spark)
     val docsPath = sf("documents")
@@ -658,6 +699,7 @@ class ExtensionsSpec extends SparkSpec {
   test("both installation paths expose the identical function surface") {
     val names = GraftExtensions.allFunctions.map(_._1.funcName).toSet
     assert(names == Set("fts_tokenize", "fts_match", "fts_match_any",
+      "fts_match_min",
       "fts_phrase", "fts_phrase_wild", "fts_score", "fts_prefix",
       "fts_near", "fts_snippet",
       "fts_wildcard", "fts_query", "fts_fuzzy", "fts_query_score",
