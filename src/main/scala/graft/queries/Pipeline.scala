@@ -28,9 +28,14 @@ object Pipeline extends QueryPack {
     * stop-word sentence (Gopher R7 passes somewhere), d%9 docs a
     * symbol/junk line (R3 + all three C4 page rules fail somewhere).
     * Persisted + counted; callers unpersist. */
-  private def curationFixture(s: org.apache.spark.sql.SparkSession,
-                              dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = split(col("text"), " ")
+  private[queries] def curationFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      doubled: Boolean = false): org.apache.spark.sql.DataFrame = {
+    // `doubled` repeats the token stream so docs clear Gopher's 50-word
+    // floor AFTER C4 line filtering — the composed streaming row's fixture
+    val toks = split(
+      if (doubled) concat_ws(" ", col("text"), col("text")) else col("text"),
+      " ")
     val nLines = ceil(size(toks) / lit(6.0)).cast("int")
     val wrapped = array_join(transform(sequence(lit(0), nLines - 1), i =>
       concat(
@@ -54,8 +59,10 @@ object Pipeline extends QueryPack {
 
   /** The SQL mirror of [[curationFixture]] — a WITH prefix ending in a
     * `fixture(doc_id, text)` CTE; oracles append their own CTEs after it. */
-  private val CurationFixtureSql =
-    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+  private[queries] def curationFixtureSql(doubled: Boolean): String =
+    s"""WITH base AS (SELECT doc_id,
+                     string_split(${if (doubled) "text || ' ' || text"
+      else "text"}, ' ') AS t
                      FROM documents),
        wrapped AS (SELECT doc_id,
          array_to_string([
@@ -73,6 +80,8 @@ object Pipeline extends QueryPack {
                  THEN chr(10) || '# ## lorem ipsum javascript { weird'
                  ELSE '' END)
          AS text FROM wrapped)"""
+
+  private[queries] val CurationFixtureSql = curationFixtureSql(doubled = false)
 
   /** Shared ANN recall harness: derive the clustered fixture, compare the
     * candidate method's top-10 against exact brute force, emit ONE row with

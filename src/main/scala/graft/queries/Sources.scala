@@ -488,6 +488,87 @@ object Sources extends QueryPack {
                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
                GROUP BY lang ORDER BY lang""")),
 
+    // QUALITY FILTERING at ingest — the C4 scrub then the Gopher rules per
+    // micro-batch (StreamCurate.startQualityFiltered), over the doubled
+    // curation fixture (docs must clear Gopher's 50-word floor AFTER C4
+    // drops their non-terminal lines; 500 docs → 429 pass C4 → 81 pass
+    // both, so each recipe bites). Per-document and stateless ⇒ two
+    // parity batches streamed equal one batch application — the oracle
+    // replays fixture → C4 lines/pages → Gopher signals (6-dp rounding
+    // included) → the survivor id list, hash exact.
+    Q("q_stream_quality",
+      (s, dir) => {
+        val root = tmp("stream_quality")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val fixture = Pipeline.curationFixture(s, dir, doubled = true)
+        try {
+          def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                    mtime: Long): Unit = {
+            val stageDir = s"$root/stage_$name"
+            df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+            val part = fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+            val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+            fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+            org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+            fs.setTimes(dst, mtime, -1)
+          }
+          val t0 = 1700000000000L
+          stage(fixture.filter(col("doc_id") % 2 === 0), "batch0", t0)
+          stage(fixture.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+          val stream = s.readStream.schema(fixture.schema)
+            .option("maxFilesPerTrigger", 1).parquet(landing)
+          graft.streaming.StreamCurate.startQualityFiltered(
+            stream, s"$root/clean").awaitTermination()
+          graft.streaming.StreamCurate.read(s, s"$root/clean")
+            .select("doc_id").orderBy("doc_id")
+        } finally fixture.unpersist()
+      },
+      Some(s"""${Pipeline.curationFixtureSql(doubled = true)},
+               kl AS (SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)), x ->
+                   (ends_with(x, '.') OR ends_with(x, '!')
+                    OR ends_with(x, '?') OR ends_with(x, '"'))
+                   AND len(list_filter(string_split_regex(x, '\\s+'),
+                         y -> len(y) > 0)) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS kl
+                 FROM fixture),
+               c4 AS (SELECT doc_id,
+                        coalesce(array_to_string(kl, chr(10)), '') AS ct
+                      FROM kl WHERE len(kl) >= 3
+                        AND NOT contains(lower(text), 'lorem ipsum')
+                        AND NOT contains(text, '{')),
+               w2 AS (SELECT doc_id, ct,
+                        list_filter(string_split_regex(ct, '\\s+'),
+                          x -> len(x) > 0) AS w,
+                        string_split(ct, chr(10)) AS l
+                      FROM c4),
+               sig AS (SELECT doc_id,
+                 len(w)::BIGINT AS n_words,
+                 round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                   / len(w), 6) AS mwl,
+                 round(((len(ct) - len(replace(ct, '#', '')))
+                   + (len(ct) - len(replace(ct, '...', ''))) // 3)::DOUBLE
+                   / len(w), 6) AS sym,
+                 round(len(list_filter(l, x -> starts_with(x, '- ')
+                   OR starts_with(x, '* ') OR starts_with(x, '• ')))::DOUBLE
+                   / len(l), 6) AS bf,
+                 round(len(list_filter(l, x -> ends_with(x, '...')))::DOUBLE
+                   / len(l), 6) AS ef,
+                 round(len(list_filter(w, x ->
+                   regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w), 6) AS af,
+                 len(list_intersect(w, ['the','be','to','of','and','that',
+                   'have','with']))::BIGINT AS stops
+               FROM w2)
+               SELECT doc_id FROM sig
+               WHERE n_words BETWEEN 50 AND 100000
+                 AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+                 AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8 AND stops >= 2
+               ORDER BY doc_id""")),
+
     Q("q_stream_dedup_near",
       (s, dir) => {
         val root = tmp("stream_neardup")

@@ -44,4 +44,37 @@ object StreamCurate {
   /** The decontaminated corpus ingested so far. */
   def read(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/data").drop("batch_id")
+
+  /** QUALITY filtering at ingest — the C4 line/page scrub
+    * ([[graft.pipeline.Curation.c4Clean]]) then the Gopher document rules
+    * ([[graft.pipeline.Curation.gopherQuality]], judged on the CLEANED
+    * text) applied per micro-batch; only documents passing both land,
+    * carrying the C4-cleaned text. Both recipes are per-document and
+    * stateless, so the streamed union equals one batch application over
+    * the whole corpus (the oracle contract). Per batch everything is a
+    * narrow projection plus one batch-sized semi-join — no corpus
+    * shuffle, no cross-batch state; the partitioned log write is the
+    * delta contract every graft streaming sink shares. */
+  def startQualityFiltered(docsStream: DataFrame, outDir: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val c4 = graft.pipeline.Curation.c4Clean(batch, idCol, textCol)
+          .filter(col("keep"))
+          .select(col(idCol), col("clean_text").as(textCol))
+        c4.join(
+            graft.pipeline.Curation.gopherQuality(c4, idCol, textCol)
+              .filter(col("keep")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/data")
+      }
+      .start()
 }

@@ -147,5 +147,14 @@ class DedupSpec extends SparkSpec {
     // centers (the two lowest ids) anchor their own cells
     assert(kept(0L) == 1 && kept(1L) == 2, kept.toString)
     assert(kept(5L) != kept(6L), "the blocked pair must straddle cells")
+    // plan shape: the verify is an EQUI-join on the cluster key — never a
+    // cartesian/BNLJ all-pairs (the SemDeDup scale argument, asserted)
+    val plan = Dedup.semDedup(emb, nlist = 2, threshold = 0.8)
+      .queryExecution.executedPlan
+    val allPairs = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(allPairs.isEmpty, s"all-pairs join in semDedup plan:\n$plan")
   }
 }

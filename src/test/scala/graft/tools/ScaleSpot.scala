@@ -54,7 +54,11 @@ object ScaleSpot {
       // round-11 additions: the token-position self-join (substr dedup),
       // the shuffle-free chunker + chunk-corpus BM25, histogram BPE
       "q_dedup_substr", "q_pipeline_chunk", "q_pipeline_chunk_bm25",
-      "q_text_bpe", "q_fts_highlight")
+      "q_text_bpe", "q_fts_highlight",
+      // round-12 additions: cluster-blocked semantic dedup, the Gopher/C4
+      // narrow curation projections, waterfilled budgets + mix, min-match
+      "q_dedup_semantic", "q_text_gopher", "q_pipeline_c4",
+      "q_pipeline_mix_capped", "q_fts_sql_min")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
