@@ -1988,6 +1988,168 @@ object Pipeline extends QueryPack {
               FROM c WHERE strt < budget
               GROUP BY source ORDER BY source""")),
 
+    // FINEWEB-SHAPE END-TO-END (Penedo et al. 2024's published stage
+    // order, from this library's parts): C4 line/page scrub → Gopher
+    // quality rules on the CLEANED text → MinHash-LSH near-dup dedup
+    // keep-lowest-id → repeat-capped temperature budgets → md5-prefix
+    // mix → per-source audit counts. The doubled curation fixture gains
+    // "re-crawl" clones (ids +100000) so the dedup stage bites (8 drops);
+    // total=8000 @ maxEpochs=1.0 caps 4 of 20 sources. Every stage both
+    // bites and replays: the oracle chains fixture → C4 → rounded Gopher
+    // signals → all-pairs shingle Jaccard → waterfill → mix, hash-exact.
+    Q("q_pipeline_fineweb",
+      (s, dir) => {
+        val fixture0 = curationFixture(s, dir, doubled = true)
+        var surv: org.apache.spark.sql.DataFrame = null
+        var perDoc: org.apache.spark.sql.DataFrame = null
+        try {
+          val fixture = fixture0.unionByName(
+            fixture0.filter(col("doc_id") < 60)
+              .withColumn("doc_id", col("doc_id") + 100000L))
+          val c4 = graft.pipeline.Curation.c4Clean(fixture)
+            .filter(col("keep"))
+            .select(col("doc_id"), col("clean_text").as("text"))
+          surv = c4.join(
+              graft.pipeline.Curation.gopherQuality(c4)
+                .filter(col("keep")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .persist()
+          surv.count()
+          val dropped = Dedup.nearDupPairsMinhash(surv, 0.8)
+            .select(col("bid").as("doc_id")).distinct()
+          val deduped = surv.join(dropped, Seq("doc_id"), "left_anti")
+          val srcOf = Tables(s, dir, "documents")
+            .select(col("doc_id").as("orig_id"), col("source"))
+          perDoc = deduped
+            .withColumn("orig_id", pmod(col("doc_id"), lit(100000L)))
+            .join(broadcast(srcOf), "orig_id")
+            .select(col("doc_id"), col("source"),
+              TextStats.estBpeTokens(col("text")).as("toks"))
+            .persist() // budgets, mix, and the audit join all scan it
+          perDoc.count()
+          val budgets = Mixing.temperatureBudgetsCappedCounted(
+            perDoc, totalBudget = 8000L, alpha = 0.3, maxEpochs = 1.0)
+          import s.implicits._
+          val bdf = broadcast(budgets.toSeq.toDF("source", "budget"))
+          val out = Mixing.mixByBudgetCounted(perDoc, budgets)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("mixed_tokens"))
+            .join(bdf, "source")
+            .select(col("source"), col("budget"), col("n_docs"),
+              col("mixed_tokens"))
+            .orderBy("source")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally {
+          if (perDoc != null) perDoc.unpersist()
+          if (surv != null) surv.unpersist()
+          fixture0.unpersist()
+        }
+      },
+      Some(s"""${curationFixtureSql(doubled = true)},
+               fixall AS (SELECT * FROM fixture
+                          UNION ALL
+                          SELECT doc_id + 100000, text FROM fixture
+                          WHERE doc_id < 60),
+               kl AS (SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)), x ->
+                   (ends_with(x, '.') OR ends_with(x, '!')
+                    OR ends_with(x, '?') OR ends_with(x, '"'))
+                   AND len(list_filter(string_split_regex(x, '\\s+'),
+                         y -> len(y) > 0)) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS kl
+                 FROM fixall),
+               c4 AS (SELECT doc_id,
+                        coalesce(array_to_string(kl, chr(10)), '') AS ct
+                      FROM kl WHERE len(kl) >= 3
+                        AND NOT contains(lower(text), 'lorem ipsum')
+                        AND NOT contains(text, '{')),
+               wrds AS (SELECT doc_id, ct,
+                          list_filter(string_split_regex(ct, '\\s+'),
+                            x -> len(x) > 0) AS w,
+                          string_split(ct, chr(10)) AS l
+                        FROM c4),
+               sig AS (SELECT doc_id, ct,
+                 len(w)::BIGINT AS nw,
+                 round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+                   / len(w), 6) AS mwl,
+                 round(((len(ct) - len(replace(ct, '#', '')))
+                   + (len(ct) - len(replace(ct, '...', ''))) // 3)::DOUBLE
+                   / len(w), 6) AS sym,
+                 round(len(list_filter(l, x -> starts_with(x, '- ')
+                   OR starts_with(x, '* ') OR starts_with(x, '• ')))::DOUBLE
+                   / len(l), 6) AS bf,
+                 round(len(list_filter(l, x -> ends_with(x, '...')))::DOUBLE
+                   / len(l), 6) AS ef,
+                 round(len(list_filter(w, x ->
+                   regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w), 6) AS af,
+                 len(list_intersect(w, ['the','be','to','of','and','that',
+                   'have','with']))::BIGINT AS stops
+               FROM wrds),
+               surv AS (SELECT doc_id, ct FROM sig
+                        WHERE nw BETWEEN 50 AND 100000
+                          AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+                          AND bf <= 0.9 AND ef <= 0.3 AND af >= 0.8
+                          AND stops >= 2),
+               stoks AS (SELECT doc_id, ct,
+                 list_filter(string_split_regex(lower(ct), '[^a-z0-9]+'),
+                   x -> len(x) > 0) AS t
+                 FROM surv),
+               shing AS (SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]) AS sh
+                 FROM stoks WHERE len(t) >= 3),
+               ddrop AS (SELECT DISTINCT b.doc_id
+                         FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+                         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                           len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+               perdoc AS (SELECT s2.doc_id, doc.source,
+                            CAST(ceil(strlen(s2.ct) / 4.0) AS BIGINT) AS toks
+                          FROM surv s2
+                          JOIN documents doc
+                            ON s2.doc_id % 100000 = doc.doc_id
+                          WHERE s2.doc_id NOT IN (SELECT doc_id FROM ddrop)),
+               n AS (SELECT source, sum(toks)::BIGINT AS n
+                     FROM perdoc GROUP BY 1),
+               w4 AS (SELECT source, n,
+                        CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 10000)
+                          AS BIGINT) AS w4,
+                        (n * 10000) // 10000 AS cap
+                      FROM n),
+               ord AS (SELECT *, row_number() OVER (
+                         ORDER BY (cap * 1000000000000) // w4, source) AS i
+                       FROM w4),
+               pre AS (SELECT *,
+                         coalesce(sum(cap) OVER (ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS ccprev,
+                         sum(w4) OVER (ORDER BY i ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS swfrom
+                       FROM ord),
+               flag AS (SELECT *,
+                          bool_and(cap * swfrom < (8000 - ccprev) * w4)
+                            OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS iscap
+                        FROM pre),
+               agg AS (SELECT
+                         coalesce(sum(CASE WHEN iscap THEN cap END), 0) AS ccstar,
+                         coalesce(sum(CASE WHEN NOT iscap THEN w4 END), 0) AS swstar
+                       FROM flag),
+               b AS (SELECT source,
+                       (CASE WHEN iscap THEN cap
+                             ELSE ((8000 - ccstar) * w4) // swstar
+                        END)::BIGINT AS budget
+                     FROM flag, agg),
+               cum AS (SELECT p.source, p.toks, b.budget,
+                         sum(toks) OVER (PARTITION BY p.source
+                           ORDER BY substring(md5(CAST(p.doc_id AS VARCHAR)), 1, 8),
+                             p.doc_id
+                           ROWS UNBOUNDED PRECEDING) - toks AS strt
+                       FROM perdoc p JOIN b USING (source))
+               SELECT source, min(budget) AS budget, count(*) AS n_docs,
+                 CAST(sum(toks) AS BIGINT) AS mixed_tokens
+               FROM cum WHERE strt < budget
+               GROUP BY source ORDER BY source""")),
+
     // REAL-BPE mixture budgets (round-11 verdict item 3): budgets and
     // selection both measured in the tokens a training run over the
     // TRAINED tokenizer actually consumes (Bpe.train → Bpe.countTokens →
