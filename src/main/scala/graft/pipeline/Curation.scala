@@ -51,25 +51,36 @@ object Curation {
     *   R6 fraction of words containing an alphabetic char ≥ 0.8
     *   R7 at least 2 DISTINCT of [[GopherStops]] present as words.
     * Ratios are rounded to 6 dp before thresholding (integer/integer
-    * ratios are exact in double, the rounding pins ties cross-engine). */
+    * ratios are exact in double, the rounding pins ties cross-engine).
+    * A zero-word document's per-word ratios are explicitly NULL (guarded —
+    * Spark 4's ANSI default makes a bare x/0 THROW mid-job, and an empty
+    * document must be a keep=false row, never a failed stage) and `keep`
+    * is false via R1; DuckDB's /0 is NULL, so the oracle agrees without a
+    * guard. CurationSpec pins it. */
   def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val w = words(col(textCol))
     val l = lines(col(textCol))
+    // per-word ratios guard the zero-word divisor explicitly: Spark 4 runs
+    // ANSI-on by default, where a bare x/0 THROWS mid-job — an empty
+    // document must be a keep=false ROW, never a failed stage. ('\n'-split
+    // lines are never empty: size(l) >= 1 always.)
+    def perWord(x: Column): Column =
+      when(size(col("w")) > 0, round(x / size(col("w")), 6))
     docs.select(col(idCol), w.as("w"), l.as("l"),
         (countOf(col(textCol), "#") + countOf(col(textCol), "...")).as("syms"))
       .select(col(idCol),
         size(col("w")).cast("long").as("n_words"),
-        round(aggregate(col("w"), lit(0L), (a, x) => a + length(x))
-          .cast("double") / size(col("w")), 6).as("mean_word_len"),
-        round(col("syms").cast("double") / size(col("w")), 6).as("symbol_ratio"),
+        perWord(aggregate(col("w"), lit(0L), (a, x) => a + length(x))
+          .cast("double")).as("mean_word_len"),
+        perWord(col("syms").cast("double")).as("symbol_ratio"),
         round(size(filter(col("l"), x =>
           x.startsWith("- ") || x.startsWith("* ") || x.startsWith("• ")))
           .cast("double") / size(col("l")), 6).as("bullet_frac"),
         round(size(filter(col("l"), x => x.endsWith("...")))
           .cast("double") / size(col("l")), 6).as("ellipsis_frac"),
-        round(size(filter(col("w"), x => x.rlike("[a-zA-Z]"))).cast("double")
-          / size(col("w")), 6).as("alpha_word_frac"),
+        perWord(size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
+          .cast("double")).as("alpha_word_frac"),
         size(array_intersect(col("w"), array(GopherStops.map(lit): _*)))
           .cast("long").as("n_stop_kinds"))
       .withColumn("keep",

@@ -36,6 +36,14 @@ class CurationSpec extends SparkSpec {
     assert(r1.getLong(r1.fieldIndex("n_stop_kinds")) == 3L)
   }
 
+  test("gopherQuality: a zero-word doc gets NULL ratios and keep = false") {
+    val r = Curation.gopherQuality(mk(Seq(9L -> ""))).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_words")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("mean_word_len")),
+      "div-by-zero must surface as NULL (both engines agree), not NaN/inf")
+    assert(!r.getBoolean(r.fieldIndex("keep")))
+  }
+
   test("c4Clean: line retention rules and page-level drops") {
     val docs = mk(Seq(
       // 3 good lines -> kept page; bad lines removed from clean_text
