@@ -123,9 +123,16 @@ object Lm {
     val tot = cnt.agg(sum("cr").cast("double").as("nr"),
       sum("ct").cast("double").as("nt"))
     val uni = lambda / DsirBuckets
+    // nt = 0 means the target slice contributed NO features (empty or
+    // sub-2-token target docs): the importance ratio is undefined, and
+    // under Spark 4's ANSI default the unguarded ct/0 would THROW mid-job.
+    // Guarded -> lr NULL -> every dsir_w NULL: diagnosable in the output
+    // frame instead of failing a corpus-scale stage. nr = 0 only when the
+    // whole corpus is feature-free (then there are no rows to score).
     val ratios = cnt.crossJoin(tot)
       .select(col("b"),
-        (log(col("ct").cast("double") / col("nt")
+        when(col("nt") > 0.0 && col("nr") > 0.0,
+          log(col("ct").cast("double") / col("nt")
             * (1.0 - lambda) + uni) -
           log(col("cr").cast("double") / col("nr")
             * (1.0 - lambda) + uni)).as("lr"))

@@ -30,7 +30,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, NULL when either vector is zero-length in
+    * magnitude: a zero vector has no direction, so its similarity is
+    * undefined — and under Spark 4's ANSI default the unguarded 0/0 would
+    * THROW mid-job, failing a whole corpus-scale stage on one degenerate
+    * embedding. NULL drops out of `>= threshold` filters and sorts last
+    * under `desc` ranking, which is exactly "near nothing". (DuckDB's /0
+    * is NULL, so oracles agree without a guard.) */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0.0, dot(a, b) / d)
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -51,15 +51,21 @@ object TextStats {
   def qualityStats(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val toks = Analyzer.tokenize(col(textCol))
+    // zero-token divisor guarded explicitly: Spark 4's ANSI default makes
+    // a bare x/0 THROW mid-job — one empty document must yield NULL ratio
+    // signals, never a failed 100 TB stage. (DuckDB's /0 is NULL, so the
+    // oracle agrees without a guard.)
+    def perTok(x: Column): Column =
+      when(size(toks) > 0, round(x / size(toks), 4))
     docs.select(
       col(idCol).as("doc_id"),
       length(col(textCol)).as("n_chars"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct"),
-      round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("distinct_ratio"),
-      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / size(toks), 4)
+      perTok(size(array_distinct(toks)).cast("double")).as("distinct_ratio"),
+      perTok(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double"))
         .as("mean_tok_len"),
-      round(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks), 4)
+      perTok(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double"))
         .as("stop_ratio"),
       estBpeTokens(col(textCol)).as("est_bpe_tokens"),
       // BPE-ish subword count: greedy ≤4-char pieces of alphanumeric runs —
@@ -76,7 +82,10 @@ object TextStats {
     * deterministic, frozen heuristic, not linguistics.) */
   def langGuess(textCol: Column): Column = {
     val toks = Analyzer.tokenize(textCol)
-    val ratio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+    // guarded ratio (ANSI /0 throws): a token-free doc has NULL density,
+    // and NULL >= 0.02 is NULL -> the otherwise branch tags it "unk"
+    val ratio = when(size(toks) > 0,
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks))
     when(ratio >= 0.02, lit("en")).otherwise(lit("unk"))
   }
 

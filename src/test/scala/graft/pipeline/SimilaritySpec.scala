@@ -5,6 +5,22 @@ import graft.SparkSpec
 
 class SimilaritySpec extends SparkSpec {
 
+  test("cosine of a zero vector is NULL (no direction), not an ANSI crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (0L, Array(0.0f, 0.0f)),          // zero vector: undefined direction
+      (1L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "v")
+    val out = rows.crossJoin(rows.select(col("v").as("u")))
+      .select(Similarity.cosine(
+        col("v").cast("array<double>"), col("u").cast("array<double>")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // pairs involving the zero vector are NULL; the (1,1) pair is 1.0
+    assert(out.count(_.isEmpty) == 3, out.toSeq.toString)
+    assert(out.flatten.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
   private lazy val emb = {
     import spark.implicits._
     Seq(

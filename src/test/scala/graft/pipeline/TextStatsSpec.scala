@@ -13,6 +13,19 @@ class TextStatsSpec extends SparkSpec {
         (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
   }
 
+  test("a token-free doc yields NULL ratios + 'unk' lang, not an ANSI crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq((7L, "!!! ???")).toDF("doc_id", "text")
+    val r = TextStats.qualityStats(empty).collect()(0)
+    assert(r.getInt(r.fieldIndex("n_tokens")) == 0)
+    assert(r.isNullAt(r.fieldIndex("distinct_ratio")),
+      "ANSI-mode /0 must be guarded to NULL, never thrown")
+    assert(r.isNullAt(r.fieldIndex("mean_tok_len")))
+    assert(empty.select(TextStats.langGuess(col("text"))).collect()(0)
+      .getString(0) == "unk")
+  }
+
   test("redactPii scrubs emails, ips, and phones and audits counts on raw text") {
     val out = redact(Seq(
       (1L, "write to alice.smith+x@mail.example.org today"),
