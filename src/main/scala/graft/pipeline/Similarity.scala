@@ -60,6 +60,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** RANGE SEARCH (FAISS `range_search` semantics for cosine): every
+    * vector whose rounded cosine to the query reaches `minCosine` — the
+    * unbounded-count dual of top-k, the shape dedup radii and "find all
+    * near-duplicates of this document" queries want. Exact one-scan form:
+    * the 1-row query broadcasts, the corpus is never shuffled, and the
+    * result is ordered (cosim desc, id) for reproducibility. The
+    * sublinear swap at corpus scale is candidate generation through the
+    * LSH/IVF machinery ([[annTopK]]'s buckets / [[ivfTopK]]'s cells) with
+    * this same rounded-cosine verify over candidates only — radius
+    * contracts then become recall contracts, exactly like top-k ANN. */
+  def rangeSearch(emb: DataFrame, queryId: Long, minCosine: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv")).limit(1)
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosim", round(cosine(asDouble(col(vecCol)), col("qv")), 4))
+      .filter(col("cosim") >= minCosine)
+      .select(col(idCol), col("cosim"))
+      .orderBy(col("cosim").desc, col(idCol))
+  }
+
   /** LSH bucket id: sign pattern of the vector against `planes`
     * deterministic pseudo-random hyperplanes (components derived from
     * xxhash64(p, d) — no shared RNG state across executors), packed into a

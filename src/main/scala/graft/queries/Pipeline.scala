@@ -479,6 +479,35 @@ object Pipeline extends QueryPack {
               SELECT vec_id, round(c, 4) AS cosim FROM sc
               ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
 
+    // RANGE SEARCH — FAISS range_search semantics: every vector within a
+    // cosine RADIUS of the query (the unbounded-count dual of top-k; the
+    // shape dedup radii use). Seeded clones (q_dedup_embed's fixture
+    // pattern) pin the radius boundary's top end at cosine 1.0 while the
+    // 0.25 threshold keeps a non-trivial mid-range set from the raw
+    // vectors; one broadcast scan, corpus never shuffled; all-rows-in-
+    // radius replayed exactly.
+    Q("q_sim_range",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val seeded = emb.unionByName(
+          emb.filter(col("vec_id") === 0)
+            .withColumn("vec_id", col("vec_id") + 100000L))
+        Similarity.rangeSearch(seeded, 0L, 0.25)
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                            FROM embeddings),
+              e AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000, v FROM base WHERE vec_id = 0),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              sc AS (SELECT vec_id,
+                       round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qv, qv))), 4) AS cosim
+                     FROM e CROSS JOIN q WHERE vec_id <> 0)
+              SELECT vec_id, cosim FROM sc WHERE cosim >= 0.25
+              ORDER BY cosim DESC, vec_id""")),
+
     // The SQL face of vector search: vec_cosine (kernel dots composed in
     // codegen) ranks the corpus against a scalar-subquery query vector;
     // ORDER BY score LIMIT k plans as TakeOrderedAndProject — the
