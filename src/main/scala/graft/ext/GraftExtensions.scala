@@ -1005,6 +1005,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
   private final case class RegexpConj(entry: IndexCatalog.Entry,
                                       idAttr: Attribute, pattern: String)
       extends FtsConjunct
+  /** `fts_match_min` — minimum-should-match boolean: ≥ k of the query's
+    * terms present. Postings-only (per-doc distinct-term count over the
+    * terms' pruned postings), so it composes with other index conjuncts
+    * in the semi-join fold instead of forcing a corpus scan. */
+  private final case class MinConj(entry: IndexCatalog.Entry,
+                                   idAttr: Attribute, q: UTF8String, k: Int)
+      extends FtsConjunct
   /** `fts_phrase_wild` — wildcard-slot phrase; index-exact only against a
     * POSITIONAL v1 index (patterns measure the v1 term space, and the
     * adjacency fold needs position lists). */
@@ -1694,6 +1701,13 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   if entryFor(a).exists(_._1.analyzer.isV1) =>
                 val (e, id) = entryFor(a).get
                 Left(RegexpConj(e, id, p.toString))
+              case FtsMatchMin(a: Attribute, Literal(q: UTF8String, StringType),
+                               Literal(k: Int, org.apache.spark.sql.types.IntegerType))
+                  if entryFor(a).isDefined =>
+                if (k < 1) throw new IllegalArgumentException(
+                  s"fts_match_min: minimum_should_match must be >= 1, got $k")
+                val (e, id) = entryFor(a).get
+                Left(MinConj(e, id, q, k))
               case or: org.apache.spark.sql.catalyst.expressions.Or =>
                 val branchIds = splitDisjunctivePredicates(or)
                   .map(b => exactIdsDf(b, entryFor))
@@ -1806,6 +1820,17 @@ object RewriteFtsMatch extends Rule[LogicalPlan]
                   // the regex engine
                   semi(cur, graft.fts.Search.matchRegexpIds(
                     persistedIx(entry), pat)
+                    .queryExecution.optimizedPlan, idAttr)
+                case (cur, MinConj(entry, idAttr, q, k)) =>
+                  // per-doc distinct-term count ≥ k over the terms' pruned
+                  // postings (same plan as the single-predicate path)
+                  val ts = entryTerms(entry, q)
+                  if (ts.isEmpty || k > ts.distinct.size)
+                    Filter(Literal.FalseLiteral, cur)
+                  else semi(cur, graft.fts.Search.matchMinIds(
+                    graft.fts.FtsIndex(graft.fts.Index.lookup(
+                      persistedIx(entry), ts.distinct, entry.buckets),
+                      null, null), ts, k)
                     .queryExecution.optimizedPlan, idAttr)
                 case (cur, WildPhraseConj(entry, idAttr, slots)) =>
                   // position-list adjacency fold with pattern-slot unions

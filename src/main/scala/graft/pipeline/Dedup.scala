@@ -453,7 +453,14 @@ object Dedup {
   def semDedup(emb: DataFrame, nlist: Int = 16, threshold: Double = 0.8,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val cents: Seq[Array[Double]] = emb.orderBy(col(idCol)).limit(nlist)
+    // seed from the nlist lowest-id NON-ZERO vectors: a zero vector has no
+    // direction to quantize against, and its ‖c‖ = 0 denominator would
+    // poison every score expression (the same degenerate-embedding class
+    // the cosine() guard closes on the verify side). Zero vectors still
+    // flow through as data — they score 0 against every cell and land in
+    // cell 1 by the first-max tiebreak.
+    val cents: Seq[Array[Double]] = emb
+      .filter(Similarity.dot(v, v) > 0).orderBy(col(idCol)).limit(nlist)
       .select(v).collect().map(_.getSeq[Double](0).toArray).toSeq
     val scores = array(cents.map { c =>
       round(Similarity.dot(v, array(c.map(lit): _*)) /

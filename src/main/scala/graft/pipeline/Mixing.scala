@@ -101,10 +101,17 @@ object Mixing {
     * i's cap exceeds its share at i's step, every later source's does
     * too). Source i is capped iff cap_i · SW_i < (B − CC_{i−1}) · w_i,
     * with CC = cumulative caps before i and SW = Σ weights from i on.
-    * All comparisons are BigInt cross-multiplications and the sort key is
-    * ⌊cap·10¹²/w⌋ (tie: source name) — no float ratio anywhere, so an SQL
-    * oracle replays every boundary exactly at any magnitude (budgets ~1e13
-    * × weights ~1e17 overflow Long products). An uncapped source's
+    * ALL comparisons — the prefix condition AND the sort itself — are
+    * exact BigInt cross-multiplications (cap_a·w_b vs cap_b·w_a; tie:
+    * source name), no float ratio and no quantized key anywhere, so an
+    * SQL oracle replays every boundary exactly at any magnitude (budgets
+    * ~1e13 × weights ~1e17 overflow Long products; 128-bit HUGEINT
+    * products replay the comparator). A quantized key (r12 used
+    * ⌊cap·10¹²/w⌋) could order two sources whose true ratios differ
+    * within the quantization AGAINST ratio order, letting the prefix loop
+    * stop early and hand a capped source a share above its cap — the
+    * exact comparator is what makes the 'never exceeds its cap' contract
+    * unconditional. An uncapped source's
     * ⌊(B−CC*)·w/SW*⌋ never exceeds its cap (that's the prefix condition),
     * and if EVERY source caps the mixture under-fills: Σ budgets =
     * Σ caps < total — you cannot buy more than maxEpochs × the data you
@@ -125,8 +132,10 @@ object Mixing {
         (BigInt(n) * m4 / 10000).toLong)
     }
     val (zero, pos) = rows.partition(_._2 <= 0)
-    val key12 = BigInt(10).pow(12)
-    val ordered = pos.sortBy { case (s, w, cap) => (BigInt(cap) * key12 / w, s) }
+    val ordered = pos.sortWith { case ((sa, wa, ca), (sb, wb, cb)) =>
+      val c = (BigInt(ca) * wb).compare(BigInt(cb) * wa)
+      if (c != 0) c < 0 else sa < sb
+    }
     val B = BigInt(totalBudget)
     var ccPrev = BigInt(0)
     var swFrom = ordered.iterator.map(r => BigInt(r._2)).sum

@@ -322,7 +322,8 @@ object Pipeline extends QueryPack {
                     UNION ALL
                     SELECT vec_id + 100000, label, v FROM base WHERE vec_id < 5),
               cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
-                        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+                        FROM e WHERE list_dot_product(v, v) > 0
+                        QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
               scored AS (SELECT e.vec_id, e.label, c.cid,
                            round(list_dot_product(e.v, c.cv) /
                                  sqrt(list_dot_product(c.cv, c.cv)), 9) AS s
@@ -1981,9 +1982,11 @@ object Pipeline extends QueryPack {
                         AS w4,
                       (n * 15000) // 10000 AS cap
                     FROM n),
-              ord AS (SELECT *, row_number() OVER (
-                        ORDER BY (cap * 1000000000000) // w4, source) AS i
-                      FROM w),
+              ord AS (SELECT a.*, (SELECT count(*) FROM w b
+                        WHERE b.cap::HUGEINT * a.w4 < a.cap::HUGEINT * b.w4
+                           OR (b.cap::HUGEINT * a.w4 = a.cap::HUGEINT * b.w4
+                               AND b.source < a.source)) + 1 AS i
+                      FROM w a),
               pre AS (SELECT *,
                         coalesce(sum(cap) OVER (ORDER BY i
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -2145,9 +2148,11 @@ object Pipeline extends QueryPack {
                           AS BIGINT) AS w4,
                         (n * 10000) // 10000 AS cap
                       FROM n),
-               ord AS (SELECT *, row_number() OVER (
-                         ORDER BY (cap * 1000000000000) // w4, source) AS i
-                       FROM w4),
+               ord AS (SELECT a.*, (SELECT count(*) FROM w4 b
+                         WHERE b.cap::HUGEINT * a.w4 < a.cap::HUGEINT * b.w4
+                            OR (b.cap::HUGEINT * a.w4 = a.cap::HUGEINT * b.w4
+                                AND b.source < a.source)) + 1 AS i
+                       FROM w4 a),
                pre AS (SELECT *,
                          coalesce(sum(cap) OVER (ORDER BY i
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),

@@ -157,13 +157,26 @@ object StreamDedup {
     * streaming state; plain appended parquet re-shuffled the WHOLE store
     * every micro-batch). A resume whose catalog lost the entry (fresh
     * session over surviving files) re-registers the same bucketed DDL. */
-  private def readStoreBands(spark: SparkSession, dir: String,
+  private[streaming] def readStoreBands(spark: SparkSession, dir: String,
                              like: DataFrame): DataFrame = {
     val name = storeTableName(dir)
     val path = s"$dir/store_bands"
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!spark.catalog.tableExists(name) && fs.exists(p)) {
+      // Store-layout guard (first open of surviving files): the files'
+      // OWN footer schema must carry the v2 size column `n`. Re-creating
+      // the catalog table from the v2 batch schema over v1 files would
+      // read `n` as NULL, and the size-prune join predicate in
+      // [[dedupBatch]] would silently drop every historical candidate —
+      // cross-batch dedup would stop detecting duplicates against
+      // pre-upgrade documents instead of failing. Fail loud, as the
+      // layout-v2 docstring promises.
+      if (!spark.read.parquet(path).schema.fieldNames.contains("n"))
+        throw new IllegalStateException(
+          s"graft band store at $path is layout v1 (no shingle-set size " +
+            "column 'n'); this version cannot read it — rebuild the store " +
+            "by re-ingesting (it is derived state, never the source of truth)")
       val cols = like.schema
         .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
       spark.sql(s"""CREATE TABLE $name ($cols) USING parquet

@@ -115,6 +115,37 @@ class ExtensionsSpec extends SparkSpec {
       val e = intercept[Exception](spark.sql("""SELECT doc_id FROM docs_min_ix
         WHERE fts_match_min(text, 'spark query', 0)""").collect())
       assert(e.getMessage.contains("minimum_should_match"), e.getMessage)
+
+      // CONJUNCTIONS keep the index path (the r12 gap: min was classified
+      // in the single-predicate path only, so `fts_match_min AND <other
+      // fts>` silently fell back to a corpus scan). Ground truth = the
+      // two library id sets intersected.
+      val expectBoth = expect.intersect(graft.fts.Search
+        .matchAllIds(ix, Seq("table")).collect().map(_.getLong(0)).toSet)
+      assert(expectBoth.nonEmpty && expectBoth.size < expect.size,
+        s"fixture must make the conjunction bite: $expectBoth")
+      // id-only projection: fully covered, corpus never scanned
+      val covered = spark.sql("""SELECT doc_id FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query vector slow', 2)
+          AND fts_match(text, 'table')""")
+      assert(scansOnlyPostings(covered),
+        s"min AND match, id-only must stay index-only:\n${covered.queryExecution.optimizedPlan}")
+      assert(covered.collect().map(_.getLong(0)).toSet == expectBoth)
+      // wider projection: corpus read survives but BOTH conjuncts lower
+      // to postings semi-joins — no array_intersect scan fallback
+      val conj = spark.sql("""SELECT doc_id, lang FROM docs_min_ix
+        WHERE fts_match_min(text, 'spark query vector slow', 2)
+          AND fts_match(text, 'table')""")
+      val conjPlan = conj.queryExecution.optimizedPlan
+      assert(!conjPlan.toString.contains("array_intersect"),
+        s"fts_match_min conjunct fell back to the scan lowering:\n$conjPlan")
+      val semis = conjPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.size == 2,
+        s"expected both conjuncts folded as postings semi-joins:\n$conjPlan")
+      assert(conj.collect().map(_.getLong(0)).toSet == expectBoth)
     } finally graft.fts.IndexCatalog.clear()
   }
 

@@ -157,4 +157,25 @@ class DedupSpec extends SparkSpec {
     }
     assert(allPairs.isEmpty, s"all-pairs join in semDedup plan:\n$plan")
   }
+
+  test("semDedup: a zero vector among the lowest ids never seeds a cell") {
+    import spark.implicits._
+    // vec 0 is degenerate (all-zero): ‖c‖ = 0 would make every score a
+    // division by 0.0 — the seed scan must skip it and take the next
+    // lowest ids, while the zero vector itself still flows through as
+    // data (scores 0 everywhere → cell 1 by first-max tiebreak)
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f), 9),
+      (1L, Array(1.0f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1.0f, 0f, 0f), 1),
+      (3L, Array(0.99f, 0.01f, 0f, 0f), 0) // near-dup of 1 → dropped
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Dedup.semDedup(emb, nlist = 2, threshold = 0.8)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(0L, 1L, 2L), kept.toString)
+    // cells are seeded by vecs 1 and 2 (the lowest NON-ZERO ids)
+    assert(kept(1L) == 1 && kept(2L) == 2, kept.toString)
+    assert(kept(0L) == 1, "zero vector lands in cell 1 by first-max tiebreak")
+  }
 }

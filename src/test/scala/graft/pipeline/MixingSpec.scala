@@ -93,6 +93,30 @@ class MixingSpec extends SparkSpec {
       free.toString)
   }
 
+  test("waterfill sort is EXACT at quantization-collision magnitudes") {
+    import spark.implicits._
+    // two sources whose true cap/weight ratios differ by ~1e-13 — BELOW
+    // the r12 sort key's ⌊cap·10¹²/w⌋ resolution, so the quantized key
+    // ties and the name tiebreak would order "a" (the HIGHER ratio, n =
+    // 10101) before "b" (n = 10099): the prefix loop then probes a first,
+    // fails, stops early, and the allocation diverges from the waterfill
+    // (z 449985148 instead of 449985149, b never examined for capping).
+    // The exact cross-multiplied comparator orders b first regardless of
+    // name. alpha = 1 → w = n·10⁴; maxEpochs = 1.5 → cap = ⌊1.5n⌋.
+    val perDoc = Seq(("a", 10101L), ("b", 10099L), ("z", 300000000L))
+      .toDF("source", "toks")
+    val got = Mixing.temperatureBudgetsCappedCounted(perDoc,
+      totalBudget = 450015448L, alpha = 1.0, maxEpochs = 1.5)
+    val caps = Map("a" -> 15151L, "b" -> 15148L, "z" -> 450000000L)
+    got.foreach { case (s, bud) =>
+      assert(bud <= caps(s), s"source $s exceeds its cap: $bud > ${caps(s)}")
+    }
+    // the exact waterfill: b caps (lowest true ratio, binding), a and z
+    // split the remainder proportionally
+    assert(got == Map("b" -> 15148L, "a" -> 15150L, "z" -> 449985149L),
+      got.toString)
+  }
+
   test("budget caps each source independently; zero budget drops the source") {
     val out = Mixing.mixByBudget(docs, Map("a" -> 16L, "b" -> 0L))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

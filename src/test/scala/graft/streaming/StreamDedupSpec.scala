@@ -176,4 +176,28 @@ class StreamDedupSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
       .contains("PushedFilters: [In(doc_id"))
   }
+
+  test("a layout-v1 band store (no size column) fails loud on open") {
+    import spark.implicits._
+    val root = graft.core.Scratch.dir("stream_neardup_v1store")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    // a pre-upgrade store: band rows WITHOUT the v2 shingle-set size `n`
+    Seq((1L, 0, 42L), (2L, 1, 43L)).toDF("doc_id", "band", "bh")
+      .write.parquet(s"$root/store_bands")
+    // the v2 batch-side schema the candidate join would create the
+    // catalog table from — silently reading `n` as NULL under it is the
+    // bug: the size-prune predicate drops every historical candidate
+    val v2like = Seq((9L, 0, 0L, 10))
+      .toDF("doc_id", "band", "bh", "n").limit(0)
+    val e = intercept[IllegalStateException] {
+      StreamDedup.readStoreBands(spark, root, v2like)
+    }
+    assert(e.getMessage.contains("layout v1") &&
+      e.getMessage.contains("re-ingest"),
+      s"must name the layout and the remedy, got: ${e.getMessage}")
+    // and the guard must not have left a half-registered catalog entry
+    assert(!spark.catalog.tableExists(StreamDedup.storeTableName(root)))
+  }
 }
