@@ -246,7 +246,10 @@ object TextKernels {
       (args: Seq[Expression]) => TextNormalizeExpr(args(0), args(1))),
     (new FunctionIdentifier("graft_bigram_buckets"),
       new ExpressionInfo(classOf[BigramBucketsExpr].getName, "graft_bigram_buckets"),
-      (args: Seq[Expression]) => BigramBucketsExpr(args.head)))
+      (args: Seq[Expression]) => BigramBucketsExpr(args.head)),
+    (new FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
+      (args: Seq[Expression]) => PorterStemExpr(args.head)))
 
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -88,6 +88,14 @@ object Analyzer {
     if (cfg.stopWords.nonEmpty)
       toks = filter(toks, t => !t.isin(cfg.stopWords: _*))
     if (cfg.sStem) toks = transform(toks, sStemCol(_))
+    // full-strength stemmer slot (Lucene's PorterStemFilter position,
+    // after stopword removal): ONE compiled call stems the whole token
+    // array — a transform(...) lambda would re-enter interpreted eval
+    // per element
+    if (cfg.porter)
+      toks = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.ext.PorterStemArrayExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks)))
     // post-stem guard: stemming "s" alone yields "", which no index may
     // carry; fold it into the min-length filter
     val minLen = math.max(1, cfg.minTokenLen)
@@ -127,7 +135,15 @@ final case class AnalyzerConfig(
     minTokenLen: Int = 1,
     cjkBigrams: Boolean = false,
     nfc: Boolean = false,
-    foldAccents: Boolean = false) {
+    foldAccents: Boolean = false,
+    porter: Boolean = false) {
+
+  // the two stemmers occupy the same chain slot (Lucene never stacks
+  // PorterStemFilter on EnglishMinimalStemFilter either): stacking would
+  // double-stem ("ponies" → S-stem "pony"?? no — "poni" then Porter of a
+  // non-word) and make the persisted config ambiguous about term space
+  require(!(sStem && porter),
+    "pick ONE stemmer per analyzer: sStem (Harman S) or porter")
 
   // the describe/parse round-trip is the persistence format — a stopword
   // carrying a delimiter would replay a DIFFERENT pipeline at query time,
@@ -143,7 +159,7 @@ final case class AnalyzerConfig(
 
   /** Stable textual form, recorded in the index-side properties file. */
   def describe: String =
-    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams;nfc=$nfc;fold=$foldAccents"
+    s"v2;stop=${stopWords.mkString("|")};sstem=$sStem;min=$minTokenLen;cjk=$cjkBigrams;nfc=$nfc;fold=$foldAccents;porter=$porter"
 
   /** The S-stemmer on a plain string — the query-side mirror of the column
     * pipeline (property-tested equal in AnalyzerSpec). */
@@ -169,8 +185,15 @@ final case class AnalyzerConfig(
     val base = if (foldAccents) base0.map(foldString) else base0
     base.filterNot(stop)
       .map(sStemString)
+      .map(porterString)
       .filter(t => t.length >= math.max(1, minTokenLen))
   }
+
+  /** Porter on a plain string — the query-side mirror of the
+    * [[graft.ext.PorterStemArrayExpr]] column stage (same kernel, so the
+    * two sides cannot diverge). */
+  def porterString(t: String): String =
+    if (!porter) t else graft.ext.PorterStemmer.stem(t)
 
   /** A RAW query string through the full pipeline: the config's base
     * tokenizer (v1 grammar, or the CJK-bigram kernel when `cjkBigrams`),
@@ -204,7 +227,8 @@ object AnalyzerConfig {
       minTokenLen = kv.getOrElse("min", "1").toInt,
       cjkBigrams = kv.getOrElse("cjk", "false").toBoolean,
       nfc = kv.getOrElse("nfc", "false").toBoolean,
-      foldAccents = kv.getOrElse("fold", "false").toBoolean)
+      foldAccents = kv.getOrElse("fold", "false").toBoolean,
+      porter = kv.getOrElse("porter", "false").toBoolean)
   }
 }
 

@@ -586,6 +586,37 @@ object Fts extends QueryPack {
                    WHERE list_contains(toks, 'caf' || chr(233)))
                   AS n_accented_term""")),
 
+    // PORTER STEMMING in the analyzer chain (Lucene's PorterStemFilter
+    // slot; the full 1980 algorithm as a native array kernel, canonical
+    // vectors pinned in AnalyzerSpec). The raw query "Merged tables
+    // query" reaches the index as ('merg','tabl','queri') — morphology
+    // the light S-stemmer cannot fold ('merged'→'merg' meets the corpus
+    // term 'merge' in stem space). The oracle replays the stemmer over
+    // the CLOSED fixture vocabulary as a pinned word→stem map; the map's
+    // agreement with the algorithm over the whole corpus vocabulary is
+    // itself asserted in AnalyzerSpec (porter oracle map test), so the
+    // replay is exact by construction.
+    Q("q_fts_analyzer_porter",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cfg = graft.fts.AnalyzerConfig(porter = true)
+        val ix = Index.buildWithAnalyzer(docs, cfg)
+        Search.matchAllIds(ix, cfg.tokenizeQuery("Merged tables query"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
+               st AS (SELECT doc_id, CASE w
+                        WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+                        WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+                        WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+                        ELSE w END AS term
+                      FROM tk)
+               SELECT doc_id FROM st GROUP BY doc_id
+               HAVING bool_or(term = 'merg') AND bool_or(term = 'tabl')
+                  AND bool_or(term = 'queri')
+               ORDER BY doc_id""")),
+
     // FACETED SEARCH — the result-page sidebar every search UI renders
     // (counts per facet value over the match set): fts_match lowers to
     // the pruned postings semi-join and the facet aggregation runs over

@@ -131,6 +131,95 @@ class AnalyzerSpec extends SparkSpec {
     }
   }
 
+  test("Porter stemmer: canonical vectors from the published algorithm") {
+    import graft.ext.PorterStemmer.stem
+    // full-pipeline outputs, hand-composed from the paper's per-step rule
+    // examples (Porter 1980) — each pair traced through steps 1–5
+    val vectors = Seq(
+      // step 1: plurals and -ed/-ing
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing",
+      "hopping" -> "hop", "falling" -> "fall", "hissing" -> "hiss",
+      "failing" -> "fail", "filing" -> "file", "sized" -> "size",
+      "happy" -> "happi", "sky" -> "sky",
+      // step 2 + downstream
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "differentli" -> "differ", "vileli" -> "vile",
+      "analogousli" -> "analog", "vietnamization" -> "vietnam",
+      "predication" -> "predic", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis",
+      "hopefulness" -> "hope", "callousness" -> "callous",
+      "formaliti" -> "formal", "sensitiviti" -> "sensit",
+      "sensibiliti" -> "sensibl",
+      // step 3
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal",
+      // step 4
+      "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "effective" -> "effect",
+      // step 5
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controlling" -> "control", "rolling" -> "roll")
+    vectors.foreach { case (in, want) =>
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+    }
+    // scope contract: digits and short tokens pass through unchanged
+    assert(stem("42") == "42" && stem("abc123") == "abc123")
+    assert(stem("a") == "a" && stem("tv") == "tv" && stem("is") == "is")
+  }
+
+  test("Porter column stage equals the query-side string mirror (property)") {
+    val cfg = AnalyzerConfig(porter = true)
+    val suffixed = for {
+      w <- word
+      suf <- Gen.oneOf("", "s", "es", "ies", "ed", "ing", "ational",
+        "iveness", "ement", "ion", "e", "y", "ll")
+    } yield w + suf
+    forAll(Gen.listOf(suffixed).map(_.mkString(" "))) { s =>
+      val viaColumns = tokensWith(s, cfg)
+      val viaStrings = tokensOf(s).map(cfg.porterString)
+      assert(viaColumns == viaStrings, s"input: '$s'")
+    }
+    // the two stemmers are mutually exclusive in one config
+    intercept[IllegalArgumentException] {
+      AnalyzerConfig(sStem = true, porter = true)
+    }
+    // persistence round-trip; pre-porter strings parse with the stage off
+    assert(AnalyzerConfig.parse(cfg.describe) == cfg)
+    assert(!AnalyzerConfig.parse(
+      "v2;stop=;sstem=false;min=1;cjk=false;nfc=false;fold=false").porter)
+  }
+
+  test("porter oracle map: pinned stems cover the whole fixture vocabulary") {
+    import graft.ext.PorterStemmer.stem
+    // q_fts_analyzer_porter's DuckDB oracle replays the stemmer as a
+    // pinned word→stem CASE over the fixtures' CLOSED vocabulary; this
+    // test is what makes that replay exact — every distinct corpus token
+    // must stem to what the oracle's map says (identity when unmapped)
+    val pinned = Map("customer" -> "custom", "key" -> "kei",
+      "merge" -> "merg", "query" -> "queri", "table" -> "tabl",
+      "value" -> "valu")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val vocab = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(Analyzer.tokenize(col("text"))).as("w"))
+        .distinct().collect().map(_.getString(0))
+      assert(vocab.nonEmpty)
+      vocab.foreach { w =>
+        assert(stem(w) == pinned.getOrElse(w, w),
+          s"oracle map stale for '$w': stem=${stem(w)}, " +
+            s"map=${pinned.getOrElse(w, w)} ($dir)")
+      }
+    }
+  }
+
   test("CJK bigrams: runs segment to bigrams, Latin stays word tokens") {
     import graft.ext.FtsTokenizeCjk.tokenizeString
     assert(tokenizeString("東京都") == Seq("東京", "京都"))
