@@ -1047,6 +1047,42 @@ object Search {
       .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
   }
 
+  /** DISJUNCTION-MAX multi-field scoring (Lucene's DisjunctionMaxQuery,
+    * Solr's dismax handler): the SAME query scores against each field's
+    * OWN index, and a doc's combined score is its best field score plus
+    * `tie` × the remaining fields' scores — tie = 0 is a pure max (the
+    * classic "pick the best field" semantics), tie = 1 degrades to the
+    * naive per-field sum. Contrast with BM25F ([[Index.buildFielded]]):
+    * BM25F merges FREQUENCIES before saturation into one homogeneous
+    * index; dismax merges SCORES after saturation, so each field keeps
+    * its own length statistics — the right tool when fields have wildly
+    * different length distributions (title vs body), where BM25F's shared
+    * avgdl would mis-normalize both.
+    *
+    * Scale shape: each field's scoring subplan is the pruned-postings
+    * [[scoreAllBm25]] plan (query terms' buckets only, stats broadcast);
+    * the fields meet in ONE union + hash aggregate keyed on doc_id —
+    * match-set-sized, never corpus-sized, no join chain across fields. */
+  def dismaxAllBm25(fields: Seq[(FtsIndex, Double)], terms: Seq[String],
+                    tie: Double, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fields.nonEmpty, "dismax needs at least one (index, boost) field")
+    require(tie >= 0.0 && tie <= 1.0, s"tie breaker must be in [0,1], got $tie")
+    val perField = fields.map { case (ix, boost) =>
+      scoreAllBm25(ix, terms, k1, b)
+        .select(col("doc_id"), (col("score") * boost).as("s"))
+    }.reduce(_ unionByName _)
+    perField.groupBy("doc_id").agg(
+      (max(col("s")) + lit(tie) * (sum(col("s")) - max(col("s")))).as("score"))
+  }
+
+  /** [[dismaxAllBm25]] with the reproducible-ranking top-k contract
+    * (rounded score, doc_id tiebreak — same as [[scoreBm25]]). */
+  def dismaxTopK(fields: Seq[(FtsIndex, Double)], terms: Seq[String], k: Int,
+                 tie: Double = 0.0, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    dismaxAllBm25(fields, terms, tie, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
   /** Index introspection (Lucene's segment-info/CheckIndex surface): one
     * row of corpus-level statistics — vocabulary size, posting count,
     * token count, doc count, average doc length. Two aggregations over

@@ -1710,6 +1710,57 @@ object Fts extends QueryPack {
                  AND source = 'src3'
                ORDER BY doc_id""")),
 
+    // DISMAX multi-field ranking (Lucene DisjunctionMaxQuery / Solr
+    // dismax): the query scores per-field over each field's OWN index —
+    // title (the doc's first five tokens, boosted 2×) and body — and
+    // combines as best-field + 0.3 × the rest. A short title keeps its
+    // own length statistics instead of being drowned by body avgdl (the
+    // failure mode BM25F's merged index has on heterogeneous fields).
+    // The oracle replays both per-field BM25 computations and the
+    // max/tie combination.
+    Q("q_fts_dismax",
+      (s, dir) => {
+        val docs2 = Tables(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ",
+            slice(graft.fts.Analyzer.tokenize(col("text")), 1, 5)).as("title"),
+          col("text"))
+        val ixTitle = Index.build(docs2, textCol = "title")
+        val ixBody = Index.build(docs2, textCol = "text")
+        Search.dismaxTopK(Seq(ixTitle -> 2.0, ixBody -> 1.0),
+          Seq("spark", "query"), k = 10, tie = 0.3)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               fields AS (
+                 SELECT doc_id, 'title' AS f, 2.0 AS boost, t[1:5] AS ft
+                 FROM toks
+                 UNION ALL
+                 SELECT doc_id, 'body', 1.0, t FROM toks),
+               tk AS (SELECT doc_id, f, boost, unnest(ft) AS term FROM fields),
+               tf AS (SELECT f, doc_id, term, max(boost) AS boost,
+                        count(*)::DOUBLE AS tf
+                      FROM tk GROUP BY 1, 2, 3),
+               dl AS (SELECT f, doc_id, count(*)::DOUBLE AS dl
+                      FROM tk GROUP BY 1, 2),
+               stats AS (SELECT f, count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                         FROM dl GROUP BY 1),
+               df AS (SELECT f, term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY 1, 2),
+               sc AS (SELECT tf.doc_id, tf.f,
+                        max(tf.boost) * sum(
+                          ln((s.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                          tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/s.avgdl))
+                        ) AS sf
+                      FROM tf
+                      JOIN df ON tf.f = df.f AND tf.term = df.term
+                      JOIN dl ON tf.f = dl.f AND tf.doc_id = dl.doc_id
+                      JOIN stats s ON tf.f = s.f
+                      GROUP BY tf.doc_id, tf.f),
+               comb AS (SELECT doc_id,
+                          max(sf) + 0.3*(sum(sf) - max(sf)) AS score
+                        FROM sc GROUP BY doc_id)
+               SELECT doc_id, round(score, 4) AS score FROM comb
+               ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

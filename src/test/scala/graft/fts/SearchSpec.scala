@@ -335,6 +335,44 @@ class SearchSpec extends SparkSpec {
     assert(df == 2L)
   }
 
+  test("dismax: best-field + tie, per-field statistics stay separate") {
+    import spark.implicits._
+    val fielded = Seq(
+      (1L, "data", "long body about other retrieval topics entirely here"),
+      (2L, "misc title", "data data appears twice in this body text now"),
+      (3L, "unrelated", "nothing relevant at all in this one really")
+    ).toDF("doc_id", "title", "body")
+    val ixT = Index.build(fielded, textCol = "title")
+    val ixB = Index.build(fielded, textCol = "body")
+    def scores(tie: Double, boostT: Double = 1.0): Map[Long, Double] =
+      Search.dismaxAllBm25(Seq(ixT -> boostT, ixB -> 1.0),
+          Seq("data"), tie = tie)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sT = Search.scoreAllBm25(ixT, Seq("data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sB = Search.scoreAllBm25(ixB, Seq("data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 scores in title space only, doc 2 in body space only — each
+    // field normalizes by its OWN avgdl (1-token title vs 9-token bodies)
+    assert(sT.keySet == Set(1L) && sB.keySet == Set(2L))
+    // tie = 0: pure max — each doc keeps exactly its best field score
+    val t0 = scores(0.0)
+    assert(t0.keySet == Set(1L, 2L))
+    assert(math.abs(t0(1L) - sT(1L)) < 1e-12 &&
+      math.abs(t0(2L) - sB(2L)) < 1e-12, t0.toString)
+    // tie = 1: degenerates to the per-field sum
+    val t1 = scores(1.0)
+    assert(math.abs(t1(1L) - sT(1L)) < 1e-12 && math.abs(t1(2L) - sB(2L)) < 1e-12)
+    // boost scales a field's contribution before the max/tie combine
+    val boosted = scores(0.0, boostT = 5.0)
+    assert(math.abs(boosted(1L) - 5.0 * sT(1L)) < 1e-12, boosted.toString)
+    // contract guards
+    intercept[IllegalArgumentException](
+      Search.dismaxAllBm25(Nil, Seq("data"), 0.0))
+    intercept[IllegalArgumentException](
+      Search.dismaxAllBm25(Seq(ixT -> 1.0), Seq("data"), 1.5))
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
