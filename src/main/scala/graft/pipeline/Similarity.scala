@@ -83,6 +83,82 @@ object Similarity {
       .orderBy(col("cosim").desc, col(idCol))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily select k results trading relevance against novelty —
+    * step i picks argmax over remaining candidates of
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate hits
+    * of an already-selected result are pushed down the page. λ=1 is plain
+    * relevance ranking; λ=0 pure diversity.
+    *
+    * Scale shape: the DISTRIBUTED stage is candidate generation — exact
+    * cosine relevance over one corpus scan (broadcast 1-row query) with a
+    * TakeOrderedAndProject shortlist (swap in [[annTopK]]/[[ivfTopK]]
+    * candidates at corpus scale; MMR only ever needs a serving-sized
+    * shortlist). The greedy selection itself is inherently sequential —
+    * each step's objective depends on the previous picks — and runs on
+    * the driver over the ≤`shortlist` collected rows (the same
+    * bounded-literal pattern as the IVF centroid seeds); k·shortlist
+    * similarity evaluations, microseconds at serving sizes.
+    *
+    * Determinism / oracle replay: relevance and pairwise sims round to
+    * 9 dp (HALF_UP — SQL round semantics), the objective rounds to 9 dp,
+    * ties break on smaller id; sequential IEEE dot products agree
+    * bit-for-bit with the SQL oracle's list_dot_product. The first pick's
+    * objective is λ·rel (empty-set max sim = 0), so one formula covers
+    * every rank. Zero-magnitude vectors have no direction and are
+    * excluded from both query and candidates (the cosine() NULL
+    * contract). */
+  def mmrRerank(emb: DataFrame, queryId: Long, k: Int, lambda: Double,
+                shortlist: Int = 100, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    require(shortlist <= 100000,
+      "MMR is a serving-stage rerank: shortlist is collected to the " +
+        "driver — generate candidates with annTopK/ivfTopK first")
+    val spark = emb.sparkSession
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+      .filter(dot(col("qv"), col("qv")) > 0).limit(1)
+    val cands = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"),
+        round(cosine(asDouble(col(vecCol)), col("qv")), 9).as("rel"))
+      .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("id"))
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      r9(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val picked = scala.collection.mutable.Set.empty[Long]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var rank = 1
+    while (rank <= k && picked.size < cands.length) {
+      var bestId = -1L; var bestV: Array[Double] = null; var bestS = Double.NegativeInfinity
+      cands.foreach { case (id, v, rel) =>
+        if (!picked.contains(id)) {
+          val maxSim = if (chosen.isEmpty) 0.0 else chosen.map(cos(v, _)).max
+          val s = r9(lambda * rel - (1.0 - lambda) * maxSim)
+          if (s > bestS || (s == bestS && id < bestId)) {
+            bestS = s; bestId = id; bestV = v
+          }
+        }
+      }
+      selected += ((rank, bestId, bestS))
+      picked += bestId; chosen += bestV; rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", idCol, "mmr")
+      .select(col("rank"), col(idCol), round(col("mmr"), 4).as("mmr"))
+  }
+
   /** LSH bucket id: sign pattern of the vector against `planes`
     * deterministic pseudo-random hyperplanes (components derived from
     * xxhash64(p, d) — no shared RNG state across executors), packed into a

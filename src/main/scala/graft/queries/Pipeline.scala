@@ -509,6 +509,64 @@ object Pipeline extends QueryPack {
               SELECT vec_id, cosim FROM sc WHERE cosim >= 0.25
               ORDER BY cosim DESC, vec_id""")),
 
+    // MMR DIVERSIFIED RERANK (Carbonell & Goldstein 1998): greedy
+    // selection trading relevance against novelty — step i maximizes
+    // λ·rel − (1−λ)·max sim to the already-picked set, k=5 at λ=0.7 over
+    // the exact top-40 shortlist of query vec 7. The distributed stage is
+    // the shortlist (one corpus scan, TakeOrderedAndProject); the greedy
+    // loop is serving-sized by construction. The oracle UNROLLS the five
+    // greedy steps as chained CTEs, replaying the 9-dp rounded objective
+    // and smaller-id tiebreak exactly.
+    Q("q_sim_mmr",
+      (s, dir) => Similarity.mmrRerank(Tables(s, dir, "embeddings"),
+        queryId = 7L, k = 5, lambda = 0.7, shortlist = 40),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT v AS qv FROM e
+                    WHERE vec_id = 7 AND list_dot_product(v, v) > 0 LIMIT 1),
+              rel AS (SELECT vec_id AS id, v,
+                        round(list_dot_product(v, qv) /
+                          (sqrt(list_dot_product(v, v)) *
+                           sqrt(list_dot_product(qv, qv))), 9) AS rel
+                      FROM e, q WHERE vec_id <> 7),
+              cand AS (SELECT * FROM rel WHERE rel IS NOT NULL
+                       ORDER BY rel DESC, id LIMIT 40),
+              s1 AS (SELECT id, v, round(0.7*rel, 9) AS mmr FROM cand
+                     ORDER BY round(0.7*rel, 9) DESC, id LIMIT 1),
+              p2 AS (SELECT c.id, c.v, round(0.7*c.rel - 0.3*(
+                       SELECT max(round(list_dot_product(c.v, s.v) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(s.v, s.v))), 9)) FROM s1 s), 9) AS mmr
+                     FROM cand c WHERE c.id NOT IN (SELECT id FROM s1)),
+              s2 AS (SELECT id, v, mmr FROM p2 ORDER BY mmr DESC, id LIMIT 1),
+              sel2 AS (SELECT id, v FROM s1 UNION ALL SELECT id, v FROM s2),
+              p3 AS (SELECT c.id, c.v, round(0.7*c.rel - 0.3*(
+                       SELECT max(round(list_dot_product(c.v, s.v) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(s.v, s.v))), 9)) FROM sel2 s), 9) AS mmr
+                     FROM cand c WHERE c.id NOT IN (SELECT id FROM sel2)),
+              s3 AS (SELECT id, v, mmr FROM p3 ORDER BY mmr DESC, id LIMIT 1),
+              sel3 AS (SELECT id, v FROM sel2 UNION ALL SELECT id, v FROM s3),
+              p4 AS (SELECT c.id, c.v, round(0.7*c.rel - 0.3*(
+                       SELECT max(round(list_dot_product(c.v, s.v) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(s.v, s.v))), 9)) FROM sel3 s), 9) AS mmr
+                     FROM cand c WHERE c.id NOT IN (SELECT id FROM sel3)),
+              s4 AS (SELECT id, v, mmr FROM p4 ORDER BY mmr DESC, id LIMIT 1),
+              sel4 AS (SELECT id, v FROM sel3 UNION ALL SELECT id, v FROM s4),
+              p5 AS (SELECT c.id, c.v, round(0.7*c.rel - 0.3*(
+                       SELECT max(round(list_dot_product(c.v, s.v) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(s.v, s.v))), 9)) FROM sel4 s), 9) AS mmr
+                     FROM cand c WHERE c.id NOT IN (SELECT id FROM sel4)),
+              s5 AS (SELECT id, v, mmr FROM p5 ORDER BY mmr DESC, id LIMIT 1)
+              SELECT rank, vec_id, round(mmr, 4) AS mmr FROM (
+                SELECT 1 AS rank, id AS vec_id, mmr FROM s1
+                UNION ALL SELECT 2, id, mmr FROM s2
+                UNION ALL SELECT 3, id, mmr FROM s3
+                UNION ALL SELECT 4, id, mmr FROM s4
+                UNION ALL SELECT 5, id, mmr FROM s5)
+              ORDER BY rank""")),
+
     // The SQL face of vector search: vec_cosine (kernel dots composed in
     // codegen) ranks the corpus against a scalar-subquery query vector;
     // ORDER BY score LIMIT k plans as TakeOrderedAndProject — the

@@ -318,6 +318,38 @@ class SimilaritySpec extends SparkSpec {
     } finally clustered.unpersist()
   }
 
+  test("mmrRerank diversifies: a near-dup of a picked result drops down") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),        // the query
+      (1L, Array(0.99f, 0.14f, 0f, 0f)),    // most relevant
+      (2L, Array(0.98f, 0.17f, 0f, 0f)),    // near-dup of 1 (sim ~0.999)
+      (3L, Array(0.7f, 0f, 0.71f, 0f)),     // relevant but novel direction
+      (4L, Array(0f, 0f, 0f, 1.0f))         // irrelevant
+    ).toDF("vec_id", "embedding")
+    // λ=1: plain relevance order — the near-dup sits at rank 2
+    val plain = Similarity.mmrRerank(emb, 0L, k = 3, lambda = 1.0,
+      shortlist = 10).collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L), plain.toString)
+    // λ=0.5: after picking 1, candidate 2's ~0.999 similarity to it makes
+    // its objective NEGATIVE — rank 2 goes to the novel direction 3, and
+    // even the orthogonal irrelevant vector 4 (objective 0) outranks the
+    // near-dup at rank 3. The diversity term is doing exactly its job.
+    val diverse = Similarity.mmrRerank(emb, 0L, k = 3, lambda = 0.5,
+      shortlist = 10).collect().map(_.getLong(1)).toSeq
+    assert(diverse == Seq(1L, 3L, 4L), diverse.toString)
+    // ranks are 1..k and the objective column is monotone non-increasing
+    // only within ties of the same selected set — just check shape here
+    val rows = Similarity.mmrRerank(emb, 0L, k = 3, lambda = 0.5,
+      shortlist = 10).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // contract guards
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(emb, 0L, k = 0, lambda = 0.5))
+    intercept[IllegalArgumentException](
+      Similarity.mmrRerank(emb, 0L, k = 3, lambda = 1.5))
+  }
+
   test("clustered fixture separates clusters (sanity for the ann contract)") {
     val clustered = spark.read.parquet(sf("embeddings"))
       .select(col("vec_id"),
