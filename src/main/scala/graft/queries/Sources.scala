@@ -48,6 +48,33 @@ object Sources extends QueryPack {
                 AND o_orderdate <= TIMESTAMP '1996-12-31'
               GROUP BY 1 ORDER BY 1""")),
 
+    // Z-ORDER clustered layout (Delta OPTIMIZE ZORDER BY analogue):
+    // quantile-rank bucket codes of BOTH zone columns bit-interleave into
+    // a Morton code the files range-cluster on, so a two-column range
+    // predicate prunes files on both dimensions (lexicographic clustering
+    // serves only the leading column — measured in ZoneMapSpec). The
+    // layout never changes results: the oracle is the plain filter.
+    Q("q_layout_zorder",
+      (s, dir) => {
+        val out = tmp("orders_zorder")
+        graft.sources.ZoneMap.writeZOrdered(
+          Tables(s, dir, "orders"), out,
+          Seq("o_custkey", "o_totalprice"), nFiles = 16)
+        graft.sources.ZoneMap.read(s, out, Seq(
+            graft.sources.ZoneMap.ZoneRange("o_custkey", 100L, 400L),
+            graft.sources.ZoneMap.ZoneRange("o_totalprice", 50000.0, 150000.0)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice")).cast("decimal(18,2)").as("tp"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS tp
+              FROM orders
+              WHERE o_custkey >= 100 AND o_custkey <= 400
+                AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+              GROUP BY 1 ORDER BY 1""")),
+
     // Partitioned write (the 100 TB egress pattern: InsertIntoHadoopFsRelation
     // + dynamic partitions) then a partition-pruned read-back.
     Q("q_write_partitioned",

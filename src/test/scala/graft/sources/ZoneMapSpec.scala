@@ -69,4 +69,48 @@ class ZoneMapSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.contains("o_orderkey"))
   }
+
+  test("z-order prunes on BOTH columns where lexicographic serves one") {
+    import spark.implicits._
+    // two independent uniform dimensions: x = id mod 100, y = id div 100
+    val df = (0L until 10000L).map(i => (i, i % 100, i / 100))
+      .toDF("id", "x", "y")
+    val lexDir = "/root/repo/target/ttmp/zonemap_lex2"
+    val zDir = "/root/repo/target/ttmp/zonemap_z2"
+    ZoneMap.write(df, lexDir, Seq("x", "y"), nFiles = 16)
+    ZoneMap.writeZOrdered(df, zDir, Seq("x", "y"), nFiles = 16)
+    // a narrow slice of the SECOND dimension alone
+    val yOnly = Seq(ZoneMap.ZoneRange("y", 10L, 19L))
+    val lexY = ZoneMap.pruneFiles(spark, lexDir, yOnly)
+    val zY = ZoneMap.pruneFiles(spark, zDir, yOnly)
+    // lexicographic: x leads, every file spans nearly all of y → ~no skip
+    assert(lexY.files.size >= lexY.total - 2,
+      s"expected no trailing-column pruning from lex layout: " +
+        s"${lexY.files.size}/${lexY.total}")
+    // z-order: a 10% y-slice must skip at least half the files
+    assert(zY.files.size * 2 <= zY.total,
+      s"z-order must prune the second dimension: ${zY.files.size}/${zY.total}")
+    // the leading dimension still prunes in the z layout
+    val xOnly = Seq(ZoneMap.ZoneRange("x", 10L, 19L))
+    val zX = ZoneMap.pruneFiles(spark, zDir, xOnly)
+    assert(zX.files.size * 2 <= zX.total,
+      s"z-order lost first-dimension pruning: ${zX.files.size}/${zX.total}")
+    // and a two-column box prunes harder than either dimension alone
+    val box = Seq(ZoneMap.ZoneRange("x", 10L, 19L),
+      ZoneMap.ZoneRange("y", 10L, 19L))
+    val zBox = ZoneMap.pruneFiles(spark, zDir, box)
+    assert(zBox.files.size <= math.min(zX.files.size, zY.files.size))
+    // layout never changes results: z-read == plain filter
+    val viaZ = ZoneMap.read(spark, zDir, box)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = df.filter(col("x").between(10, 19) && col("y").between(10, 19))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaZ == expect)
+    // nulls in a zone column code as bucket 0 and never crash the write
+    val withNulls = df.withColumn("x",
+      when(col("id") < 5, lit(null).cast("long")).otherwise(col("x")))
+    val nDir = "/root/repo/target/ttmp/zonemap_znull"
+    ZoneMap.writeZOrdered(withNulls, nDir, Seq("x", "y"), nFiles = 4)
+    assert(spark.read.parquet(s"$nDir/data").count() == 10000L)
+  }
 }
