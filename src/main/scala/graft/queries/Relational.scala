@@ -1285,6 +1285,60 @@ object Relational extends QueryPack {
       },
       Some("SELECT true AS cms_ok, true AS no_false_neg, true AS fpp_ok")),
 
+    // KMV / THETA-SKETCH set cardinality (Beyer et al. 2007; theta-sketch
+    // set algebra): the estimate HLL cannot give — INTERSECTION
+    // cardinality between two key sets without joining them (overlap
+    // planning for dedup/decontamination at corpus scale: two k-row
+    // sketches meet instead of two corpora). The 60-bit md5-prefix hash
+    // computes identically in both engines, so unlike an opaque HLL blob
+    // every estimate replays EXACTLY in the oracle; the row also carries
+    // the true intersection for the accuracy narrative (k=256 → ~6% s.e.;
+    // here customer ⊇ orders custkeys, so est_inter tracks the orders
+    // side). Sketch plan: distinct + TakeOrderedAndProject (per-partition
+    // k-heap) — bounded state at any size.
+    Q("q_stats_kmv",
+      (s, dir) => {
+        import graft.ops.Kmv
+        val k = 256
+        val ska = Kmv.sketch(t(s, dir, "orders"), "o_custkey", k)
+        val skb = Kmv.sketch(t(s, dir, "customer"), "c_custkey", k)
+        val est = Kmv.setEstimates(ska, skb, k)
+        val exact = t(s, dir, "orders").select(col("o_custkey").as("ck"))
+          .distinct()
+          .join(t(s, dir, "customer").select(col("c_custkey").as("ck")), "ck")
+          .agg(count(lit(1)).as("exact_inter"))
+        est.crossJoin(exact)
+      },
+      Some("""WITH ha AS (SELECT DISTINCT
+                 ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+               FROM orders),
+              hb AS (SELECT DISTINCT
+                 ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+               FROM customer),
+              ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+              skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+              merged AS (SELECT h FROM
+                (SELECT h FROM ska UNION SELECT h FROM skb)
+                ORDER BY h LIMIT 256),
+              st AS (SELECT count(*) AS n, max(h) AS th FROM merged),
+              mm AS (SELECT count(*) AS m FROM ska JOIN skb USING (h), st
+                     WHERE h < th),
+              mall AS (SELECT count(*) AS m_all FROM ska JOIN skb USING (h)),
+              exact AS (SELECT count(*) AS exact_inter FROM
+                (SELECT DISTINCT o_custkey FROM orders) o
+                JOIN (SELECT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey)
+              SELECT
+                CAST(CASE WHEN n < 256 THEN n ELSE
+                  floor(255.0 * 1152921504606846976 / th) END AS BIGINT)
+                  AS est_union,
+                CAST(CASE WHEN n < 256 THEN m_all ELSE
+                  floor(m * 1152921504606846976.0 / th) END AS BIGINT)
+                  AS est_inter,
+                n < 256 AS exact,
+                exact_inter
+              FROM st, mm, mall, exact""")),
+
     // SQL SCRIPTING (Spark 4, SQL/PSM BEGIN…END: variables, WHILE loop) —
     // procedural control flow around ordinary queries; the script's last
     // statement is the result. The oracle states the loop's closed form.
