@@ -109,4 +109,49 @@ object Rank {
         .orderBy("node")
     } finally e.unpersist()
   }
+
+  /** LABEL PROPAGATION community detection (Raghavan, Albert & Kumara,
+    * Phys. Rev. E 2007): every node starts in its own community (label =
+    * its id); each SYNCHRONOUS step a node adopts the label held by the
+    * weighted majority of its neighbors (the graph is viewed undirected —
+    * each edge votes both ways — and parallel edges weight the vote),
+    * ties broken by the SMALLEST label. The paper's asynchronous
+    * random-order variant is unreproducible across engines by design;
+    * the deterministic synchronous form is the one GraphX's
+    * LabelPropagation ships too. Fixed iteration count (the paper's
+    * stopping rule is also order-dependent), so the oracle unrolls the
+    * exact steps.
+    *
+    * Scale shape per step: one equi-join of the undirected edge list
+    * with the current labels + one (node, label) count + one argmax via
+    * max(struct(count, −label)) — partial-aggregating, no window, and
+    * the shuffle key stays the node id across iterations;
+    * localCheckpoint truncates the per-step lineage exactly like
+    * [[pageRank]]. Isolated nodes keep their own label. */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    try {
+      val nodes = und.select(col("src").as("node")).distinct().persist()
+      nodes.count()
+      var labels = nodes.withColumn("label", col("node"))
+      for (_ <- 1 to iters) {
+        val votes = und
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val best = votes.groupBy("src")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("w"))
+          .select(col("src").as("node"), (-col("w.nl")).as("new_label"))
+        labels = labels.join(best, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      nodes.unpersist()
+      labels.orderBy("node")
+    } finally und.unpersist()
+  }
 }

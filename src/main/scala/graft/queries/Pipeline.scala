@@ -2337,6 +2337,45 @@ object Pipeline extends QueryPack {
     // shape scales to billion-edge graphs; the high-degree-vertex wedge
     // explosion is the known cost (mitigated in production by degree
     // ordering, which the low→high orientation already approximates).
+    // LABEL PROPAGATION community detection (Raghavan et al. 2007,
+    // deterministic synchronous variant — the form GraphX ships): edges
+    // are confined to 20-node blocks of the 100-node id space, so labels
+    // can never cross a block boundary; after three weighted-majority
+    // steps (ties → smallest label) each block has collapsed to one or
+    // two surviving labels (synchronous LPA settles over a few more
+    // rounds — the fixed iteration count is what keeps the row
+    // deterministic and replayable). The oracle unrolls the three
+    // synchronous steps with the same argmax.
+    Q("q_graph_lpa",
+      (s, dir) => Rank.labelPropagation(
+        Tables(s, dir, "lineitem").select(
+          (col("l_orderkey") % 100).as("src"),
+          (col("l_orderkey") % 100 - col("l_orderkey") % 20 +
+            col("l_suppkey") % 20).as("dst")),
+        iters = 3),
+      Some {
+        val base = """WITH e0 AS (SELECT l_orderkey % 100 AS src,
+                        (l_orderkey % 100) - (l_orderkey % 20) +
+                          (l_suppkey % 20) AS dst
+                      FROM lineitem),
+              u AS (SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0),
+              nodes AS (SELECT DISTINCT src AS node FROM u),
+              l0 AS (SELECT node, node AS label FROM nodes)"""
+        val steps = (1 to 3).map { k =>
+          s"""v$k AS (SELECT u.src, p.label, count(*) AS c
+                      FROM u JOIN l${k - 1} p ON u.dst = p.node
+                      GROUP BY 1, 2),
+              b$k AS (SELECT src, label FROM (
+                        SELECT src, label, row_number() OVER (
+                          PARTITION BY src ORDER BY c DESC, label) AS rn
+                        FROM v$k) WHERE rn = 1),
+              l$k AS (SELECT p.node, coalesce(b.label, p.label) AS label
+                      FROM l${k - 1} p LEFT JOIN b$k b ON p.node = b.src)"""
+        }.mkString(",\n")
+        s"$base,\n$steps\nSELECT node, label FROM l3 ORDER BY node"
+      }),
+
     Q("q_graph_triangles",
       (s, dir) => {
         val e = Tables(s, dir, "lineitem").select(

@@ -67,4 +67,30 @@ class RankSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(r(2L) > r(3L), s"double edge must outweigh single: $r")
   }
+
+  test("label propagation: blocks converge to min label, ties go small") {
+    import spark.implicits._
+    // two triangles bridged by nothing + one isolated self-edge node
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),     // community {1,2,3}
+      (10L, 11L), (11L, 12L), (12L, 10L), // community {10,11,12}
+      (99L, 99L))                        // isolated (self-loop only)
+      .toDF("src", "dst")
+    val got = Rank.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L, got.toString)
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L, got.toString)
+    assert(got(99L) == 99L, "isolated node keeps its own label")
+    // parallel edges weight the vote: node 5 hears 20 twice, 30 once
+    val weighted = Seq((20L, 5L), (20L, 5L), (30L, 5L),
+      (20L, 21L), (30L, 31L)).toDF("src", "dst")
+    val w = Rank.labelPropagation(weighted, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(5L) == 20L, s"double edge must win the vote: $w")
+    // equal votes break to the SMALLER label
+    val tied = Seq((40L, 6L), (50L, 6L)).toDF("src", "dst")
+    val t = Rank.labelPropagation(tied, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t(6L) == 40L, s"tie must break small: $t")
+  }
 }
