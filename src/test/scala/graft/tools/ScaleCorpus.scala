@@ -65,4 +65,15 @@ object ScaleCorpus {
     for (t <- Seq("nation", "region"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+  /** Orders/customer replicas (keys shifted per replica) — the KMV and
+    * z-order layout rows read these. Each table's keys shift by its OWN
+    * max, so cross-table key identity is not preserved; the spot tool
+    * measures time, not join semantics. */
+  def orders(spark: SparkSession, out: String, factor: Int): Unit =
+    replicas(spark, out, factor, "orders",
+      Seq("o_orderkey", "o_custkey"))((df, _) => df)
+
+  def customer(spark: SparkSession, out: String, factor: Int): Unit =
+    replicas(spark, out, factor, "customer", Seq("c_custkey"))((df, _) => df)
 }

@@ -47,6 +47,8 @@ object ScaleSpot {
     ensure("lineitem")(ScaleCorpus.lineitem(spark, out, factor))
     // small tables some query setups read incidentally
     ensure("nation")(ScaleCorpus.smallTables(spark, out))
+    ensure("orders")(ScaleCorpus.orders(spark, out, factor))
+    ensure("customer")(ScaleCorpus.customer(spark, out, factor))
 
     val names = Seq("q_text_dsir", "q_fts_sql_bm25", "q_fts_query_ranked",
       "q_sim_sql", "q_sim_ivfpq", "q_sim_knn_exact", "q_dedup_exact",
@@ -58,7 +60,11 @@ object ScaleSpot {
       // round-12 additions: cluster-blocked semantic dedup, the Gopher/C4
       // narrow curation projections, waterfilled budgets + mix, min-match
       "q_dedup_semantic", "q_text_gopher", "q_pipeline_c4",
-      "q_pipeline_mix_capped", "q_fts_sql_min")
+      "q_pipeline_mix_capped", "q_fts_sql_min",
+      // round-13 additions: porter analyzer build+search, per-field dismax
+      // scoring, MMR shortlist+greedy, KMV sketches, z-order write+read
+      "q_fts_analyzer_porter", "q_fts_dismax", "q_sim_mmr",
+      "q_stats_kmv", "q_layout_zorder")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
