@@ -99,6 +99,36 @@ object TextKernels {
   def stripAccents(s: UTF8String): UTF8String =
     UTF8String.fromString(stripAccentsString(s.toString))
 
+  /** DISTINCT character 3-grams of the LOWERCASED raw string — the
+    * trigram-index unit (pg_trgm / Google Code Search / Zoekt): unlike
+    * token postings these span spaces and punctuation, so an arbitrary
+    * substring needle can be answered by intersecting its grams'
+    * postings. Grams are JVM char windows (supplementary-plane chars
+    * occupy two units — consistent on index and query side, which is the
+    * only contract the intersection needs). Strings shorter than 3 chars
+    * produce an empty set. One compiled call per row. */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val t = s.toString.toLowerCase(Locale.ROOT)
+    val n = t.length
+    if (n < 3) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.HashSet[String](n * 2)
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i <= n - 3) {
+      val g = t.substring(i, i + 3)
+      if (seen.add(g)) out.add(UTF8String.fromString(g))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Query-side mirror of [[charTrigrams]]. */
+  def charTrigramsString(s: String): Seq[String] = {
+    val t = s.toLowerCase(Locale.ROOT)
+    if (t.length < 3) Seq.empty
+    else (0 to t.length - 3).map(i => t.substring(i, i + 3)).distinct
+  }
+
   def stripAccentsString(s: String): String = {
     val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
@@ -249,7 +279,10 @@ object TextKernels {
       (args: Seq[Expression]) => BigramBucketsExpr(args.head)),
     (new FunctionIdentifier("porter_stem"),
       new ExpressionInfo(classOf[PorterStemExpr].getName, "porter_stem"),
-      (args: Seq[Expression]) => PorterStemExpr(args.head)))
+      (args: Seq[Expression]) => PorterStemExpr(args.head)),
+    (new FunctionIdentifier("graft_char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigramsExpr].getName, "graft_char_trigrams"),
+      (args: Seq[Expression]) => CharTrigramsExpr(args.head)))
 
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -284,6 +317,20 @@ case class ShingleHashesExpr(child: Expression, n: Int = 3)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.shingleHashes($c, $n);")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** [[TextKernels.charTrigrams]] as an expression. */
+case class CharTrigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_char_trigrams"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.charTrigrams($c);")
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramsExpr =
     copy(child = newChild)
 }
 

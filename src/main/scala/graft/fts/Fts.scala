@@ -283,6 +283,31 @@ object Index {
     FtsIndex(postings, docLens, stats)
   }
 
+  /** CHARACTER-TRIGRAM index (the pg_trgm / Google Code Search / Zoekt
+    * class): postings keyed by the distinct 3-char substrings of the
+    * LOWERCASED raw text. Unlike token postings these span spaces and
+    * punctuation, so an ARBITRARY case-insensitive substring — and by
+    * extension any regex with a literal factor of length ≥ 3 — is
+    * answerable by intersecting its grams' postings and verifying only
+    * the candidates ([[Search.substringSearch]]): the corpus never sees
+    * a contains() scan. The frame is an ordinary [[FtsIndex]] (a trigram
+    * is just a term), so the persisted bucketed layout, [[write]]/
+    * [[read]] and every id-set combinator apply unchanged. */
+  def buildTrigram(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): FtsIndex = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.ext.CharTrigramsExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)))))
+        .as("term"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val docLens = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = docLens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    FtsIndex(postings, docLens, stats)
+  }
+
   /** Build through a CONFIGURED analyzer ([[AnalyzerConfig]]): same shape as
     * [[build]], tokens through [[Analyzer.tokenizeWith]]. The config must be
     * persisted with the index ([[writeAnalyzerConfig]]) and query terms must
@@ -596,6 +621,89 @@ object Search {
       .filter(col("n_terms") === terms.distinct.size)
       .select("doc_id")
 
+  /** Candidate ids for a case-insensitive SUBSTRING needle over a
+    * trigram index ([[Index.buildTrigram]]): docs holding ALL the
+    * needle's distinct trigrams — a NECESSARY condition (a true match
+    * contains every window of the needle), so the candidate set can
+    * never miss a hit; it can over-admit (grams present in different
+    * places), which [[substringSearch]]'s verify removes. Needles under
+    * 3 chars have no gram to prune with — fail loud instead of silently
+    * scanning the corpus. */
+  def substringIds(ix: FtsIndex, needle: String): DataFrame = {
+    val grams = graft.ext.TextKernels.charTrigramsString(needle)
+    require(grams.nonEmpty,
+      s"substring needle must be at least 3 chars, got '$needle'")
+    matchAllIds(ix, grams)
+  }
+
+  /** Full substring search: trigram candidates semi-join the corpus, the
+    * exact contains() verify touches CANDIDATE rows only — the text
+    * column is re-read for the docs the gram intersection admitted,
+    * never the whole corpus. */
+  def substringSearch(docs: DataFrame, ix: FtsIndex, needle: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.join(substringIds(ix, needle).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+      .filter(contains(lower(col(textCol)),
+        lit(needle.toLowerCase(java.util.Locale.ROOT))))
+      .select(col(idCol))
+
+  /** A literal factor (length ≥ 3) every match of `pattern` must
+    * contain, or None. CONSERVATIVE by construction — sound extraction
+    * only over the safe metachar subset: runs of literal letters/digits/
+    * spaces broken by `.`; `?`/`*` drop the preceding (optional) char
+    * from its run; `+` keeps it (present at least once) and ends the
+    * run; ANY other metachar (alternation, groups, classes, escapes,
+    * anchors) bails to None rather than risk an unsound factor. Longest
+    * qualifying run wins (first on ties). */
+  private[fts] def literalFactor(pattern: String): Option[String] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '|' | '(' | ')' | '[' | ']' | '{' | '}' | '\\' | '^' | '$' =>
+          return None
+        case '.' => flush()
+        case '?' | '*' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush()
+        case '+' => flush()
+        case ch if (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+            (ch >= '0' && ch <= '9') || ch == ' ' =>
+          cur.append(ch)
+        case _ => return None
+      }
+      i += 1
+    }
+    flush()
+    val best = runs.filter(_.length >= 3)
+    if (best.isEmpty) None else Some(best.maxBy(_.length))
+  }
+
+  /** RAW-TEXT REGEX over the trigram index (the Zoekt/Google-Code-Search
+    * serving shape, distinct from [[matchRegexpIds]]' dictionary-level
+    * term regex): extract a literal factor every match must contain,
+    * prune candidates to docs holding the factor's trigrams (superset —
+    * grams are lowercased, so any-case occurrences of the factor are
+    * admitted), and run the actual regex engine over the CANDIDATES
+    * only. A pattern with no extractable ≥3-char factor cannot be pruned
+    * — fail loud and let the caller run the RLIKE scan deliberately. */
+  def regexpSubstringSearch(docs: DataFrame, ix: FtsIndex, pattern: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val factor = literalFactor(pattern).getOrElse(
+      throw new IllegalArgumentException(
+        s"pattern '$pattern' has no literal factor of length >= 3 for the " +
+          "trigram index to prune with; run the RLIKE corpus scan explicitly"))
+    docs.join(substringIds(ix, factor).withColumnRenamed("doc_id", idCol),
+        Seq(idCol), "left_semi")
+      .filter(col(textCol).rlike(pattern))
+      .select(col(idCol))
+  }
+
   /** doc_ids containing ANY of the terms (boolean OR = postings union). */
   def matchAnyIds(ix: FtsIndex, terms: Seq[String]): DataFrame =
     ix.postings.filter(col("term").isin(terms.distinct: _*))
@@ -662,6 +770,28 @@ object Search {
     ix.postings
       .filter(col("term") >= norm && col("term") < upper)
       .select("doc_id").distinct()
+  }
+
+  /** AUTOCOMPLETE (the search-box completion surface — Lucene's
+    * TermSuggester / prefix completion slot): the top-k dictionary
+    * completions of `prefix`, ranked by document frequency DESC then
+    * term ASC (reproducible ties). The candidate terms come from the
+    * SAME pruned prefix window [[matchPrefixIds]] pushes (term-sorted-
+    * within-bucket persisted layout → parquet row-group min/max skips
+    * every group outside the window), and df is one agg over the
+    * windowed postings — vocabulary-scale work, never corpus-scale.
+    * Output: `term, df`. */
+  def autocomplete(ix: FtsIndex, prefix: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val norm = prefix.toLowerCase(java.util.Locale.ROOT)
+    require(norm.nonEmpty && norm.matches("[a-z0-9]+"),
+      s"prefix must normalize to a non-empty [a-z0-9]+ token, got '$prefix'")
+    val upper = norm.init + (norm.last + 1).toChar
+    ix.postings
+      .filter(col("term") >= norm && col("term") < upper)
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
   }
 
   /** doc_ids containing any term inside the [lo, hi] dictionary range

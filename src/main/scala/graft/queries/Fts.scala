@@ -1710,6 +1710,58 @@ object Fts extends QueryPack {
                  AND source = 'src3'
                ORDER BY doc_id""")),
 
+    // AUTOCOMPLETE — the search-box completion surface: top-k dictionary
+    // completions of a prefix ranked by document frequency (desc, then
+    // term for reproducible ties), candidates from the same pruned
+    // prefix window the prefix query pushes; df is one agg over the
+    // windowed postings — vocabulary-scale, never corpus-scale. 's'
+    // completes to the corpus terms scan/slow/small/sort/spark/...
+    Q("q_fts_autocomplete",
+      (s, dir) => {
+        val ixDir = graft.core.Scratch.dir("fts_index_complete")
+        Index.write(Index.build(Tables(s, dir, "documents")), ixDir)
+        Search.autocomplete(Index.read(s, ixDir), "S", 5)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term
+                             FROM documents)
+               SELECT term, count(DISTINCT doc_id) AS df FROM toks
+               WHERE term >= 's' AND term < 't'
+               GROUP BY term ORDER BY df DESC, term LIMIT 5""")),
+
+    // TRIGRAM SUBSTRING SEARCH (pg_trgm / Google Code Search / Zoekt):
+    // character-trigram postings span spaces and punctuation, so the
+    // arbitrary case-insensitive substring 'spark quer' — which no token
+    // index can answer without a corpus scan — resolves as the
+    // intersection of its grams' postings plus an exact contains()
+    // verify over candidates ONLY. The oracle is the brute-force
+    // contains() the index path must equal.
+    Q("q_fts_trigram",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.buildTrigram(docs)
+        Search.substringSearch(docs, ix, "Spark Quer").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+              WHERE contains(lower(text), 'spark quer')
+              ORDER BY doc_id""")),
+
+    // RAW-TEXT REGEX over the trigram index (the Zoekt serving shape,
+    // distinct from the dictionary-level fts_regexp term queries): the
+    // pattern's extracted literal factor ('big data', conservative
+    // extraction that bails on unsafe metachars) prunes candidates
+    // through its grams' postings, then the regex engine runs over the
+    // candidates only. The oracle is the brute-force regexp scan.
+    Q("q_fts_trigram_regex",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.buildTrigram(docs)
+        Search.regexpSubstringSearch(docs, ix, "big data.* table")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+              WHERE regexp_matches(text, 'big data.* table')
+              ORDER BY doc_id""")),
+
     // DISMAX multi-field ranking (Lucene DisjunctionMaxQuery / Solr
     // dismax): the query scores per-field over each field's OWN index —
     // title (the doc's first five tokens, boosted 2×) and body — and

@@ -373,6 +373,87 @@ class SearchSpec extends SparkSpec {
       Search.dismaxAllBm25(Seq(ixT -> 1.0), Seq("data"), 1.5))
   }
 
+  test("trigram substring search: cross-token needles, verify kills FPs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "Spark makes BIG data simple"),
+      (2L, "a bigger dataset"),
+      (3L, "xxabcdyy zcdefq"),   // holds all grams of "abcdef", NOT the substring
+      (4L, "the abcdef string"), // the true match
+      (5L, "nothing here")
+    ).toDF("doc_id", "text")
+    val ix = Index.buildTrigram(corpus)
+    def ids(needle: String): Set[Long] =
+      Search.substringSearch(corpus, ix, needle)
+        .collect().map(_.getLong(0)).toSet
+    // case-insensitive, crosses a token boundary (space) — the query no
+    // token index can answer without a corpus scan
+    assert(ids("big DATA") == Set(1L))
+    // candidate over-admission is removed by the verify: doc 3 holds
+    // every trigram of 'abcdef' in scattered positions
+    val cands = Search.substringIds(ix, "abcdef")
+      .collect().map(_.getLong(0)).toSet
+    assert(cands == Set(3L, 4L), s"gram intersection should admit both: $cands")
+    assert(ids("abcdef") == Set(4L))
+    // equality with brute force on every 3+ char needle we try
+    for (n <- Seq("data", "set", "ing", "spark makes")) {
+      val brute = corpus.filter(lower(col("text")).contains(n))
+        .collect().map(_.getLong(0)).toSet
+      assert(ids(n) == brute, s"needle '$n'")
+    }
+    // the verify runs over a SEMI-JOINED candidate set, not the corpus
+    val plan = Search.substringSearch(corpus, ix, "abcdef")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected candidate semi-join:\n$plan")
+    // sub-trigram needles fail loud instead of silently scanning
+    intercept[IllegalArgumentException](Search.substringIds(ix, "ab"))
+  }
+
+  test("regex over trigrams: factor extraction sound, verify exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark makes big data simple"),
+      (2L, "big dataset on a table"),
+      (3L, "the spark table story"),
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val ix = Index.buildTrigram(corpus)
+    // factor extraction: optional chars excluded, '+' keeps its char,
+    // unsafe metachars bail
+    assert(Search.literalFactor("big data.*table").contains("big data"))
+    assert(Search.literalFactor("abc?def").contains("def"))
+    assert(Search.literalFactor("abc+def").contains("abc"))
+    assert(Search.literalFactor("a|b").isEmpty)
+    assert(Search.literalFactor("(abc)def").isEmpty)
+    assert(Search.literalFactor("a.b.c").isEmpty) // no run reaches 3
+    // end-to-end equals the brute-force regex scan
+    val got = Search.regexpSubstringSearch(corpus, ix, "big data.*simple")
+      .collect().map(_.getLong(0)).toSet
+    val brute = corpus.filter(col("text").rlike("big data.*simple"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute && got == Set(1L), s"got $got")
+    // a factor-free pattern fails loud instead of silently scanning
+    intercept[IllegalArgumentException](
+      Search.regexpSubstringSearch(corpus, ix, "a.b"))
+  }
+
+  test("autocomplete ranks completions by df, term tiebreak, window tight") {
+    // corpus terms starting 's': spark (docs 1,3), simple (1), streaming
+    // (3), streams (3), see (4)
+    val got = Search.autocomplete(ix, "S", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head == ("spark", 2L), got.mkString(","))
+    // remaining df=1 terms arrive in term order
+    assert(got.tail.map(_._1).toSeq == got.tail.map(_._1).sorted.toSeq)
+    assert(got.forall(_._1.startsWith("s")))
+    // k bounds the list; window excludes terms past the prefix bump
+    assert(Search.autocomplete(ix, "s", 2).collect().length == 2)
+    assert(Search.autocomplete(ix, "st", 10).collect()
+      .forall(_.getString(0).startsWith("st")))
+    intercept[IllegalArgumentException](Search.autocomplete(ix, "s!", 3))
+    intercept[IllegalArgumentException](Search.autocomplete(ix, "s", 0))
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
