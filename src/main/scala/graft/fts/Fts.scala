@@ -751,6 +751,25 @@ object Search {
       .select("doc_id").distinct()
   }
 
+  /** PHONETIC MATCH (Lucene PhoneticFilter / Solr phonetic slot, Soundex
+    * encoding): docs containing any dictionary term that SOUNDS like the
+    * query term — 'spork' finds 'spark' (both S162). Same serving shape
+    * as [[matchFuzzyIds]]: the encoder runs over the |vocab|-sized term
+    * DICTIONARY (Spark's codegen'd soundex builtin), matched terms drive
+    * the ordinary broadcast postings union — the corpus never evaluates
+    * the encoder. Fuzzy measures typo DISTANCE in the spelling space;
+    * phonetic measures English sound equivalence (unbounded edit
+    * distance: 'nite'→'night') — complementary recall tools. */
+  def matchPhoneticIds(ix: FtsIndex, term: String): DataFrame = {
+    val norm = term.toLowerCase(java.util.Locale.ROOT)
+    require(norm.nonEmpty && norm.matches("[a-z0-9]+"),
+      s"phonetic term must normalize to one [a-z0-9]+ token, got '$term'")
+    val dict = ix.postings.select(col("term")).distinct()
+      .filter(soundex(col("term")) === soundex(lit(norm)))
+    ix.postings.join(broadcast(dict), "term")
+      .select("doc_id").distinct()
+  }
+
   /** doc_ids containing any term with the given PREFIX (`quer*`) — the
     * standard FTS wildcard-suffix query. The filter is a RANGE on the term
     * (`prefix ≤ term < prefix⁺`, the successor string), never a LIKE: a

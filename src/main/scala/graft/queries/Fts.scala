@@ -1745,6 +1745,41 @@ object Fts extends QueryPack {
               WHERE contains(lower(text), 'spark quer')
               ORDER BY doc_id""")),
 
+    // PHONETIC MATCH (Lucene PhoneticFilter slot, Soundex): the typo'd
+    // query 'spork' finds docs containing 'spark' — both encode S162 —
+    // through the fuzzy-style dictionary expansion (encoder over |vocab|
+    // terms, postings union; the corpus never sees the encoder). The
+    // oracle replays Soundex over the CLOSED fixture vocabulary as a
+    // pinned word→code map, itself asserted against Spark's soundex for
+    // every corpus token in SearchSpec (the porter-map pattern).
+    Q("q_fts_phonetic",
+      (s, dir) => {
+        val ix = Index.build(Tables(s, dir, "documents"))
+        Search.matchPhoneticIds(ix, "spork").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
+               sx AS (SELECT doc_id, CASE w
+                        WHEN 'a' THEN 'A000' WHEN 'agg' THEN 'A200'
+                        WHEN 'batch' THEN 'B320' WHEN 'big' THEN 'B200'
+                        WHEN 'column' THEN 'C450' WHEN 'customer' THEN 'C235'
+                        WHEN 'data' THEN 'D300' WHEN 'dup' THEN 'D100'
+                        WHEN 'fast' THEN 'F230' WHEN 'filter' THEN 'F436'
+                        WHEN 'group' THEN 'G610' WHEN 'hash' THEN 'H200'
+                        WHEN 'join' THEN 'J500' WHEN 'key' THEN 'K000'
+                        WHEN 'line' THEN 'L500' WHEN 'merge' THEN 'M620'
+                        WHEN 'order' THEN 'O636' WHEN 'part' THEN 'P630'
+                        WHEN 'query' THEN 'Q600' WHEN 'row' THEN 'R000'
+                        WHEN 'scan' THEN 'S500' WHEN 'slow' THEN 'S400'
+                        WHEN 'small' THEN 'S540' WHEN 'sort' THEN 'S630'
+                        WHEN 'spark' THEN 'S162' WHEN 'stream' THEN 'S365'
+                        WHEN 'table' THEN 'T140' WHEN 'the' THEN 'T000'
+                        WHEN 'value' THEN 'V400' WHEN 'vector' THEN 'V236'
+                        WHEN 'window' THEN 'W530' END AS code
+                      FROM tk)
+               SELECT DISTINCT doc_id FROM sx WHERE code = 'S162'
+               ORDER BY doc_id""")),
+
     // RAW-TEXT REGEX over the trigram index (the Zoekt serving shape,
     // distinct from the dictionary-level fts_regexp term queries): the
     // pattern's extracted literal factor ('big data', conservative

@@ -454,6 +454,45 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.autocomplete(ix, "s", 0))
   }
 
+  test("phonetic match: soundex expansion, pinned oracle map verified") {
+    import spark.implicits._
+    // 'spork' sounds like 'spark' (S162) — found; 'data' (D300) vs
+    // 'dita' (D300) matches; a different code does not
+    val got = Search.matchPhoneticIds(ix, "spork")
+      .collect().map(_.getLong(0)).toSet
+    val withSpark = docs.filter(col("text").contains("spark"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == withSpark, s"got $got want $withSpark")
+    assert(Search.matchPhoneticIds(ix, "dita").collect().nonEmpty)
+    assert(Search.matchPhoneticIds(ix, "zzz").collect().isEmpty)
+    intercept[IllegalArgumentException](Search.matchPhoneticIds(ix, "sp ork"))
+    // the q_fts_phonetic oracle's pinned word→code map must agree with
+    // Spark's soundex for EVERY fixture-vocabulary token (porter-map
+    // pattern: the closed vocab is what makes the SQL replay exact)
+    val pinned = Map("a" -> "A000", "agg" -> "A200", "batch" -> "B320",
+      "big" -> "B200", "column" -> "C450", "customer" -> "C235",
+      "data" -> "D300", "dup" -> "D100", "fast" -> "F230",
+      "filter" -> "F436", "group" -> "G610", "hash" -> "H200",
+      "join" -> "J500", "key" -> "K000", "line" -> "L500",
+      "merge" -> "M620", "order" -> "O636", "part" -> "P630",
+      "query" -> "Q600", "row" -> "R000", "scan" -> "S500",
+      "slow" -> "S400", "small" -> "S540", "sort" -> "S630",
+      "spark" -> "S162", "stream" -> "S365", "table" -> "T140",
+      "the" -> "T000", "value" -> "V400", "vector" -> "V236",
+      "window" -> "W530")
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val vocab = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(Analyzer.tokenize(col("text"))).as("w")).distinct()
+        .select(col("w"), soundex(col("w")).as("code"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(vocab.nonEmpty)
+      vocab.foreach { case (w, code) =>
+        assert(pinned.get(w).contains(code),
+          s"oracle soundex map stale for '$w': spark=$code map=${pinned.get(w)}")
+      }
+    }
+  }
+
   test("crc32 matches JVM reference (oracle engine lacks crc32)") {
     import spark.implicits._
     val got = Seq("hello graft").toDF("s").select(crc32(col("s"))).collect()(0).getLong(0)
