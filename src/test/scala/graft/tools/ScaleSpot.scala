@@ -64,7 +64,11 @@ object ScaleSpot {
       // round-13 additions: porter analyzer build+search, per-field dismax
       // scoring, MMR shortlist+greedy, KMV sketches, z-order write+read
       "q_fts_analyzer_porter", "q_fts_dismax", "q_sim_mmr",
-      "q_stats_kmv", "q_layout_zorder")
+      "q_stats_kmv", "q_layout_zorder",
+      // round-13 second wave: trigram index build+substring serve,
+      // soundex dictionary expansion, autocomplete window, LPA rounds
+      "q_fts_trigram", "q_fts_phonetic", "q_fts_autocomplete",
+      "q_graph_lpa")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
