@@ -385,6 +385,45 @@ object Multimodal {
     header ++ data
   }
 
+  /** REAL pixel resize (nearest-neighbor box sampling) over decoded PPM
+    * pixels — the downscale step a multimodal pipeline runs before
+    * feature extraction, upgrading the byte-stride [[resize]] stub
+    * (which stays for unrecognized containers): out(x, y) =
+    * gray(⌊x·w/outW⌋, ⌊y·h/outH⌋). Emits the source/target dims, the
+    * 4-dp mean of the RESIZED grays, and an order-sensitive weighted
+    * checksum Σ (y·outW+x+1)·g over the resized stream — every number
+    * derivable in closed form from the parse↔generate formula, so the
+    * oracle replays the resample exactly. Undecodable payloads drop
+    * (same loud-None contract as [[imageAHash]]). */
+  def resizePixels(media: Dataset[MediaRecord], outW: Int = 8,
+                   outH: Int = 8): DataFrame = {
+    require(outW >= 1 && outH >= 1, "target dims must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ppmPixels(r.bytes).map { case (w, h, px) =>
+        var sum = 0L
+        var wsum = 0L
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            val g = px((oy * h / outH) * w + (ox * w / outW))
+            sum += g
+            wsum += (oy * outW + ox + 1).toLong * g
+            ox += 1
+          }
+          oy += 1
+        }
+        (r.doc_id, w, h, outW, outH, sum, wsum)
+      }
+    }.toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "sum_g", "checksum")
+      .select(col("doc_id"), col("in_w"), col("in_h"), col("out_w"),
+        col("out_h"),
+        round(col("sum_g").cast("double") / (outW * outH).toDouble, 4)
+          .as("mean_gray"),
+        col("checksum"))
+  }
+
   /** Decode an uncompressed binary PPM (P6): header `P6 <w> <h> <maxval>`
     * in ASCII with whitespace separators, then w·h RGB byte triples.
     * Returns (w, h, gray pixels row-major) with gray = ⌊(r+g+b)/3⌋; None

@@ -2516,6 +2516,38 @@ object Pipeline extends QueryPack {
               GROUP BY d.doc_id, mg.mean_gray
               ORDER BY doc_id""")),
 
+    // REAL pixel resize (nearest-neighbor 16×16 → 8×8) over the decoded
+    // PPM corpus: the downscale a multimodal pipeline runs before
+    // feature extraction, replacing the byte-stride stub for decodable
+    // payloads. The sampled source coordinate is 2·out on both axes, so
+    // the oracle derives every resized gray from the generator formula
+    // and replays mean + order-weighted checksum exactly.
+    Q("q_multimodal_resize_px",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "ppm",
+            Multimodal.synthPpm(id)))
+        Multimodal.resizePixels(media, 8, 8).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS b
+                         FROM documents WHERE doc_id < 200),
+              o AS (SELECT doc_id, b, ox, oy FROM d
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS ox)
+                    CROSS JOIN (SELECT unnest(range(0, 8)) AS oy)),
+              g AS (SELECT doc_id, oy * 8 + ox + 1 AS widx,
+                      CASE WHEN doc_id >= 100 AND ox = 0 AND oy = 0
+                        THEN least(255, (b*7 + (2*ox)*13 + (2*oy)*31 +
+                          (2*ox)*(2*oy)*(b%5)) % 256 + 40)
+                        ELSE (b*7 + (2*ox)*13 + (2*oy)*31 +
+                          (2*ox)*(2*oy)*(b%5)) % 256 END AS g
+                    FROM o)
+              SELECT doc_id, 16 AS in_w, 16 AS in_h, 8 AS out_w,
+                8 AS out_h, round(sum(g) / 64.0, 4) AS mean_gray,
+                CAST(sum(widx * g) AS BIGINT) AS checksum
+              FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     // NEAR-DUPLICATE IMAGE DEDUP over the decoded pixels (round-11
     // verdict item 6): aHash bands block candidates (pigeonhole — ≤ 3
     // differing bits leave one of 4 bands equal, so blocking misses no

@@ -737,7 +737,8 @@ class ExtensionsSpec extends SparkSpec {
       "fts_term_range", "fts_phrase_slop", "fts_regexp",
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
-      "graft_intersect_card", "text_normalize", "graft_bigram_buckets"))
+      "graft_intersect_card", "text_normalize", "graft_bigram_buckets",
+      "porter_stem", "graft_char_trigrams"))
     GraftExtensions.install(spark)
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry

@@ -150,4 +150,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!Multimodal.nearDupImagePairs(withJunk).collect()
       .exists(r => r.getLong(0) == 999L || r.getLong(1) == 999L))
   }
+
+  test("resizePixels: nearest-neighbor resample equals the formula") {
+    import spark.implicits._
+    val media = Seq(MediaRecord(0L, "ppm", Multimodal.synthPpm(0L)),
+      MediaRecord(150L, "ppm", Multimodal.synthPpm(150L)),
+      MediaRecord(999L, "ppm", "junk".getBytes)).toDS()
+    val rows = Multimodal.resizePixels(media, 8, 8).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the junk payload drops (loud-None decode contract)
+    assert(rows.keySet == Set(0L, 150L))
+    // hand-replay the resample for doc 0: gray(2x, 2y) of the generator
+    val expect = for (oy <- 0 until 8; ox <- 0 until 8)
+      yield (13 * (2 * ox) + 31 * (2 * oy)) % 256
+    val meanWant = math.round(expect.sum / 64.0 * 10000) / 10000.0
+    val ckWant = expect.zipWithIndex.map { case (g, i) => (i + 1).toLong * g }.sum
+    val r0 = rows(0L)
+    assert((r0.getInt(1), r0.getInt(2), r0.getInt(3), r0.getInt(4)) ==
+      ((16, 16, 8, 8)))
+    assert(r0.getDouble(5) == meanWant, s"mean ${r0.getDouble(5)} want $meanWant")
+    assert(r0.getLong(6) == ckWant, s"checksum ${r0.getLong(6)} want $ckWant")
+    // the brightened (0,0) source pixel of ids >= 100 reaches the output:
+    // doc 150's checksum differs from its base-50 rendering at weight 1
+    val base50 = Multimodal.resizePixels(
+      Seq(MediaRecord(50L, "ppm", Multimodal.synthPpm(50L))).toDS(), 8, 8)
+      .collect()(0)
+    val g00 = (50 * 7) % 256 // source (0,0) gray of base 50
+    val bumped = math.min(255, g00 + 40)
+    assert(rows(150L).getLong(6) == base50.getLong(6) - g00 + bumped)
+  }
 }
