@@ -1232,6 +1232,155 @@ object Search {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
 
+  /** LANGUAGE-MODEL ranking with DIRICHLET smoothing (Zhai & Lafferty,
+    * SIGIR 2001; Lucene's LMDirichletSimilarity, default mu = 2000): per
+    * matched query term the doc scores
+    *
+    *   max(0, ln(1 + tf / (mu * p(t|C))) + ln(mu / (dl + mu)))
+    *
+    * where p(t|C) = collectionTf(t) / totalTokens. The query-likelihood
+    * alternative to BM25's tf saturation: smoothing strength scales with
+    * document length, so short documents lean on the collection model
+    * instead of over-rewarding a single occurrence. The zero clip is
+    * Lucene's (a term can't subtract evidence).
+    *
+    * Scale shape: identical to [[scoreAllBm25]] — postings pruned to the
+    * query terms (bucket-pruned against a persisted layout), per-term
+    * collection frequency is an agg over those pruned postings (a term's
+    * postings all live in its bucket, so cf is exact), and the corpus
+    * token total is ONE long (broadcast). Collection counts stay integer
+    * until after aggregation so both engines sum exactly — only the final
+    * per-row formula runs in floating point. */
+  def scoreAllLmDirichlet(ix: FtsIndex, terms: Seq[String],
+                          mu: Double = 2000.0): DataFrame = {
+    require(mu > 0, s"Dirichlet mu must be positive, got $mu")
+    val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
+    val cf = qp.groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
+    val withDl =
+      if (qp.columns.contains("dl")) qp.join(broadcast(cf), "term")
+      else qp.join(broadcast(cf), "term").join(ix.docLens, "doc_id")
+    val coll = ix.docLens.agg(sum(col("dl")).cast("double").as("ctoks"))
+    withDl.crossJoin(broadcast(coll))
+      .withColumn("score_t", greatest(lit(0.0),
+        log(lit(1.0) +
+          col("tf").cast("double") * col("ctoks") / (lit(mu) * col("cf"))) +
+          log(lit(mu) / (col("dl").cast("double") + lit(mu)))))
+      .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
+  }
+
+  /** [[scoreAllLmDirichlet]] with the reproducible-ranking top-k contract
+    * (rounded score, doc_id tiebreak — same as [[scoreBm25]]). */
+  def lmDirichletTopK(ix: FtsIndex, terms: Seq[String], k: Int,
+                      mu: Double = 2000.0): DataFrame =
+    scoreAllLmDirichlet(ix, terms, mu)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** LANGUAGE-MODEL ranking with JELINEK-MERCER smoothing (Zhai &
+    * Lafferty 2001; Lucene's LMJelinekMercerSimilarity, lambda = 0.1 —
+    * Lucene's recommended short-query setting): per matched term
+    *
+    *   ln(1 + ((1-lambda) * tf/dl) / (lambda * p(t|C)))
+    *
+    * — linear interpolation between the document model and the collection
+    * model, length-independent mixing (contrast Dirichlet, where longer
+    * docs trust their own statistics more). Always positive, so no clip.
+    * Same pruned-postings plan as [[scoreAllLmDirichlet]]. */
+  def scoreAllLmJelinekMercer(ix: FtsIndex, terms: Seq[String],
+                              lambda: Double = 0.1): DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"Jelinek-Mercer lambda must be in (0,1), got $lambda")
+    val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
+    val cf = qp.groupBy("term").agg(sum(col("tf")).cast("double").as("cf"))
+    val withDl =
+      if (qp.columns.contains("dl")) qp.join(broadcast(cf), "term")
+      else qp.join(broadcast(cf), "term").join(ix.docLens, "doc_id")
+    val coll = ix.docLens.agg(sum(col("dl")).cast("double").as("ctoks"))
+    withDl.crossJoin(broadcast(coll))
+      .withColumn("score_t",
+        log(lit(1.0) +
+          (lit(1.0 - lambda) * col("tf").cast("double") / col("dl").cast("double")) *
+            col("ctoks") / (lit(lambda) * col("cf"))))
+      .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
+  }
+
+  /** [[scoreAllLmJelinekMercer]] with the top-k ranking contract. */
+  def lmJelinekMercerTopK(ix: FtsIndex, terms: Seq[String], k: Int,
+                          lambda: Double = 0.1): DataFrame =
+    scoreAllLmJelinekMercer(ix, terms, lambda)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** FIELD COLLAPSING (Lucene's grouping module / Solr's
+    * CollapsingQParser): rank with BM25, keep only the BEST-scoring doc
+    * per collapse key (dedupe-by-site/author/domain in search serving),
+    * return the top-k collapsed groups ordered by their representative's
+    * score. Ties collapse deterministically (rounded score, then doc_id —
+    * the [[scoreBm25]] ranking contract, applied per group and globally).
+    *
+    * Scale shape: scoring is the pruned-postings [[scoreAllBm25]] plan;
+    * the collapse key joins in from a two-column projection of the corpus
+    * (match-set-sized after the join); best-per-group is row_number over
+    * (key → score desc) which Spark executes as WindowGroupLimit — a
+    * per-partition top-1 pushed below the shuffle, never a full sort of
+    * the match set. */
+  def collapseTopK(docs: DataFrame, ix: FtsIndex, terms: Seq[String],
+                   collapseCol: String, k: Int, k1: Double = 1.2,
+                   b: Double = 0.75, idCol: String = "doc_id"): DataFrame = {
+    val scored = scoreAllBm25(ix, terms, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+    val keyed = scored.join(
+      docs.select(col(idCol).as("doc_id"), col(collapseCol)), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(collapseCol).orderBy(col("score").desc, col("doc_id"))
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("score").desc, col(collapseCol)).limit(k)
+  }
+
+  /** PARENT-CHILD BLOCK JOIN (Lucene's ToParentBlockJoinQuery): the query
+    * matches and scores CHILD rows (here: any child table carrying a
+    * parent key — RAG chunks, product SKUs, email attachments) and each
+    * parent scores as an aggregate of its matching children — ScoreMode
+    * Max / Avg / Total. Returns `(parent_id, score, best_child)`, the
+    * best child being the match a UI would highlight (Lucene's
+    * ToParentBlockJoinQuery exposes the same via child hit lookup).
+    *
+    * Lucene implements this over index-adjacent doc blocks; relationally
+    * the parent key IS the block structure, so the plan is the pruned
+    * [[scoreAllBm25]] over the child index + a match-set-sized group-by
+    * on the parent key — no corpus-wide join, and the child→parent map
+    * projects just two columns. Ranking follows the [[scoreBm25]]
+    * contract (rounded child scores, parent_id tiebreak) so the result
+    * replays exactly across engines. */
+  def blockJoinTopK(children: DataFrame, terms: Seq[String], k: Int,
+                    scoreMode: String = "max",
+                    parentCol: String = "parent_id",
+                    childCol: String = "child_id", textCol: String = "text",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(Set("max", "avg", "total")(scoreMode),
+      s"scoreMode must be max|avg|total, got $scoreMode")
+    val ix = Index.build(children, idCol = childCol, textCol = textCol)
+    val scored = scoreAllBm25(ix, terms, k1, b)
+      .select(col("doc_id").as("child"), round(col("score"), 4).as("cs"))
+    val fam = children.select(col(parentCol).as("parent_id"),
+      col(childCol).as("child"))
+    val joined = scored.join(fam, "child")
+    val aggExpr = scoreMode match {
+      case "max"   => max(col("cs"))
+      case "avg"   => round(avg(col("cs")), 4)
+      case "total" => round(sum(col("cs")), 4)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("parent_id").orderBy(col("cs").desc, col("child"))
+    val best = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("parent_id"), col("child").as("best_child"))
+    joined.groupBy("parent_id").agg(aggExpr.as("score"))
+      .join(best, "parent_id")
+      .orderBy(col("score").desc, col("parent_id")).limit(k)
+  }
+
   /** Index introspection (Lucene's segment-info/CheckIndex surface): one
     * row of corpus-level statistics — vocabulary size, posting count,
     * token count, doc count, average doc length. Two aggregations over

@@ -1848,6 +1848,138 @@ object Fts extends QueryPack {
                SELECT doc_id, round(score, 4) AS score FROM comb
                ORDER BY score DESC, doc_id LIMIT 10""")),
 
+    // LANGUAGE-MODEL ranking, DIRICHLET smoothing (Zhai & Lafferty 2001;
+    // Lucene LMDirichletSimilarity, mu = 2000): the query-likelihood
+    // family BM25 competes with — smoothing scales with doc length, so a
+    // one-hit short doc leans on the collection model instead of winning
+    // on idf alone. Collection term frequency and the corpus token total
+    // stay BIGINT until after aggregation (both engines sum exactly);
+    // only the per-row formula runs in floating point. Oracle replays
+    // the formula including Lucene's zero clip.
+    Q("q_fts_lm_dirichlet",
+      (s, dir) => Search.lmDirichletTopK(
+        Index.build(Tables(s, dir, "documents")),
+        Seq("spark", "query"), k = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+               ct AS (SELECT sum(dl)::DOUBLE AS ctoks FROM dl),
+               cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum(greatest(0.0,
+                          ln(1.0 + tf.tf::DOUBLE * ct.ctoks / (2000.0 * cf.cf)) +
+                          ln(2000.0 / (dl.dl::DOUBLE + 2000.0)))) AS s
+                      FROM tf JOIN cf USING(term) JOIN dl USING(doc_id)
+                      CROSS JOIN ct GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
+    // LANGUAGE-MODEL ranking, JELINEK-MERCER smoothing (lambda = 0.1,
+    // Lucene's short-query recommendation): linear interpolation between
+    // document and collection models — length-independent mixing,
+    // contrast Dirichlet above. Same pruned-postings plan; same exact
+    // integer collection statistics.
+    Q("q_fts_lm_jm",
+      (s, dir) => Search.lmJelinekMercerTopK(
+        Index.build(Tables(s, dir, "documents")),
+        Seq("spark", "query"), k = 10),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+               ct AS (SELECT sum(dl)::DOUBLE AS ctoks FROM dl),
+               cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum(ln(1.0 +
+                          (0.9 * tf.tf::DOUBLE / dl.dl::DOUBLE) * ct.ctoks /
+                          (0.1 * cf.cf))) AS s
+                      FROM tf JOIN cf USING(term) JOIN dl USING(doc_id)
+                      CROSS JOIN ct GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
+    // FIELD COLLAPSING (Lucene grouping / Solr collapse): BM25 ranking
+    // where only the best doc per `lang` survives — one representative
+    // per site/author/domain is how serving dedupes result pages. The
+    // oracle replays the window: row_number over (lang → score desc,
+    // doc_id), rn = 1, global re-rank. Plan: WindowGroupLimit (top-1 per
+    // group pushed below the shuffle; asserted in PlanShapeSpec).
+    Q("q_fts_collapse",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Search.collapseTopK(docs, Index.build(docs),
+          Seq("spark", "query"), collapseCol = "lang", k = 5)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   round(sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                     tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ), 4) AS score
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id),
+               keyed AS (SELECT sc.doc_id, sc.score, d.lang
+                         FROM sc JOIN documents d USING(doc_id)),
+               best AS (SELECT doc_id, score, lang,
+                          row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rn
+                        FROM keyed)
+               SELECT doc_id, score, lang FROM best WHERE rn = 1
+               ORDER BY score DESC, lang LIMIT 5""")),
+
+    // PARENT-CHILD BLOCK JOIN (Lucene ToParentBlockJoinQuery,
+    // ScoreMode.Max): chunks are the children, documents the parents — a
+    // doc ranks by its best-matching chunk and reports WHICH chunk won
+    // (the RAG serving shape: retrieve chunks, attribute to documents).
+    // Same chunk grammar as q_pipeline_chunk_bm25 (size 8, overlap 2);
+    // the oracle replays chunking, chunk BM25, the per-parent argmax
+    // window, and the max aggregate.
+    Q("q_fts_block_join",
+      (s, dir) => {
+        val chunks = graft.pipeline.Chunking
+          .chunk(Tables(s, dir, "documents"), size = 8, overlap = 2)
+          .select(col("doc_id").as("parent_id"),
+            (col("doc_id") * 1000 + col("chunk_id")).as("child_id"),
+            col("text"))
+        Search.blockJoinTopK(chunks, Seq("spark", "query"), k = 10)
+      },
+      Some(s"""WITH toks0 AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               c AS (SELECT doc_id, t,
+                       unnest(range(0,
+                         CAST(floor((len(t) - 1) / 6) AS INT) + 1)) AS cid
+                     FROM toks0 WHERE len(t) >= 1),
+               chunks AS (SELECT doc_id, doc_id * 1000 + cid AS ck,
+                            t[cid*6+1 : cid*6+8] AS t FROM c),
+               tk AS (SELECT ck, unnest(t) AS term FROM chunks),
+               tf AS (SELECT ck, term, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+               dl AS (SELECT ck, count(*)::DOUBLE AS dl FROM tk GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.ck,
+                        round(sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                          tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ), 4) AS cs
+                      FROM tf JOIN df USING(term) JOIN dl USING(ck) CROSS JOIN stats
+                      GROUP BY tf.ck),
+               j AS (SELECT chunks.doc_id, sc.ck, sc.cs
+                     FROM sc JOIN chunks USING(ck)),
+               best AS (SELECT doc_id, ck,
+                          row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cs DESC, ck) AS rn
+                        FROM j)
+               SELECT j.doc_id AS parent_id, max(j.cs) AS score,
+                 max(b.ck) AS best_child
+               FROM j JOIN (SELECT doc_id, ck FROM best WHERE rn = 1) b
+                 USING(doc_id)
+               GROUP BY j.doc_id
+               ORDER BY score DESC, parent_id LIMIT 10""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

@@ -86,6 +86,14 @@ class PlanShapeSpec extends SparkSpec {
       s"only local/window/output sorts may appear:\n${plan.take(2000)}")
   }
 
+  test("q_fts_collapse: best-per-group bounds map-side as WindowGroupLimit") {
+    val plan = planOf("q_fts_collapse")
+    assert(plan.contains("WindowGroupLimit"),
+      s"collapse must forward only per-key top rows, not sort the match set:\n${plan.take(2000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the global top-k must be TakeOrderedAndProject, not a full sort")
+  }
+
   test("q_join_bucketed reads buckets on both sides (no join-side shuffle)") {
     val plan = planOf("q_join_bucketed")
     assert(plan.contains("SortMergeJoin"))

@@ -373,6 +373,88 @@ class SearchSpec extends SparkSpec {
       Search.dismaxAllBm25(Seq(ixT -> 1.0), Seq("data"), 1.5))
   }
 
+  test("LM Dirichlet / Jelinek-Mercer: formula exact on the tiny corpus") {
+    // corpus stats by hand: T = 18 total tokens; cf(spark) = 2, cf(data) = 3
+    val mu = 2000.0
+    def dir(tf: Double, dl: Double, cf: Double): Double =
+      math.max(0.0, math.log(1.0 + tf * 18.0 / (mu * cf)) + math.log(mu / (dl + mu)))
+    val d = Search.scoreAllLmDirichlet(ix, Seq("spark", "data"), mu)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d.keySet == Set(1L, 2L, 3L)) // doc 4 has neither term
+    assert(math.abs(d(1L) - (dir(1, 5, 2) + dir(1, 5, 3))) < 1e-12)
+    assert(math.abs(d(2L) - dir(1, 4, 3)) < 1e-12)
+    assert(math.abs(d(3L) - d(1L)) < 1e-12) // same tf/dl profile as doc 1
+    // Dirichlet rewards the doc that covers both terms over the one-term doc
+    assert(d(1L) > d(2L))
+
+    def jm(tf: Double, dl: Double, cf: Double): Double =
+      math.log(1.0 + (0.9 * tf / dl) * 18.0 / (0.1 * cf))
+    val j = Search.scoreAllLmJelinekMercer(ix, Seq("spark", "data"), 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(j(1L) - (jm(1, 5, 2) + jm(1, 5, 3))) < 1e-12)
+    assert(math.abs(j(2L) - jm(1, 4, 3)) < 1e-12)
+
+    // Lucene's zero clip: a long doc whose use of a common term is BELOW
+    // the collection rate scores 0, never negative (mu small enough that
+    // the length penalty dominates: tf=1/dl=10 vs cf/T = 5/14)
+    import spark.implicits._
+    val c2 = Index.build(Seq(
+      (1L, "t t t t"),
+      (2L, "t u u u u u u u u u")).toDF("doc_id", "text"))
+    val clip = Search.scoreAllLmDirichlet(c2, Seq("t"), mu = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(clip(2L) == 0.0, s"below-collection-rate term must clip: $clip")
+    assert(clip(1L) > 0.0)
+    // contract guards
+    intercept[IllegalArgumentException](Search.scoreAllLmDirichlet(ix, Seq("t"), 0.0))
+    intercept[IllegalArgumentException](Search.scoreAllLmJelinekMercer(ix, Seq("t"), 1.0))
+  }
+
+  test("collapse: one representative per key, ranked by its score") {
+    import spark.implicits._
+    val sited = Seq(
+      (1L, "a.com", "data data data filler filler"),
+      (2L, "a.com", "data filler filler filler filler"),
+      (3L, "b.com", "data data filler filler filler"),
+      (4L, "b.com", "nothing relevant here at all")
+    ).toDF("doc_id", "site", "text")
+    val r = Search.collapseTopK(sited, Index.build(sited), Seq("data"),
+      collapseCol = "site", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toList
+    // doc 1 beats doc 2 within a.com (tf 3 vs 1); doc 3 represents b.com;
+    // doc 4 never matches; global order = representative score desc
+    assert(r == List((1L, "a.com"), (3L, "b.com")), r.toString)
+    // k bounds the GROUPS, not the match set
+    val r1 = Search.collapseTopK(sited, Index.build(sited), Seq("data"),
+      collapseCol = "site", k = 1).collect().map(_.getLong(0)).toList
+    assert(r1 == List(1L))
+  }
+
+  test("block join: parent scores aggregate matching children") {
+    import spark.implicits._
+    val kids = Seq(
+      (10L, 101L, "data data data pad pad"),  // strong child of 10
+      (10L, 102L, "data pad pad pad pad"),    // weak child of 10
+      (20L, 201L, "data data pad pad pad"),   // middling child of 20
+      (20L, 202L, "no match here at all"),
+      (30L, 301L, "irrelevant child entirely")
+    ).toDF("parent_id", "child_id", "text")
+    def run(mode: String) =
+      Search.blockJoinTopK(kids, Seq("data"), k = 10, scoreMode = mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val mx = run("max")
+    assert(mx.map(_._1).toList == List(10L, 20L), mx.mkString(","))
+    assert(mx.head._3 == 101L, "best child must be the top-scoring chunk")
+    // ScoreMode.Max: parent 10's score is child 101's score exactly
+    val cs = Search.scoreBm25(Index.build(kids, idCol = "child_id"),
+      Seq("data"), k = 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mx.head._2 == cs(101L))
+    // Total sums both matching children of parent 10
+    val tot = run("total").find(_._1 == 10L).get
+    assert(math.abs(tot._2 - math.rint((cs(101L) + cs(102L)) * 1e4) / 1e4) < 1e-9)
+    intercept[IllegalArgumentException](run("median"))
+  }
+
   test("trigram substring search: cross-token needles, verify kills FPs") {
     import spark.implicits._
     val corpus = Seq(
