@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Dedup, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -2400,6 +2400,80 @@ object Pipeline extends QueryPack {
               FROM e e1 JOIN e e2 ON e1.dst = e2.src
               WHERE EXISTS (SELECT 1 FROM e e3
                             WHERE e3.src = e1.src AND e3.dst = e2.dst)""")),
+
+    // LINK PREDICTION by neighborhood overlap (Liben-Nowell & Kleinberg
+    // 2003): common neighbors / Jaccard / Adamic-Adar over a sparse
+    // fixture graph (~8.5k edges, avg degree 17). Candidates come only
+    // through shared neighbors (two-hop join) with hubCap = 25 — degree-
+    // 26+ hubs are skipped as bridges, which the oracle replays, so the
+    // quadratic-in-hub-degree term is provably bounded on both sides.
+    Q("q_graph_linkpred",
+      (s, dir) => Graph.linkPrediction(
+        Tables(s, dir, "lineitem").filter(col("l_linenumber") === 1).select(
+          (col("l_orderkey") % 1000).as("src"),
+          ((col("l_partkey") * 7 + col("l_suppkey")) % 1000).as("dst")),
+        k = 20, hubCap = 25),
+      Some("""WITH e0 AS (SELECT l_orderkey % 1000 AS x,
+                  (l_partkey * 7 + l_suppkey) % 1000 AS y
+                FROM lineitem WHERE l_linenumber = 1),
+              s AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM e0 WHERE x <> y),
+              u AS (SELECT a, b FROM s UNION ALL SELECT b, a FROM s),
+              deg AS (SELECT a AS node, count(*) AS deg FROM u GROUP BY a),
+              byz AS (SELECT u.b AS z, u.a AS n, d.deg AS degz
+                      FROM u JOIN deg d ON u.b = d.node WHERE d.deg <= 25),
+              pairs AS (SELECT x.z, x.degz, x.n AS a, y.n AS b
+                        FROM byz x JOIN byz y ON x.z = y.z AND x.n < y.n),
+              scored AS (SELECT a, b, count(*) AS cn,
+                           sum(1.0 / ln(degz::DOUBLE)) AS aa
+                         FROM pairs GROUP BY a, b),
+              fresh AS (SELECT scored.* FROM scored ANTI JOIN s USING(a, b))
+              SELECT f.a, f.b, f.cn,
+                round(f.cn::DOUBLE / (da.deg + db.deg - f.cn)::DOUBLE, 4) AS jaccard,
+                round(f.aa, 4) AS adamic_adar
+              FROM fresh f
+              JOIN deg da ON f.a = da.node
+              JOIN deg db ON f.b = db.node
+              ORDER BY adamic_adar DESC, f.a, f.b LIMIT 20""")),
+
+    // K-CORE decomposition (Seidman 1983) by iterative peeling on the
+    // same sparse graph: k = 12 cascades through SEVEN peel rounds at
+    // this sf before the 848-node core stabilizes (measured) — the dense-
+    // subgraph signal spam/boilerplate mining wants. The engine loop runs
+    // to convergence; the oracle unrolls ten peels (idempotent once
+    // converged, so the extra rounds are no-ops).
+    Q("q_graph_kcore",
+      (s, dir) => Graph.kCore(
+        Tables(s, dir, "lineitem").filter(col("l_linenumber") === 1).select(
+          (col("l_orderkey") % 1000).as("src"),
+          ((col("l_partkey") * 7 + col("l_suppkey")) % 1000).as("dst")),
+        k = 12),
+      Some {
+        val base = """WITH e0 AS (SELECT l_orderkey % 1000 AS x,
+                          (l_partkey * 7 + l_suppkey) % 1000 AS y
+                        FROM lineitem WHERE l_linenumber = 1),
+              s AS MATERIALIZED (
+                    SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                    FROM e0 WHERE x <> y),
+              u0 AS MATERIALIZED (
+                    SELECT a, b FROM s UNION ALL SELECT b, a FROM s)"""
+        // each step reads u_{i-1} three times — without MATERIALIZED,
+        // DuckDB inlines the chain into 3^10 base-table scans and dies on
+        // file handles; materializing pins each peel to one evaluation
+        val steps = (1 to 10).map { i =>
+          s"""k$i AS MATERIALIZED (
+                        SELECT a FROM (SELECT a, count(*) AS d FROM u${i - 1}
+                        GROUP BY a) WHERE d >= 12),
+              u$i AS MATERIALIZED (
+                      SELECT p.a, p.b FROM u${i - 1} p
+                      JOIN k$i ka ON p.a = ka.a
+                      JOIN k$i kb ON p.b = kb.a)"""
+        }.mkString(",\n")
+        s"""$base,
+            $steps
+            SELECT a AS node, count(*) AS core_deg FROM u10
+            GROUP BY a HAVING count(*) >= 12 ORDER BY node"""
+      }),
 
     // REAL header-level image decode — PNG IHDR / JPEG SOFn marker walk /
     // GIF logical-screen parsing straight off the binary column (no codec
