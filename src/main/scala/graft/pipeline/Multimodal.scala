@@ -336,6 +336,53 @@ object Multimodal {
     }.toDF("doc_id", "win", "rms")
   }
 
+  /** Windowed ZERO-CROSSING RATE over decoded PCM — with [[audioRms]] the
+    * other half of the classic VAD/voiced-unvoiced feature pair (high
+    * energy + low ZCR ≈ voiced speech; low energy + high ZCR ≈ fricatives
+    * or noise). Crossings are counted PER CHANNEL between consecutive
+    * frames inside the window (a sign flip is `prev * cur < 0`, so exact
+    * zeros never cross), pooled across channels:
+    * `zcr = crossings / (channels * (frames_in_window - 1))`, rounded to
+    * 4 dp; a window with a single frame has no pairs and reports 0.0.
+    * Same one-decoder-per-partition mapPartitions shape as [[audioRms]];
+    * unrecognized payloads surface loudly as window −1. */
+  def audioZcr(media: Dataset[MediaRecord], window: Int = 256): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        pcmSamples(r.bytes) match {
+          case Some((ch, samples)) =>
+            val frames = samples.length / ch
+            (0 until (frames + window - 1) / window).map { w =>
+              val lo = w * window
+              val hi = math.min(frames, (w + 1) * window)
+              val zcr =
+                if (hi - lo < 2) 0.0
+                else {
+                  var crossings = 0L
+                  var s = lo + 1
+                  while (s < hi) {
+                    var c = 0
+                    while (c < ch) {
+                      val prev = samples((s - 1) * ch + c)
+                      val cur = samples(s * ch + c)
+                      if (prev.toLong * cur < 0) crossings += 1
+                      c += 1
+                    }
+                    s += 1
+                  }
+                  crossings.toDouble / (ch.toLong * (hi - lo - 1))
+                }
+              (r.doc_id, w, BigDecimal(zcr)
+                .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+            }
+          case None => Seq((r.doc_id, -1, -1.0))
+        }
+      }
+    }.toDF("doc_id", "win", "zcr")
+  }
+
   /** Header decode for audio payloads — unrecognized ones surface loudly
     * as rate −1, like [[headerDims]]. */
   def audioInfo(media: Dataset[MediaRecord]): Dataset[AudioInfo] = {

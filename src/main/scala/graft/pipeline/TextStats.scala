@@ -101,6 +101,51 @@ object TextStats {
     aggregate(codes, lit(0L), (h, c) => pmod(h * 31L + c, lit(p)))
   }
 
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction — Rose,
+    * Engel, Cramer & Cowley 2010): candidate phrases are the maximal runs
+    * of non-stopword tokens; each word scores deg(w)/freq(w) where freq
+    * counts the word's occurrences in candidates and deg adds the length
+    * of every candidate containing it (longer co-occurrence context =
+    * stronger word); a phrase scores the sum of its words' scores. Emits
+    * the top `perDoc` distinct phrases per document.
+    *
+    * All statistics are DOCUMENT-LOCAL (RAKE's definition), so every
+    * aggregation and the final window key on doc_id — the whole operator
+    * is embarrassingly parallel over documents at any corpus size, with
+    * no corpus-wide shuffle at all. Word stats stay integer (sum of
+    * lengths / count) until one exact division; the phrase-run split is
+    * a running stopword count over positions, not a per-token loop. */
+  def rakeKeywords(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", perDoc: Int = 3): DataFrame = {
+    require(perDoc >= 1, "perDoc must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(Analyzer.tokenize(col(textCol))).as(Seq("p", "tok")))
+    val isStop = col("tok").isin(Stopwords: _*)
+    val grouped = toks.withColumn("grp",
+        sum(when(isStop, 1L).otherwise(0L))
+          .over(win.partitionBy("doc_id").orderBy("p")))
+      .filter(!isStop)
+    val phrases = grouped.groupBy("doc_id", "grp").agg(
+        count(lit(1)).as("len"),
+        array_join(transform(sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        collect_list(col("tok")).as("words"))
+    val phraseWords = phrases.select(col("doc_id"), col("grp"), col("len"),
+      explode(col("words")).as("word"))
+    val wordScores = phraseWords.groupBy("doc_id", "word").agg(
+      (sum(col("len")).cast("double") / count(lit(1))).as("wscore"))
+    val phraseScores = phraseWords.join(wordScores, Seq("doc_id", "word"))
+      .groupBy("doc_id", "grp").agg(round(sum(col("wscore")), 4).as("score"))
+    val named = phrases.select(col("doc_id"), col("grp"), col("phrase"))
+      .join(phraseScores, Seq("doc_id", "grp"))
+      .select("doc_id", "phrase", "score").distinct()
+    named.withColumn("rn", row_number().over(
+        win.partitionBy("doc_id").orderBy(col("score").desc, col("phrase"))))
+      .filter(col("rn") <= perDoc).drop("rn")
+      .orderBy(col("doc_id"), col("score").desc, col("phrase"))
+  }
+
   /** PII patterns the redaction pass scrubs, deliberately conservative and
     * engine-portable (no lookaround — RE2-compatible, so an oracle engine
     * replays them verbatim): emails, dotted-quad IPs, and NANP-style

@@ -1443,6 +1443,49 @@ object Pipeline extends QueryPack {
                       THEN 'en' ELSE 'unk' END AS lang_guess FROM toks)
                SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY lang_guess""")),
 
+    // RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+    // candidate phrases, word score = degree/frequency, phrase score =
+    // Σ word scores — the unsupervised keyphrase labeler for corpus
+    // exploration and topic tagging. Statistics are document-local by
+    // definition, so the operator carries NO corpus-wide shuffle. The
+    // oracle replays the full chain: running stopword count → phrase
+    // runs → deg/freq → phrase sums → per-doc top-3.
+    Q("q_text_rake",
+      (s, dir) => TextStats.rakeKeywords(
+        Tables(s, dir, "documents").filter(col("doc_id") < 500), perDoc = 3),
+      Some(s"""WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+               toks AS (SELECT doc_id, $DTOKS AS t FROM docs0),
+               pos AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, t FROM toks),
+               tk AS (SELECT doc_id, CAST(p AS INT) AS p,
+                        t[CAST(p AS INT)] AS tok FROM pos),
+               g AS (SELECT doc_id, p, tok,
+                       sum(CASE WHEN tok IN ('the','a','an','of','to','and','in','is')
+                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                     FROM tk),
+               w AS (SELECT doc_id, grp, p, tok FROM g
+                     WHERE tok NOT IN ('the','a','an','of','to','and','in','is')),
+               ph AS (SELECT doc_id, grp, count(*) AS len,
+                        string_agg(tok, ' ' ORDER BY p) AS phrase
+                      FROM w GROUP BY 1, 2),
+               pw AS (SELECT w.doc_id, w.grp, ph.len, w.tok AS word
+                      FROM w JOIN ph USING(doc_id, grp)),
+               ws AS (SELECT doc_id, word,
+                        sum(len)::DOUBLE / count(*) AS wscore
+                      FROM pw GROUP BY 1, 2),
+               ps AS (SELECT pw.doc_id, pw.grp, round(sum(ws.wscore), 4) AS score
+                      FROM pw JOIN ws ON pw.doc_id = ws.doc_id
+                        AND pw.word = ws.word
+                      GROUP BY 1, 2),
+               named AS (SELECT DISTINCT ph.doc_id, ph.phrase, ps.score
+                         FROM ph JOIN ps USING(doc_id, grp)),
+               top AS (SELECT doc_id, phrase, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, phrase) AS rn
+                       FROM named)
+               SELECT doc_id, phrase, score FROM top WHERE rn <= 3
+               ORDER BY doc_id, score DESC, phrase""")),
+
     // Gopher-style REPETITION signal: duplicate 3-gram fraction per doc —
     // the quality filter that catches boilerplate/looped generations;
     // every doc's fraction is pinned through the oracle hash.
@@ -2543,6 +2586,46 @@ object Pipeline extends QueryPack {
               SELECT doc_id, w AS win,
                 round(sqrt(CAST(sum(v*v) AS DOUBLE) / count(*)), 4) AS rms
               FROM v GROUP BY doc_id, w ORDER BY doc_id, win""")),
+
+    // ZERO-CROSSING RATE over the same real PCM content (q_multimodal_rms's
+    // energy pair — together the classic voiced/unvoiced VAD features).
+    // Crossings are per-channel sign flips between consecutive frames
+    // inside the window, pooled over channels; the oracle replays the
+    // generator formula at s and s−1, counts products < 0, and emits 0.0
+    // for single-frame windows (no pairs — doc 0 has exactly one frame).
+    Q("q_multimodal_zcr",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "wav",
+            Multimodal.synthWavPcm(id)))
+        Multimodal.audioZcr(media).orderBy("doc_id", "win")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 1000 + 1 AS INT) AS n,
+                           CAST(doc_id % 2 + 1 AS INT) AS ch
+                         FROM documents WHERE doc_id < 200),
+              wins AS (SELECT doc_id, n, ch,
+                         CAST(unnest(range(0, (n + 255) // 256)) AS INT) AS w
+                       FROM d),
+              fr AS (SELECT doc_id, ch, unnest(range(1, n)) AS s FROM d),
+              smp AS (SELECT doc_id, s, unnest(range(0, ch)) AS c FROM fr),
+              x AS (SELECT doc_id, CAST(s // 256 AS INT) AS w,
+                      (((doc_id*31 + (s-1)*7 + c*13) % 2048) - 1024) *
+                        (((doc_id*31 + s*7 + c*13) % 2048) - 1024) AS prod
+                    FROM smp WHERE s % 256 <> 0),
+              cr AS (SELECT doc_id, w,
+                       count(*) FILTER (WHERE prod < 0) AS crossings
+                     FROM x GROUP BY doc_id, w)
+              SELECT wins.doc_id, wins.w AS win,
+                CASE WHEN least(wins.n, (wins.w + 1) * 256) - wins.w * 256 < 2
+                     THEN 0.0
+                     ELSE round(coalesce(cr.crossings, 0)::DOUBLE /
+                       (wins.ch * (least(wins.n, (wins.w + 1) * 256)
+                          - wins.w * 256 - 1)), 4) END AS zcr
+              FROM wins LEFT JOIN cr
+                ON wins.doc_id = cr.doc_id AND wins.w = cr.w
+              ORDER BY wins.doc_id, win""")),
 
     // IMAGE PIXEL CONTENT (round-11 verdict item 6 — image parity with the
     // audio PCM path): REAL uncompressed P6 PPM payloads decode to pixels

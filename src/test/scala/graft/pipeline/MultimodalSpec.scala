@@ -76,6 +76,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pcmSamples("RIFFxxxx".getBytes).isEmpty)
   }
 
+  test("audioZcr counts per-channel sign flips, pools channels, clips edge windows") {
+    import spark.implicits._
+    // synthWavPcm(5): stereo, 6 frames, sample(s,c) = ((155+7s+13c)%2048)-1024
+    val media = Seq(MediaRecord(5L, "wav", Multimodal.synthWavPcm(5L))).toDS()
+    val r = Multimodal.audioZcr(media, window = 4).collect()
+      .map(x => x.getInt(1) -> x.getDouble(2)).toMap
+    def v(s: Int, c: Int) = ((5 * 31 + s * 7 + c * 13) % 2048) - 1024
+    def zcrOf(lo: Int, hi: Int): Double = {
+      val crossings = (for (s <- lo + 1 until hi; c <- 0 until 2
+                            if v(s - 1, c).toLong * v(s, c) < 0) yield 1).size
+      math.rint(crossings.toDouble / (2 * (hi - lo - 1)) * 1e4) / 1e4
+    }
+    assert(r == Map(0 -> zcrOf(0, 4), 1 -> zcrOf(4, 6)), r.toString)
+    // a single-frame tail window has no pairs → 0.0, not a divide error
+    val one = Seq(MediaRecord(0L, "wav", Multimodal.synthWavPcm(0L))).toDS()
+    val r1 = Multimodal.audioZcr(one).collect() // doc 0: 1 frame total
+    assert(r1.length == 1 && r1(0).getInt(1) == 0 && r1(0).getDouble(2) == 0.0)
+    // junk payloads surface as window −1 (the audioRms contract)
+    val junk = Seq(MediaRecord(9L, "wav", "nope".getBytes)).toDS()
+    assert(Multimodal.audioZcr(junk).collect()(0).getInt(1) == -1)
+  }
+
   test("features pipeline preserves row count and schema") {
     val docs = spark.read.parquet(sf("documents"))
     val f = Multimodal.features(spark, docs)

@@ -26,6 +26,32 @@ class TextStatsSpec extends SparkSpec {
       .getString(0) == "unk")
   }
 
+  test("rakeKeywords: deg/freq word scores and phrase sums by hand") {
+    import spark.implicits._
+    // One doc, stopwords split it into three candidate runs:
+    //   "fast query" (len 2), "fast scan" (len 2), "query" (len 1)
+    val docs = Seq((1L, "the fast query of a fast scan is the query"))
+      .toDF("doc_id", "text")
+    // freq(fast)=2 deg(fast)=4 → 2.0; freq(query)=2 deg(query)=3 → 1.5;
+    // freq(scan)=1 deg(scan)=2 → 2.0
+    // scores: "fast query" 3.5, "fast scan" 4.0, "query" 1.5
+    val r = TextStats.rakeKeywords(docs, perDoc = 3)
+      .collect().map(x => (x.getString(1), x.getDouble(2))).toList
+    assert(r == List(("fast scan", 4.0), ("fast query", 3.5), ("query", 1.5)),
+      r.toString)
+    // perDoc bounds the list; all-stopword docs yield no phrases
+    assert(TextStats.rakeKeywords(docs, perDoc = 1)
+      .collect().map(_.getString(1)).toList == List("fast scan"))
+    val stopOnly = Seq((2L, "the of a to and")).toDF("doc_id", "text")
+    assert(TextStats.rakeKeywords(stopOnly).count() == 0)
+    // duplicate phrase occurrences dedupe in the output but still count
+    // in the statistics: "big win" twice → freq(big)=2, deg(big)=4
+    val dup = Seq((3L, "big win the big win")).toDF("doc_id", "text")
+    val d = TextStats.rakeKeywords(dup)
+      .collect().map(x => (x.getString(1), x.getDouble(2))).toList
+    assert(d == List(("big win", 4.0)), d.toString)
+  }
+
   test("redactPii scrubs emails, ips, and phones and audits counts on raw text") {
     val out = redact(Seq(
       (1L, "write to alice.smith+x@mail.example.org today"),
