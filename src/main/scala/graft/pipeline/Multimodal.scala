@@ -565,6 +565,57 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "mean_gray", "b0", "b1", "b2", "b3")
   }
 
+  /** DIFFERENCE-HASH (dHash, Krawetz) perceptual fingerprint over decoded
+    * pixels: where [[imageAHash]] thresholds each cell against the global
+    * mean, dHash encodes the sign of each HORIZONTAL cell gradient —
+    * bit r·7+c is 1 iff cell (r,c) is strictly darker than cell (r,c+1).
+    * Gradients are invariant under global brightness/level shifts and
+    * only react to LOCAL structure, the classic complement to aHash's
+    * global-contrast sensitivity. Canonical dHash resamples to 9×8; this
+    * adaptation keeps the 8×8 exact-integer cell grid (the aHash/fixture
+    * invariant: power-of-two cell areas, so cells with equal area compare
+    * by integer SUM — no float anywhere), giving 8 rows × 7 gradients =
+    * 56 bits packed as FOUR 14-bit bands (bit b → band b/14), preserving
+    * the pigeonhole blocking contract: Hamming ≤ 3 ⇒ one band equal.
+    * Emits (doc_id, width, height, d0..d3); undecodable payloads surface
+    * loudly as width = −1. */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        ppmPixels(r.bytes) match {
+          case Some((w, h, px)) if w % 8 == 0 && h % 8 == 0 =>
+            val cw = w / 8; val chh = h / 8
+            val sums = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sums((y / chh) * 8 + (x / cw)) += px(y * w + x)
+                x += 1
+              }
+              y += 1
+            }
+            val bands = new Array[Int](4)
+            var row = 0
+            while (row < 8) {
+              var c = 0
+              while (c < 7) {
+                if (sums(row * 8 + c) < sums(row * 8 + c + 1)) {
+                  val bit = row * 7 + c
+                  bands(bit / 14) |= 1 << (bit % 14)
+                }
+                c += 1
+              }
+              row += 1
+            }
+            (r.doc_id, w, h, bands(0), bands(1), bands(2), bands(3))
+          case _ => (r.doc_id, -1, -1, 0, 0, 0, 0)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "d0", "d1", "d2", "d3")
+  }
+
   /** NEAR-DUPLICATE IMAGE pairs by aHash Hamming distance — the image
     * dedup path joining the existing LSH machinery: never all-pairs.
     * Blocking = the 4 hash bands (pigeonhole: Hamming ≤ 3 ⇒ some band

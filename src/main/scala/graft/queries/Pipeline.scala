@@ -2755,6 +2755,48 @@ object Pipeline extends QueryPack {
               WHERE hamming <= 3
               ORDER BY a_id, b_id""")),
 
+    // dHASH perceptual fingerprint (Krawetz difference hash, the aHash
+    // complement): the sign of each horizontal cell gradient — invariant
+    // under global brightness shifts, local-structure-only. 8×8 exact-
+    // integer cell grid (sums compare directly; no float anywhere), 56
+    // bits in four 14-bit pigeonhole bands. The oracle replays pixels →
+    // cell sums → gradient signs → band packing from the generator
+    // formula while Spark parses the bytes — the parse↔generate loop.
+    Q("q_multimodal_dhash",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 200).as[Long]
+          .map(id => graft.pipeline.MediaRecord(id, "ppm",
+            Multimodal.synthPpm(id)))
+        Multimodal.imageDHash(media).orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS b
+                         FROM documents WHERE doc_id < 200),
+              px AS (SELECT doc_id, x, y,
+                       CASE WHEN doc_id >= 100 AND x < 2 AND y < 2
+                         THEN least(255, (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 + 40)
+                         ELSE (b*7 + x*13 + y*31 + x*y*(b%5)) % 256 END AS g
+                     FROM d
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS x)
+                     CROSS JOIN (SELECT unnest(range(0, 16)) AS y)),
+              cell AS (SELECT doc_id, y // 2 AS r, x // 2 AS c, sum(g) AS sv
+                       FROM px GROUP BY 1, 2, 3),
+              bits AS (SELECT a.doc_id, a.r * 7 + a.c AS bit
+                       FROM cell a JOIN cell b2 ON a.doc_id = b2.doc_id
+                         AND a.r = b2.r AND b2.c = a.c + 1
+                       WHERE a.sv < b2.sv),
+              bands AS (SELECT doc_id, bit // 14 AS band,
+                          CAST(sum(1::BIGINT << (bit % 14)) AS INT) AS v
+                        FROM bits GROUP BY 1, 2)
+              SELECT d.doc_id, 16 AS width, 16 AS height,
+                CAST(coalesce(max(CASE WHEN band = 0 THEN v END), 0) AS INT) AS d0,
+                CAST(coalesce(max(CASE WHEN band = 1 THEN v END), 0) AS INT) AS d1,
+                CAST(coalesce(max(CASE WHEN band = 2 THEN v END), 0) AS INT) AS d2,
+                CAST(coalesce(max(CASE WHEN band = 3 THEN v END), 0) AS INT) AS d3
+              FROM d LEFT JOIN bands USING (doc_id)
+              GROUP BY d.doc_id ORDER BY d.doc_id""")),
+
     Q("q_multimodal_frames",
       (s, dir) => {
         import s.implicits._

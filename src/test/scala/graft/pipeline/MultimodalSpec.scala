@@ -98,6 +98,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioZcr(junk).collect()(0).getInt(1) == -1)
   }
 
+  test("imageDHash encodes gradient signs; brightness shifts leave it fixed") {
+    import spark.implicits._
+    def ppm(gray: (Int, Int) => Int): Array[Byte] = {
+      val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+      val data = new Array[Byte](16 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 16; ch <- 0 until 3)
+        data((y * 16 + x) * 3 + ch) = gray(x, y).toByte
+      header ++ data
+    }
+    val media = Seq(
+      MediaRecord(1L, "ppm", ppm((x, _) => x * 8)),        // left-to-right ramp
+      MediaRecord(2L, "ppm", ppm((x, _) => 120 - x * 8)),  // reversed ramp
+      MediaRecord(3L, "ppm", ppm((x, _) => x * 8 + 50)),   // ramp, +50 brightness
+      MediaRecord(4L, "ppm", "junk".getBytes)
+    ).toDS()
+    val r = Multimodal.imageDHash(media).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(3), x.getInt(4),
+        x.getInt(5), x.getInt(6))).toMap
+    // strictly increasing gradients → all 56 bits set (four 0x3fff bands)
+    assert(r(1L) == (16, 0x3fff, 0x3fff, 0x3fff, 0x3fff), r(1L).toString)
+    // reversed ramp → no bit set
+    assert(r(2L) == (16, 0, 0, 0, 0))
+    // constant brightness shift never flips a gradient sign
+    assert(r(3L) == r(1L))
+    // undecodable payloads surface loudly
+    assert(r(4L)._1 == -1)
+  }
+
   test("features pipeline preserves row count and schema") {
     val docs = spark.read.parquet(sf("documents"))
     val f = Multimodal.features(spark, docs)
