@@ -1177,9 +1177,14 @@ object Search {
     * when SQL `fts_score(text, 'q')` is lowered over a registered index.
     * Output columns: `doc_id, score`. */
   def scoreAllBm25(ix: FtsIndex, terms: Seq[String],
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qp = ix.postings.filter(col("term").isin(terms.distinct: _*))
-    val df = qp.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+                   k1: Double = 1.2, b: Double = 0.75,
+                   candidates: Option[DataFrame] = None): DataFrame = {
+    val qp0 = ix.postings.filter(col("term").isin(terms.distinct: _*))
+    // df/idf stay CORPUS statistics even when scoring is restricted to a
+    // candidate id set (MaxScore pruning must not change any score)
+    val df = qp0.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val qp = candidates.fold(qp0)(c =>
+      qp0.join(c.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     // a persisted layout carries dl on the posting rows ([[Index.write]]
     // denormalizes it), so scoring reads ONLY the query terms' pruned
     // buckets — the O(corpus) doclens join is the in-memory fallback
@@ -1194,6 +1199,89 @@ object Search {
         col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
           (col("tf").cast("double") + (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1))
       .groupBy("doc_id").agg(sum(col("score_t")).as("score"))
+  }
+
+  /** The MaxScore term partition for a query (Turtle & Flood 1995; the
+    * dynamic-pruning family Lucene runs as WANDScorer/block-max WAND):
+    * `theta` is a PROVEN lower bound on the final k-th score (the k-th
+    * full score among the top seed-term candidates), and `nonEssential`
+    * is the largest ascending-by-maxContrib prefix of the query terms
+    * whose upper bounds sum strictly below theta — a document matching
+    * ONLY non-essential terms can never reach the top k, so candidate
+    * generation may skip those postings lists entirely. */
+  final case class MaxScorePlan(theta: Double, essential: Seq[String],
+                                nonEssential: Seq[String],
+                                maxContrib: Map[String, Double])
+
+  /** Compute the [[MaxScorePlan]]. Driver-side state is strictly bounded:
+    * one stats row, |terms| df rows, |terms| per-term maxima, and ≤ k
+    * seed scores — never a document-sized collect. */
+  def maxScorePartition(ix: FtsIndex, terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): MaxScorePlan = {
+    require(k >= 1, "k must be positive")
+    val distinctTerms = terms.distinct
+    val qp0 = ix.postings.filter(col("term").isin(distinctTerms: _*))
+    val qp = if (qp0.columns.contains("dl")) qp0 else qp0.join(ix.docLens, "doc_id")
+    val st = ix.stats.collect()(0)
+    val nDocs = st.getAs[Long]("n_docs").toDouble
+    val avgdl = st.getAs[Double]("avgdl")
+    val dfMap = qp.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (dfMap.isEmpty) // no query term occurs at all
+      return MaxScorePlan(Double.NegativeInfinity, distinctTerms, Nil, Map.empty)
+    def idf(t: String): Double =
+      math.log((nDocs - dfMap(t) + 0.5) / (dfMap(t) + 0.5) + 1.0)
+    val tfPart = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") + (col("dl").cast("double") / avgdl * b + (1.0 - b)) * k1)
+    val maxTf = qp.withColumn("tfpart", tfPart)
+      .groupBy("term").agg(max(col("tfpart")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxContrib = maxTf.map { case (t, m) => t -> idf(t) * m }
+    val seed = maxContrib.toSeq.maxBy { case (t, c) => (c, t) }._1
+    // theta: exhibit k concrete docs — the seed term's strongest postings
+    // — and take the k-th of their FULL scores; any k docs give a valid
+    // lower bound on the final k-th best
+    val seedTop = qp.filter(col("term") === seed)
+      .withColumn("tfpart", tfPart)
+      .orderBy(col("tfpart").desc, col("doc_id")).limit(k)
+      .select("doc_id")
+    val seedScores = scoreAllBm25(ix, distinctTerms, k1, b, Some(seedTop))
+      .orderBy(col("score").desc).limit(k)
+      .collect().map(_.getDouble(1))
+    val theta =
+      if (seedScores.length == k) seedScores.min else Double.NegativeInfinity
+    val asc = maxContrib.toSeq.sortBy { case (t, c) => (c, t) }
+    val prefixSums = asc.scanLeft(0.0) { case (acc, (_, c)) => acc + c }.tail
+    val nNonEss = asc.indices.takeWhile(i =>
+      prefixSums(i) < theta && asc(i)._1 != seed).lastOption.map(_ + 1).getOrElse(0)
+    val (nonEss, ess) = asc.splitAt(nNonEss)
+    MaxScorePlan(theta, ess.map(_._1), nonEss.map(_._1), maxContrib)
+  }
+
+  /** BM25 top-k through MAXSCORE dynamic pruning: candidates come ONLY
+    * from the essential terms' postings — documents matching just the
+    * non-essential (low-upper-bound) terms are provably outside the top
+    * k and are never scored. Returns EXACTLY [[scoreBm25]]'s result (df,
+    * idf, and every surviving score are computed from full corpus
+    * statistics; the pruned docs sit strictly below the bound, so even
+    * rounded-score ties can't be disturbed).
+    *
+    * Why it matters at scale: for a query mixing rare and stopword-like
+    * terms, the stopword's postings list is O(corpus) while the top k is
+    * fixed — MaxScore reads it only for the candidate semi-join instead
+    * of scoring it end to end. The same statistics (per-term upper
+    * bounds) are what Lucene persists per block for block-max WAND; a
+    * persisted layout here would store them per term-bucket. */
+  def bm25TopKMaxScore(ix: FtsIndex, terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val plan = maxScorePartition(ix, terms, k, k1, b)
+    if (plan.nonEssential.isEmpty) scoreBm25(ix, terms, k, k1, b)
+    else {
+      val cands = matchAnyIds(ix, plan.essential)
+      scoreAllBm25(ix, terms, k1, b, Some(cands))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+    }
   }
 
   /** DISJUNCTION-MAX multi-field scoring (Lucene's DisjunctionMaxQuery,

@@ -1980,6 +1980,34 @@ object Fts extends QueryPack {
                GROUP BY j.doc_id
                ORDER BY score DESC, parent_id LIMIT 10""")),
 
+    // MAXSCORE dynamic pruning (Turtle & Flood 1995; Lucene WANDScorer):
+    // top-k BM25 for 'dup OR batch' where 'dup' is rare (df 25) and
+    // 'batch' is the corpus's most common term (df 402) — the per-term
+    // upper-bound partition proves batch-only docs can't reach the top
+    // 10, so candidates come from the 25-posting rare list instead of
+    // the 400+-doc union (~17× fewer docs scored; MaxScoreSpec pins the
+    // partition). The oracle is the UNPRUNED BM25 — identical results is
+    // the operator's whole contract.
+    Q("q_fts_wand",
+      (s, dir) => Search.bm25TopKMaxScore(
+        Index.build(Tables(s, dir, "documents")),
+        Seq("dup", "batch"), k = 10),
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('dup', 'batch') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

@@ -455,6 +455,34 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](run("median"))
   }
 
+  test("MaxScore: partition proves the prune, results equal unpruned BM25") {
+    import spark.implicits._
+    val corpus = ((1L to 20L).map(i => (i, s"common filler number$i")) ++
+      Seq(21L -> "rare common things", 22L -> "very rare item"))
+      .toDF("doc_id", "text")
+    val cix = Index.build(corpus)
+    val plan = Search.maxScorePartition(cix, Seq("rare", "common"), k = 2)
+    // 'common' matches 21 of 22 docs → tiny idf; both rare docs outscore
+    // any common-only doc, so 'common' must partition as non-essential
+    assert(plan.nonEssential == Seq("common"), plan.toString)
+    assert(plan.essential == Seq("rare"))
+    assert(plan.theta > plan.maxContrib("common"))
+    // the contract: pruned == unpruned, here and on the fixture corpus
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(rows(Search.bm25TopKMaxScore(cix, Seq("rare", "common"), k = 2))
+      == rows(Search.scoreBm25(cix, Seq("rare", "common"), k = 2)))
+    val fixture = Index.build(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    for (q <- Seq(Seq("dup", "batch"), Seq("spark", "query"), Seq("absent"))) {
+      assert(rows(Search.bm25TopKMaxScore(fixture, q, k = 10))
+        == rows(Search.scoreBm25(fixture, q, k = 10)), s"query $q diverged")
+    }
+    // uniform-df queries degrade gracefully: nothing prunable, all essential
+    val uni = Search.maxScorePartition(fixture, Seq("spark", "query"), k = 10)
+    assert(uni.essential.toSet ++ uni.nonEssential.toSet == Set("spark", "query"))
+  }
+
   test("trigram substring search: cross-token needles, verify kills FPs") {
     import spark.implicits._
     val corpus = Seq(
