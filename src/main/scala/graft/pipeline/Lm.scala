@@ -65,6 +65,59 @@ object Lm {
       .agg(round(exp(-avg("lp")), 4).as("ppl"))
   }
 
+  /** Per-document perplexity under an INTERPOLATED KNESER-NEY bigram LM
+    * (Kneser & Ney 1995, the smoothing KenLM ships and CCNet's quality
+    * filter runs at 5-gram order; the relational form is order-agnostic,
+    * shown at bigram order). With fixed discount D, context count c(v),
+    * bigram count c(vw), and continuation statistics N1+:
+    *
+    *   p(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·Pcont(w)) / c(v)   seen context
+    *          = Pcont(w)                                        unseen context
+    *   Pcont(w) = N1+(·w) / N1+(··)
+    *
+    * plus a 1/(N1+(··)+1) floor for words never seen as a continuation
+    * (the unseen bin, like [[perplexity]]'s +1). The trained state is
+    * three VOCABULARY-scale count tables and one scalar — broadcastable
+    * at any corpus size; scoring is broadcast joins over the documents'
+    * bigram stream, so the whole operator is two linear passes. Counts
+    * stay integer until the single p(w|v) division. Documents with fewer
+    * than two tokens produce no row. Output: (doc_id, ppl). */
+  def knPerplexity(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
+    def bigrams(c: Column): Column = {
+      val t = Analyzer.tokenize(c)
+      val n = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (v, w) => struct(v.as("v"), w.as("w")))
+    }
+    val cvw = train.select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.v").as("v"), col("bg.w").as("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("cvw"))
+    // c(v): occurrences of v as a context; N1+(v·): distinct continuations
+    val ctx = cvw.groupBy("v").agg(
+      sum(col("cvw")).as("cv"), count(lit(1)).as("n1pv"))
+    val cont = cvw.groupBy("w").agg(count(lit(1)).as("n1pw"))
+    val totals = cvw.agg(count(lit(1)).cast("double").as("n1pp"))
+    val scored = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+      .join(broadcast(cvw), Seq("v", "w"), "left")
+      .join(broadcast(ctx), Seq("v"), "left")
+      .join(broadcast(cont), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+    val pcont = coalesce(col("n1pw").cast("double"), lit(0.0)) / col("n1pp")
+    val p = when(col("cv").isNotNull,
+      (greatest(coalesce(col("cvw").cast("double"), lit(0.0)) - discount, lit(0.0)) +
+        lit(discount) * col("n1pv").cast("double") * pcont) / col("cv").cast("double"))
+      .otherwise(pcont)
+    scored
+      .select(col("doc_id"),
+        log(when(p > 0.0, p).otherwise(lit(1.0) / (col("n1pp") + 1.0))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(exp(-avg("lp")), 4).as("ppl"))
+  }
+
   /** Hashed-bigram feature stream of one document: a 3-hex-char md5 prefix
     * per adjacent token pair → 4096 buckets. The md5 prefix is the
     * engine-portable hash (same trick as [[Mixing]]'s md5 ordering): Spark

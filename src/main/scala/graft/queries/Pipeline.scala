@@ -1616,6 +1616,51 @@ object Pipeline extends QueryPack {
                       GROUP BY d.doc_id)
                SELECT doc_id, round(exp(-m), 4) AS ppl FROM lp ORDER BY doc_id""")),
 
+    // INTERPOLATED KNESER-NEY bigram perplexity (Kneser & Ney 1995 —
+    // KenLM's smoothing, CCNet's quality-filter family) trained on the
+    // English slice: absolute discounting with continuation-probability
+    // backoff, the statistically-honest upgrade over q_text_perplexity's
+    // add-α unigram. The oracle replays bigram extraction, all four
+    // count tables, the discount interpolation, the unseen-context
+    // backoff, and the unseen-continuation floor.
+    Q("q_text_kn",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Lm.knPerplexity(docs, docs.where(col("lang") === "en"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents),
+               pos AS (SELECT doc_id, lang, t,
+                         unnest(range(1, len(t))) AS i FROM toks),
+               bg AS (SELECT doc_id, lang,
+                        t[CAST(i AS INT)] AS v, t[CAST(i AS INT) + 1] AS w
+                      FROM pos),
+               cvw AS (SELECT v, w, count(*)::BIGINT AS cvw FROM bg
+                       WHERE lang = 'en' GROUP BY v, w),
+               ctx AS (SELECT v, sum(cvw)::BIGINT AS cv, count(*)::BIGINT AS n1pv
+                       FROM cvw GROUP BY v),
+               cont AS (SELECT w, count(*)::BIGINT AS n1pw FROM cvw GROUP BY w),
+               tot AS (SELECT count(*)::DOUBLE AS n1pp FROM cvw),
+               sc AS (SELECT bg.doc_id,
+                        CASE WHEN ctx.cv IS NOT NULL THEN
+                          (greatest(coalesce(cvw.cvw, 0)::DOUBLE - 0.75, 0.0) +
+                           0.75 * ctx.n1pv::DOUBLE *
+                             (coalesce(cont.n1pw, 0)::DOUBLE / tot.n1pp)) /
+                            ctx.cv::DOUBLE
+                        ELSE coalesce(cont.n1pw, 0)::DOUBLE / tot.n1pp END AS p,
+                        tot.n1pp AS n1pp
+                      FROM bg
+                      LEFT JOIN cvw ON bg.v = cvw.v AND bg.w = cvw.w
+                      LEFT JOIN ctx ON bg.v = ctx.v
+                      LEFT JOIN cont ON bg.w = cont.w
+                      CROSS JOIN tot),
+               lp AS (SELECT doc_id,
+                        avg(ln(CASE WHEN p > 0 THEN p
+                               ELSE 1.0 / (n1pp + 1.0) END)) AS m
+                      FROM sc GROUP BY doc_id)
+               SELECT doc_id, round(exp(-m), 4) AS ppl FROM lp
+               ORDER BY doc_id""")),
+
     // DSIR-style importance weighting toward the English slice: hashed
     // bigram features (3-hex-char md5 prefix → 4096 buckets — the
     // engine-portable hash), per-bucket log-ratio of λ-mixture-smoothed

@@ -42,6 +42,31 @@ class LmSpec extends SparkSpec {
     assert(perplexity(docs, train).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("knPerplexity: Kneser-Ney interpolation, backoff, and floor by hand") {
+    import spark.implicits._
+    // train "a b a c": cvw all 1; c(a)=2, N1+(a·)=2; N1+(·b)=N1+(·a)=N1+(·c)=1;
+    // N1+(··)=3 → Pcont = 1/3 each
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"), // seen: p = (1−.75 + .75·2·(1/3))/2 = 0.375 → ppl 8/3
+      (2L, "a z"), // unseen continuation z: p = 0 → floor 1/4 → ppl 4
+      (3L, "z a"), // unseen context z: backoff Pcont(a) = 1/3 → ppl 3
+      (4L, "x")    // one token: no bigram stream, no row
+    ).toDF("doc_id", "text")
+    val r = Lm.knPerplexity(docs, train)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 2.6667, 2L -> 4.0, 3L -> 3.0), r.toString)
+    // sanity: train-like text scores lower perplexity than shuffled junk
+    val big = Seq((0L, "the quick fox jumps over the lazy dog " * 5))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, "the quick fox jumps"), (2L, "dog the over quick"))
+      .toDF("doc_id", "text")
+    val p = Lm.knPerplexity(probe, big)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(p(1L) < p(2L), p.toString)
+    intercept[IllegalArgumentException](Lm.knPerplexity(docs, train, discount = 1.5))
+  }
+
   test("bigramBuckets: md5-prefix buckets per adjacent pair; empty under 2 tokens") {
     import spark.implicits._
     val out = Seq((1L, "a b c"), (2L, "solo"), (3L, ""))
