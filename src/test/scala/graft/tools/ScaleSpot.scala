@@ -68,7 +68,14 @@ object ScaleSpot {
       // round-13 second wave: trigram index build+substring serve,
       // soundex dictionary expansion, autocomplete window, LPA rounds
       "q_fts_trigram", "q_fts_phonetic", "q_fts_autocomplete",
-      "q_graph_lpa")
+      "q_graph_lpa",
+      // round-13 third wave: LM scorers (pruned postings + broadcast
+      // collection stats), collapse (WindowGroupLimit), chunk block join,
+      // MaxScore pruning, two-hop link prediction, k-core peeling,
+      // KN bigram perplexity (broadcast count tables)
+      "q_fts_lm_dirichlet", "q_fts_lm_jm", "q_fts_collapse",
+      "q_fts_block_join", "q_fts_wand", "q_graph_linkpred",
+      "q_graph_kcore", "q_text_kn")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
