@@ -260,6 +260,38 @@ object Dedup {
       contaminatedIds(corpus, benchmark, threshold, idCol, textCol),
       corpus(idCol) === col("contaminated_id"), "left_anti")
 
+  /** EXACT N-GRAM decontamination (Brown et al. 2020 Appendix C — the
+    * GPT-3 collision rule, the other canonical decontamination semantics
+    * beside [[decontaminate]]'s near-dup Jaccard): a corpus document is
+    * contaminated iff it shares ANY n-token shingle with any benchmark
+    * document — no similarity arithmetic, no threshold, the conservative
+    * "any verbatim overlap" standard eval suites apply (GPT-3 used
+    * n = 13).
+    *
+    * Scale shape: the benchmark's distinct grams are EVAL-SET-sized
+    * (broadcast); the corpus explodes its grams once and semi-joins —
+    * one corpus pass, never all-pairs, and the gram explode prunes to
+    * two columns. Returns the clean corpus; [[contaminatedNgramIds]] is
+    * the audit list. */
+  def contaminatedNgramIds(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 13, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(n >= 1, "shingle width must be positive")
+    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
+      explode(Analyzer.shingles(Analyzer.tokenize(col(textCol)), n)).as("g"): _*)
+    val bg = grams(benchmark).distinct()
+    grams(corpus, col(idCol).as("contaminated_id"))
+      .join(broadcast(bg), "g")
+      .select("contaminated_id").distinct()
+  }
+
+  /** [[contaminatedNgramIds]] anti-joined away — the clean corpus. */
+  def decontaminateNgram(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 13, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    corpus.join(contaminatedNgramIds(corpus, benchmark, n, idCol, textCol),
+      corpus(idCol) === col("contaminated_id"), "left_anti")
+
   /** The contaminated corpus ids: docs whose shingle-Jaccard against ANY
     * benchmark doc reaches `threshold`. One column `contaminated_id`. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,

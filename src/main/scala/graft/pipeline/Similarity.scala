@@ -44,6 +44,40 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** MATRYOSHKA-truncated serving (Kusupati et al. 2022, MRL): rank with
+    * only the LEADING `dims` coordinates — cosine renormalizes the
+    * truncated vectors implicitly — and audit each truncated-space hit
+    * against the full-dimension top-k (`in_full_topk`). With
+    * MRL-trained embeddings the leading prefix carries most of the
+    * signal, so serving reads `dims/d` of every vector's bytes (the
+    * scan-width lever: at 100 TB a 64→16 truncation is a 4× IO cut on
+    * the brute-force path and a 4× memory cut on any ANN layout built
+    * over the truncated prefix); the audit column measures exactly what
+    * that truncation costs on this corpus. Both rankings follow the
+    * rounded-score/id contract, so the result replays across engines. */
+  def matryoshkaTopK(emb: DataFrame, queryId: Long, k: Int, dims: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    def tr(c: Column): Column = slice(asDouble(c), 1, dims)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qvf"), tr(col(vecCol)).as("qvt"))
+      .limit(1)
+    val scored = emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(tr(col(vecCol)), col("qvt")), 4).as("cosim_trunc"),
+        round(cosine(asDouble(col(vecCol)), col("qvf")), 4).as("cosim_full"))
+    val fullTop = scored
+      .orderBy(col("cosim_full").desc, col(idCol)).limit(k)
+      .select(col(idCol), lit(true).as("in_full"))
+    scored.orderBy(col("cosim_trunc").desc, col(idCol)).limit(k)
+      .join(fullTop, Seq(idCol), "left")
+      .select(col(idCol), col("cosim_trunc"),
+        coalesce(col("in_full"), lit(false)).as("in_full_topk"))
+      .orderBy(col("cosim_trunc").desc, col(idCol))
+  }
+
   /** Exact cosine top-k neighbors of the vector with id `queryId`.
     * The 1-row query side is broadcast; ranking is on the rounded score
     * (then id) for cross-engine reproducibility. */

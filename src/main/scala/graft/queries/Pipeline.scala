@@ -351,6 +351,29 @@ object Pipeline extends QueryPack {
     // corpus is not) + exact verify on candidates. Fixture benchmark =
     // every 7th doc, so those docs (J=1 with themselves) and their
     // near-dups vanish; the oracle replays the all-pairs cross Jaccard.
+    // EXACT N-GRAM decontamination (Brown et al. 2020 Appendix C — the
+    // GPT-3 13-gram collision rule, the conservative "any verbatim
+    // overlap" semantics beside q_dedup_decontam's Jaccard threshold):
+    // benchmark = every 50th doc; its distinct 13-grams broadcast into
+    // one semi-join against the corpus's exploded grams — the benchmark
+    // docs flag themselves, anything sharing a verbatim 13-gram goes
+    // with them, survivors anti-join. Oracle replays shingles + join.
+    Q("q_dedup_decontam_ngram",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.decontaminateNgram(docs, docs.filter(col("doc_id") % 50 === 0))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        unnest([array_to_string(t[i:i+12], ' ')
+                                FOR i IN range(1, len(t) - 11)]) AS g
+                      FROM toks WHERE len(t) >= 13),
+               bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+               bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bg USING(g))
+               SELECT doc_id FROM documents ANTI JOIN bad USING(doc_id)
+               ORDER BY doc_id""")),
+
     Q("q_dedup_decontam",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -866,6 +889,31 @@ object Pipeline extends QueryPack {
     // brute force — the DuckDB oracle replays the per-query cosine top-5
     // and must hash-match (q_sim_cosine's contract, batched). The pruned
     // mode's recall contract is q_sim_knn_join below.
+    // MATRYOSHKA truncated serving (Kusupati et al. 2022): rank by the
+    // leading 32 of 64 dims (cosine renormalizes implicitly) and audit
+    // each hit against the full-dim top-10 — the scan-width/IO lever for
+    // embedding serving, with its quality cost measured in-row. Oracle
+    // replays both rankings and the membership join.
+    Q("q_sim_matryoshka",
+      (s, dir) => Similarity.matryoshkaTopK(
+        Tables(s, dir, "embeddings"), queryId = 0L, k = 10, dims = 32),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              q AS (SELECT v AS qvf, v[1:32] AS qvt FROM e WHERE vec_id = 0),
+              sc AS (SELECT e.vec_id,
+                       round(list_dot_product(v[1:32], qvt) /
+                         (sqrt(list_dot_product(v[1:32], v[1:32])) *
+                          sqrt(list_dot_product(qvt, qvt))), 4) AS ct,
+                       round(list_dot_product(v, qvf) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(qvf, qvf))), 4) AS cf
+                     FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+              ft AS (SELECT vec_id FROM sc ORDER BY cf DESC, vec_id LIMIT 10),
+              tt AS (SELECT vec_id, ct FROM sc ORDER BY ct DESC, vec_id LIMIT 10)
+              SELECT tt.vec_id, tt.ct AS cosim_trunc,
+                ft.vec_id IS NOT NULL AS in_full_topk
+              FROM tt LEFT JOIN ft USING(vec_id)
+              ORDER BY cosim_trunc DESC, tt.vec_id""")),
+
     Q("q_sim_knn_exact",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

@@ -230,6 +230,40 @@ object Temporal extends QueryPack {
                 count(*) AS n_events
               FROM s GROUP BY user_id ORDER BY user_id""")),
 
+    // TIME-SERIES GAP FILL + forward fill (resample().ffill() / InfluxDB
+    // FILL(previous)): hourly per-user value sums on a REGULAR grid from
+    // each user's first to last hour, empty hours carrying the last seen
+    // value with a `filled` audit flag. Keyed window + keyed equi-join —
+    // no global sort; the grid is span-bounded, independent of event
+    // volume. Oracle replays generate_series + IGNORE NULLS last_value.
+    Q("q_temporal_gapfill",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+          .filter(col("user_id") < 10)
+        graft.ops.GapFill.fillForward(ev, "user_id", "ts",
+            round(sum(col("value")), 2), unit = "hour")
+          .select(col("user_id"),
+            date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("value"), col("filled"))
+          .orderBy("user_id", "ws")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS b,
+                  round(sum(value), 2) AS v
+                FROM events WHERE user_id < 10 GROUP BY 1, 2),
+              s AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                    FROM e GROUP BY 1),
+              grid AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                       FROM s),
+              j AS (SELECT g.user_id, g.b, e.v FROM grid g
+                    LEFT JOIN e ON g.user_id = e.user_id AND g.b = e.b)
+              SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS ws,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value,
+                v IS NULL AS filled
+              FROM j ORDER BY user_id, ws""")),
+
     Q("q_session_batch",
       (s, dir) => {
         val ev = EventTime.toTimestamp(Tables(s, dir, "events"))

@@ -27,6 +27,28 @@ class DedupSpec extends SparkSpec {
     assert(g.length == 1 && g(0).getLong(0) == 1L && g(0).getLong(1) == 2L)
   }
 
+  test("decontaminateNgram: any shared n-gram contaminates, short docs immune") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta end"),  // shares "beta gamma delta"
+      (2L, "totally unrelated text here"),
+      (3L, "beta gamma")                   // shorter than n: no grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "start beta gamma delta tail")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminateNgram(corpus, bench, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(clean.toList == List(2L, 3L))
+    val flagged = Dedup.contaminatedNgramIds(corpus, bench, n = 3)
+      .collect().map(_.getLong(0)).toList
+    assert(flagged == List(1L))
+    // n = 1 degrades to token-overlap — everything sharing a word goes
+    val strict = Dedup.decontaminateNgram(corpus, bench, n = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(strict.toList == List(2L))
+    intercept[IllegalArgumentException](
+      Dedup.decontaminateNgram(corpus, bench, n = 0))
+  }
+
   test("minhash LSH recalls exact and near dups, rejects unrelated (precision via verify)") {
     val pairs = Dedup.nearDupPairsMinhash(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

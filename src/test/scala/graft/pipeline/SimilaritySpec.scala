@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
   }
 
+  test("matryoshkaTopK ranks in truncated space and audits against full-dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(1.0f, 0.0f, 100.0f, 0.0f)), // trunc-perfect, full-poor
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // perfect in both spaces
+      (3L, Array(0.8f, 0.0f, 0.6f, 0.0f))    // full 0.8, trunc 1.0 but id-tied out
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.matryoshkaTopK(emb, queryId = 0L, k = 2, dims = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getBoolean(2))).toList
+    // truncated space: ids 1,2,3 all cosine 1.0 → id tiebreak keeps 1,2;
+    // full-dim top-2 is {2 (1.0), 3 (0.8)} → vec 1 flagged as a trunc-only hit
+    assert(r == List((1L, 1.0, false), (2L, 1.0, true)), r.toString)
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(emb, 0L, k = 2, dims = 0))
+  }
+
   test("cosine column computes expected values") {
     val r = Similarity.bruteForceTopK(emb, 0L, 4)
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
