@@ -65,6 +65,32 @@ object Lm {
       .agg(round(exp(-avg("lp")), 4).as("ppl"))
   }
 
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020 §4.4): split
+    * each language's documents into head/middle/tail at that LANGUAGE'S
+    * OWN perplexity tertiles under a reference-corpus LM — the published
+    * "keep the head, sample the middle, drop the tail" quality policy
+    * that avoids one global threshold penalizing whole languages.
+    * Thresholds are a languages×2 aggregate (broadcast); assignment is a
+    * broadcast join over the scored stream, so the operator adds nothing
+    * beyond [[perplexity]]'s two passes. Boundary docs (ppl == tertile)
+    * bucket downward, on the ROUNDED ppl both sides replay. Output:
+    * (doc_id, lang, ppl, bucket). */
+  def ccnetBuckets(docs: DataFrame, train: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   alpha: Double = 0.5): DataFrame = {
+    val ppl = perplexity(docs, train, idCol, textCol, alpha)
+    val withLang = ppl.join(
+      docs.select(col(idCol).as("doc_id"), col(langCol)), "doc_id")
+    val thr = withLang.groupBy(langCol).agg(
+      round(expr("percentile(ppl, 0.333333)"), 6).as("p33"),
+      round(expr("percentile(ppl, 0.666667)"), 6).as("p66"))
+    withLang.join(broadcast(thr), langCol :: Nil)
+      .select(col("doc_id"), col(langCol), col("ppl"),
+        when(col("ppl") <= col("p33"), "head")
+          .when(col("ppl") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-document perplexity under an INTERPOLATED KNESER-NEY bigram LM
     * (Kneser & Ney 1995, the smoothing KenLM ships and CCNet's quality
     * filter runs at 5-gram order; the relational form is order-agnostic,

@@ -1709,6 +1709,47 @@ object Pipeline extends QueryPack {
                SELECT doc_id, round(exp(-m), 4) AS ppl FROM lp
                ORDER BY doc_id""")),
 
+    // CCNet perplexity BUCKETS (Wenzek et al. 2020): per-language
+    // head/middle/tail at each language's OWN perplexity tertiles under
+    // the English-reference LM — the published quality policy that keeps
+    // one noisy language from being globally tail-classified. Summary =
+    // per (lang, bucket) count + min/max of the rounded ppl (order-free
+    // aggregates, so no float-sum ambiguity). Oracle replays perplexity,
+    // quantile_cont tertiles, bucket assignment, and the rollup.
+    Q("q_pipeline_ccnet",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Lm.ccnetBuckets(docs, docs.where(col("lang") === "en"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n"),
+            min(col("ppl")).as("min_ppl"), max(col("ppl")).as("max_ppl"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents),
+               train AS (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+               cnt AS (SELECT tok, count(*)::BIGINT AS c FROM train GROUP BY tok),
+               tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnt),
+               d AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+               ppl AS (SELECT d.doc_id,
+                         round(exp(-avg(ln((coalesce(c.c, 0) + 0.5) /
+                           (tot.n + 0.5*(tot.v + 1))))), 4) AS ppl
+                       FROM d LEFT JOIN cnt c USING (tok) CROSS JOIN tot
+                       GROUP BY d.doc_id),
+               wl AS (SELECT ppl.doc_id, t2.lang, ppl.ppl
+                      FROM ppl JOIN toks t2 USING (doc_id)),
+               thr AS (SELECT lang,
+                         round(quantile_cont(ppl, 0.333333), 6) AS p33,
+                         round(quantile_cont(ppl, 0.666667), 6) AS p66
+                       FROM wl GROUP BY lang),
+               b AS (SELECT wl.doc_id, wl.lang, wl.ppl,
+                       CASE WHEN wl.ppl <= thr.p33 THEN 'head'
+                            WHEN wl.ppl <= thr.p66 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                     FROM wl JOIN thr USING (lang))
+               SELECT lang, bucket, count(*) AS n,
+                 min(ppl) AS min_ppl, max(ppl) AS max_ppl
+               FROM b GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
     // DSIR-style importance weighting toward the English slice: hashed
     // bigram features (3-hex-char md5 prefix → 4096 buckets — the
     // engine-portable hash), per-bucket log-ratio of λ-mixture-smoothed

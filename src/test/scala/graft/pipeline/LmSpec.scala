@@ -67,6 +67,35 @@ class LmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Lm.knPerplexity(docs, train, discount = 1.5))
   }
 
+  test("ccnetBuckets: per-language tertiles, boundary docs bucket downward") {
+    import spark.implicits._
+    // language A: six docs whose ppl strictly orders by junk fraction;
+    // language B: three docs — per-language tertiles must split A 2/2/2
+    // and B 1/1/1 regardless of B's absolute ppl range
+    val train = Seq((100L, "good words flow nicely here " * 4)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "A", "good words flow nicely here good words"),
+      (2L, "A", "good words flow junk1 here"),
+      (3L, "A", "good junk1 junk2 nicely"),
+      (4L, "A", "junk1 junk2 junk3 flow"),
+      (5L, "A", "junk1 junk2 junk3 junk4"),
+      (6L, "A", "good words flow nicely"),
+      (7L, "B", "good words flow nicely here"),
+      (8L, "B", "good junk1 flow"),
+      (9L, "B", "junk1 junk2 junk3")
+    ).toDF("doc_id", "lang", "text")
+    val r = Lm.ccnetBuckets(docs, train)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(3))).toMap
+    val aBuckets = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(r(_)._2)
+    assert(aBuckets.count(_ == "head") == 2 &&
+      aBuckets.count(_ == "middle") == 2 && aBuckets.count(_ == "tail") == 2,
+      r.toString)
+    // B's cleanest doc is head IN B even though A has lower-ppl docs
+    assert(r(7L)._2 == "head" && r(9L)._2 == "tail")
+    // most-junk docs land in tail
+    assert(r(5L)._2 == "tail" && r(1L)._2 == "head")
+  }
+
   test("bigramBuckets: md5-prefix buckets per adjacent pair; empty under 2 tokens") {
     import spark.implicits._
     val out = Seq((1L, "a b c"), (2L, "solo"), (3L, ""))
