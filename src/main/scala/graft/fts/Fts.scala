@@ -493,6 +493,28 @@ object Index {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/stats")
   }
 
+  /** Per-term serving BOUNDS beside the persisted postings — Lucene's
+    * block-max metadata at term granularity: df plus the components of a
+    * PARAMETER-FREE BM25 upper bound, the term's max tf and min dl (the
+    * contribution is monotone up in tf and down in dl, so
+    * f(max_tf, min_dl) dominates every posting for ANY (k1, b) chosen at
+    * query time). One aggregation over the already-written postings,
+    * vocabulary-sized, bucketed + term-sorted like the postings so
+    * MaxScore serving reads ONLY the query terms' bucket rows instead of
+    * aggregating postings to rediscover the maxima per query. */
+  def writeTermBounds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      buckets: Int = 64): Unit =
+    spark.read.parquet(s"$dir/postings")
+      .groupBy("term").agg(
+        countDistinct(col("doc_id")).as("df"),
+        max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "term")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$dir/term_bounds")
+
   /** REVERSED-term postings layout: `(term = reverse(original), doc_id)`,
     * bucketed and term-sorted exactly like [[write]] — the standard fix for
     * leading-star wildcards: a SUFFIX query over the original terms is a
@@ -1237,6 +1259,22 @@ object Search {
       .groupBy("term").agg(max(col("tfpart")).as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val maxContrib = maxTf.map { case (t, m) => t -> idf(t) * m }
+    planFromBounds(ix, distinctTerms, k, k1, b, maxContrib)
+  }
+
+  /** The seed/theta/partition tail shared by the in-memory and persisted
+    * MaxScore paths, given the per-term upper bounds however derived. */
+  private def planFromBounds(ix: FtsIndex, distinctTerms: Seq[String], k: Int,
+                             k1: Double, b: Double,
+                             maxContrib: Map[String, Double]): MaxScorePlan = {
+    if (maxContrib.isEmpty)
+      return MaxScorePlan(Double.NegativeInfinity, distinctTerms, Nil, Map.empty)
+    val qp0 = ix.postings.filter(col("term").isin(distinctTerms: _*))
+    val qp = if (qp0.columns.contains("dl")) qp0 else qp0.join(ix.docLens, "doc_id")
+    val st = ix.stats.collect()(0)
+    val avgdl = st.getAs[Double]("avgdl")
+    val tfPart = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") + (col("dl").cast("double") / avgdl * b + (1.0 - b)) * k1)
     val seed = maxContrib.toSeq.maxBy { case (t, c) => (c, t) }._1
     // theta: exhibit k concrete docs — the seed term's strongest postings
     // — and take the k-th of their FULL scores; any k docs give a valid
@@ -1256,6 +1294,68 @@ object Search {
       prefixSums(i) < theta && asc(i)._1 != seed).lastOption.map(_ + 1).getOrElse(0)
     val (nonEss, ess) = asc.splitAt(nNonEss)
     MaxScorePlan(theta, ess.map(_._1), nonEss.map(_._1), maxContrib)
+  }
+
+  /** [[maxScorePartition]] against a PERSISTED layout carrying
+    * [[Index.writeTermBounds]] metadata: the per-term upper bounds come
+    * from the bucket-pruned term_bounds rows — |terms| rows read, no
+    * per-query aggregation over postings to rediscover maxima — using the
+    * parameter-free (max_tf, min_dl) dominance bound, valid for any
+    * (k1, b). Slightly looser than the in-memory exact maxima, so the
+    * partition can only be MORE conservative — results stay exactly the
+    * unpruned top-k. */
+  def maxScorePartitionPersisted(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, terms: Seq[String], k: Int,
+                                 k1: Double = 1.2, b: Double = 0.75,
+                                 buckets: Int = 64): MaxScorePlan = {
+    require(k >= 1, "k must be positive")
+    val distinctTerms = terms.distinct
+    // bucket-prune the postings ONCE (the q_fts_bm25_persisted pattern):
+    // every downstream read — seed top-k, theta scoring — stays within
+    // the query terms' partitions
+    val ix0 = Index.read(spark, dir, buckets)
+    val ix = ix0.copy(postings = Index.lookup(ix0, distinctTerms, buckets))
+    val bucketFilter = distinctTerms
+      .map(t => col("bucket") === pmod(xxhash64(lit(t)), lit(buckets)))
+      .reduce(_ || _)
+    val bounds = spark.read.parquet(s"$dir/term_bounds")
+      .filter(bucketFilter && col("term").isin(distinctTerms: _*))
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("max_tf"), r.getAs[Long]("min_dl")))
+      .toMap
+    if (bounds.isEmpty)
+      return MaxScorePlan(Double.NegativeInfinity, distinctTerms, Nil, Map.empty)
+    val st = ix.stats.collect()(0)
+    val nDocs = st.getAs[Long]("n_docs").toDouble
+    val avgdl = st.getAs[Double]("avgdl")
+    val maxContrib = bounds.map { case (t, (df, maxTf, minDl)) =>
+      val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val tfp = maxTf * (k1 + 1.0) /
+        (maxTf + (minDl / avgdl * b + (1.0 - b)) * k1)
+      t -> idf * tfp
+    }
+    planFromBounds(ix, distinctTerms, k, k1, b, maxContrib)
+  }
+
+  /** [[bm25TopKMaxScore]] served entirely from a persisted layout:
+    * bounds from term_bounds, candidates and scoring from the pruned
+    * postings buckets — the full block-max-style serving path. */
+  def bm25TopKMaxScorePersisted(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, terms: Seq[String], k: Int,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                buckets: Int = 64): DataFrame = {
+    val plan = maxScorePartitionPersisted(spark, dir, terms, k, k1, b, buckets)
+    val ix0 = Index.read(spark, dir, buckets)
+    val ix = ix0.copy(postings = Index.lookup(ix0, terms.distinct, buckets))
+    if (plan.nonEssential.isEmpty) scoreBm25(ix, terms, k, k1, b)
+    else {
+      val cands = plan.essential
+        .map(t => Index.lookup(ix, Seq(t), buckets).select("doc_id"))
+        .reduce(_ union _).distinct()
+      scoreAllBm25(ix, terms, k1, b, Some(cands))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+    }
   }
 
   /** BM25 top-k through MAXSCORE dynamic pruning: candidates come ONLY

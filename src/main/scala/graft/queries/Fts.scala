@@ -2008,6 +2008,41 @@ object Fts extends QueryPack {
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
 
+    // MAXSCORE over the PERSISTED layout — the block-max serving path:
+    // Index.writeTermBounds stores per-term (df, max_tf, min_dl) beside
+    // the bucketed postings, so the per-query upper bounds are |terms|
+    // bucket-pruned metadata rows instead of a postings aggregation (the
+    // parameter-free dominance bound f(max_tf, min_dl) stays valid for
+    // any query-time (k1, b) — Lucene persists the same idea per block).
+    // Everything — bounds, seed, theta, candidates, scoring — reads only
+    // the query terms' buckets. Oracle: the unpruned BM25, again.
+    Q("q_fts_wand_persisted",
+      (s, dir) => {
+        val ix = Index.build(Tables(s, dir, "documents"))
+        val ixDir = graft.core.Scratch.dir("fts_wand_index")
+        // 16 buckets: the fixture vocabulary is 31 terms — 64 bucket files
+        // would be write amplification with no extra pruning to buy
+        Index.write(ix, ixDir, buckets = 16)
+        Index.writeTermBounds(s, ixDir, buckets = 16)
+        Search.bm25TopKMaxScorePersisted(s, ixDir, Seq("dup", "batch"),
+          k = 10, buckets = 16)
+      },
+      Some(s"""WITH toks AS (
+                 SELECT doc_id, unnest($DTOKS) AS term FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('dup', 'batch') GROUP BY term),
+               sc AS (
+                 SELECT tf.doc_id,
+                   sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                        tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                 FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+                 GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

@@ -483,6 +483,35 @@ class SearchSpec extends SparkSpec {
     assert(uni.essential.toSet ++ uni.nonEssential.toSet == Set("spark", "query"))
   }
 
+  test("MaxScore persisted: metadata bounds dominate exact maxima, results equal") {
+    import spark.implicits._
+    val corpus = ((1L to 20L).map(i => (i, s"common filler number$i")) ++
+      Seq(21L -> "rare common things", 22L -> "very rare item"))
+      .toDF("doc_id", "text")
+    val cix = Index.build(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("wand_ix").toString
+    Index.write(cix, dir)
+    Index.writeTermBounds(spark, dir)
+    val mem = Search.maxScorePartition(cix, Seq("rare", "common"), k = 2)
+    val per = Search.maxScorePartitionPersisted(spark, dir,
+      Seq("rare", "common"), k = 2)
+    // the (max_tf, min_dl) bound can only be LOOSER than the exact maxima
+    for (t <- Seq("rare", "common"))
+      assert(per.maxContrib(t) >= mem.maxContrib(t) - 1e-12,
+        s"$t: ${per.maxContrib(t)} < ${mem.maxContrib(t)}")
+    // on this corpus it still proves the same partition...
+    assert(per.nonEssential == Seq("common") && per.essential == Seq("rare"))
+    // ...and serving equals the unpruned ranking
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(rows(Search.bm25TopKMaxScorePersisted(spark, dir,
+        Seq("rare", "common"), k = 2))
+      == rows(Search.scoreBm25(cix, Seq("rare", "common"), k = 2)))
+    // absent terms degrade to the empty result, not an error
+    assert(Search.bm25TopKMaxScorePersisted(spark, dir, Seq("zzz"), k = 2)
+      .collect().isEmpty)
+  }
+
   test("trigram substring search: cross-token needles, verify kills FPs") {
     import spark.implicits._
     val corpus = Seq(
