@@ -75,7 +75,11 @@ object ScaleSpot {
       // KN bigram perplexity (broadcast count tables)
       "q_fts_lm_dirichlet", "q_fts_lm_jm", "q_fts_collapse",
       "q_fts_block_join", "q_fts_wand", "q_graph_linkpred",
-      "q_graph_kcore", "q_text_kn")
+      "q_graph_kcore", "q_text_kn",
+      // round-13 closing wave: persisted block-max serving (write-heavy
+      // lifecycle), CCNet tertile buckets (perplexity + 2 tiny aggs),
+      // exact 13-gram decontamination (broadcast gram semi-join)
+      "q_fts_wand_persisted", "q_pipeline_ccnet", "q_dedup_decontam_ngram")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
