@@ -1569,6 +1569,40 @@ object Search {
       .orderBy(col("score").desc, col("parent_id")).limit(k)
   }
 
+  /** PERCOLATOR — reverse search (Elasticsearch percolate, Lucene
+    * MemoryIndex): QUERIES are stored, DOCUMENTS are the probes — the
+    * alerting/subscription serving shape ("tell me when a document
+    * matching my saved query arrives"). A stored query is a conjunctive
+    * MUST term set plus an optional mustNot set; a doc matches when it
+    * contains every must term and none of the mustNot terms.
+    *
+    * `queries` columns: (query_id, must: array<string>, must_not:
+    * array<string>). Relational shape: the subscription table explodes
+    * ONCE to (query_id, term) + a per-query term count — subscription-
+    * sized, broadcast; documents explode to DISTINCT (doc_id, term);
+    * matching is one term-keyed equi-join + a count-equality, and the
+    * mustNot side one anti-join — never a doc×query product, so a
+    * million subscriptions against a corpus stream costs two broadcast
+    * joins per batch. Output: (doc_id, query_id) match pairs. */
+  def percolate(docs: DataFrame, queries: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Analyzer.tokenize(col(textCol)))).as("term"))
+    val must = queries.select(col("query_id"), explode(col("must")).as("term"))
+      .distinct()
+    val nterms = must.groupBy("query_id").agg(count(lit(1)).as("n_must"))
+    val matched = toks.join(broadcast(must), "term")
+      .groupBy("doc_id", "query_id").agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nterms), "query_id")
+      .filter(col("n_hit") === col("n_must"))
+      .select("doc_id", "query_id")
+    val mustNot = queries
+      .select(col("query_id"), explode(col("must_not")).as("term")).distinct()
+    val vetoed = toks.join(broadcast(mustNot), "term")
+      .select("doc_id", "query_id").distinct()
+    matched.join(vetoed, Seq("doc_id", "query_id"), "left_anti")
+  }
+
   /** Index introspection (Lucene's segment-info/CheckIndex surface): one
     * row of corpus-level statistics — vocabulary size, posting count,
     * token count, doc count, average doc length. Two aggregations over

@@ -2043,6 +2043,49 @@ object Fts extends QueryPack {
                SELECT doc_id, round(s, 4) AS score FROM sc
                ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
 
+    // PERCOLATOR — reverse search (Elasticsearch percolate): saved
+    // queries are the index, arriving documents are the probes — the
+    // alerting shape. Four stored subscriptions (conjunctive musts, one
+    // with a mustNot veto) against the first 200 docs; matching is one
+    // term-keyed broadcast join + count equality, the veto an anti-join,
+    // never a doc×query product. Oracle replays musts, counts, and veto.
+    Q("q_fts_percolate",
+      (s, dir) => {
+        import s.implicits._
+        val subs = Seq(
+          (1L, Seq("spark", "query"), Seq.empty[String]),
+          (2L, Seq("fast", "scan"), Seq("slow")),
+          (3L, Seq("dup"), Seq.empty[String]),
+          (4L, Seq("nonexistentterm"), Seq.empty[String])
+        ).toDF("query_id", "must", "must_not")
+        Search.percolate(
+          Tables(s, dir, "documents").filter(col("doc_id") < 200), subs)
+          .orderBy("doc_id", "query_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents
+                             WHERE doc_id < 200),
+               d AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+               subs(query_id, must, must_not) AS (VALUES
+                 (1, ['spark', 'query'], []::VARCHAR[]),
+                 (2, ['fast', 'scan'], ['slow']),
+                 (3, ['dup'], []::VARCHAR[]),
+                 (4, ['nonexistentterm'], []::VARCHAR[])),
+               m AS (SELECT DISTINCT query_id, unnest(must) AS term FROM subs),
+               nt AS (SELECT query_id, count(*) AS n_must FROM m GROUP BY 1),
+               hit AS (SELECT d.doc_id, m.query_id, count(*) AS n_hit
+                       FROM d JOIN m USING (term) GROUP BY 1, 2),
+               ok AS (SELECT doc_id, hit.query_id FROM hit
+                      JOIN nt ON hit.query_id = nt.query_id
+                      WHERE n_hit = n_must),
+               mn AS (SELECT DISTINCT query_id, unnest(must_not) AS term
+                      FROM subs),
+               veto AS (SELECT DISTINCT d.doc_id, mn.query_id
+                        FROM d JOIN mn USING (term))
+               SELECT ok.doc_id, CAST(ok.query_id AS BIGINT) AS query_id
+               FROM ok ANTI JOIN veto
+                 ON ok.doc_id = veto.doc_id AND ok.query_id = veto.query_id
+               ORDER BY doc_id, query_id""")),
+
     // CJK segmentation (the no-word-delimiter story): AnalyzerConfig's
     // cjkBigrams base tokenizer emits character bigrams for CJK runs and
     // v1 word tokens for Latin runs. The query '東京都' becomes bigrams

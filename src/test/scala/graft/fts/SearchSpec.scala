@@ -512,6 +512,20 @@ class SearchSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("percolate: conjunctive musts, mustNot veto, no cross product semantics") {
+    import spark.implicits._
+    val subs = Seq(
+      (10L, Seq("spark", "data"), Seq.empty[String]),   // docs 1, 3
+      (20L, Seq("big"), Seq("results")),                // doc 1 (2 vetoed)
+      (30L, Seq("big", "big"), Seq.empty[String]),      // dup terms dedupe
+      (40L, Seq("missing"), Seq.empty[String])          // matches nothing
+    ).toDF("query_id", "must", "must_not")
+    val r = Search.percolate(docs, subs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 10L), (3L, 10L), (1L, 20L), (1L, 30L), (2L, 30L)),
+      r.toString)
+  }
+
   test("trigram substring search: cross-token needles, verify kills FPs") {
     import spark.implicits._
     val corpus = Seq(
