@@ -515,6 +515,70 @@ object Sources extends QueryPack {
                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
                GROUP BY lang ORDER BY lang""")),
 
+    // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
+    // subscriptions probe each arriving micro-batch (two parity batches,
+    // maxFilesPerTrigger=1) and alert pairs append to the partitioned
+    // log. Stateless per doc against fixed subscriptions ⇒ streamed
+    // union == one batch percolate — the SAME oracle shape as
+    // q_fts_percolate, hash exact.
+    Q("q_stream_percolate",
+      (s, dir) => {
+        import s.implicits._
+        val root = tmp("stream_percolate")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 200)
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(docs.filter(col("doc_id") % 2 === 0), "batch0", t0)
+        stage(docs.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+        val subs = Seq(
+          (1L, Seq("spark", "query"), Seq.empty[String]),
+          (2L, Seq("fast", "scan"), Seq("slow")),
+          (3L, Seq("dup"), Seq.empty[String])
+        ).toDF("query_id", "must", "must_not")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamCurate.startPercolated(
+          stream, subs, s"$root/alerts").awaitTermination()
+        s.read.parquet(s"$root/alerts/data").drop("batch_id")
+          .orderBy("doc_id", "query_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${Pipeline.DTOKS} AS t FROM documents
+                             WHERE doc_id < 200),
+               d AS (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+               subs(query_id, must, must_not) AS (VALUES
+                 (1, ['spark', 'query'], []::VARCHAR[]),
+                 (2, ['fast', 'scan'], ['slow']),
+                 (3, ['dup'], []::VARCHAR[])),
+               m AS (SELECT DISTINCT query_id, unnest(must) AS term FROM subs),
+               nt AS (SELECT query_id, count(*) AS n_must FROM m GROUP BY 1),
+               hit AS (SELECT d.doc_id, m.query_id, count(*) AS n_hit
+                       FROM d JOIN m USING (term) GROUP BY 1, 2),
+               ok AS (SELECT doc_id, hit.query_id FROM hit
+                      JOIN nt ON hit.query_id = nt.query_id
+                      WHERE n_hit = n_must),
+               mn AS (SELECT DISTINCT query_id, unnest(must_not) AS term
+                      FROM subs),
+               veto AS (SELECT DISTINCT d.doc_id, mn.query_id
+                        FROM d JOIN mn USING (term))
+               SELECT ok.doc_id, CAST(ok.query_id AS BIGINT) AS query_id
+               FROM ok ANTI JOIN veto
+                 ON ok.doc_id = veto.doc_id AND ok.query_id = veto.query_id
+               ORDER BY doc_id, query_id""")),
+
     // QUALITY FILTERING at ingest — the C4 scrub then the Gopher rules per
     // micro-batch (StreamCurate.startQualityFiltered), over the doubled
     // curation fixture (docs must clear Gopher's 50-word floor AFTER C4

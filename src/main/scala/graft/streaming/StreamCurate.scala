@@ -45,6 +45,31 @@ object StreamCurate {
   def read(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/data").drop("batch_id")
 
+  /** PERCOLATION at ingest — the alerting sink (the percolator's natural
+    * home: "tell me when a doc matching my saved query ARRIVES"): each
+    * micro-batch probes the FIXED subscription table
+    * ([[graft.fts.Search.percolate]]) and the (doc_id, query_id) alert
+    * pairs land in the partitioned log. Per-document and stateless
+    * against fixed subscriptions ⇒ the streamed union equals one batch
+    * percolate over the whole corpus (the oracle contract); per batch
+    * the work is two batch-sized broadcast joins against the
+    * subscription side — no cross-batch state, no corpus shuffle. */
+  def startPercolated(docsStream: DataFrame, subscriptions: DataFrame,
+                      outDir: String): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fts.Search.percolate(batch, subscriptions)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/data")
+      }
+      .start()
+
   /** QUALITY filtering at ingest — the C4 line/page scrub
     * ([[graft.pipeline.Curation.c4Clean]]) then the Gopher document rules
     * ([[graft.pipeline.Curation.gopherQuality]], judged on the CLEANED
