@@ -94,6 +94,31 @@ class PlanShapeSpec extends SparkSpec {
       "the global top-k must be TakeOrderedAndProject, not a full sort")
   }
 
+  test("q_fts_block_join: per-parent argmax is WindowGroupLimit, no product") {
+    val plan = planOf("q_fts_block_join")
+    assert(plan.contains("WindowGroupLimit"),
+      s"best-child must bound map-side:\n${plan.take(2000)}")
+    // the only nested-loop joins allowed are the 1-row stats broadcasts
+    // (crossJoin(broadcast(ix.stats)) — the accepted scalar idiom)
+    assert(!plan.contains("CartesianProduct"),
+      "parent aggregation must stay equi-join shaped")
+  }
+
+  test("q_graph_linkpred: candidates via equi-joins only, never all-pairs") {
+    val plan = planOf("q_graph_linkpred")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"two-hop candidate generation must be an equi-join:\n${plan.take(2000)}")
+  }
+
+  test("q_text_kn: every count table joins broadcast, no corpus-sized shuffle join") {
+    val plan = planOf("q_text_kn")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary-scale LM tables must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the bigram stream must never shuffle against the model tables")
+  }
+
   test("q_join_bucketed reads buckets on both sides (no join-side shuffle)") {
     val plan = planOf("q_join_bucketed")
     assert(plan.contains("SortMergeJoin"))
