@@ -277,10 +277,21 @@ object Dedup {
                            n: Int = 13, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     require(n >= 1, "shingle width must be positive")
-    def grams(df: DataFrame, cols: Column*) = df.select(cols :+
-      explode(Analyzer.shingles(Analyzer.tokenize(col(textCol)), n)).as("g"): _*)
-    val bg = grams(benchmark).distinct()
-    grams(corpus, col(idCol).as("contaminated_id"))
+    // grams via array_join(slice(t, i, n)) over a FIRST-materialized token
+    // column — the exactSubstrDedup shape. Analyzer.shingles' n-way
+    // element_at composition re-inlines the tokenizer per slot (13-gram =
+    // 13 tokenizations per position once CollapseProject flattens it —
+    // the round-6 interpreted-HOF trap; measured 28 s vs ~1 s here).
+    def gramCol(t: Column): Column = filter(
+      transform(t, (_, i) =>
+        when(i <= size(t) - n, array_join(slice(t, i + 1, lit(n)), " "))),
+      g => g.isNotNull)
+    val bg = benchmark.select(Analyzer.tokenize(col(textCol)).as("t"))
+      .select(explode(gramCol(col("t"))).as("g")).distinct()
+    corpus
+      .select(col(idCol).as("contaminated_id"),
+        Analyzer.tokenize(col(textCol)).as("t"))
+      .select(col("contaminated_id"), explode(gramCol(col("t"))).as("g"))
       .join(broadcast(bg), "g")
       .select("contaminated_id").distinct()
   }

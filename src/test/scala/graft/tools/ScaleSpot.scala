@@ -79,7 +79,8 @@ object ScaleSpot {
       // round-13 closing wave: persisted block-max serving (write-heavy
       // lifecycle), CCNet tertile buckets (perplexity + 2 tiny aggs),
       // exact 13-gram decontamination (broadcast gram semi-join)
-      "q_fts_wand_persisted", "q_pipeline_ccnet", "q_dedup_decontam_ngram")
+      "q_fts_wand_persisted", "q_pipeline_ccnet", "q_dedup_decontam_ngram",
+      "q_fts_percolate")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
