@@ -1010,6 +1010,59 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosim"))
   }
 
+  /** GRAPH-BASED ANN — a deterministic single-layer NSW (the
+    * navigable-small-world family HNSW stacks into layers; Malkov &
+    * Yashunin 2018, simplified to one layer with a FIXED entry point so
+    * every step replays across engines): the index is the k-NN GRAPH
+    * (each vector's `degree` best neighbors — [[knnJoin]] in exact mode),
+    * serving is a `hops`-step beam search — expand the beam's
+    * out-neighbors, rescore against the query, keep the best `beam` by
+    * (rounded cosine, id) — then top-k from the final beam.
+    *
+    * Scale shape: the graph build is the blocked [[knnJoin]] (an index-
+    * time cost, persisted in a real deployment); serving touches
+    * ≤ hops · beam · degree candidate rows regardless of corpus size —
+    * the sublinear-serving property that makes graph ANN the
+    * low-latency alternative to IVF probing. The graph is persisted for
+    * the duration of the search so the build runs once, not per hop;
+    * each hop's beam is localCheckpointed (beam-sized) to truncate the
+    * iterative lineage. Greedy beam search can miss across graph
+    * disconnections — recall is measured, not promised (like every ANN
+    * path here). */
+  def nswTopK(emb: DataFrame, queryId: Long, k: Int, degree: Int = 8,
+              beam: Int = 16, hops: Int = 3, nlist: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && degree >= 1 && hops >= 1, "k, degree, hops must be positive")
+    require(beam >= k, s"beam $beam must cover k=$k")
+    val graph = knnJoin(emb, emb, degree, nlist, nprobe = nlist,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("q_id").as("src"), col("n_id").as("dst"))
+      .persist()
+    try {
+      graph.count() // materialize once; hops re-read it
+      val q = emb.filter(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv")).limit(1)
+      val vecs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      def scored(ids: DataFrame): DataFrame = ids.join(vecs, "id")
+        .crossJoin(broadcast(q))
+        .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("s"))
+      var cand = scored(vecs.agg(min(col("id")).as("id")))
+        .localCheckpoint()
+      for (_ <- 1 to hops) {
+        val nbrs = cand.select(col("id"))
+          .join(graph, col("id") === col("src"))
+          .select(col("dst").as("id"))
+        val pool = cand.select("id").union(nbrs).distinct()
+        cand = scored(pool)
+          .orderBy(col("s").desc, col("id")).limit(beam)
+          .localCheckpoint()
+      }
+      cand.filter(col("id") =!= queryId)
+        .orderBy(col("s").desc, col("id")).limit(k)
+        .select(col("id").as(idCol), col("s").as("cosim"))
+    } finally graph.unpersist()
+  }
+
   /** Symmetric int8 quantization scale for a vector: 127/max|xᵢ| — the
     * storage-compression step a 100 TB embedding corpus ships with (4×
     * smaller than float32; dot products stay rank-preserving to ~1e-2).

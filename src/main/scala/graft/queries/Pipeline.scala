@@ -889,6 +889,49 @@ object Pipeline extends QueryPack {
     // brute force — the DuckDB oracle replays the per-query cosine top-5
     // and must hash-match (q_sim_cosine's contract, batched). The pruned
     // mode's recall contract is q_sim_knn_join below.
+    // GRAPH-BASED ANN — single-layer NSW (the family HNSW stacks; Malkov
+    // & Yashunin 2018) made fully deterministic: exact k-NN graph
+    // (degree 8), fixed min-id entry, 3-hop beam-16 search, every beam
+    // cut on (rounded cosine, id). The oracle replays the ENTIRE search
+    // — brute-force graph, entry, all three unrolled hops, final top-10
+    // — so this is hash-exact, not a recall verdict. Serving touches
+    // ≤ hops·beam·degree rows regardless of corpus size.
+    Q("q_sim_nsw",
+      (s, dir) => Similarity.nswTopK(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 500),
+        queryId = 7L, k = 10),
+      Some {
+        val cos = (a: String, b: String) =>
+          s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+            s"sqrt(list_dot_product($b, $b))), 4)"
+        val base = s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings WHERE vec_id < 500),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+              sc AS MATERIALIZED (
+                SELECT e.vec_id AS id, ${cos("v", "qv")} AS s
+                FROM e CROSS JOIN q),
+              g AS MATERIALIZED (SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                  row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                    ${cos("a.v", "b.v")} DESC, b.vec_id) AS rk
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rk <= 8),
+              c0 AS MATERIALIZED (SELECT id, s FROM sc
+                WHERE id = (SELECT min(vec_id) FROM e))"""
+        val hopSteps = (1 to 3).map { i =>
+          s"""p$i AS (SELECT DISTINCT id FROM (
+                SELECT id FROM c${i - 1}
+                UNION ALL
+                SELECT g.dst AS id FROM c${i - 1} c JOIN g ON c.id = g.src)),
+              c$i AS MATERIALIZED (
+                SELECT sc.id, sc.s FROM p$i JOIN sc USING (id)
+                ORDER BY s DESC, id LIMIT 16)"""
+        }.mkString(",\n")
+        s"""$base,
+            $hopSteps
+            SELECT id AS vec_id, s AS cosim FROM c3 WHERE id <> 7
+            ORDER BY s DESC, id LIMIT 10"""
+      }),
+
     // MATRYOSHKA truncated serving (Kusupati et al. 2022): rank by the
     // leading 32 of 64 dims (cosine renormalizes implicitly) and audit
     // each hit against the full-dim top-10 — the scan-width/IO lever for

@@ -50,6 +50,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.matryoshkaTopK(emb, 0L, k = 2, dims = 0))
   }
 
+  test("nswTopK: beam search over a connected graph recovers exact top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one cloud, degree 8 of 11 → near-complete graph, so a wide beam
+    // reaches everything within 3 hops and must equal brute force
+    val emb = (0L to 11L).map(i =>
+      (i, Array(1.0f, i / 12.0f, (i % 3) / 3.0f, (i % 5) / 5.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    val nsw = rows(Similarity.nswTopK(emb, queryId = 7L, k = 5,
+      degree = 8, beam = 12, hops = 3, nlist = 2))
+    val exact = rows(Similarity.bruteForceTopK(emb, queryId = 7L, k = 5))
+    assert(nsw == exact, s"nsw $nsw vs exact $exact")
+    // result is bounded by k and never returns the query itself
+    assert(nsw.length == 5 && !nsw.exists(_._1 == 7L))
+    intercept[IllegalArgumentException](
+      Similarity.nswTopK(emb, 7L, k = 5, beam = 3))
+    intercept[IllegalArgumentException](
+      Similarity.nswTopK(emb, 7L, k = 0))
+  }
+
   test("cosine column computes expected values") {
     val r = Similarity.bruteForceTopK(emb, 0L, 4)
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
