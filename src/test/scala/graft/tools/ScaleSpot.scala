@@ -45,6 +45,7 @@ object ScaleSpot {
     ensure("documents")(ScaleCorpus.documents(spark, out, factor))
     ensure("embeddings")(ScaleCorpus.embeddings(spark, out, factor))
     ensure("lineitem")(ScaleCorpus.lineitem(spark, out, factor))
+    ensure("events")(ScaleCorpus.events(spark, out, factor))
     // small tables some query setups read incidentally
     ensure("nation")(ScaleCorpus.smallTables(spark, out))
     ensure("orders")(ScaleCorpus.orders(spark, out, factor))
@@ -80,7 +81,12 @@ object ScaleSpot {
       // lifecycle), CCNet tertile buckets (perplexity + 2 tiny aggs),
       // exact 13-gram decontamination (broadcast gram semi-join)
       "q_fts_wand_persisted", "q_pipeline_ccnet", "q_dedup_decontam_ngram",
-      "q_fts_percolate")
+      "q_fts_percolate", "q_sim_nsw", "q_sim_matryoshka",
+      "q_temporal_gapfill")
+    // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
+    // already-materialized corpus (iterating on one operator's plan)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
@@ -93,7 +99,7 @@ object ScaleSpot {
     // min-of-2, ALTERNATING: the first execution of a query pays its
     // codegen/JIT/index-build warmup, so a single 1×-then-N× pass
     // understates the ratio (the N× run rides the 1× run's warm code).
-    val rows = names.map { n =>
+    val rows = names.filter(n => only.forall(_(n))).map { n =>
       val a1 = time(base, n); val aN = time(out, n)
       val b1 = time(base, n); val bN = time(out, n)
       val t1 = math.min(a1, b1); val tN = math.min(aN, bN)
