@@ -725,6 +725,31 @@ object Sources extends QueryPack {
       Some("""SELECT user_id, count(*) AS events, max(value) AS max_value
               FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // STREAMING GAP FILL — stateful LOCF (the q_temporal_gapfill batch
+    // dual through flatMapGroupsWithState): two hour-boundary-aligned
+    // micro-batches, state = one (hour, value) pair per user, gap rows
+    // crossing the batch cut emitted from carried state. Every grid row
+    // appears exactly once (Append mode); sums in exact DECIMAL. Oracle
+    // = the batch grid + IGNORE NULLS forward fill.
+    Q("q_stream_gapfill",
+      (s, dir) => StreamOps.runStreamGapFill(s, dir),
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS b,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                FROM events WHERE user_id < 10 GROUP BY 1, 2),
+              s AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                    FROM e GROUP BY 1),
+              grid AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                       FROM s),
+              j AS (SELECT g.user_id, g.b, e.v FROM grid g
+                    LEFT JOIN e ON g.user_id = e.user_id AND g.b = e.b)
+              SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS ws,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS value,
+                v IS NULL AS filled
+              FROM j ORDER BY user_id, ws""")),
+
     // transformWithState (the Spark-4 arbitrary-state API v2 — typed named
     // state handles over the RocksDB provider): the SAME running (count,
     // max) contract as q_stream_stateful, so the two state APIs are pinned

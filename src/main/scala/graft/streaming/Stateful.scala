@@ -14,6 +14,14 @@ final case class UserSnapshot(user_id: Long, events: Long, total: Double)
 final case class UserMaxState(events: Long, maxValue: Double)
 final case class UserActivity(user_id: Long, events: Long, max_value: Double)
 
+/** One event mapped to its hourly bucket (epoch hours). */
+final case class HourObs(user_id: Long, hour: Long, value: Double)
+/** Gap-fill carry state: the key's last observed bucket and value. */
+final case class FillState(lastHour: Long, lastValue: Double)
+/** One grid row: observed (filled=false) or carried forward (true). */
+final case class FilledHour(user_id: Long, hour: Long, value: Double,
+                            filled: Boolean)
+
 /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState —
   * the Structured-Streaming successor of the reference's DStream
   * `updateStateByKey` (streaming PairDStreamFunctions.scala:397) /
@@ -64,6 +72,47 @@ object Stateful {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         updateUserIfHot(threshold))
+  }
+
+  /** STREAMING GAP FILL (the stateful dual of [[graft.ops.GapFill]]):
+    * per-key LOCF over an hourly grid, carried ACROSS micro-batches —
+    * when a new bucket arrives, every empty hour since the key's last
+    * observed bucket is emitted with the carried value and `filled =
+    * true`. Requires event-time-ordered arrival with batch splits on
+    * bucket boundaries (the staging contract of the verification query);
+    * per-bucket sums run in exact 2-dp BigDecimal (the DECIMAL
+    * convention double sums can't replay). Every (key, bucket) row is
+    * emitted exactly once, so Append mode is correct; state is ONE
+    * (hour, value) pair per key regardless of history length. */
+  def fillUserHours(id: Long, rows: Iterator[HourObs],
+                    state: GroupState[FillState]): Iterator[FilledHour] = {
+    val sums = scala.collection.mutable.TreeMap.empty[Long, BigDecimal]
+    rows.foreach { r =>
+      val bd = BigDecimal.valueOf(r.value).setScale(2,
+        scala.math.BigDecimal.RoundingMode.HALF_UP)
+      sums(r.hour) = sums.getOrElse(r.hour, BigDecimal(0)) + bd
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[FilledHour]
+    var st = state.getOption
+    for ((h, v) <- sums) {
+      st.foreach { s =>
+        var g = s.lastHour + 1
+        while (g < h) { out += FilledHour(id, g, s.lastValue, filled = true); g += 1 }
+      }
+      val dv = v.toDouble
+      out += FilledHour(id, h, dv, filled = false)
+      st = Some(FillState(h, dv))
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** [[fillUserHours]] over a keyed stream. */
+  def gapFillHours(obs: Dataset[HourObs]): Dataset[FilledHour] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        fillUserHours)
   }
 
   def updateActivity(id: Long, events: Iterator[UserEvent],

@@ -150,6 +150,60 @@ object StreamOps {
   /** Custom streaming state end-to-end: per-user running (count, max)
     * through mapGroupsWithState over the file stream; Update mode with a
     * single AvailableNow batch emits exactly one snapshot per user. */
+  /** [[Stateful.gapFillHours]] end-to-end: events (user_id < 10) staged as
+    * TWO event-time-ordered micro-batches split ON AN HOUR BOUNDARY
+    * (2024-01-16 00:00 UTC — the bucket-aligned split the operator's
+    * arrival contract requires, so no bucket's sum straddles batches),
+    * then the stateful LOCF emits every grid hour exactly once; gap rows
+    * crossing the batch cut are produced in batch 1 from batch 0's
+    * carried state — the cross-batch behavior under test. Result ==
+    * the batch GapFill.fillForward (the oracle replays that). */
+  def runStreamGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = graft.core.Scratch.dir("events_gapfill_stream")
+    val fs = new org.apache.hadoop.fs.Path(landing)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(landing), true)
+    // schema-portable: ts may land as nanos BIGINT, TIMESTAMP_NTZ, or
+    // TIMESTAMP depending on the fixture vintage — normalize first
+    val ev = graft.core.EventTime.toTimestamp(
+      spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 10))
+    val cut = expr("TIMESTAMP'2024-01-16 00:00:00'")
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stageDir = s"$landing/../stage_gapfill_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+      val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, mtime, -1)
+    }
+    val t0 = 1700000000000L
+    stage(ev.filter(col("ts") < cut), "batch0", t0)
+    stage(ev.filter(col("ts") >= cut), "batch1", t0 + 60000)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val obs = stream.select(col("user_id"),
+        expr("unix_seconds(ts) DIV 3600").as("hour"),
+        col("value"))
+      .as[HourObs]
+    val sink = s"graft_gapfill_sink_${sinkSeq.incrementAndGet()}"
+    val q = Stateful.gapFillHours(obs).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"),
+        date_format(timestamp_seconds(col("hour") * 3600L),
+          "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("value"), col("filled"))
+      .orderBy("user_id", "ws")
+  }
+
   def runStreamStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = eventsStream(spark, dir, graft.core.Scratch.dir("events_state_stream"))

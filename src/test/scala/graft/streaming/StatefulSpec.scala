@@ -35,6 +35,38 @@ class StatefulSpec extends SparkSpec {
     assert(rows == Set((1L, 3L, 13.0), (2L, 1L, 5.0)))
   }
 
+  test("gapFillHours carries LOCF state across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+
+    val input = MemoryStream[HourObs]
+    val q = Stateful.gapFillHours(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    // batch 0: user 1 observed at hours 10 and 12 (gap at 11, same batch);
+    // two events in hour 10 must sum exactly
+    input.addData(HourObs(1L, 10L, 1.25), HourObs(1L, 10L, 2.50),
+      HourObs(1L, 12L, 7.0))
+    q.processAllAvailable()
+    // batch 1: next observation at hour 15 — gaps 13, 14 must be emitted
+    // HERE from the state carried out of batch 0
+    input.addData(HourObs(1L, 15L, 9.0), HourObs(2L, 3L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("gapfill_sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(rows == Set(
+      (1L, 10L, 3.75, false), (1L, 11L, 3.75, true), (1L, 12L, 7.0, false),
+      (1L, 13L, 7.0, true), (1L, 14L, 7.0, true), (1L, 15L, 9.0, false),
+      (2L, 3L, 4.0, false)), rows.toString)
+  }
+
   test("flatMapGroupsWithState emits only on threshold crossing") {
     val sparkS = spark
     import sparkS.implicits._
