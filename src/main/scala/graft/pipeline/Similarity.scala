@@ -1029,24 +1029,44 @@ object Similarity {
     * iterative lineage. Greedy beam search can miss across graph
     * disconnections — recall is measured, not promised (like every ANN
     * path here). */
-  def nswTopK(emb: DataFrame, queryId: Long, k: Int, degree: Int = 8,
-              beam: Int = 16, hops: Int = 3, nlist: Int = 16,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && degree >= 1 && hops >= 1, "k, degree, hops must be positive")
-    require(beam >= k, s"beam $beam must cover k=$k")
-    val graph = knnJoin(emb, emb, degree, nlist, nprobe = nlist,
+  /** The NSW out-neighbor graph: each vector's `degree` best neighbors.
+    * `nprobe = 0` (default) builds EXACTLY (all cells probed — what the
+    * oracle replays); a positive nprobe builds the approximate graph a
+    * large corpus would (the same accuracy economics as real HNSW
+    * construction, measured in AnnRecallSpot). */
+  def nswGraph(emb: DataFrame, degree: Int = 8, nlist: Int = 16,
+               nprobe: Int = 0, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    knnJoin(emb, emb, degree, nlist,
+        nprobe = if (nprobe > 0) nprobe else nlist,
         idCol = idCol, vecCol = vecCol)
       .select(col("q_id").as("src"), col("n_id").as("dst"))
-      .persist()
-    try {
-      graph.count() // materialize once; hops re-read it
+
+  /** Beam search over a PRE-BUILT (caller-persisted) [[nswGraph]] — the
+    * serving half of [[nswTopK]], for deployments where the graph is an
+    * index-time artifact probed by many queries. */
+  def nswSearch(emb: DataFrame, graph: DataFrame, queryId: Long, k: Int,
+                beam: Int = 16, hops: Int = 3, entries: Int = 16,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && hops >= 1, "k and hops must be positive")
+    require(beam >= k, s"beam $beam must cover k=$k")
+    require(entries >= 1, "need at least one entry point")
+    locally {
       val q = emb.filter(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv")).limit(1)
       val vecs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       def scored(ids: DataFrame): DataFrame = ids.join(vecs, "id")
         .crossJoin(broadcast(q))
         .select(col("id"), round(cosine(col("v"), col("qv")), 4).as("s"))
-      var cand = scored(vecs.agg(min(col("id")).as("id")))
+      // MULTI-ENTRY seeding (the DiskANN medoid-set / HNSW upper-layer
+      // role): a k-NN graph over clustered data grows NO cross-cluster
+      // edges (intra-cluster neighbors always win), so a single entry
+      // can never leave its island — measured 0.06 recall@10 on the
+      // 16-cluster corpus vs 1.00 with 16 spread entries. Lowest
+      // `entries` ids = deterministic and oracle-replayable.
+      var cand = scored(vecs.select("id").orderBy(col("id")).limit(entries))
+        .orderBy(col("s").desc, col("id")).limit(beam)
         .localCheckpoint()
       for (_ <- 1 to hops) {
         val nbrs = cand.select(col("id"))
@@ -1060,6 +1080,19 @@ object Similarity {
       cand.filter(col("id") =!= queryId)
         .orderBy(col("s").desc, col("id")).limit(k)
         .select(col("id").as(idCol), col("s").as("cosim"))
+    }
+  }
+
+  /** One-call NSW: build the exact graph, search, release. */
+  def nswTopK(emb: DataFrame, queryId: Long, k: Int, degree: Int = 8,
+              beam: Int = 16, hops: Int = 3, nlist: Int = 16,
+              entries: Int = 16, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(degree >= 1, "degree must be positive")
+    val graph = nswGraph(emb, degree, nlist, nprobe = 0, idCol, vecCol).persist()
+    try {
+      graph.count() // materialize once; hops re-read it
+      nswSearch(emb, graph, queryId, k, beam, hops, entries, idCol, vecCol)
     } finally graph.unpersist()
   }
 

@@ -891,8 +891,11 @@ object Pipeline extends QueryPack {
     // mode's recall contract is q_sim_knn_join below.
     // GRAPH-BASED ANN — single-layer NSW (the family HNSW stacks; Malkov
     // & Yashunin 2018) made fully deterministic: exact k-NN graph
-    // (degree 8), fixed min-id entry, 3-hop beam-16 search, every beam
-    // cut on (rounded cosine, id). The oracle replays the ENTIRE search
+    // (degree 8), MULTI-ENTRY seed (16 lowest ids — the DiskANN
+    // medoid-set role; a clustered corpus's k-NN graph has no
+    // cross-cluster edges, so single-entry search can't leave its
+    // island), 3-hop beam-16 search, every beam cut on (rounded cosine,
+    // id). The oracle replays the ENTIRE search
     // — brute-force graph, entry, all three unrolled hops, final top-10
     // — so this is hash-exact, not a recall verdict. Serving touches
     // ≤ hops·beam·degree rows regardless of corpus size.
@@ -915,8 +918,9 @@ object Pipeline extends QueryPack {
                   row_number() OVER (PARTITION BY a.vec_id ORDER BY
                     ${cos("a.v", "b.v")} DESC, b.vec_id) AS rk
                 FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rk <= 8),
-              c0 AS MATERIALIZED (SELECT id, s FROM sc
-                WHERE id = (SELECT min(vec_id) FROM e))"""
+              c0 AS MATERIALIZED (SELECT id, s FROM
+                (SELECT id, s FROM sc ORDER BY id LIMIT 16)
+                ORDER BY s DESC, id LIMIT 16)"""
         val hopSteps = (1 to 3).map { i =>
           s"""p$i AS (SELECT DISTINCT id FROM (
                 SELECT id FROM c${i - 1}

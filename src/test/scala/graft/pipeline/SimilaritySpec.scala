@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
       Similarity.nswTopK(emb, 7L, k = 0))
   }
 
+  test("nswTopK: multi-entry seeding crosses graph islands a single entry can't") {
+    import spark.implicits._
+    // two orthogonal clusters: the k-NN graph grows no cross-cluster
+    // edges, so search seeded only at id 0 (island A) never reaches the
+    // query's island B — the measured 0.06-recall failure mode the
+    // multi-entry seed exists for
+    val islands = ((0L to 4L).map(i => (i, Array(1.0f, i * 0.01f, 0f, 0f))) ++
+      (10L to 14L).map(i => (i, Array(0f, 0f, 1.0f, (i - 10) * 0.01f))))
+      .toDF("vec_id", "embedding")
+    def ids(entries: Int) = Similarity.nswTopK(islands, queryId = 12L, k = 3,
+      degree = 4, beam = 8, hops = 3, nlist = 2, entries = entries)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(islands, 12L, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1).intersect(exact).isEmpty, "single entry must stay on island A")
+    assert(ids(6) == exact, s"${ids(6)} vs $exact")
+  }
+
   test("cosine column computes expected values") {
     val r = Similarity.bruteForceTopK(emb, 0L, 4)
       .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap

@@ -93,6 +93,31 @@ object AnnRecallSpot {
       } finally clustered.unpersist()
     }
 
+    /** Mean recall@10 of NSW beam search (graph built APPROXIMATELY with
+      * nprobe 4/16 — the large-corpus construction economics — searched
+      * with beam 32 / 4 hops from the fixed min-id entry) over the same
+      * 16 query ids vs brute force. */
+    def nswRecall(dir: String, tag: String): Double = {
+      val clustered = clusteredOf(dir).persist()
+      clustered.count()
+      try {
+        val graph = Similarity.nswGraph(clustered, degree = 8, nlist = 16,
+          nprobe = 4).persist()
+        graph.count()
+        try {
+          val recalls = (0L until 16L).map { qid =>
+            val exact = Similarity.bruteForceTopK(clustered, qid, 10)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            val got = Similarity.nswSearch(clustered, graph, qid, 10,
+                beam = 32, hops = 4)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            exact.intersect(got).size / 10.0
+          }
+          recalls.sum / recalls.size
+        } finally graph.unpersist()
+      } finally clustered.unpersist()
+    }
+
     val base = ScaleCorpus.base
     val (adc1, ref1) = ivfpqRecall(base, "b")
     val (adcN, refN) = ivfpqRecall(out, "s")
@@ -102,7 +127,9 @@ object AnnRecallSpot {
       // 20 queries at 1×, ~200 at ×10: sample thins with corpus growth so
       // the exact dual stays a bounded full pass
       ("knn_join_1x", knnJoinRecall(base, "b", 100)),
-      (s"knn_join_${factor}x", knnJoinRecall(out, "s", 100)))
+      (s"knn_join_${factor}x", knnJoinRecall(out, "s", 100)),
+      ("nsw_1x", nswRecall(base, "b")),
+      (s"nsw_${factor}x", nswRecall(out, "s")))
     println(s"""{"scale_factor":$factor,"ncent":$ncent,"refine":$refine,"residual":$residual,"recall_at_10":{""" +
       r.map { case (n, v) => f""""$n":$v%.3f""" }.mkString(",") + "}}")
   }
