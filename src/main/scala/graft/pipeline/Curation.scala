@@ -116,4 +116,47 @@ object Curation {
           !lower(col(textCol)).contains("lorem ipsum") &&
           !col(textCol).contains("{")).as("keep"))
   }
+
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020 §3.1.4 — the denoising
+    * objective's offline data prep): mask token spans, replace each
+    * masked span in the INPUT with one sentinel, emit the TARGETS as the
+    * sentinel-prefixed masked spans. The paper samples span positions;
+    * this variant is fully DETERMINISTIC — fixed `span`-token groups,
+    * group g of doc d masked iff the first 3 md5 hex chars of "d:g" fall
+    * under rate·4096 — so any worker, any retry, any engine regenerates
+    * the identical example pair (the q_pipeline_sample_det philosophy:
+    * content-derived pseudo-randomness over RNG state).
+    *
+    * Pure narrow projection over the token array — no shuffle, no UDF;
+    * composes into any curation chain at any corpus size. Output:
+    * (idCol, corrupted, targets, n_masked). */
+  def spanCorrupt(docs: DataFrame, span: Int = 3, rate: Double = 0.15,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(span >= 1, "span must be positive")
+    require(rate > 0 && rate < 1, s"rate must be in (0,1), got $rate")
+    val thr = math.round(rate * 4096).toInt
+    val t = graft.fts.Analyzer.tokenize(col(textCol))
+    val ng = ceil(size(col("t")).cast("double") / span).cast("int")
+    val masked = filter(sequence(lit(0), ng - 1), g =>
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        g.cast("string"))), 1, 3), 16, 10).cast("int") < thr)
+    val sentinel = (i: Column) => concat(lit("<extra_id_"),
+      i.cast("string"), lit(">"))
+    docs.select(col(idCol), t.as("t"))
+      .select(col(idCol), col("t"), masked.as("mg"))
+      .select(col(idCol),
+        array_join(filter(transform(col("t"), (tok, p) => {
+          val g = (p / span).cast("int")
+          val idx = array_position(col("mg"), g)
+          when(idx === 0, tok)                      // unmasked group
+            .when(p % span === 0, sentinel(idx - 1)) // span head → sentinel
+            .otherwise(lit(null))                    // masked tail → drop
+        }), x => x.isNotNull), " ").as("corrupted"),
+        array_join(transform(col("mg"), (g, i) =>
+          concat(sentinel(lit(i)), lit(" "),
+            array_join(slice(col("t"), g * span + lit(1), lit(span)), " "))),
+          " ").as("targets"),
+        size(col("mg")).as("n_masked"))
+  }
 }

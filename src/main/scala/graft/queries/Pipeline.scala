@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -1580,6 +1580,41 @@ object Pipeline extends QueryPack {
                        FROM named)
                SELECT doc_id, phrase, score FROM top WHERE rn <= 3
                ORDER BY doc_id, score DESC, phrase""")),
+
+    // T5 SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the denoising
+    // objective's offline prep, made deterministic: fixed 3-token
+    // groups, group (doc, g) masked iff md5("doc:g") 3-hex < 614
+    // (rate 0.15·4096), sentinels numbered in span order. The oracle
+    // replays hashing, masking, sentinel numbering, and both the
+    // corrupted input and the target sequence byte-for-byte.
+    Q("q_pipeline_spanmask",
+      (s, dir) => Curation.spanCorrupt(
+        Tables(s, dir, "documents").filter(col("doc_id") < 300))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents
+                             WHERE doc_id < 300),
+               m AS (SELECT doc_id, t,
+                       [g FOR g IN range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))
+                        IF ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+                          g::VARCHAR), 1, 3))::INT < 614] AS mg
+                     FROM toks)
+               SELECT doc_id,
+                 -- DuckDB list_position returns 0 (not NULL) for absent
+                 array_to_string(list_filter([
+                   CASE WHEN coalesce(list_position(mg, (p-1)//3), 0) = 0
+                          THEN t[p]
+                        WHEN (p-1)%3 = 0 THEN '<extra_id_' ||
+                          (list_position(mg, (p-1)//3) - 1)::VARCHAR || '>'
+                        ELSE NULL END
+                   FOR p IN range(1, len(t) + 1)],
+                   x -> x IS NOT NULL), ' ') AS corrupted,
+                 -- array_to_string of the empty list is NULL, not ''
+                 coalesce(array_to_string([
+                   '<extra_id_' || (i-1)::VARCHAR || '> ' ||
+                     array_to_string(t[mg[i]*3+1 : mg[i]*3+3], ' ')
+                   FOR i IN range(1, len(mg) + 1)], ' '), '') AS targets,
+                 CAST(len(mg) AS INT) AS n_masked
+               FROM m ORDER BY doc_id""")),
 
     // Gopher-style REPETITION signal: duplicate 3-gram fraction per doc —
     // the quality filter that catches boilerplate/looped generations;

@@ -44,6 +44,35 @@ class CurationSpec extends SparkSpec {
     assert(!r.getBoolean(r.fieldIndex("keep")))
   }
 
+  test("spanCorrupt: sentinels replace spans, targets reconstruct, deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i"), (2L, "x y")).toDF("doc_id", "text")
+    // rate ~1.0-ε masks every group → every span becomes a sentinel
+    val all = Curation.spanCorrupt(docs, span = 3, rate = 0.9999)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(all(1L)._1 == "<extra_id_0> <extra_id_1> <extra_id_2>")
+    assert(all(1L)._2 == "<extra_id_0> a b c <extra_id_1> d e f <extra_id_2> g h i")
+    assert(all(1L)._3 == 3)
+    // short tail span keeps only its available tokens
+    assert(all(2L)._2 == "<extra_id_0> x y")
+    // near-zero rate masks nothing: corrupted == original token stream
+    val none = Curation.spanCorrupt(docs, span = 3, rate = 1e-9)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(none(1L) == ("a b c d e f g h i", 0))
+    // deterministic: two runs produce identical pairs at a real rate
+    def run() = Curation.spanCorrupt(docs, rate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(run() == run())
+    // corrupted + targets jointly cover every original token exactly once
+    val mid = Curation.spanCorrupt(docs, rate = 0.5).collect()
+      .map(r => r.getString(1) + " " + r.getString(2)).mkString(" ")
+    val toks = mid.split("\\s+").filterNot(_.startsWith("<extra_id_"))
+    assert(toks.sorted.mkString(" ") == "a b c d e f g h i x y")
+    intercept[IllegalArgumentException](Curation.spanCorrupt(docs, rate = 1.5))
+    intercept[IllegalArgumentException](Curation.spanCorrupt(docs, span = 0))
+  }
+
   test("c4Clean: line retention rules and page-level drops") {
     val docs = mk(Seq(
       // 3 good lines -> kept page; bad lines removed from clean_text
