@@ -322,6 +322,64 @@ object Sources extends QueryPack {
               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               FROM part""")),
 
+    // CSV MALFORMED-RECORD modes (§2.1 ingestion robustness — the knob a
+    // 100 TB raw-crawl ingest lives by): an inline fixture with 3 good
+    // and 2 malformed lines read under all three parser modes —
+    // PERMISSIVE keeps every row and captures the raw line in
+    // _corrupt_record, DROPMALFORMED keeps only parseable rows, FAILFAST
+    // throws on first touch. The fixture is builder-authored, so the
+    // oracle pins the mode contracts as constants (the q_stats_sketch
+    // pattern for engine-internal behavior).
+    Q("q_source_csv_modes",
+      (s, dir) => {
+        import s.implicits._
+        val out = tmp("csv_modes")
+        Seq("1,alpha,10", "2,beta,not_a_number", "3,gamma,30",
+          "4,delta,40", "oops_one_field", "")
+          .toDF("line").coalesce(1)
+          .write.mode(SaveMode.Overwrite).text(out)
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType),
+          StructField("size", IntegerType),
+          StructField("_corrupt_record", StringType)))
+        val permissive = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out).cache()
+        val nPerm = permissive.count()
+        val nCorrupt = permissive.filter(col("_corrupt_record").isNotNull).count()
+        val sumGood = permissive.filter(col("_corrupt_record").isNull)
+          .agg(sum(col("size"))).collect()(0).getLong(0)
+        permissive.unpersist()
+        // count() under CSV column pruning parses NO columns, so malformed
+        // rows go undetected and DROPMALFORMED/FAILFAST silently no-op —
+        // force full-row parsing for the mode checks, restore after
+        val pruning = s.conf.get("spark.sql.csv.parser.columnPruning.enabled")
+        s.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+        val (nDrop, failfast) =
+          try {
+            // collect, not count: count() short-circuits row materialization
+            // and misses per-field malformedness (fixture is 5 rows)
+            val d = s.read
+              .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+              .option("mode", "DROPMALFORMED").csv(out).collect().length.toLong
+            val ff = try {
+              s.read
+                .schema(StructType(schema.fields.filter(_.name != "_corrupt_record")))
+                .option("mode", "FAILFAST").csv(out).collect()
+              false
+            } catch { case _: org.apache.spark.SparkException => true }
+            (d, ff)
+          } finally
+            s.conf.set("spark.sql.csv.parser.columnPruning.enabled", pruning)
+        Seq((nPerm, nCorrupt, sumGood, nDrop, failfast))
+          .toDF("n_permissive", "n_corrupt", "sum_good", "n_dropmalformed",
+            "failfast_throws")
+      },
+      Some("""SELECT 5::BIGINT AS n_permissive, 2::BIGINT AS n_corrupt,
+              80::BIGINT AS sum_good, 3::BIGINT AS n_dropmalformed,
+              true AS failfast_throws""")),
+
     // JSON round-trip (schema'd read; ts stays int64 nanos end-to-end).
     Q("q_source_json",
       (s, dir) => {
