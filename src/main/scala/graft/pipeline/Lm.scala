@@ -132,7 +132,12 @@ object Lm {
       .join(broadcast(ctx), Seq("v"), "left")
       .join(broadcast(cont), Seq("w"), "left")
       .crossJoin(broadcast(totals))
-    val pcont = coalesce(col("n1pw").cast("double"), lit(0.0)) / col("n1pp")
+    // a bigram-free training corpus (all docs < 2 tokens) gives N1+(··)=0;
+    // under ANSI that division would fail the whole stage — degrade to
+    // Pcont = 0 so every doc hits the uniform floor instead (ppl = N1pp+1)
+    val pcont = when(col("n1pp") > 0.0,
+      coalesce(col("n1pw").cast("double"), lit(0.0)) / col("n1pp"))
+      .otherwise(lit(0.0))
     val p = when(col("cv").isNotNull,
       (greatest(coalesce(col("cvw").cast("double"), lit(0.0)) - discount, lit(0.0)) +
         lit(discount) * col("n1pv").cast("double") * pcont) / col("cv").cast("double"))

@@ -65,6 +65,12 @@ class LmSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(p(1L) < p(2L), p.toString)
     intercept[IllegalArgumentException](Lm.knPerplexity(docs, train, discount = 1.5))
+    // a bigram-free train corpus must degrade to the uniform floor
+    // (ppl = N1pp+1 = 1), not ANSI-crash the stage on 0/0
+    val emptyTrain = Seq((0L, "solo")).toDF("doc_id", "text")
+    val deg = Lm.knPerplexity(docs, emptyTrain)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(deg.values.forall(_ == 1.0), deg.toString)
   }
 
   test("ccnetBuckets: per-language tertiles, boundary docs bucket downward") {
