@@ -261,6 +261,57 @@ object Relational extends QueryPack {
     // At scale this is the difference between reading one partition and
     // reading the table; the broadcast exchange is REUSED as the pruning
     // subquery, so DPP costs nothing extra.
+    // RUNTIME BLOOM-FILTER join pruning (Spark 3.3+ row-level runtime
+    // filtering, InjectRuntimeFilter): a selective dim filter builds a
+    // bloom sketch whose might_contain() probes the FACT side before the
+    // shuffle — the row-level sibling of q_join_dpp's partition pruning,
+    // and the mechanism that cuts shuffled bytes on non-partition keys at
+    // 100 TB. Thresholds lowered so the rule fires at fixture scale; the
+    // MERGE hint keeps a shuffle join (broadcast joins don't need the
+    // filter). Injection REQUIREd in-plan; results are filter-invariant,
+    // so the oracle is the plain join.
+    Q("q_join_bloom",
+      (s, dir) => {
+        val prev = Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "spark.sql.autoBroadcastJoinThreshold")
+          .map(k => k -> s.conf.getOption(k)).toMap
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        // the rule DECLINES a creation side it could broadcast instead
+        // (broadcast hash joins filter for free) — at fixture scale every
+        // dim is broadcastable, so disable auto-broadcast to exercise the
+        // shuffle-join path the filter exists for
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          graft.core.Tables.registerViews(s, dir)
+          val joined = s.sql(
+            """SELECT o.o_orderpriority,
+                 count(*) AS n,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+               FROM lineitem l
+               JOIN (SELECT * FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_totalprice > 150000) o
+                 ON l.l_orderkey = o.o_orderkey
+               GROUP BY o.o_orderpriority""")
+          val plan = joined.queryExecution.optimizedPlan.toString
+          require(plan.toLowerCase.contains("bloom"),
+            s"the fact side must probe a runtime bloom filter:\n${plan.take(1500)}")
+          joined
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+              GROUP BY o_orderpriority""")),
+
     Q("q_join_dpp",
       (s, dir) => {
         val out = graft.core.Scratch.dir("lineitem_part_dpp")
