@@ -1871,4 +1871,150 @@ object Search {
       .groupBy("doc_id").agg(round(sum(col("w")), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** SIGNIFICANT TERMS (Elasticsearch significant_terms, JLH heuristic):
+    * terms over-represented in a FOREGROUND doc set relative to the whole
+    * corpus. score = (fg% − bg%) · (fg% / bg%) — the absolute lift times
+    * the relative lift, so a term must be both common in the foreground
+    * and rarer in the background to rank.
+    *
+    * Plan shape: the foreground id set semi-joins the postings once
+    * (fg_df per term is foreground-postings-sized), the background df is
+    * the ordinary index-wide term aggregation, and both totals broadcast
+    * as single rows — nothing materializes beyond |vocab| scoring rows,
+    * so the aggregation scales with the index, never pairs of docs. */
+  def significantTerms(ix: FtsIndex, foregroundIds: DataFrame,
+                       k: Int): DataFrame = {
+    val fg = foregroundIds.select(col("doc_id")).distinct()
+    val fgN = fg.agg(count(lit(1)).cast("double").as("fg_n"))
+    val bgDf = ix.postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("bg_df"))
+    val fgDf = ix.postings.join(fg, Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("fg_df"))
+    fgDf.join(bgDf, "term")
+      .crossJoin(broadcast(fgN))
+      .crossJoin(broadcast(ix.stats.select(col("n_docs").cast("double").as("bg_n"))))
+      .withColumn("fg_pct", col("fg_df").cast("double") / col("fg_n"))
+      .withColumn("bg_pct", col("bg_df").cast("double") / col("bg_n"))
+      .withColumn("score",
+        round((col("fg_pct") - col("bg_pct")) * (col("fg_pct") / col("bg_pct")), 6))
+      .select(col("term"), col("fg_df"), col("bg_df"), col("score"))
+      .orderBy(col("score").desc, col("term"))
+      .limit(k)
+  }
+
+  /** RM3 PSEUDO-RELEVANCE FEEDBACK (Lavrenko & Croft relevance models;
+    * the Anserini/Indri default query-expansion): run the original query,
+    * take the top `fbDocs` docs as pseudo-relevant, estimate the relevance
+    * model P(w|R) = Σ_d P(w|d)·w_d with w_d the doc's normalized retrieval
+    * score, pick the top `fbTerms` expansion terms, and interpolate
+    * weights λ·original + (1−λ)·P(w|R). The expanded weighted query then
+    * reranks with per-term-weighted BM25.
+    *
+    * Driver-side state is bounded by construction: `fbDocs` ids, the
+    * feedback docs' term rows (≤ fbDocs · doclen, aggregated to `fbTerms`
+    * rows BEFORE collect), never a corpus-sized frame. Selection and
+    * interpolation weights round to 6 places so an ulp of libm log never
+    * flips which terms expand. */
+  def rm3TopK(ix: FtsIndex, terms: Seq[String], k: Int,
+              fbDocs: Int = 5, fbTerms: Int = 5, lambda: Double = 0.6,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "feedback sizes must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0,1]")
+    val qTerms = terms.distinct
+    // pass 1: initial retrieval, rounded scores, total order
+    val fb = scoreAllBm25(ix, qTerms, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(fbDocs)
+    // P(w|d) = tf/dl over the feedback docs; doc weight = s / Σs
+    val fbTotal = fb.agg(sum(col("s")).as("stot"))
+    val fbPost0 = ix.postings.join(broadcast(fb), "doc_id")
+    val fbPost =
+      if (fbPost0.columns.contains("dl")) fbPost0
+      else fbPost0.join(ix.docLens, "doc_id")
+    val rm = fbPost.crossJoin(broadcast(fbTotal))
+      .withColumn("p",
+        col("tf").cast("double") / col("dl").cast("double") *
+          (col("s") / col("stot")))
+      .groupBy("term").agg(round(sum(col("p")), 6).as("p_rm"))
+      .orderBy(col("p_rm").desc, col("term")).limit(fbTerms)
+    val rmRows = rm.collect().map(r => r.getString(0) -> r.getDouble(1))
+    // interpolate: original terms carry the MLE query model 1/|Q|
+    val origW = qTerms.map(t => t -> lambda / qTerms.size).toMap
+    val expW = rmRows.map { case (t, p) => t -> (1.0 - lambda) * p }.toMap
+    val weights = (origW.keySet ++ expW.keySet).map { t =>
+      t -> BigDecimal(origW.getOrElse(t, 0.0) + expW.getOrElse(t, 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq.filter(_._2 > 0.0).sortBy(_._1) // a zero-weight term must not
+    // admit candidates: at λ=1 the expansion is weightless and the query
+    // degrades to exactly the original term set
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.toDF("term", "qw"))
+    // weighted-BM25 rerank over the expanded term set
+    val qp0 = ix.postings.join(wDf, "term")
+    val df = qp0.groupBy("term").agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val withDl =
+      if (qp0.columns.contains("dl")) qp0.join(broadcast(df), "term")
+      else qp0.join(broadcast(df), "term").join(ix.docLens, "doc_id")
+    withDl.crossJoin(broadcast(ix.stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("qw") * col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            (col("dl").cast("double") / col("avgdl") * b + (1.0 - b)) * k1))
+      .groupBy("doc_id").agg(round(sum(col("score_t")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** SPAN-FIRST (Lucene SpanFirstQuery): docs where `term` occurs within
+    * the first `n` token positions. Pure positional-postings work — one
+    * term's list, an `exists` over its positions array; the corpus text
+    * is never re-tokenized. Positions are 0-based ([[Index
+    * .buildPositional]] posexplode). */
+  def matchSpanFirst(ix: FtsIndex, term: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    ix.postings.filter(col("term") === term)
+      .filter(exists(col("positions"), p => p < n))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** SPAN-NOT (Lucene SpanNotQuery): docs with an occurrence of `a` that
+    * has NO occurrence of `b` within `dist` positions — "a, not near b".
+    * Strictly wider than NOT-contains-b (a doc may contain b elsewhere),
+    * strictly narrower than contains-a. Two positional postings lists
+    * left-joined on doc_id; the quantifier runs as nested array lambdas
+    * over the two position arrays (doc-local, codegen'd), so the cost is
+    * the two terms' postings — never the corpus. */
+  def matchSpanNot(ix: FtsIndex, a: String, b: String, dist: Int): DataFrame = {
+    require(dist >= 0, "dist must be non-negative")
+    val pa = ix.postings.filter(col("term") === a)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = ix.postings.filter(col("term") === b)
+      .select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, Seq("doc_id"), "left_outer")
+      .filter(col("pb").isNull ||
+        exists(col("pa"), x =>
+          forall(col("pb"), y => abs(x - y) > dist)))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** SEARCH-AFTER keyset pagination (Elasticsearch search_after / Lucene
+    * searchAfter): page N+1 is "scores strictly after the last hit of
+    * page N" — (score < s) OR (score = s AND doc_id > id) under the
+    * (score DESC, doc_id ASC) sort. Unlike OFFSET, the predicate pushes
+    * into the scoring scan and the top-k heap stays k-sized no matter how
+    * deep the page: a deep OFFSET materializes and sorts offset+k rows on
+    * one reducer, search_after never does. Scores round to 4 places
+    * BEFORE the cursor compare — the cursor must be reproducible across
+    * pages and engines. */
+  def searchAfter(ix: FtsIndex, terms: Seq[String], k: Int,
+                  afterScore: Double, afterId: Long,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreAllBm25(ix, terms, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_id") > afterId))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
 }

@@ -303,6 +303,111 @@ object Dedup {
     corpus.join(contaminatedNgramIds(corpus, benchmark, n, idCol, textCol),
       corpus(idCol) === col("contaminated_id"), "left_anti")
 
+  /** n-token shingles over a materialized token array — array_join(slice)
+    * per position, never the Analyzer.shingles element_at composition (the
+    * interpreted-HOF trap: n re-inlined tokenizations per slot). */
+  private def gramsOf(t: Column, n: Int): Column = filter(
+    transform(t, (_, i) =>
+      when(i <= size(t) - n, array_join(slice(t, i + 1, lit(n)), " "))),
+    g => g.isNotNull)
+
+  /** Engine-portable Bloom position: slot `i` of gram `g` hashes to
+    * md5(g || ':' || i)'s leading 60 bits mod `mBits` — replayable
+    * bit-for-bit in any engine with md5 (the [[Mixing]] ordering trick). */
+  private def bloomPos(g: Column, i: Int, mBits: Int): Column =
+    conv(substring(md5(concat(g, lit(":"), lit(i.toString))), 1, 15), 16, 10)
+      .cast("long") % mBits
+
+  /** BLOOM-FILTER decontamination audit (the Dolma-class approximate-
+    * membership gate): benchmark n-grams occupy `kHashes` positions each in
+    * an `mBits` filter; a corpus gram *bloom-hits* iff all k of its
+    * positions are occupied. No false negatives by construction — every
+    * truly-shared gram hits — and the audit quantifies the false-positive
+    * cost of compressing an arbitrarily large benchmark gram set into
+    * m bits: per doc, `bloom_grams` (grams passing the filter) vs
+    * `exact_grams` (grams verbatim in the benchmark) vs their difference
+    * `fp_grams`.
+    *
+    * Why this matters at 100 TB: exact decontamination broadcasts the
+    * benchmark's distinct grams (strings — GBs for a large eval suite);
+    * the Bloom gate broadcasts m/8 bytes REGARDLESS of benchmark size and
+    * rejects ~all of the corpus's grams with k codegen'd hash probes per
+    * gram, no join. The exact semi-join then runs only over the tiny
+    * bloom-surviving slice — the classic two-phase filter this audit
+    * measures. This relational formulation (positions semi-join + slot
+    * count) is the oracle-replayable dual of the broadcast bitset
+    * ([[bloomContaminatedIdsBroadcast]] — spec-asserted identical). */
+  def bloomContaminationAudit(corpus: DataFrame, benchmark: DataFrame,
+                              n: Int = 13, mBits: Int = 1 << 16,
+                              kHashes: Int = 3, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(n >= 1 && mBits >= 2 && kHashes >= 1, "bad bloom shape")
+    def distinctGrams(df: DataFrame, keepId: Boolean): DataFrame = {
+      val base = df.select(
+        (if (keepId) col(idCol) else lit(0L)).as("doc_id"),
+        Analyzer.tokenize(col(textCol)).as("t"))
+      base.select(col("doc_id"), explode(gramsOf(col("t"), n)).as("g"))
+        .select(col("doc_id"), col("g")).distinct()
+    }
+    val bg = distinctGrams(benchmark, keepId = false).select("g").distinct()
+    val occupied = bg.select(explode(array(
+        (0 until kHashes).map(i => bloomPos(col("g"), i, mBits)): _*)).as("pos"))
+      .distinct()
+    val cg = distinctGrams(corpus, keepId = true)
+    val cpos = cg.select(col("doc_id"), col("g"),
+      explode(array((0 until kHashes).map(i => bloomPos(col("g"), i, mBits)): _*)).as("pos"))
+    // a slot matches at most one occupied row (occupied is distinct), so
+    // count(*) == k ⇔ every probe found its bit set
+    val bloomHits = cpos.join(occupied, "pos")
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("slots"))
+      .filter(col("slots") === kHashes)
+      .select(col("doc_id"), col("g"))
+    val exactHits = cg.join(bg, "g").select(col("doc_id"), col("g"))
+    val perDocBloom = bloomHits.groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("bloom_grams"))
+    val perDocExact = exactHits.groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("exact_grams"))
+    perDocBloom.join(perDocExact, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("exact_grams"))
+      .withColumn("fp_grams", col("bloom_grams") - col("exact_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** The SERVING form of the Bloom gate: the filter materializes as an
+    * m/64-word bitset literal (built from a BOUNDED collect — ≤ k · |bench
+    * grams| positions, eval-set-sized by definition) and membership runs as
+    * k codegen'd probe predicates per corpus gram — one scan, zero joins,
+    * zero shuffles for the rejection phase. Returns the doc ids with at
+    * least one bloom-hitting gram; identical to the relational audit's
+    * bloom side (spec-asserted), so the oracle rows certify this path's
+    * semantics too. */
+  def bloomContaminatedIdsBroadcast(corpus: DataFrame, benchmark: DataFrame,
+                                    n: Int = 13, mBits: Int = 1 << 16,
+                                    kHashes: Int = 3, idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be word-aligned")
+    val bg = benchmark.select(Analyzer.tokenize(col(textCol)).as("t"))
+      .select(explode(gramsOf(col("t"), n)).as("g")).distinct()
+    val positions = bg.select(explode(array(
+        (0 until kHashes).map(i => bloomPos(col("g"), i, mBits)): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0)) // bounded: eval-set-sized
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words((p / 64).toInt) |= (1L << (p % 64).toInt))
+    val bits = typedLit(words.toSeq)
+    // functions.shiftright only takes a literal shift; the SQL builtin
+    // accepts a column — call_function keeps the probe inside codegen
+    def probe(g: Column, i: Int): Column = {
+      val pos = bloomPos(g, i, mBits)
+      (call_function("shiftright",
+        element_at(bits, (pos / 64).cast("int") + 1),
+        (pos % 64).cast("int")) % 2) =!= 0
+    }
+    corpus.select(col(idCol).as("doc_id"),
+        explode(gramsOf(Analyzer.tokenize(col(textCol)), n)).as("g"))
+      .filter((0 until kHashes).map(i => probe(col("g"), i)).reduce(_ && _))
+      .select("doc_id").distinct()
+  }
+
   /** The contaminated corpus ids: docs whose shingle-Jaccard against ANY
     * benchmark doc reaches `threshold`. One column `contaminated_id`. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,

@@ -2324,6 +2324,148 @@ object Fts extends QueryPack {
                SELECT m.doc_id,
                  round(coalesce(1.5 * sca.s, 0.0) + coalesce(2.0 * scb.s, 0.0), 4) AS score
                FROM m LEFT JOIN sca USING (doc_id) LEFT JOIN scb USING (doc_id)
-               ORDER BY score DESC, m.doc_id LIMIT 10"""))
+               ORDER BY score DESC, m.doc_id LIMIT 10""")),
+
+    // SIGNIFICANT TERMS (ES significant_terms, JLH): terms over-represented
+    // in the German docs vs the whole corpus — the aggregation that surfaces
+    // "what makes this slice different". Foreground df is one semi-join over
+    // the postings; both set sizes broadcast as single rows, so the frame
+    // never exceeds |vocab| scoring rows at any corpus size.
+    Q("q_fts_significant",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        Search.significantTerms(ix,
+          docs.filter(col("lang") === "de").select("doc_id"), k = 10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, lang, unnest(list_distinct(t)) AS term
+                       FROM toks),
+               bg AS (SELECT term, count(*) AS bg_df FROM occ GROUP BY term),
+               fg AS (SELECT term, count(*) AS fg_df FROM occ
+                      WHERE lang = 'de' GROUP BY term),
+               nn AS (SELECT
+                 (SELECT count(DISTINCT doc_id) FROM occ)::DOUBLE AS bg_n,
+                 (SELECT count(*) FROM documents WHERE lang = 'de')::DOUBLE AS fg_n)
+               SELECT fg.term, fg.fg_df, bg.bg_df,
+                 round((fg.fg_df / nn.fg_n - bg.bg_df / nn.bg_n) *
+                       ((fg.fg_df / nn.fg_n) / (bg.bg_df / nn.bg_n)), 6) AS score
+               FROM fg JOIN bg USING (term) CROSS JOIN nn
+               ORDER BY score DESC, term LIMIT 10""")),
+
+    // RM3 PSEUDO-RELEVANCE FEEDBACK (Lavrenko & Croft relevance models):
+    // top-5 docs of the initial 'data query' retrieval vote expansion terms
+    // by P(w|d) weighted with their normalized scores; the interpolated
+    // (λ=0.6) weighted query reranks. The oracle replays all three stages —
+    // retrieval, relevance model, weighted rerank — stage-rounded exactly
+    // like the engine so term selection can never flip on an ulp.
+    Q("q_fts_rm3",
+      (s, dir) => Search.rm3TopK(
+        Index.build(Tables(s, dir, "documents")),
+        Seq("data", "query"), k = 10, fbDocs = 5, fbTerms = 5, lambda = 0.6),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                       WHERE term IN ('data', 'query') GROUP BY term),
+               s0 AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df0.df + 0.5)/(df0.df + 0.5) + 1.0) *
+                             (tf.tf*2.2) /
+                             (tf.tf + (dl.dl/stats.avgdl*0.75 + 0.25)*1.2) ) AS s
+                      FROM tf JOIN df0 USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               fb AS (SELECT doc_id, round(s, 4) AS s FROM s0
+                      ORDER BY round(s, 4) DESC, doc_id LIMIT 5),
+               stot AS (SELECT sum(s) AS stot FROM fb),
+               rm AS (SELECT tf.term,
+                        round(sum((tf.tf/dl.dl) * (fb.s/stot.stot)), 6) AS p_rm
+                      FROM tf JOIN fb USING (doc_id) JOIN dl USING (doc_id)
+                      CROSS JOIN stot GROUP BY tf.term
+                      ORDER BY p_rm DESC, tf.term LIMIT 5),
+               w AS (SELECT coalesce(o.term, rm.term) AS term,
+                       round(coalesce(o.w0, 0.0) + 0.4*coalesce(rm.p_rm, 0.0), 6) AS qw
+                     FROM (SELECT unnest(['data', 'query']) AS term, 0.3 AS w0) o
+                     FULL OUTER JOIN rm ON o.term = rm.term),
+               dfw AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                       WHERE term IN (SELECT term FROM w) GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( w.qw *
+                             ln((stats.n - dfw.df + 0.5)/(dfw.df + 0.5) + 1.0) *
+                             (tf.tf*2.2) /
+                             (tf.tf + (dl.dl/stats.avgdl*0.75 + 0.25)*1.2) ) AS s
+                      FROM tf JOIN w USING (term) JOIN dfw USING (term)
+                      JOIN dl USING (doc_id) CROSS JOIN stats
+                      GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10""")),
+
+    // SPAN-FIRST (Lucene SpanFirstQuery): 'spark' within the first 5 token
+    // positions — lead-paragraph matching from the positional postings
+    // alone; the corpus text is never re-tokenized.
+    Q("q_fts_span_first",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.matchSpanFirst(ix, "spark", 5).orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
+               SELECT doc_id FROM toks
+               WHERE len([i FOR i IN range(1, least(len(t), 5) + 1)
+                          IF t[i] = 'spark']) > 0
+               ORDER BY doc_id""")),
+
+    // SPAN-NOT (Lucene SpanNotQuery): an occurrence of 'data' with no
+    // 'query' within 2 positions — wider than NOT-contains (the doc may
+    // say 'query' elsewhere), narrower than contains('data'). Two postings
+    // lists left-joined; quantifiers run as doc-local array lambdas.
+    Q("q_fts_span_not",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.matchSpanNot(ix, "data", "query", dist = 2).orderBy("doc_id")
+      },
+      Some(s"""WITH pos AS (SELECT doc_id,
+                 [i FOR i IN range(1, len($DTOKS) + 1)
+                  IF ($DTOKS)[i] = 'data'] AS pa,
+                 [i FOR i IN range(1, len($DTOKS) + 1)
+                  IF ($DTOKS)[i] = 'query'] AS pb
+               FROM documents)
+               SELECT doc_id FROM pos
+               WHERE len(pa) > 0 AND (len(pb) = 0 OR
+                 len([x FOR x IN pa
+                      IF len([y FOR y IN pb IF abs(x - y) <= 2]) = 0]) > 0)
+               ORDER BY doc_id""")),
+
+    // SEARCH-AFTER keyset pagination (ES search_after): page 2 of the
+    // 'data query' ranking is "strictly after page 1's last (score, id)
+    // cursor" — the predicate keeps the top-k heap k-sized at any page
+    // depth, where OFFSET would sort offset+k rows on one reducer. The
+    // rounded (score DESC, doc_id ASC) sort is total, so the oracle's
+    // OFFSET formulation is provably the same page.
+    Q("q_fts_search_after",
+      (s, dir) => {
+        val ix = Index.build(Tables(s, dir, "documents"))
+        val page1 = Search.scoreBm25(ix, Seq("data", "query"), 10).collect()
+        val last = page1.last // bounded: k rows, the serving cursor
+        Search.searchAfter(ix, Seq("data", "query"), 10,
+          afterScore = last.getDouble(1), afterId = last.getLong(0))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('data', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             (tf.tf*2.2) /
+                             (tf.tf + (dl.dl/stats.avgdl*0.75 + 0.25)*1.2) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id)
+               SELECT doc_id, round(s, 4) AS score FROM sc
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10 OFFSET 10"""))
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Similarity, TextStats}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -373,6 +373,51 @@ object Pipeline extends QueryPack {
                bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bg USING(g))
                SELECT doc_id FROM documents ANTI JOIN bad USING(doc_id)
                ORDER BY doc_id""")),
+
+    // BLOOM-FILTER decontamination audit (Dolma-class): the benchmark's
+    // 13-grams compress into a Bloom filter (k=3, md5-slot hashing both
+    // engines replay bit-for-bit); per doc the audit counts grams passing
+    // the filter vs grams verbatim in the benchmark — fp_grams is the
+    // price of making the broadcast side m/8 bytes instead of the gram
+    // strings. m = 2^13 is deliberately undersized for the fixture's 359
+    // benchmark grams (load ~0.13) so the false-positive arm is LIVE at
+    // oracle scale (~43 fp grams / 38 fp docs at sf0.01); production m
+    // scales with the benchmark, the semantics don't change. No false
+    // negatives by construction (exact ⊆ bloom, spec-asserted), and the
+    // broadcast-bitset serving path is spec-asserted identical to this
+    // relational formulation.
+    Q("q_dedup_decontam_bloom",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.bloomContaminationAudit(docs,
+          docs.filter(col("doc_id") % 50 === 0), mBits = 8192)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               shraw AS (SELECT doc_id,
+                           unnest([array_to_string(t[i:i+12], ' ')
+                                   FOR i IN range(1, len(t) - 11)]) AS g
+                         FROM toks WHERE len(t) >= 13),
+               sh AS (SELECT DISTINCT doc_id, g FROM shraw),
+               bgr AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+               slots AS (SELECT unnest([0, 1, 2]) AS i),
+               occ AS (SELECT DISTINCT
+                         (CAST('0x' || substring(md5(g || ':' || CAST(i AS VARCHAR)), 1, 15)
+                               AS BIGINT) % 8192) AS pos
+                       FROM bgr CROSS JOIN slots),
+               cpos AS (SELECT doc_id, g, i,
+                          (CAST('0x' || substring(md5(g || ':' || CAST(i AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 8192) AS pos
+                        FROM sh CROSS JOIN slots),
+               bh AS (SELECT doc_id, g FROM cpos JOIN occ USING (pos)
+                      GROUP BY doc_id, g HAVING count(*) = 3),
+               bl AS (SELECT doc_id, count(*) AS bloom_grams FROM bh GROUP BY doc_id),
+               ex AS (SELECT doc_id, count(*) AS exact_grams
+                      FROM (SELECT DISTINCT sh.doc_id, sh.g FROM sh JOIN bgr USING (g))
+                      GROUP BY doc_id)
+               SELECT bl.doc_id, bl.bloom_grams,
+                 coalesce(ex.exact_grams, 0) AS exact_grams,
+                 bl.bloom_grams - coalesce(ex.exact_grams, 0) AS fp_grams
+               FROM bl LEFT JOIN ex USING (doc_id) ORDER BY doc_id""")),
 
     Q("q_dedup_decontam",
       (s, dir) => {
@@ -2076,6 +2121,106 @@ object Pipeline extends QueryPack {
     // approx_percentile in the same plan position; everything else is
     // unchanged.
     // Deterministic QUALITY-WEIGHTED SAMPLING + epoch reshuffle — the
+    // STRATIFIED sample with EXACT per-language quotas (rank-based, not
+    // Bernoulli): within each stratum rows rank by md5(doc_id:seed) and
+    // the first `target` survive; fr's quota (80) exceeds its 64 docs —
+    // the keep-all branch is live. One rank window partitioned by the
+    // stratum, rank filter pushed as WindowGroupLimit (plan-asserted in
+    // PlanShapeSpec): per-task state is one stratum slice, never a global
+    // sort. Oracle replays the md5 ordering bit-for-bit.
+    Q("q_pipeline_stratified",
+      (s, dir) => Sampling.stratifiedSample(Tables(s, dir, "documents"),
+          "lang", Map("en" -> 60L, "de" -> 30L, "es" -> 30L,
+            "fr" -> 80L, "zh" -> 30L), seed = "s1")
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("lang", "rk"),
+      Some("""WITH ranked AS (SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s1'), doc_id)
+                  AS INTEGER) AS rk
+              FROM documents)
+              SELECT doc_id, lang, rk FROM ranked
+              WHERE rk <= CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+                WHEN 'es' THEN 30 WHEN 'fr' THEN 80 WHEN 'zh' THEN 30 END
+              ORDER BY lang, rk""")),
+
+    // DETERMINISTIC EPOCH SHUFFLE: the training-order permutation as pure
+    // hash arithmetic — shard = md5(doc_id:epoch) prefix mod 8, position =
+    // in-shard rank of the full digest. A new epoch is a new permutation;
+    // a re-run of any failed shard reproduces it exactly (no RNG state);
+    // the permutation IS the hash partitioning, so at 100 TB each output
+    // shard is one task's local sort of constant-width keys — no global
+    // sort anywhere. Oracle replays the digest ordering.
+    Q("q_pipeline_shuffle",
+      (s, dir) => Sampling.epochShuffle(Tables(s, dir, "documents"),
+          epoch = 1, nShards = 8)
+        .orderBy("shard", "pos"),
+      Some("""WITH k AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':ep1') AS k
+                FROM documents),
+              s AS (SELECT doc_id, k,
+                  CAST(CAST('0x' || substring(k, 1, 4) AS BIGINT) % 8 AS INTEGER) AS shard
+                FROM k)
+              SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                     AS INTEGER) AS pos
+              FROM s ORDER BY shard, pos""")),
+
+    // LENGTH-BUCKETED BATCHING audit: 8 equal-size quantile buckets by
+    // token count; per bucket the padding efficiency Σlen/(n·max_len).
+    // The corpus-global ntile decomposes into a histogram-scale cumsum +
+    // a len-partitioned row_number + exact integer ntile arithmetic — no
+    // corpus-wide single-partition window (the oracle MAY global-sort;
+    // the engine never does). sum pinned to BIGINT (DuckDB widens to
+    // HUGEINT).
+    Q("q_pipeline_length_bucket",
+      (s, dir) => Sampling.lengthBuckets(Tables(s, dir, "documents"), 8),
+      Some(s"""WITH lens AS (SELECT doc_id AS id, len($DTOKS)::BIGINT AS len
+                             FROM documents),
+               ranked AS (SELECT id, len,
+                   row_number() OVER (ORDER BY len, id) AS rk,
+                   count(*) OVER () AS n_total
+                 FROM lens),
+               b AS (SELECT len,
+                   CAST(CASE WHEN rk <= ((n_total // 8) + 1) * (n_total % 8)
+                     THEN (rk - 1) // ((n_total // 8) + 1) + 1
+                     ELSE (n_total % 8) +
+                          (rk - ((n_total // 8) + 1) * (n_total % 8) - 1)
+                            // (n_total // 8) + 1 END AS INTEGER) AS bucket
+                 FROM ranked)
+               SELECT bucket, count(*) AS n_docs,
+                 min(len) AS min_len, max(len) AS max_len,
+                 CAST(sum(len) AS BIGINT) AS sum_len,
+                 round(sum(len)::DOUBLE / (count(*) * max(len))::DOUBLE, 4) AS pad_eff
+               FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // PREFERENCE-PAIR construction (the RLHF/DPO data shape): per
+    // (lang, source) group, chosen = highest-scoring doc, rejected =
+    // lowest (ties on id), pair kept only when the gap clears the margin —
+    // indistinguishable sides teach nothing. n_chars stands in for the
+    // reward-model score (exact integer, so the gap filter is exact). Two
+    // rank windows over one group partitioning — group-local state only.
+    Q("q_pipeline_pref_pairs",
+      (s, dir) => Sampling.preferencePairs(Tables(s, dir, "documents"),
+        Seq("lang", "source"), "n_chars", margin = 50L),
+      Some("""WITH m AS (SELECT lang, source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang, source
+                                   ORDER BY n_chars DESC, doc_id) AS b,
+                row_number() OVER (PARTITION BY lang, source
+                                   ORDER BY n_chars ASC, doc_id) AS r
+              FROM documents),
+              c AS (SELECT lang, source, doc_id AS chosen_id,
+                      n_chars AS chosen_score FROM m WHERE b = 1),
+              j AS (SELECT lang, source, doc_id AS rejected_id,
+                      n_chars AS rejected_score FROM m WHERE r = 1)
+              SELECT c.lang, c.source, chosen_id, chosen_score,
+                rejected_id, rejected_score,
+                chosen_score - rejected_score AS gap
+              FROM c JOIN j USING (lang, source)
+              WHERE chosen_id <> rejected_id
+                AND chosen_score - rejected_score >= 50
+              ORDER BY lang, source""")),
+
     // RNG-free way a training pipeline thins a corpus: per-doc keep
     // probability p from a quality proxy, uniform u derived from
     // md5(doc_id, epoch) — no RNG state, so any worker (or engine)
@@ -3085,6 +3230,105 @@ object Pipeline extends QueryPack {
               list_reduce(list_prepend(0::BIGINT,
                   [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
                 (a, b) -> (a*31 + b) % 2147483647) AS checksum
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // ——— SFT / chat-data prep (pipeline/Sft.scala): the events stream
+    // becomes role-tagged conversations (one per user, turns in event-time
+    // order, role from the event type), then the four operators every chat
+    // fine-tune runs: template render, alternation audit, turn-level
+    // dedup, context-budget truncation. The oracle re-derives the same
+    // conversation frame from scratch in each row. Content deliberately
+    // excludes the DOUBLE value column — engines format doubles
+    // differently, and the contract is byte-identical rendered text.
+
+    // Chat-template render: the serialized training example, byte-exact
+    // across engines (string_agg ORDER BY replayed by the array_sort over
+    // (turn_idx,…) structs). Per-conversation collect_list is bounded by
+    // session length.
+    Q("q_sft_render",
+      (s, dir) => Sft.renderTemplate(
+        Sft.conversations(Tables(s, dir, "events"))),
+      Some("""WITH conv AS (SELECT user_id AS conv_id,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+                  CASE WHEN event_type IN ('click', 'view', 'search', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role,
+                  event_type || ' ' || props AS content
+                FROM events),
+              r AS (SELECT conv_id, count(*) AS n_turns,
+                  string_agg('<|' || role || '|>' || content, ''
+                             ORDER BY turn_idx) AS rendered
+                FROM conv GROUP BY conv_id)
+              SELECT conv_id, n_turns, rendered,
+                len(rendered)::BIGINT AS n_chars
+              FROM r ORDER BY conv_id""")),
+
+    // Alternation audit: same-role adjacencies (each a merge-or-drop
+    // decision downstream) + the 'user'-opener contract, per conversation.
+    Q("q_sft_validate",
+      (s, dir) => Sft.validateConversations(
+        Sft.conversations(Tables(s, dir, "events"))),
+      Some("""WITH conv AS (SELECT user_id AS conv_id,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+                  CASE WHEN event_type IN ('click', 'view', 'search', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role
+                FROM events),
+              l AS (SELECT conv_id, turn_idx, role,
+                  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+                FROM conv)
+              SELECT conv_id, count(*) AS n_turns,
+                CAST(sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+                  AS same_role_adjacencies,
+                max(CASE WHEN turn_idx = 1 THEN role END) = 'user'
+                  AS starts_with_user
+              FROM l GROUP BY conv_id ORDER BY conv_id""")),
+
+    // Turn-level exact dedup across conversations (the SFT analogue of
+    // line-level dedup): identical (role, content) turns collapse to the
+    // first (conv, turn) occurrence — hash-partitioned by turn content,
+    // never a driver-side set.
+    Q("q_sft_turn_dedup",
+      (s, dir) => Sft.turnDedup(
+        Sft.conversations(Tables(s, dir, "events"))),
+      Some("""WITH conv AS (SELECT user_id AS conv_id,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+                  CASE WHEN event_type IN ('click', 'view', 'search', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role,
+                  event_type || ' ' || props AS content
+                FROM events),
+              d AS (SELECT conv_id,
+                  row_number() OVER (PARTITION BY role, content
+                    ORDER BY conv_id, turn_idx) AS rn
+                FROM conv)
+              SELECT conv_id,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+              FROM d GROUP BY conv_id ORDER BY conv_id""")),
+
+    // Context-budget truncation: keep the longest turn SUFFIX fitting 800
+    // chars (context windows drop the oldest turns first) — one reverse
+    // cumulative sum per conversation, exact integer arithmetic.
+    Q("q_sft_truncate",
+      (s, dir) => Sft.truncateToBudget(
+        Sft.conversations(Tables(s, dir, "events")), budget = 800L),
+      Some("""WITH conv AS (SELECT user_id AS conv_id,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS INTEGER) AS turn_idx,
+                  event_type || ' ' || props AS content
+                FROM events),
+              t AS (SELECT conv_id, content,
+                  sum(len(content)::BIGINT) OVER (PARTITION BY conv_id
+                    ORDER BY turn_idx DESC) AS cum
+                FROM conv)
+              SELECT conv_id, count(*) AS n_turns,
+                CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS turns_kept,
+                CAST(sum(CASE WHEN cum <= 800 THEN len(content) ELSE 0 END)
+                     AS BIGINT) AS chars_kept,
+                count(*) - CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS turns_dropped
+              FROM t GROUP BY conv_id ORDER BY conv_id"""))
   )
 }

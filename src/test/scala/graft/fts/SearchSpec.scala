@@ -653,4 +653,69 @@ class SearchSpec extends SparkSpec {
     c.update("hello graft".getBytes("UTF-8"))
     assert(got == c.getValue)
   }
+
+  test("spanFirst: term must sit within the first n positions") {
+    val pix = Index.buildPositional(docs)
+    // 'spark' is token 0 of docs 1 and 3 → within first 1
+    assert(Search.matchSpanFirst(pix, "spark", 1)
+      .collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    // 'data' is position 3 in doc 1, 1 in doc 2, 3 in doc 3 → n=2 keeps only doc 2
+    assert(Search.matchSpanFirst(pix, "data", 2)
+      .collect().map(_.getLong(0)) === Array(2L))
+    // n beyond every doc length degrades to plain contains
+    assert(Search.matchSpanFirst(pix, "data", 100)
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+  }
+
+  test("spanNot: an occurrence of a with no b within dist") {
+    val pix = Index.buildPositional(docs)
+    // 'big' not within 1 of 'data': doc 1 big@2,data@3 adjacent → excluded;
+    // doc 2 big@0,data@1,big@2 — big@2 is within 1 of data@1? |2-1|=1 ≤ 1 →
+    // and big@0 |0-1|=1 → excluded too
+    assert(Search.matchSpanNot(pix, "big", "data", 1)
+      .collect().map(_.getLong(0)).isEmpty)
+    // dist 0 = positions may never collide (they can't) → all docs with 'big'
+    assert(Search.matchSpanNot(pix, "big", "data", 0)
+      .collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    // b absent from the doc entirely → a matches (left join null arm)
+    assert(Search.matchSpanNot(pix, "results", "spark", 5)
+      .collect().map(_.getLong(0)) === Array(2L))
+  }
+
+  test("significantTerms: foreground-only term outranks corpus-wide ones") {
+    import spark.implicits._
+    val fg = Seq(1L, 3L).toDF("doc_id") // the two 'spark' docs
+    val top = Search.significantTerms(ix, fg, k = 3).collect()
+    // 'spark' is in 2/2 fg docs and 2/4 corpus docs → highest lift
+    assert(top.head.getString(0) == "spark")
+    val s = top.head
+    assert(s.getLong(1) == 2L && s.getLong(2) == 2L)
+    // JLH = (1 − 0.5) · (1 / 0.5) = 1.0
+    assert(math.abs(s.getDouble(3) - 1.0) < 1e-9)
+    // 'data' (in all 3 content docs, 2 fg) scores lower than 'spark'
+    val data = top.find(_.getString(0) == "data")
+    assert(data.forall(_.getDouble(3) < 1.0))
+  }
+
+  test("rm3: expansion pulls in feedback-doc terms absent from the query") {
+    // query 'spark' → fb docs 1,3; their terms (big/data/streaming/...)
+    // join the expanded query, so doc 2 (no 'spark') can now score
+    val r = Search.rm3TopK(ix, Seq("spark"), k = 4, fbDocs = 2, fbTerms = 3,
+      lambda = 0.5).collect()
+    val ids = r.map(_.getLong(0)).toSet
+    assert(ids.contains(2L), s"expansion should reach doc 2, got ${ids.mkString(",")}")
+    // λ=1 degrades to the original query: only spark docs match
+    val strict = Search.rm3TopK(ix, Seq("spark"), k = 4, fbDocs = 2,
+      fbTerms = 3, lambda = 1.0).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 3L))
+  }
+
+  test("searchAfter: pages tile the full ranking with no overlap or gap") {
+    val full = Search.scoreBm25(ix, Seq("data", "big"), 10).collect()
+    val p1 = full.take(2)
+    val p2 = Search.searchAfter(ix, Seq("data", "big"), 2,
+      afterScore = p1.last.getDouble(1), afterId = p1.last.getLong(0)).collect()
+    assert((p1 ++ p2).map(_.getLong(0)).toSeq == full.map(_.getLong(0)).toSeq.take(p1.length + p2.length))
+    assert(p1.map(_.getLong(0)).toSet.intersect(p2.map(_.getLong(0)).toSet).isEmpty)
+  }
 }

@@ -200,4 +200,44 @@ class DedupSpec extends SparkSpec {
     assert(kept(1L) == 1 && kept(2L) == 2, kept.toString)
     assert(kept(0L) == 1, "zero vector lands in cell 1 by first-max tiebreak")
   }
+
+  test("bloom audit: no false negatives, fp monotone in filter pressure") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(sf("documents"))
+    val bench = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    def audit(m: Int) =
+      Dedup.bloomContaminationAudit(corpus, bench, mBits = m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val big = audit(1 << 16)
+    // exact ⊆ bloom on every row: fp_grams >= 0 and bloom >= exact
+    big.foreach { case (id, bl, ex, fp) =>
+      assert(fp == bl - ex && fp >= 0, s"doc $id: bloom $bl exact $ex")
+    }
+    // every benchmark doc flags itself exactly (its own grams are in the set)
+    val flagged = big.map(_._1).toSet
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => corpus.filter(org.apache.spark.sql.functions.col("doc_id") === id)
+        .select(org.apache.spark.sql.functions.size(
+          graft.fts.Analyzer.tokenize(org.apache.spark.sql.functions.col("text"))))
+        .collect()(0).getInt(0) >= 13)
+    benchIds.foreach(id => assert(flagged.contains(id), s"bench doc $id missed"))
+    // shrinking m can only ADD bloom hits (more collisions), never lose one
+    val small = audit(1 << 10).map(t => t._1 -> t._2).toMap
+    big.foreach { case (id, bl, _, _) =>
+      assert(small.getOrElse(id, 0L) >= bl, s"doc $id lost hits at smaller m")
+    }
+  }
+
+  test("bloom broadcast-bitset serving path equals the relational audit") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(sf("documents"))
+    val bench = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val relational = Dedup.bloomContaminationAudit(corpus, bench, mBits = 4096)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bits = Dedup.bloomContaminatedIdsBroadcast(corpus, bench, mBits = 4096)
+      .collect().map(_.getLong(0)).toSet
+    assert(bits == relational,
+      s"bitset path diverged: only-bits=${(bits -- relational).take(5)} " +
+        s"only-rel=${(relational -- bits).take(5)}")
+  }
 }
