@@ -515,6 +515,30 @@ object Index {
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$dir/term_bounds")
 
+  /** INDEX-SORTED layout (Lucene index sorting — IndexWriterConfig
+    * .setIndexSort over a static score): postings land in VALUE-BANDED
+    * partitions of a per-doc static score (band 0 = best; band b holds
+    * the disjoint score range [bandWidth·(nBands−1−b), …)), each band
+    * term-sorted like [[write]]. A top-k-by-static-score query then reads
+    * bands in order and STOPS as soon as the accumulated match count
+    * reaches k ([[Search.topKStaticBanded]]) — every unread band's scores
+    * are strictly below every read band's, so the early exit is exact,
+    * and the scan cost is the matching prefix of bands, not the corpus.
+    * `quality` must be (doc_id, score: LONG ≥ 0). */
+  def writeStaticBanded(ix: FtsIndex, quality: DataFrame, dir: String,
+                        bandWidth: Long, nBands: Int): Unit = {
+    require(bandWidth >= 1 && nBands >= 2, "bad banding shape")
+    ix.postings.join(quality, "doc_id")
+      .withColumn("band", greatest(lit(0),
+        lit(nBands - 1).cast("long") -
+          least(lit((nBands - 1).toLong), expr(s"score DIV $bandWidth")))
+        .cast("int"))
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "term")
+      .write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"$dir/postings_banded")
+  }
+
   /** REVERSED-term postings layout: `(term = reverse(original), doc_id)`,
     * bucketed and term-sorted exactly like [[write]] — the standard fix for
     * leading-star wildcards: a SUFFIX query over the original terms is a
@@ -1998,6 +2022,36 @@ object Search {
         exists(col("pa"), x =>
           forall(col("pb"), y => abs(x - y) > dist)))
       .select(col("doc_id")).distinct()
+  }
+
+  /** EARLY-TERMINATING top-k by STATIC score over an index-sorted layout
+    * ([[Index.writeStaticBanded]]; Lucene's index-sorting early exit —
+    * TopFieldCollector terminating when the sort matches the index sort):
+    * bands are read best-first and reading STOPS once the accumulated
+    * match count reaches k. Exactness: bands are disjoint descending
+    * score ranges, so every doc in an unread band scores strictly below
+    * every doc already read. Driver state is one running count + the band
+    * list (≤ nBands); each probe is a partition-pruned count over ONE
+    * band's term rows. Returns (top-k frame, bands actually read) — the
+    * audit trail the spec asserts early termination with. */
+  def topKStaticBanded(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       term: String, k: Int): (DataFrame, Seq[Int]) = {
+    require(k >= 1, "k must be positive")
+    val post = spark.read.parquet(s"$dir/postings_banded")
+    // partition-value discovery only — no row data read
+    val bands = post.select("band").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val read = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cnt = 0L
+    for (b <- bands if cnt < k) {
+      read += b
+      cnt += post.filter(col("band") === b && col("term") === term).count()
+    }
+    val res = post
+      .filter(col("band").isin(read.toSeq: _*) && col("term") === term)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    (res, read.toSeq)
   }
 
   /** SEARCH-AFTER keyset pagination (Elasticsearch search_after / Lucene

@@ -2437,6 +2437,27 @@ object Fts extends QueryPack {
                       IF len([y FOR y IN pb IF abs(x - y) <= 2]) = 0]) > 0)
                ORDER BY doc_id""")),
 
+    // INDEX-SORTED early termination (Lucene index sorting): postings in
+    // value-banded partitions of the doc's static score (n_chars here;
+    // a quality model in production), best band first — the top-10-by-
+    // static-score read stops after the first bands holding ≥10 matches
+    // (2 of 7 at sf0.01, spec-asserted), each probe a partition-pruned
+    // count. Exact by construction: unread bands score strictly lower.
+    // The oracle is banding-free ground truth.
+    Q("q_fts_static_sorted",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val out = graft.core.Scratch.dir("fts_static_banded")
+        Index.writeStaticBanded(ix,
+          docs.select(col("doc_id"), col("n_chars").as("score")),
+          out, bandWidth = 80L, nBands = 8)
+        Search.topKStaticBanded(s, out, "spark", k = 10)._1
+      },
+      Some(s"""SELECT doc_id, n_chars AS score FROM documents
+               WHERE list_contains($DTOKS, 'spark')
+               ORDER BY n_chars DESC, doc_id LIMIT 10""")),
+
     // SEARCH-AFTER keyset pagination (ES search_after): page 2 of the
     // 'data query' ranking is "strictly after page 1's last (score, id)
     // cursor" — the predicate keeps the top-k heap k-sized at any page

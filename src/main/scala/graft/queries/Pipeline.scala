@@ -2124,10 +2124,12 @@ object Pipeline extends QueryPack {
     // STRATIFIED sample with EXACT per-language quotas (rank-based, not
     // Bernoulli): within each stratum rows rank by md5(doc_id:seed) and
     // the first `target` survive; fr's quota (80) exceeds its 64 docs —
-    // the keep-all branch is live. One rank window partitioned by the
-    // stratum, rank filter pushed as WindowGroupLimit (plan-asserted in
-    // PlanShapeSpec): per-task state is one stratum slice, never a global
-    // sort. Oracle replays the md5 ordering bit-for-bit.
+    // the keep-all branch is live. One rank window PARTITIONED BY the
+    // stratum (plan-asserted in PlanShapeSpec): per-task state is one
+    // stratum slice, never a global sort. The per-quota filter compares a
+    // joined column, so it can't fold to WindowGroupLimit — with a single
+    // literal quota it would; the window partitioning is the scale
+    // guarantee either way. Oracle replays the md5 ordering bit-for-bit.
     Q("q_pipeline_stratified",
       (s, dir) => Sampling.stratifiedSample(Tables(s, dir, "documents"),
           "lang", Map("en" -> 60L, "de" -> 30L, "es" -> 30L,
@@ -3231,6 +3233,49 @@ object Pipeline extends QueryPack {
                   [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
                 (a, b) -> (a*31 + b) % 2147483647) AS checksum
               FROM documents ORDER BY doc_id""")),
+
+    // COUNT-MIN SKETCH point frequencies (Cormode & Muthukrishnan; the
+    // frequency dual of q_stats_kmv's distinct sketch): token counts from
+    // a 3×64 counter grid — d·w=192 counters REGARDLESS of corpus size,
+    // the structure a coordinator receives instead of a full histogram.
+    // w=64 is deliberately undersized for the fixture vocabulary so the
+    // overcount arm is LIVE (est ≥ true always — never an undercount,
+    // spec-asserted); the md5 slot hashing replays exactly in the oracle.
+    // Build = one explode+groupBy (map-side combine, ≤ d·w groups
+    // shuffled); estimate = a 10-key broadcast-sized left join.
+    Q("q_stats_cms",
+      (s, dir) => {
+        import graft.ops.Cms
+        val toks = Tables(s, dir, "documents")
+          .select(explode(graft.fts.Analyzer.tokenize(col("text"))).as("term"))
+        val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        val top = truth.orderBy(col("true_cnt").desc, col("term")).limit(10)
+        val est = Cms.estimate(Cms.sketch(toks, "term", d = 3, w = 64),
+          top, "term", d = 3, w = 64)
+        top.join(est, col("term") === col("key"))
+          .select(col("term"), col("true_cnt"), col("est").as("est_cnt"),
+            (col("est") - col("true_cnt")).as("overcount"))
+          .orderBy("term")
+      },
+      Some(s"""WITH occ AS (SELECT unnest($DTOKS) AS term FROM documents),
+               tru AS (SELECT term, count(*) AS true_cnt FROM occ GROUP BY term),
+               top AS (SELECT term, true_cnt FROM tru
+                       ORDER BY true_cnt DESC, term LIMIT 10),
+               rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+               cnt AS (SELECT r,
+                   (CAST('0x' || substring(md5(term || '#' || CAST(r AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 64) AS pos,
+                   count(*) AS cnt
+                 FROM occ CROSS JOIN rows_ GROUP BY 1, 2),
+               est AS (SELECT t.term, min(coalesce(c.cnt, 0)) AS est_cnt
+                 FROM (SELECT term FROM top) t CROSS JOIN rows_ r
+                 LEFT JOIN cnt c ON c.r = r.r AND c.pos =
+                   (CAST('0x' || substring(md5(t.term || '#' || CAST(r.r AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 64)
+                 GROUP BY t.term)
+               SELECT top.term, top.true_cnt, est.est_cnt,
+                 est.est_cnt - top.true_cnt AS overcount
+               FROM top JOIN est USING (term) ORDER BY term""")),
 
     // ——— SFT / chat-data prep (pipeline/Sft.scala): the events stream
     // becomes role-tagged conversations (one per user, turns in event-time

@@ -288,6 +288,35 @@ object Temporal extends QueryPack {
                     FROM d)
               SELECT user_id, count(DISTINCT sid) AS n_sessions,
                 count(*) AS n_events
-              FROM s GROUP BY user_id ORDER BY user_id"""))
+              FROM s GROUP BY user_id ORDER BY user_id""")),
+
+    // COHORT RETENTION matrix (the product-analytics staple beside
+    // q_funnel): users cohorted by first-event epoch-week; each
+    // (cohort_week, offset) cell counts the distinct cohort members still
+    // active offset weeks later. Two aggregations + one broadcast join of
+    // the |users|-sized cohort frame — the events side is never
+    // re-shuffled per offset. Epoch-week arithmetic is exact integer
+    // division on epoch micros in both engines.
+    Q("q_temporal_cohort",
+      (s, dir) => {
+        val weekUs = 7L * 86400 * 1000000
+        val ev = EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("user_id"), expr(s"ts DIV $weekUs").as("week"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"))
+        ev.join(broadcast(cohort), "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+                  epoch_us(ts) // 604800000000 AS week FROM events),
+              c AS (SELECT user_id, min(week) AS cohort_week
+                    FROM e GROUP BY user_id)
+              SELECT c.cohort_week, e.week - c.cohort_week AS offset,
+                count(DISTINCT e.user_id) AS n_users
+              FROM e JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -689,4 +689,26 @@ class PlanShapeSpec extends SparkSpec {
       c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prev._3)
     }
   }
+
+  test("q_pipeline_stratified: stratum-partitioned rank, broadcast quotas") {
+    val plan = planOf("q_pipeline_stratified")
+    // the rank <= target filter compares against a JOINED column (fr's
+    // quota exceeds its size), so Spark cannot fold it to a literal
+    // WindowGroupLimit — the scale guarantee is the window PARTITIONING:
+    // each task sorts one stratum's slice, never the corpus
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"the rank window must partition by the stratum:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-stratum quota table must broadcast:\n${plan.take(1500)}")
+    // the only range partitioning (global sort) allowed is the final
+    // presentation orderBy over the quota-bounded sample
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1,
+      s"only the output orderBy may range-partition:\n${plan.take(1500)}")
+  }
+
+  test("q_pipeline_shuffle: shard window sorts are partition-local") {
+    val plan = planOf("q_pipeline_shuffle")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the permutation must BE the hash partitioning:\n${plan.take(1500)}")
+  }
 }

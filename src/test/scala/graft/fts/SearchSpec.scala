@@ -710,6 +710,35 @@ class SearchSpec extends SparkSpec {
     assert(strict == Set(1L, 3L))
   }
 
+  test("static-banded top-k: early termination, exact vs unbanded truth") {
+    val corpus = spark.read.parquet(sf("documents"))
+    val ix = Index.build(corpus)
+    val out = graft.core.Scratch.dir("fts_static_banded_spec")
+    Index.writeStaticBanded(ix,
+      corpus.select(col("doc_id"), col("n_chars").as("score")),
+      out, bandWidth = 80L, nBands = 8)
+    val post = spark.read.parquet(s"$out/postings_banded")
+    val nBandsPresent = post.select("band").distinct().count()
+    val (res, read) = Search.topKStaticBanded(spark, out, "data", k = 5)
+    // exactness against banding-free ground truth
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val truth = corpus
+      .filter(array_contains(Analyzer.tokenize(col("text")), "data"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == truth, s"banded result diverged:\n$got\nvs\n$truth")
+    // the point of the layout: the read stops before the last band
+    assert(read.length < nBandsPresent,
+      s"no early termination: read ${read.length} of $nBandsPresent bands")
+    assert(read == read.sorted, "bands must be read best-first")
+    // k larger than all matches → every band read, result complete
+    val (all, readAll) = Search.topKStaticBanded(spark, out, "data", k = 100000)
+    assert(readAll.length == nBandsPresent)
+    assert(all.count() ==
+      corpus.filter(array_contains(Analyzer.tokenize(col("text")), "data")).count())
+  }
+
   test("searchAfter: pages tile the full ranking with no overlap or gap") {
     val full = Search.scoreBm25(ix, Seq("data", "big"), 10).collect()
     val p1 = full.take(2)
