@@ -82,7 +82,20 @@ object ScaleSpot {
       // exact 13-gram decontamination (broadcast gram semi-join)
       "q_fts_wand_persisted", "q_pipeline_ccnet", "q_dedup_decontam_ngram",
       "q_fts_percolate", "q_sim_nsw", "q_sim_matryoshka",
-      "q_temporal_gapfill")
+      "q_temporal_gapfill",
+      // round-14 wave: significant terms (fg semi-join + vocab agg), RM3
+      // (two-stage retrieval), keyset page 2, span queries (positional
+      // postings lambdas), index-sorted early termination (banded write +
+      // pruned band reads), Bloom decontamination (positions semi-join),
+      // stratified/shuffle/length-bucket/pref-pairs sampling windows, SFT
+      // conversation ops (events-bound), CMS build+estimate, cohorts
+      "q_fts_significant", "q_fts_rm3", "q_fts_search_after",
+      "q_fts_span_first", "q_fts_span_not", "q_fts_static_sorted",
+      "q_dedup_decontam_bloom", "q_pipeline_stratified",
+      "q_pipeline_shuffle", "q_pipeline_length_bucket",
+      "q_pipeline_pref_pairs", "q_sft_render", "q_sft_validate",
+      "q_sft_turn_dedup", "q_sft_truncate", "q_stats_cms",
+      "q_temporal_cohort")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
