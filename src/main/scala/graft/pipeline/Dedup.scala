@@ -373,6 +373,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ALL-PAIRS SIMILARITY SEARCH with an exact threshold (Bayardo,
+    * Ma & Srikant WWW'07 — the AllPairs prefix filter, cosine edition of
+    * the prefix-filter blocking [[nearDupPairsNgram]] runs for Jaccard):
+    * every doc pair whose TF-IDF cosine over 3-token shingles reaches
+    * `threshold`, WITHOUT the all-pairs product.
+    *
+    * The filter: fix one global feature order (df ASC, term — rare
+    * first). For a pair with cos ≥ t, look at their first shared feature
+    * in that order, at position i of doc a's sorted vector: every shared
+    * feature sits at j ≥ i, so cos ≤ Σ_{j≥i} w_aj·maxw(f_j) = s_i(a) —
+    * the suffix bound must clear t (symmetrically for b). So each doc
+    * INDEXES only the prefix of features whose suffix bound ≥ t,
+    * candidates meet on indexed features of BOTH sides, and exact cosine
+    * verifies candidates only. Recall 1.0 by construction (the bound is
+    * a proof, not a heuristic); the rare-first order keeps the indexed
+    * postings lists short — common features fall out of every prefix.
+    *
+    * Plan: tf/df/norm aggregations (index-shaped), one per-doc window for
+    * the suffix bound (doc-partitioned), the candidate equi-join on the
+    * indexed feature, and a candidate-bounded verify join. Never O(N²). */
+  def cosinePairsApss(docs: DataFrame, threshold: Double = 0.5,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        Analyzer.tokenize(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(gramsOf(col("t"), 3)).as("term"))
+    val tf = sh.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+    val w = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * log(col("n") / col("df")))
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    val wn = w.join(nrm, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("nm")).as("wn"),
+        col("df"))
+    val maxw = wn.groupBy("term").agg(max(col("wn")).as("maxw"))
+    // suffix bound in the (df ASC, term) global order = running sum over
+    // the REVERSED order, own position included; a small epsilon keeps
+    // float noise from dropping a provable candidate (over-indexing is
+    // harmless, under-indexing loses recall)
+    val suffix = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("df").desc, col("term").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val indexed = wn.join(broadcast(maxw), "term")
+      .withColumn("sb", sum(col("wn") * col("maxw")).over(suffix))
+      .filter(col("sb") >= threshold - 1e-9)
+      .select(col("doc_id"), col("term"))
+    val cand = indexed.as("ia")
+      .join(indexed.as("ib"),
+        col("ia.term") === col("ib.term") &&
+          col("ia.doc_id") < col("ib.doc_id"))
+      .select(col("ia.doc_id").as("aid"), col("ib.doc_id").as("bid"))
+      .distinct()
+    val va = wn.select(col("doc_id").as("aid"), col("term"), col("wn").as("wa"))
+    val vb = wn.select(col("doc_id").as("bid"), col("term"), col("wn").as("wb"))
+    cand.join(va, "aid").join(vb, Seq("bid", "term"))
+      .groupBy("aid", "bid")
+      .agg(round(sum(col("wa") * col("wb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("aid", "bid")
+  }
+
   /** The SERVING form of the Bloom gate: the filter materializes as an
     * m/64-word bitset literal (built from a BOUNDED collect — ≤ k · |bench
     * grams| positions, eval-set-sized by definition) and membership runs as

@@ -115,6 +115,29 @@ object Sampling {
       .orderBy("bucket")
   }
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis & Spirakis 2006,
+    * the A-ES "exponential race": key_i = −ln(u_i)/w_i, keep the n
+    * SMALLEST keys — equivalent to sequential weighted draws, but each
+    * row's key is independent, so the whole draw is one per-row
+    * projection + a top-n). The uniform u is the md5 trick, so any
+    * engine or retry reproduces the draw; keys round to 9 dp before
+    * ranking (libm ln differs in the last ulp across engines) with the
+    * id as tiebreak. Plan: TakeOrderedAndProject — a per-partition n-heap,
+    * never a global sort. */
+  def weightedSample(docs: DataFrame, weightCol: String, n: Int,
+                     seed: String, idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    // u = (j+1)/2^24 for the 24-bit md5 prefix j — lands in (0, 1], so
+    // the log never sees 0, and every step is exactly representable
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 6), 16, 10).cast("double") + 1.0) /
+      (1 << 24).toDouble
+    docs
+      .withColumn("skey",
+        round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("skey"), col(idCol)).limit(n)
+  }
+
   /** PREFERENCE-PAIR construction (the RLHF/DPO data shape): per group,
     * the highest-scoring doc is `chosen` and the lowest `rejected`, kept
     * only when the score gap clears `margin` — a pair whose sides are

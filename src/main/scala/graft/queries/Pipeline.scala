@@ -374,6 +374,39 @@ object Pipeline extends QueryPack {
                SELECT doc_id FROM documents ANTI JOIN bad USING(doc_id)
                ORDER BY doc_id""")),
 
+    // ALL-PAIRS SIMILARITY SEARCH, exact threshold (Bayardo WW'07 prefix
+    // filter — the cosine edition of the ngram prefix blocking): every
+    // pair with shingle-TF-IDF cosine >= 0.5, recall 1.0 by construction
+    // (the suffix bound is a proof: the pair's first shared feature in
+    // the rare-first global order must sit inside both prefixes).
+    // Candidates meet only on indexed features; the exact cosine verify
+    // is candidate-bounded; never O(N²). Oracle = brute-force ground
+    // truth over all shared-feature pairs, so the hash match proves the
+    // pruning lossless.
+    Q("q_dedup_apss",
+      (s, dir) => Dedup.cosinePairsApss(Tables(s, dir, "documents"), 0.5),
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]) AS term
+                      FROM toks WHERE len(t) >= 3),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM sh GROUP BY 1, 2),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+               st AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+               w AS (SELECT doc_id, term, tf * ln(st.n / df.df) AS w
+                     FROM tf JOIN df USING (term) CROSS JOIN st),
+               nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1),
+               wn AS (SELECT w.doc_id, term, w / nm AS wn
+                      FROM w JOIN nrm USING (doc_id)),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
+                       round(sum(a.wn * b.wn), 4) AS cos
+                     FROM wn a JOIN wn b
+                       ON a.term = b.term AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+               SELECT aid, bid, cos FROM p WHERE cos >= 0.5
+               ORDER BY aid, bid""")),
+
     // BLOOM-FILTER decontamination audit (Dolma-class): the benchmark's
     // 13-grams compress into a Bloom filter (k=3, md5-slot hashing both
     // engines replay bit-for-bit); per doc the audit counts grams passing
@@ -2222,6 +2255,23 @@ object Pipeline extends QueryPack {
               WHERE chosen_id <> rejected_id
                 AND chosen_score - rejected_score >= 50
               ORDER BY lang, source""")),
+
+    // WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis-Spirakis A-ES
+    // exponential race; the principled "sample 50 docs proportional to
+    // length" draw): key = −ln(u)/w per row, n smallest win — one
+    // projection + a TakeOrderedAndProject heap, no sequential draws, no
+    // RNG state; u is the md5 trick shifted into (0,1] so the log is
+    // total. Keys round to 9 dp (libm ln ulps) with id tiebreak.
+    Q("q_pipeline_weighted_sample",
+      (s, dir) => Sampling.weightedSample(Tables(s, dir, "documents"),
+          "n_chars", n = 50, seed = "w1")
+        .select(col("doc_id"), col("skey")),
+      Some("""WITH k AS (SELECT doc_id,
+                round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || ':w1'), 1, 6) AS BIGINT) + 1.0) / 16777216.0)
+                      / n_chars, 9) AS skey
+              FROM documents)
+              SELECT doc_id, skey FROM k ORDER BY skey, doc_id LIMIT 50""")),
 
     // RNG-free way a training pipeline thins a corpus: per-doc keep
     // probability p from a quality proxy, uniform u derived from

@@ -573,6 +573,70 @@ object Sources extends QueryPack {
                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
                GROUP BY lang ORDER BY lang""")),
 
+    // STREAMING COUNT-MIN SKETCH — sketch MERGEABILITY is the point: each
+    // micro-batch sketches ITS rows only (one explode+groupBy over the
+    // batch) and the grids ADD into a ≤ d·w-row store; two parity batches
+    // streamed must therefore equal one batch-built sketch, so this row
+    // shares q_stats_cms's ORACLE verbatim — the streamed estimates are
+    // hash-identical to the batch ones. At 1000 executors the same
+    // addition tree-reduces per-executor grids; no corpus-scale shuffle.
+    Q("q_stream_cms",
+      (s, dir) => {
+        val root = tmp("stream_cms")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(docs.filter(col("doc_id") % 2 === 0), "batch0", t0)
+        stage(docs.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+          .select(explode(graft.fts.Analyzer.tokenize(col("text"))).as("term"))
+        graft.streaming.StreamSketch.start(stream, "term", s"$root/cms",
+          d = 3, w = 64).awaitTermination()
+        val sk = graft.streaming.StreamSketch.read(s, s"$root/cms")
+        val toks = docs
+          .select(explode(graft.fts.Analyzer.tokenize(col("text"))).as("term"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("term")).limit(10)
+        top.join(graft.ops.Cms.estimate(sk, top, "term", d = 3, w = 64),
+            col("term") === col("key"))
+          .select(col("term"), col("true_cnt"), col("est").as("est_cnt"),
+            (col("est") - col("true_cnt")).as("overcount"))
+          .orderBy("term")
+      },
+      Some(s"""WITH occ AS (SELECT unnest(${Pipeline.DTOKS}) AS term FROM documents),
+               tru AS (SELECT term, count(*) AS true_cnt FROM occ GROUP BY term),
+               top AS (SELECT term, true_cnt FROM tru
+                       ORDER BY true_cnt DESC, term LIMIT 10),
+               rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+               cnt AS (SELECT r,
+                   (CAST('0x' || substring(md5(term || '#' || CAST(r AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 64) AS pos,
+                   count(*) AS cnt
+                 FROM occ CROSS JOIN rows_ GROUP BY 1, 2),
+               est AS (SELECT t.term, min(coalesce(c.cnt, 0)) AS est_cnt
+                 FROM (SELECT term FROM top) t CROSS JOIN rows_ r
+                 LEFT JOIN cnt c ON c.r = r.r AND c.pos =
+                   (CAST('0x' || substring(md5(t.term || '#' || CAST(r.r AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 64)
+                 GROUP BY t.term)
+               SELECT top.term, top.true_cnt, est.est_cnt,
+                 est.est_cnt - top.true_cnt AS overcount
+               FROM top JOIN est USING (term) ORDER BY term""")),
+
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,
     // maxFilesPerTrigger=1) and alert pairs append to the partitioned

@@ -228,6 +228,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("apss: equals brute force, prefix filter actually prunes") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(sf("documents"))
+    val got = Dedup.cosinePairsApss(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all shared-shingle pairs (fine at spec scale)
+    val sh = corpus.select(col("doc_id"),
+        explode(graft.fts.Analyzer.shingles(
+          graft.fts.Analyzer.tokenize(col("text")), 3)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = sh.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val n = sh.select("doc_id").distinct().count().toDouble
+    val w = sh.join(df, "term")
+      .withColumn("w", col("tf") * log(lit(n) / col("df")))
+    val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    val wn = w.join(nrm, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("nm")).as("wn"))
+    val brute = wn.as("a").join(wn.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+      .agg(round(sum(col("a.wn") * col("b.wn")), 4).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"apss diverged: only-apss=${(got -- brute).take(5)} missed=${(brute -- got).take(5)}")
+  }
+
   test("bloom broadcast-bitset serving path equals the relational audit") {
     import spark.implicits._
     val corpus = spark.read.parquet(sf("documents"))

@@ -69,6 +69,24 @@ class SamplingSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
   }
 
+  test("weightedSample: heavier rows win more often; deterministic; total") {
+    import spark.implicits._
+    // two-point weights: ids 0..99 weight 1, ids 100..199 weight 50 —
+    // the A-ES draw of 50 must be dominated by the heavy half
+    val d = (0L until 200L).map(i => (i, if (i < 100) 1L else 50L))
+      .toDF("doc_id", "wt")
+    val picked = Sampling.weightedSample(d, "wt", 50, "s")
+      .collect().map(_.getLong(0))
+    assert(picked.length == 50)
+    val heavy = picked.count(_ >= 100)
+    assert(heavy >= 40, s"heavy half underdrawn: $heavy of 50")
+    // same seed → same draw; n >= corpus → everything
+    val again = Sampling.weightedSample(d, "wt", 50, "s")
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq == again.toSeq)
+    assert(Sampling.weightedSample(d, "wt", 500, "s").count() == 200)
+  }
+
   test("preferencePairs: margin filters, chosen beats rejected, ties on id") {
     import spark.implicits._
     val d = Seq(

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Streamed CMS maintenance: per-batch grids must ADD to the batch-built
+  * sketch — the mergeability property the operator exists for. */
+class StreamSketchSpec extends SparkSpec {
+
+  test("streamed grid equals the batch-built sketch exactly") {
+    import spark.implicits._
+    val root = graft.core.Scratch.dir("stream_sketch_spec")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val occ = (Seq.fill(30)("a") ++ Seq.fill(12)("b") ++ (1 to 20).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    // three uneven slices streamed as separate files
+    Seq(occ.filter(col("id") % 3 === 0), occ.filter(col("id") % 3 === 1),
+      occ.filter(col("id") % 3 === 2)).zipWithIndex.foreach { case (df, i) =>
+      val stage = s"$root/stage_$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$stage/part-*")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/landing"))
+      val dst = new org.apache.hadoop.fs.Path(s"$root/landing/b$i.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.setTimes(dst, 1700000000000L + i * 60000, -1)
+    }
+    val stream = spark.readStream.schema(occ.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+      .select(col("k"))
+    StreamSketch.start(stream, "k", s"$root/cms", d = 3, w = 32)
+      .awaitTermination()
+    val streamed = StreamSketch.read(spark, s"$root/cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Cms.sketch(occ, "k", 3, 32).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"grids diverged: ${(streamed.toSet diff batch.toSet).take(5)}")
+  }
+}
