@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -1553,6 +1553,45 @@ object Pipeline extends QueryPack {
             sum(col("n_pieces")).as("pieces")).head()
           val verdict = s.range(1).select(
             lit(bad == 0 && merges == merges2 && merges.size == 30 &&
+              totals.getLong(1) < totals.getLong(0)).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally encoded.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
+    // UNIGRAM-LM tokenizer training (Kudo 2018; SentencePiece `unigram` —
+    // the other production tokenizer family beside q_text_bpe): hard-EM
+    // over the capped word histogram, Viterbi apply via distinct-word
+    // broadcast join. Like q_text_bpe, EM training is not SQL-expressible
+    // (oracle = verdict over the REAL contracts): (1) training is
+    // deterministic — two independent runs learn the identical model;
+    // (2) every corpus word round-trips (concat(pieces) == word) with
+    // n_pieces <= chars; (3) genuine compression — total pieces < total
+    // chars; (4) the hard-EM Viterbi objective is non-decreasing across
+    // iterations (the EM argument, asserted numerically); (5) the pruned
+    // vocab respects the requested size and keeps every single char.
+    Q("q_text_unigram",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val m1 = UnigramLm.train(docs, vocabSize = 300, emIters = 3)
+        val m2 = UnigramLm.train(docs, vocabSize = 300, emIters = 3)
+        val encoded = UnigramLm.applyModel(Bpe.words(docs), m1).persist()
+        try {
+          val bad = encoded.filter(
+            concat_ws("", col("pieces")) =!= col("word") ||
+              col("n_pieces") > length(col("word"))).count()
+          val totals = encoded.agg(
+            sum(length(col("word"))).as("chars"),
+            sum(col("n_pieces")).as("pieces")).head()
+          val monotone = m1.losses.sliding(2).forall {
+            case Seq(a, b) => b >= a - 1e-6
+            case _ => true
+          }
+          val chars = m1.logp.keys.count(_.length == 1)
+          val verdict = s.range(1).select(
+            lit(bad == 0 && m1.logp == m2.logp && monotone &&
+              m1.logp.size <= 300 && m1.logp.size > chars &&
               totals.getLong(1) < totals.getLong(0)).as("ok"))
           s.createDataFrame(
             java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
