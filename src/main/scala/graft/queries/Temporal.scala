@@ -264,6 +264,57 @@ object Temporal extends QueryPack {
                 v IS NULL AS filled
               FROM j ORDER BY user_id, ws""")),
 
+    // LINEAR-INTERPOLATION gap fill (pandas interpolate() / InfluxDB
+    // FILL(linear) — the numeric dual of q_temporal_gapfill's LOCF): a
+    // gap bucket takes the line between its anchors; interior gaps only
+    // (the grid spans first-to-last observation), fraction arithmetic on
+    // exact epoch-second longs, value rounded for replay. Same keyed
+    // shape as LOCF plus one backward window — still no global sort.
+    Q("q_temporal_interpolate",
+      (s, dir) => {
+        val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
+          .filter(col("user_id") < 10)
+        graft.ops.GapFill.fillLinear(ev, "user_id", "ts",
+            round(sum(col("value")), 2), unit = "hour")
+          .select(col("user_id"),
+            date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+            col("value"), col("filled"))
+          .orderBy("user_id", "ws")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS b,
+                  round(sum(value), 2) AS v
+                FROM events WHERE user_id < 10 GROUP BY 1, 2),
+              s AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                    FROM e GROUP BY 1),
+              grid AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+                       FROM s),
+              j AS (SELECT g.user_id, g.b, e.v,
+                      epoch_us(g.b) // 1000000 AS ts_s
+                    FROM grid g
+                    LEFT JOIN e ON g.user_id = e.user_id AND g.b = e.b),
+              a AS (SELECT *,
+                  last_value(v IGNORE NULLS) OVER wf AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN ts_s END
+                             IGNORE NULLS) OVER wf AS pt,
+                  first_value(v IGNORE NULLS) OVER wb AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN ts_s END
+                              IGNORE NULLS) OVER wb AS nt
+                FROM j
+                WINDOW wf AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wb AS (PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS ws,
+                -- floor-form rounding: same IEEE ops as the engine, so a
+                -- boundary value (half-gap => true digit 5) can't flip
+                floor((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) *
+                    ((ts_s - pt)::DOUBLE / (nt - pt)::DOUBLE) END)
+                  * 10000.0 + 0.5) / 10000.0 AS value,
+                v IS NULL AS filled
+              FROM a ORDER BY user_id, ws""")),
+
     Q("q_session_batch",
       (s, dir) => {
         val ev = EventTime.toTimestamp(Tables(s, dir, "events"))
