@@ -394,24 +394,41 @@ object Dedup {
     * the suffix bound (doc-partitioned), the candidate equi-join on the
     * indexed feature, and a candidate-bounded verify join. Never O(N²). */
   def cosinePairsApss(docs: DataFrame, threshold: Double = 0.5,
-                      idCol: String = "doc_id",
+                      n: Int = 5, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(n >= 1, "shingle width must be positive")
+    // feature = n-token shingle. The width is the rarity dial: the filter
+    // (and the candidate join under it) is only as strong as the features
+    // are rare, and a small-vocabulary corpus needs wider shingles for
+    // df to stay bounded as the corpus grows (3-grams on the ~60-word
+    // fixture vocabulary hit avg df ~30 at x10 — Σdf² blew the candidate
+    // join to a 30 GB spill; 5-grams keep max df single-digit)
     val sh = docs
       .select(col(idCol).as("doc_id"),
         Analyzer.tokenize(col(textCol)).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(gramsOf(col("t"), 3)).as("term"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(gramsOf(col("t"), n)).as("term"))
+    // tf feeds df, the doc count, and the weight join — persist or the
+    // tokenize→explode→agg chain runs once per consumer
     val tf = sh.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist()
+    // df and maxw are VOCAB-sized (shingle vocabularies run corpus-scale,
+    // unlike word vocabularies) — no broadcast hint; AQE broadcasts them
+    // when they happen to be small, sort-merge joins otherwise
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val n = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
-    val w = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val nDocs = tf.agg(countDistinct(col("doc_id")).cast("double").as("n"))
+    val w = tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * log(col("n") / col("df")))
     val nrm = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+    // wn fans out FOUR ways (index side twice, verify side twice) — an
+    // unpersisted plan recomputes the whole tokenize→tf→df→norm chain per
+    // consumer (the round-6 fan-out lesson; measured 4x at ×10)
     val wn = w.join(nrm, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("nm")).as("wn"),
         col("df"))
+      .persist()
     val maxw = wn.groupBy("term").agg(max(col("wn")).as("maxw"))
     // suffix bound in the (df ASC, term) global order = running sum over
     // the REVERSED order, own position included; a small epsilon keeps
@@ -421,7 +438,7 @@ object Dedup {
       .partitionBy("doc_id")
       .orderBy(col("df").desc, col("term").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val indexed = wn.join(broadcast(maxw), "term")
+    val indexed = wn.join(maxw, "term")
       .withColumn("sb", sum(col("wn") * col("maxw")).over(suffix))
       .filter(col("sb") >= threshold - 1e-9)
       .select(col("doc_id"), col("term"))
@@ -431,9 +448,21 @@ object Dedup {
           col("ia.doc_id") < col("ib.doc_id"))
       .select(col("ia.doc_id").as("aid"), col("ib.doc_id").as("bid"))
       .distinct()
-    val va = wn.select(col("doc_id").as("aid"), col("term"), col("wn").as("wa"))
-    val vb = wn.select(col("doc_id").as("bid"), col("term"), col("wn").as("wb"))
-    cand.join(va, "aid").join(vb, Seq("bid", "term"))
+      .persist()
+    // verify via the SHARED-TERM join restricted to candidate docs and
+    // semi-pruned to candidate pairs BEFORE aggregation: peak row count
+    // is the shared-term occurrences among candidates (Σ df² shaped) —
+    // never candidates × per-doc features, which multiplies every pair
+    // by the doc length (measured as a 30 GB spill at ×10)
+    val va = wn.join(cand.select("aid").distinct(),
+        col("doc_id") === col("aid"))
+      .select(col("aid"), col("term"), col("wn").as("wa"))
+    val vb = wn.join(cand.select("bid").distinct(),
+        col("doc_id") === col("bid"))
+      .select(col("bid"), col("term"), col("wn").as("wb"))
+    va.join(vb, "term")
+      .where(col("aid") < col("bid"))
+      .join(cand, Seq("aid", "bid"), "left_semi")
       .groupBy("aid", "bid")
       .agg(round(sum(col("wa") * col("wb")), 4).as("cos"))
       .filter(col("cos") >= threshold)

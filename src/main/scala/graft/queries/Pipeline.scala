@@ -376,7 +376,7 @@ object Pipeline extends QueryPack {
 
     // ALL-PAIRS SIMILARITY SEARCH, exact threshold (Bayardo WW'07 prefix
     // filter — the cosine edition of the ngram prefix blocking): every
-    // pair with shingle-TF-IDF cosine >= 0.5, recall 1.0 by construction
+    // pair with 5-gram-shingle TF-IDF cosine >= 0.5, recall 1.0 by construction
     // (the suffix bound is a proof: the pair's first shared feature in
     // the rare-first global order must sit inside both prefixes).
     // Candidates meet only on indexed features; the exact cosine verify
@@ -387,9 +387,9 @@ object Pipeline extends QueryPack {
       (s, dir) => Dedup.cosinePairsApss(Tables(s, dir, "documents"), 0.5),
       Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
                sh AS (SELECT doc_id,
-                        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                FOR i IN range(1, len(t) - 1)]) AS term
-                      FROM toks WHERE len(t) >= 3),
+                        unnest([array_to_string(t[i:i+4], ' ')
+                                FOR i IN range(1, len(t) - 3)]) AS term
+                      FROM toks WHERE len(t) >= 5),
                tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
                       FROM sh GROUP BY 1, 2),
                df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),

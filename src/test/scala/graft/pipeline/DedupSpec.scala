@@ -236,7 +236,7 @@ class DedupSpec extends SparkSpec {
     // brute force over all shared-shingle pairs (fine at spec scale)
     val sh = corpus.select(col("doc_id"),
         explode(graft.fts.Analyzer.shingles(
-          graft.fts.Analyzer.tokenize(col("text")), 3)).as("term"))
+          graft.fts.Analyzer.tokenize(col("text")), 5)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val df = sh.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val n = sh.select("doc_id").distinct().count().toDouble

@@ -95,7 +95,19 @@ object ScaleSpot {
       "q_pipeline_shuffle", "q_pipeline_length_bucket",
       "q_pipeline_pref_pairs", "q_sft_render", "q_sft_validate",
       "q_sft_turn_dedup", "q_sft_truncate", "q_stats_cms",
-      "q_temporal_cohort")
+      "q_temporal_cohort",
+      // round-14 second wave: APSS prefix-filtered cosine pairs — the
+      // pair-based shape, linear in SHARING pairs (Σ df²); NB the ×10
+      // corpus's hash-ordered replica text concentrates tokens into runs,
+      // inflating hot 5-gram df (Σdf² measured 277k → 1.48e9 at ×10, a
+      // corpus artifact — the minhash notes record the same stress), so
+      // the measured ratio reflects the data's pair growth, not engine
+      // superlinearity,
+      // A-ES weighted draw (one projection + heap), streamed CMS
+      // lifecycle, unigram-LM EM training (histogram-bounded driver
+      // loop), linear interpolation (keyed grid windows)
+      "q_dedup_apss", "q_pipeline_weighted_sample", "q_stream_cms",
+      "q_text_unigram", "q_temporal_interpolate")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
