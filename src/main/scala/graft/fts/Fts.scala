@@ -2054,6 +2054,31 @@ object Search {
     (res, read.toSeq)
   }
 
+  /** RESCORE WINDOW (Elasticsearch rescore API): stage 1 ranks the whole
+    * match set with cheap BM25 and keeps a `window` of candidates; stage 2
+    * applies an expensive signal — here an exact-phrase proximity boost
+    * from the positional postings — to the WINDOW ONLY, and the final
+    * ranking re-sorts window rows. The expensive scorer's cost is
+    * O(window), never O(matches): the two-stage shape every production
+    * ranker uses (the vector twin is [[maxsim rerank|q_sim_maxsim_rerank]]).
+    * Deterministic: stage-1 scores round before the window cut, so the
+    * window is a total-order prefix both engines reproduce. */
+  def rescoreTopK(ix: FtsIndex, terms: Seq[String], phrase: Seq[String],
+                  window: Int, k: Int, boost: Double,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(window >= k && k >= 1, "window must cover k")
+    val stage1 = scoreAllBm25(ix, terms, k1, b)
+      .select(col("doc_id"), round(col("score"), 4).as("s1"))
+      .orderBy(col("s1").desc, col("doc_id")).limit(window)
+    val phraseIds = matchPhrasePositional(ix, phrase)
+      .withColumn("hit", lit(true))
+    stage1.join(phraseIds, Seq("doc_id"), "left_outer")
+      .withColumn("score",
+        round(col("s1") + when(col("hit"), boost).otherwise(0.0), 4))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** SEARCH-AFTER keyset pagination (Elasticsearch search_after / Lucene
     * searchAfter): page N+1 is "scores strictly after the last hit of
     * page N" — (score < s) OR (score = s AND doc_id > id) under the

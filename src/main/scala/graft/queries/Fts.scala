@@ -2458,6 +2458,43 @@ object Fts extends QueryPack {
                WHERE list_contains($DTOKS, 'spark')
                ORDER BY n_chars DESC, doc_id LIMIT 10""")),
 
+    // RESCORE WINDOW (ES rescore API): BM25 ranks everything cheaply, the
+    // top-50 window alone pays the expensive exact-phrase proximity boost
+    // (positional postings), and the final top-10 re-sorts the window —
+    // O(window) expensive scoring regardless of match-set size, the
+    // two-stage serving shape production rankers run (vector twin:
+    // q_sim_maxsim_rerank). Stage-1 scores round before the cut so the
+    // window is a total-order prefix both engines reproduce.
+    Q("q_fts_rescore",
+      (s, dir) => {
+        val ix = Index.buildPositional(Tables(s, dir, "documents"))
+        Search.rescoreTopK(ix, Seq("data", "query"), Seq("data", "query"),
+          window = 50, k = 10, boost = 2.0)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('data', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             (tf.tf*2.2) /
+                             (tf.tf + (dl.dl/stats.avgdl*0.75 + 0.25)*1.2) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               w AS (SELECT doc_id, round(s, 4) AS s1 FROM sc
+                     ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+               ph AS (SELECT doc_id FROM toks
+                      WHERE contains(' ' || array_to_string(t, ' ') || ' ',
+                                     ' data query '))
+               SELECT doc_id,
+                 round(s1 + CASE WHEN doc_id IN (SELECT doc_id FROM ph)
+                   THEN 2.0 ELSE 0.0 END, 4) AS score
+               FROM w ORDER BY score DESC, doc_id LIMIT 10""")),
+
     // SEARCH-AFTER keyset pagination (ES search_after): page 2 of the
     // 'data query' ranking is "strictly after page 1's last (score, id)
     // cursor" — the predicate keeps the top-k heap k-sized at any page

@@ -2295,6 +2295,36 @@ object Pipeline extends QueryPack {
                 AND chosen_score - rejected_score >= 50
               ORDER BY lang, source""")),
 
+    // DATASET CARD manifest (the per-slice metadata artifact every corpus
+    // release ships): one row per language with volume, length, source
+    // diversity, exact-dup pressure, and corpus share — a single
+    // aggregation pass plus one broadcast total, the stats a curation run
+    // publishes beside the data. sum pinned to BIGINT (HUGEINT widening).
+    Q("q_pipeline_datacard",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val tot = d.agg(count(lit(1)).cast("double").as("n_total"))
+        d.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            round(avg(col("n_chars")), 2).as("mean_chars"),
+            countDistinct(col("source")).as("n_sources"),
+            (count(lit(1)) - countDistinct(col("text"))).as("exact_dup_docs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share", round(col("n_docs") / col("n_total"), 4))
+          .drop("n_total")
+          .orderBy("lang")
+      },
+      Some("""WITH tot AS (SELECT count(*)::DOUBLE AS n_total FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                round(avg(n_chars), 2) AS mean_chars,
+                count(DISTINCT source) AS n_sources,
+                count(*) - count(DISTINCT text) AS exact_dup_docs,
+                round(count(*) / tot.n_total, 4) AS share
+              FROM documents CROSS JOIN tot
+              GROUP BY lang, tot.n_total ORDER BY lang""")),
+
     // WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis-Spirakis A-ES
     // exponential race; the principled "sample 50 docs proportional to
     // length" draw): key = −ln(u)/w per row, n smallest win — one

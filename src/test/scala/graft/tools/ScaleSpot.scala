@@ -107,7 +107,9 @@ object ScaleSpot {
       // lifecycle, unigram-LM EM training (histogram-bounded driver
       // loop), linear interpolation (keyed grid windows)
       "q_dedup_apss", "q_pipeline_weighted_sample", "q_stream_cms",
-      "q_text_unigram", "q_temporal_interpolate")
+      "q_text_unigram", "q_temporal_interpolate",
+      // round-14 closing: rescore window (O(window) stage-2), datacard
+      "q_fts_rescore", "q_pipeline_datacard")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
