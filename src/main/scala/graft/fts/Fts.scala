@@ -2054,6 +2054,61 @@ object Search {
     (res, read.toSeq)
   }
 
+  /** PHRASE SUGGESTER (Elasticsearch phrase suggest with `laplace`
+    * smoothing): did-you-mean for WHOLE QUERIES, not single terms — each
+    * slot expands to its close dictionary terms ([[suggest]]'s
+    * length-banded edit-distance scan, ranked dist → corpus-count →
+    * term), the per-slot candidates cross into whole-phrase rewrites
+    * (bounded at perSlot^2), and a Laplace-smoothed bigram language model
+    * over the corpus ranks them: score = ln P(w₁) + ln P(w₂|w₁) with
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). "data querry" beats its typo
+    * because the LM knows which rewrites actually co-occur.
+    *
+    * Scale shape: unigram/bigram count tables are the distributed state
+    * (vocab/bigram-vocab sized — the same tables a KN perplexity pass
+    * builds); per-slot candidate collects are ≤ perSlot rows; the final
+    * scoring joins a ≤ perSlot² phrase frame against the count tables.
+    * Two-term queries only (the bigram LM's natural span). */
+  def suggestPhrase(docs: DataFrame, query: Seq[String], maxEdits: Int = 1,
+                    perSlot: Int = 5, k: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    require(query.length == 2, "phrase suggester scores bigram rewrites")
+    require(maxEdits >= 0 && perSlot >= 1 && k >= 1, "bad suggester shape")
+    val spark = docs.sparkSession
+    val toks = docs.select(Analyzer.tokenize(col(textCol)).as("t"))
+    val c1 = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("c"))
+    val stats = c1.agg(sum(col("c")).as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val c2 = toks
+      .select(explode(filter(
+        transform(col("t"), (_, i) =>
+          when(i < size(col("t")) - 1,
+            struct(element_at(col("t"), i + 1).as("w1"),
+              element_at(col("t"), i + 2).as("w2")))),
+        p => p.isNotNull)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    def slotCandidates(term: String): Seq[String] =
+      c1.filter(abs(length(col("w")) - lit(term.length)) <= maxEdits)
+        .filter(levenshtein(col("w"), lit(term)) <= maxEdits)
+        .orderBy(levenshtein(col("w"), lit(term)), col("c").desc, col("w"))
+        .limit(perSlot)
+        .collect().map(_.getString(0)).toSeq // bounded: perSlot rows
+    val phrases = for (a <- slotCandidates(query(0));
+                       b <- slotCandidates(query(1))) yield (a, b)
+    import spark.implicits._
+    val ph = broadcast(phrases.toDF("w1", "w2"))
+    ph.join(c1.withColumnRenamed("w", "w1"), "w1")
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .na.fill(0.0, Seq("c2"))
+      .crossJoin(broadcast(stats))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("suggestion"),
+        round(log(col("c") / col("n")) +
+          log((col("c2") + 1.0) / (col("c") + col("v"))), 6).as("score"))
+      .orderBy(col("score").desc, col("suggestion")).limit(k)
+  }
+
   /** RESCORE WINDOW (Elasticsearch rescore API): stage 1 ranks the whole
     * match set with cheap BM25 and keeps a `window` of candidates; stage 2
     * applies an expensive signal — here an exact-phrase proximity boost

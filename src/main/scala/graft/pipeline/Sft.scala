@@ -87,6 +87,23 @@ object Sft {
       .orderBy("conv_id")
   }
 
+  /** LOSS-MASK accounting (SFT trains on assistant tokens only — user
+    * turns are context, their loss is masked): per conversation, total
+    * content vs trainable (assistant) content and the trainable ratio —
+    * the number that decides whether a conversation is worth its context
+    * window. One aggregation, exact integer char counts, ratio rounded. */
+  def lossMaskStats(conv: DataFrame): DataFrame =
+    conv.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(length(col("content")).cast("long")).as("chars_total"),
+        sum(when(col("role") === "assistant",
+          length(col("content")).cast("long")).otherwise(0L))
+          .as("chars_trainable"))
+      .withColumn("trainable_ratio",
+        round(col("chars_trainable").cast("double") /
+          col("chars_total").cast("double"), 4))
+      .orderBy("conv_id")
+
   /** Context-budget truncation: keep the longest SUFFIX of turns whose
     * total content length fits `budget` chars — chat context windows drop
     * the oldest turns first. Reverse cumulative sum per conversation;

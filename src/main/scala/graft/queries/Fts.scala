@@ -2458,6 +2458,44 @@ object Fts extends QueryPack {
                WHERE list_contains($DTOKS, 'spark')
                ORDER BY n_chars DESC, doc_id LIMIT 10""")),
 
+    // PHRASE SUGGESTER (ES phrase suggest, laplace smoothing): whole-query
+    // did-you-mean — 'sow data' expands per-slot over the dictionary
+    // (dist → corpus-count → term; 'sow' reaches BOTH 'slow' and 'row',
+    // so two plausible rewrites compete), candidate phrases rank by a
+    // Laplace-smoothed bigram LM — the rewrite that actually co-occurs
+    // in the corpus wins. Count tables are the distributed state;
+    // candidate collects are perSlot-bounded; the oracle replays
+    // dictionary expansion, the cross product, and the LM arithmetic.
+    Q("q_fts_suggest_phrase",
+      (s, dir) => Search.suggestPhrase(Tables(s, dir, "documents"),
+        Seq("sow", "data"), maxEdits = 1, perSlot = 5, k = 3),
+      Some(s"""WITH toks AS (SELECT $DTOKS AS t FROM documents),
+               uni AS (SELECT unnest(t) AS w FROM toks),
+               c1 AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w),
+               st AS (SELECT sum(c) AS n, count(*)::DOUBLE AS v FROM c1),
+               c2 AS (SELECT p.w1, p.w2, count(*)::DOUBLE AS c2 FROM
+                        (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                                        FOR i IN range(1, len(t))]) AS p
+                         FROM toks)
+                      GROUP BY 1, 2),
+               ca AS (SELECT w, c FROM c1
+                      WHERE abs(len(w) - 3) <= 1 AND levenshtein(w, 'sow') <= 1
+                      ORDER BY levenshtein(w, 'sow'), c DESC, w LIMIT 5),
+               cb AS (SELECT w, c FROM c1
+                      WHERE abs(len(w) - 4) <= 1 AND levenshtein(w, 'data') <= 1
+                      ORDER BY levenshtein(w, 'data'), c DESC, w LIMIT 5),
+               ph AS (SELECT a.w AS w1, a.c AS c, b.w AS w2
+                      FROM ca a CROSS JOIN cb b),
+               sc AS (SELECT ph.w1 || ' ' || ph.w2 AS suggestion,
+                        round(ln(ph.c / st.n) +
+                              ln((coalesce(c2.c2, 0) + 1.0) / (ph.c + st.v)), 6)
+                          AS score
+                      FROM ph LEFT JOIN c2
+                        ON c2.w1 = ph.w1 AND c2.w2 = ph.w2
+                      CROSS JOIN st)
+               SELECT suggestion, score FROM sc
+               ORDER BY score DESC, suggestion LIMIT 3""")),
+
     // RESCORE WINDOW (ES rescore API): BM25 ranks everything cheaply, the
     // top-50 window alone pays the expensive exact-phrase proximity boost
     // (positional postings), and the final top-10 re-sorts the window —

@@ -3471,6 +3471,27 @@ object Pipeline extends QueryPack {
                 CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dropped
               FROM d GROUP BY conv_id ORDER BY conv_id""")),
 
+    // LOSS-MASK accounting: SFT trains on assistant tokens only, so the
+    // trainable ratio (assistant chars / total) is the per-conversation
+    // value-for-context-window number. One aggregation, exact integers,
+    // sums pinned to BIGINT.
+    Q("q_sft_loss_mask",
+      (s, dir) => Sft.lossMaskStats(
+        Sft.conversations(Tables(s, dir, "events"))),
+      Some("""WITH conv AS (SELECT user_id AS conv_id,
+                  CASE WHEN event_type IN ('click', 'view', 'search', 'signup')
+                    THEN 'user' ELSE 'assistant' END AS role,
+                  event_type || ' ' || props AS content
+                FROM events)
+              SELECT conv_id, count(*) AS n_turns,
+                CAST(sum(len(content)) AS BIGINT) AS chars_total,
+                CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
+                              ELSE 0 END) AS BIGINT) AS chars_trainable,
+                round(sum(CASE WHEN role = 'assistant' THEN len(content)
+                               ELSE 0 END)::DOUBLE
+                      / sum(len(content))::DOUBLE, 4) AS trainable_ratio
+              FROM conv GROUP BY conv_id ORDER BY conv_id""")),
+
     // Context-budget truncation: keep the longest turn SUFFIX fitting 800
     // chars (context windows drop the oldest turns first) — one reverse
     // cumulative sum per conversation, exact integer arithmetic.

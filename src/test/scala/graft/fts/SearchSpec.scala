@@ -739,6 +739,34 @@ class SearchSpec extends SparkSpec {
       corpus.filter(array_contains(Analyzer.tokenize(col("text")), "data")).count())
   }
 
+  test("suggestPhrase: LM prefers the rewrite that co-occurs") {
+    import spark.implicits._
+    // 'grape juice' dominates; 'gripe' exists but never precedes 'juice'
+    val corpus = (Seq.fill(20)("grape juice is great") ++
+      Seq.fill(20)("people gripe about things") ++ Seq("gripe juice once"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Search.suggestPhrase(corpus, Seq("grape", "juice"),
+      maxEdits = 1, perSlot = 5, k = 2).collect()
+    assert(got.head.getString(0) == "grape juice",
+      s"LM should rank the co-occurring rewrite first: ${got.toSeq}")
+    // both rewrites surface, the non-co-occurring one strictly lower
+    val m = got.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.contains("gripe juice") && m("grape juice") > m("gripe juice"))
+  }
+
+  test("rescoreTopK: phrase boost reorders only inside the window") {
+    val pix = Index.buildPositional(docs)
+    val base = Search.scoreBm25(pix, Seq("big", "data"), 4).collect()
+      .map(_.getLong(0)).toSeq
+    val boosted = Search.rescoreTopK(pix, Seq("big", "data"),
+      Seq("big", "data"), window = 4, k = 4, boost = 10.0).collect()
+    // docs 1 and 2 contain the exact phrase "big data"; doc 3 matches
+    // terms but not the phrase → boosted docs must rank first
+    val order = boosted.map(_.getLong(0)).toSeq
+    assert(order.take(2).toSet == Set(1L, 2L), s"base=$base boosted=$order")
+    assert(boosted.take(2).map(_.getDouble(1)).forall(_ > 9.0))
+  }
+
   test("searchAfter: pages tile the full ranking with no overlap or gap") {
     val full = Search.scoreBm25(ix, Seq("data", "big"), 10).collect()
     val p1 = full.take(2)

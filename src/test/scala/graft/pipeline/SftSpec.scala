@@ -59,6 +59,16 @@ class SftSpec extends SparkSpec {
     assert(d(2L) == ((0L, 3L)))
   }
 
+  test("lossMaskStats: only assistant chars are trainable") {
+    val m = Sft.lossMaskStats(conv).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // conv 1: hi(2)+hello(5)+bye(3)=10 total, assistant hello=5
+    assert(m(1L) == ((10L, 5L, 0.5)))
+    // conv 2: hello+hello+hi = 12 total, assistant 10
+    assert(m(2L) == ((12L, 10L, 0.8333)))
+  }
+
   test("truncateToBudget: longest suffix within budget, oldest drop first") {
     // conv 1 lengths: hi=2, hello=5, bye=3 → suffix sums from the end:
     // bye 3, hello+bye 8, hi+hello+bye 10
