@@ -108,8 +108,11 @@ object ScaleSpot {
       // loop), linear interpolation (keyed grid windows)
       "q_dedup_apss", "q_pipeline_weighted_sample", "q_stream_cms",
       "q_text_unigram", "q_temporal_interpolate",
-      // round-14 closing: rescore window (O(window) stage-2), datacard
-      "q_fts_rescore", "q_pipeline_datacard")
+      // round-14 closing: rescore window (O(window) stage-2), datacard,
+      // bigram-LM phrase suggester (count tables + bounded candidates),
+      // SFT loss-mask accounting (one conversation-keyed agg)
+      "q_fts_rescore", "q_pipeline_datacard", "q_fts_suggest_phrase",
+      "q_sft_loss_mask")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
