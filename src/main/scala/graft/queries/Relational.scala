@@ -1524,6 +1524,66 @@ object Relational extends QueryPack {
       },
       Some("""SELECT l_orderkey % 10 AS bucket, count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
-              FROM lineitem GROUP BY 1 ORDER BY bucket"""))
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // SLOWLY-CHANGING DIMENSION type 2 (Kimball versioning — the
+    // warehouse op between an operational feed and its dimensions): two
+    // change batches against the customer dimension exercise every arm —
+    // attribute bump (close + open), the SCD no-op (change equal to
+    // current), double-bump keys carrying three versions, and untouched
+    // history passthrough. The change batch is the join's small side;
+    // history rows are never rewritten. The oracle states the closed form
+    // of both batches per key class.
+    Q("q_scd2",
+      (s, dir) => {
+        import graft.ops.Scd
+        val cust = t(s, dir, "customer")
+        val dim = cust.select(col("c_custkey"), col("c_nationkey"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+        val b1 = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 50 === 0, col("c_nationkey"))
+              .otherwise((col("c_nationkey") + 1) % 25).as("c_nationkey"),
+            lit("2024-06-01").as("ts"))
+        // materialize between batches — a dimension IS a table between
+        // loads, and the second feed reading live state would otherwise
+        // self-join the un-materialized union DAG
+        val d1 = Scd.applyChanges(dim, b1, "c_custkey",
+          Seq("c_nationkey"), "ts").localCheckpoint()
+        // the second feed computes from LIVE state, like an upstream would
+        val b2 = d1.filter(col("is_current") && col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"),
+            ((col("c_nationkey") + 1) % 25).as("c_nationkey"),
+            lit("2024-09-01").as("ts"))
+        Scd.applyChanges(d1, b2, "c_custkey", Seq("c_nationkey"), "ts")
+          .filter(col("c_custkey") % 10 === 0)
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_nationkey AS nat
+                         FROM customer WHERE c_custkey % 10 = 0)
+              SELECT k AS c_custkey, nat AS c_nationkey,
+                '2024-01-01' AS valid_from,
+                CASE WHEN k % 100 = 0 THEN '2024-09-01'
+                     WHEN k % 50 = 0 THEN NULL
+                     ELSE '2024-06-01' END AS valid_to,
+                (k % 50 = 0 AND k % 100 <> 0) AS is_current
+              FROM b
+              UNION ALL
+              SELECT k, CAST((nat + 1) % 25 AS INTEGER),
+                CASE WHEN k % 100 = 0 THEN '2024-09-01'
+                     ELSE '2024-06-01' END,
+                CASE WHEN k % 100 = 0 THEN NULL
+                     WHEN k % 20 = 0 THEN '2024-09-01'
+                     ELSE NULL END,
+                CASE WHEN k % 100 = 0 THEN true
+                     WHEN k % 20 = 0 THEN false ELSE true END
+              FROM b WHERE k % 100 = 0 OR k % 50 <> 0
+              UNION ALL
+              SELECT k, CAST(((nat + 1) % 25 + 1) % 25 AS INTEGER),
+                '2024-09-01', NULL, true
+              FROM b WHERE k % 20 = 0 AND k % 50 <> 0
+              ORDER BY c_custkey, valid_from"""))
   )
 }
