@@ -2458,6 +2458,30 @@ object Fts extends QueryPack {
                WHERE list_contains($DTOKS, 'spark')
                ORDER BY n_chars DESC, doc_id LIMIT 10""")),
 
+    // COMPOSITE AGGREGATION pagination (ES composite agg): grouped
+    // aggregates paged by a KEYSET cursor on the group key — page 2 is
+    // "keys strictly after page 1's last (lang, source)", so the final
+    // top-k heap stays page-sized at any depth (OFFSET sorts offset+k
+    // group rows). The group-key total order makes the oracle's OFFSET
+    // form provably the same page. Cursor collect is one row.
+    Q("q_fts_composite_agg",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val groups = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+        val page1 = groups.orderBy("lang", "source").limit(10).collect()
+        val last = page1.last // the composite 'after' cursor
+        val (al, as_) = (last.getString(0), last.getString(1))
+        groups.filter(col("lang") > al ||
+            (col("lang") === al && col("source") > as_))
+          .orderBy("lang", "source").limit(10)
+      },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars
+              FROM documents GROUP BY lang, source
+              ORDER BY lang, source LIMIT 10 OFFSET 10""")),
+
     // PHRASE SUGGESTER (ES phrase suggest, laplace smoothing): whole-query
     // did-you-mean — 'sow data' expands per-slot over the dictionary
     // (dist → corpus-count → term; 'sow' reaches BOTH 'slow' and 'row',

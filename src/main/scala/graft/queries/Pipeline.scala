@@ -2295,6 +2295,36 @@ object Pipeline extends QueryPack {
                 AND chosen_score - rejected_score >= 50
               ORDER BY lang, source""")),
 
+    // ZIPF FIT: the rank-frequency slope of the token histogram on the
+    // log-log scale (natural text ≈ −1; the fixture's synthetic word soup
+    // is much flatter — which is exactly what the statistic detects, the
+    // "is this corpus natural language" screen). regr_slope over the
+    // vocabulary-sized (ln rank, ln freq) frame — the regression state is
+    // |vocab| rows; both engines compute the same least-squares moments.
+    Q("q_text_zipf",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH c AS (SELECT w, count(*) AS c FROM
+                   (SELECT explode(split(lower(text), '[^a-z0-9]+')) AS w
+                    FROM documents) WHERE w <> '' GROUP BY w),
+                 r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+                       FROM c)
+                 SELECT count(*) AS n_terms,
+                   round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+                   round(regr_r2(ln(c), ln(rk)), 4) AS r2
+                 FROM r""")
+      },
+      Some("""WITH c AS (SELECT w, count(*) AS c FROM
+                (SELECT unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), t -> len(t) > 0)) AS w
+                 FROM documents) GROUP BY w),
+              r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+                    FROM c)
+              SELECT count(*) AS n_terms,
+                round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+                round(regr_r2(ln(c), ln(rk)), 4) AS r2
+              FROM r""")),
+
     // DATASET CARD manifest (the per-slice metadata artifact every corpus
     // release ships): one row per language with volume, length, source
     // diversity, exact-dup pressure, and corpus share — a single
