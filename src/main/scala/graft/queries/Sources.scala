@@ -637,6 +637,83 @@ object Sources extends QueryPack {
                  est.est_cnt - top.true_cnt AS overcount
                FROM top JOIN est USING (term) ORDER BY term""")),
 
+    // STREAMING DIMENSION MAINTENANCE (SCD2 at ingest): the q_scd2 change
+    // batches arrive as a STREAM (two staged files, maxFilesPerTrigger=1
+    // pins order) and fold into the versioned dimension via epoch-flip
+    // writes — a crash between epoch write and pointer flip leaves the
+    // previous epoch intact. Streamed final state == one-shot batch
+    // application, so this row shares q_scd2's closed-form oracle.
+    Q("q_stream_scd2",
+      (s, dir) => {
+        val root = tmp("stream_scd2")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val cust = s.read.parquet(s"$dir/customer.parquet")
+        val dim = cust.select(col("c_custkey"), col("c_nationkey"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+        // the live-state-derived q_scd2 feeds, expressed as static files
+        // (what an operational extract actually ships)
+        val b1 = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 50 === 0, col("c_nationkey"))
+              .otherwise((col("c_nationkey") + 1) % 25).as("c_nationkey"),
+            lit("2024-06-01").as("ts"))
+        val b2 = cust.filter(col("c_custkey") % 20 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 50 === 0, (col("c_nationkey") + 1) % 25)
+              .otherwise(((col("c_nationkey") + 1) % 25 + 1) % 25)
+              .as("c_nationkey"),
+            lit("2024-09-01").as("ts"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(b1, "batch0", t0)
+        stage(b2, "batch1", t0 + 60000)
+        val stream = s.readStream.schema(b1.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamScd.start(stream, dim, s"$root/dim",
+          "c_custkey", Seq("c_nationkey"), "ts").awaitTermination()
+        graft.streaming.StreamScd.readDim(s, s"$root/dim")
+          .filter(col("c_custkey") % 10 === 0)
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS k, c_nationkey AS nat
+                         FROM customer WHERE c_custkey % 10 = 0)
+              SELECT k AS c_custkey, nat AS c_nationkey,
+                '2024-01-01' AS valid_from,
+                CASE WHEN k % 100 = 0 THEN '2024-09-01'
+                     WHEN k % 50 = 0 THEN NULL
+                     ELSE '2024-06-01' END AS valid_to,
+                (k % 50 = 0 AND k % 100 <> 0) AS is_current
+              FROM b
+              UNION ALL
+              SELECT k, CAST((nat + 1) % 25 AS INTEGER),
+                CASE WHEN k % 100 = 0 THEN '2024-09-01'
+                     ELSE '2024-06-01' END,
+                CASE WHEN k % 100 = 0 THEN NULL
+                     WHEN k % 20 = 0 THEN '2024-09-01'
+                     ELSE NULL END,
+                CASE WHEN k % 100 = 0 THEN true
+                     WHEN k % 20 = 0 THEN false ELSE true END
+              FROM b WHERE k % 100 = 0 OR k % 50 <> 0
+              UNION ALL
+              SELECT k, CAST(((nat + 1) % 25 + 1) % 25 AS INTEGER),
+                '2024-09-01', NULL, true
+              FROM b WHERE k % 20 = 0 AND k % 50 <> 0
+              ORDER BY c_custkey, valid_from""")),
+
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,
     // maxFilesPerTrigger=1) and alert pairs append to the partitioned
