@@ -2295,6 +2295,99 @@ object Pipeline extends QueryPack {
                 AND chosen_score - rejected_score >= 50
               ORDER BY lang, source""")),
 
+    // COLLOCATIONS by PMI (Church & Hanks pointwise mutual information):
+    // adjacent-pair association ln(c₁₂·N / (c₁·c₂)) over the bigram and
+    // unigram count tables (the same frames the phrase suggester and KN
+    // perplexity build), min-count floor against low-frequency noise —
+    // the phrase-mining pass that feeds tokenizer/ngram vocabularies.
+    // Vocabulary-scale state; one corpus pass per count table.
+    Q("q_text_collocations",
+      (s, dir) => {
+        graft.core.Tables.registerViews(s, dir)
+        s.sql("""WITH toks AS (SELECT filter(split(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS t FROM documents),
+                 uni AS (SELECT explode(t) AS w FROM toks),
+                 c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+                 st AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1),
+                 big AS (SELECT explode(filter(transform(t,
+                       (x, i) -> IF(i < size(t) - 1,
+                         named_struct('w1', t[i], 'w2', t[i+1]), null)),
+                     p -> p IS NOT NULL)) AS p FROM toks),
+                 c2 AS (SELECT p.w1, p.w2, count(*) AS c12 FROM big
+                        GROUP BY p.w1, p.w2)
+                 SELECT w1, w2, c12,
+                   round(ln(c12 * st.n / (a.c * b.c)), 4) AS pmi
+                 FROM c2 JOIN c1 a ON a.w = w1 JOIN c1 b ON b.w = w2
+                 CROSS JOIN st
+                 WHERE c12 >= 25
+                 ORDER BY pmi DESC, w1, w2 LIMIT 20""")
+      },
+      Some("""WITH toks AS (SELECT list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), t -> len(t) > 0) AS t FROM documents),
+              uni AS (SELECT unnest(t) AS w FROM toks),
+              c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+              st AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c1),
+              big AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                                     FOR i IN range(1, len(t))]) AS p
+                      FROM toks),
+              c2 AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+                     FROM big GROUP BY 1, 2)
+              SELECT w1, w2, c12,
+                round(ln(c12 * st.n / (a.c * b.c)), 4) AS pmi
+              FROM c2 JOIN c1 a ON a.w = w1 JOIN c1 b ON b.w = w2
+              CROSS JOIN st
+              WHERE c12 >= 25
+              ORDER BY pmi DESC, w1, w2 LIMIT 20""")),
+
+    // SPLIT-LEAKAGE audit (the dedup-before-split lesson, quantified):
+    // deterministic hash split into train/test, then count the near-dup
+    // pairs (the verified ngram-prefix pair set) that STRADDLE the split
+    // — each is a test answer sitting in the training set. One join of
+    // the pair frame against the split assignment; the pair machinery is
+    // the existing blocked/verified path, never all-pairs.
+    Q("q_pipeline_split_leakage",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val split = docs.select(col("doc_id"),
+          when(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":split"))), 1, 6), 16, 10).cast("long") % 10 < 8, "train")
+            .otherwise("test").as("split"))
+        val pairs = Dedup.nearDupPairsNgram(docs, 0.8)
+        pairs
+          .join(split.withColumnRenamed("doc_id", "aid")
+            .withColumnRenamed("split", "sa"), "aid")
+          .join(split.withColumnRenamed("doc_id", "bid")
+            .withColumnRenamed("split", "sb"), "bid")
+          .agg(count(lit(1)).as("near_dup_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+              .as("leaking_pairs"),
+            countDistinct(when(col("sa") =!= col("sb"),
+              when(col("sa") === "test", col("aid"))
+                .otherwise(col("bid")))).as("contaminated_test_docs"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+               sp AS (SELECT doc_id,
+                        CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                               || ':split'), 1, 6) AS BIGINT) % 10 < 8
+                        THEN 'train' ELSE 'test' END AS split
+                      FROM documents)
+               SELECT count(*) AS near_dup_pairs,
+                 CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+                      AS BIGINT) AS leaking_pairs,
+                 count(DISTINCT CASE WHEN sa.split <> sb.split THEN
+                   CASE WHEN sa.split = 'test' THEN p.aid ELSE p.bid END
+                 END) AS contaminated_test_docs
+               FROM p JOIN sp sa ON sa.doc_id = p.aid
+               JOIN sp sb ON sb.doc_id = p.bid""")),
+
     // ZIPF FIT: the rank-frequency slope of the token histogram on the
     // log-log scale (natural text ≈ −1; the fixture's synthetic word soup
     // is much flatter — which is exactly what the statistic detects, the

@@ -114,7 +114,8 @@ object ScaleSpot {
       "q_fts_rescore", "q_pipeline_datacard", "q_fts_suggest_phrase",
       "q_sft_loss_mask",
       // SCD2: two dimension loads (current-slice + batch joins)
-      "q_scd2", "q_text_zipf", "q_fts_composite_agg", "q_stream_scd2")
+      "q_scd2", "q_text_zipf", "q_fts_composite_agg", "q_stream_scd2",
+      "q_text_collocations", "q_pipeline_split_leakage")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
