@@ -637,6 +637,50 @@ object Sources extends QueryPack {
                  est.est_cnt - top.true_cnt AS overcount
                FROM top JOIN est USING (term) ORDER BY term""")),
 
+    // STREAMING WEIGHTED RESERVOIR: the A-ES key is per-row state, so
+    // "keep the n smallest" MERGES across micro-batches — the reservoir
+    // over the two parity batches equals the one-shot draw, and this row
+    // shares q_pipeline_weighted_sample's oracle verbatim (same seed,
+    // same corpus, same n). The third mergeability lifecycle beside the
+    // CMS grid and the SCD epochs; store is n rows.
+    Q("q_stream_weighted_sample",
+      (s, dir) => {
+        val root = tmp("stream_wsample")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "n_chars")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(docs.filter(col("doc_id") % 2 === 0), "batch0", t0)
+        stage(docs.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamSketch.startWeightedReservoir(
+          stream, "doc_id", "n_chars", seed = "w1", n = 50,
+          s"$root/reservoir").awaitTermination()
+        graft.streaming.StreamSketch.read(s, s"$root/reservoir")
+          .select(col("rid").as("doc_id"), col("skey"))
+          .orderBy("skey", "doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+                round(-ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || ':w1'), 1, 6) AS BIGINT) + 1.0) / 16777216.0)
+                      / n_chars, 9) AS skey
+              FROM documents)
+              SELECT doc_id, skey FROM k ORDER BY skey, doc_id LIMIT 50""")),
+
     // STREAMING DIMENSION MAINTENANCE (SCD2 at ingest): the q_scd2 change
     // batches arrive as a STREAM (two staged files, maxFilesPerTrigger=1
     // pins order) and fold into the versioned dimension via epoch-flip

@@ -46,4 +46,44 @@ object StreamSketch {
 
   def read(spark: org.apache.spark.sql.SparkSession, store: String): DataFrame =
     spark.read.parquet(store)
+
+  /** STREAMING WEIGHTED RESERVOIR (Efraimidis & Spirakis A-ES is *the*
+    * one-pass weighted sampler — the key −ln(u)/w is per-row state, so
+    * "keep the n smallest keys" merges across batches exactly like the
+    * CMS grid adds): each micro-batch computes its rows' keys, unions
+    * with the held reservoir, and keeps the n smallest. The store is n
+    * rows; the final reservoir over any batch split equals the one-shot
+    * batch draw, which is what lets a 1000-executor ingest sample without
+    * coordination. `keyExpr` must be the deterministic A-ES key
+    * ([[graft.pipeline.Sampling.weightedSample]]'s md5 construction). */
+  def startWeightedReservoir(stream: DataFrame, idCol: String,
+                             weightCol: String, seed: String, n: Int,
+                             store: String): StreamingQuery = {
+    require(n >= 1 && n <= (1 << 20), "reservoir size out of driver range")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(":" + seed))), 1, 6), 16, 10).cast("double") + 1.0) /
+          (1 << 24).toDouble
+        val delta = batch.select(col(idCol).as("rid"),
+          round(-log(u) / col(weightCol).cast("double"), 9).as("skey"))
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(store)))
+            spark.read.parquet(store).unionByName(delta)
+          else delta
+        val kept = merged.orderBy(col("skey"), col("rid")).limit(n)
+          .collect().toSeq // bounded: n reservoir rows
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(kept, 1),
+            merged.schema)
+          .write.mode("overwrite").parquet(store)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$store-ckpt")
+      .start()
+  }
 }

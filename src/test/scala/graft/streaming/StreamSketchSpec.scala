@@ -40,4 +40,37 @@ class StreamSketchSpec extends SparkSpec {
     assert(streamed == batch,
       s"grids diverged: ${(streamed.toSet diff batch.toSet).take(5)}")
   }
+
+  test("weighted reservoir over batch splits equals the one-shot draw") {
+    import spark.implicits._
+    val root = graft.core.Scratch.dir("stream_wres_spec")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val rows = (0L until 200L).map(i => (i, 1L + i % 7)).toDF("doc_id", "wt")
+    Seq(rows.filter(col("doc_id") % 3 === 0),
+        rows.filter(col("doc_id") % 3 === 1),
+        rows.filter(col("doc_id") % 3 === 2)).zipWithIndex.foreach {
+      case (df, i) =>
+        val stage = s"$root/stage_$i"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$stage/part-*")).head.getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/landing"))
+        val dst = new org.apache.hadoop.fs.Path(s"$root/landing/b$i.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+        fs.setTimes(dst, 1700000000000L + i * 60000, -1)
+    }
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
+    StreamSketch.startWeightedReservoir(stream, "doc_id", "wt", "rs", 25,
+      s"$root/res").awaitTermination()
+    val streamed = StreamSketch.read(spark, s"$root/res")
+      .orderBy("skey", "rid").collect().map(_.getLong(0)).toSeq
+    val batch = graft.pipeline.Sampling.weightedSample(rows, "wt", 25, "rs")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch,
+      s"reservoir diverged from the one-shot draw:\n$streamed\nvs\n$batch")
+  }
 }
