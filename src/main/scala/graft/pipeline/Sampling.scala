@@ -115,6 +115,54 @@ object Sampling {
       .orderBy("bucket")
   }
 
+  /** CURRICULUM SCHEDULE (Bengio et al. 2009 curriculum learning, the
+    * competence-based pacing of Platanios et al. 2019): epoch e may only
+    * draw from the easiest `fractions(e)` of the corpus — difficulty is
+    * the exact rank of `difficultyCol` (ties on id) — and draws its
+    * `budget` deterministically by md5(id:seed:e). Per epoch: the allowed
+    * pool size, the draw size, and the drawn difficulty profile.
+    *
+    * The rank decomposes like [[lengthBuckets]]: a histogram-scale cumsum
+    * plus a difficulty-partitioned row_number — no corpus-global window;
+    * the per-epoch draw is a rank filter + a TakeOrderedAndProject heap.
+    * Epoch count is the driver loop's bound (a handful, by definition). */
+  def curriculumSchedule(docs: DataFrame, difficultyCol: String,
+                         fractions: Seq[Double], budget: Int, seed: String,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1.0),
+      "fractions in (0, 1]")
+    require(budget >= 1, "budget must be positive")
+    val lens = docs.select(col(idCol).as("id"),
+      col(difficultyCol).cast("long").as("d"))
+    val hist = lens.groupBy("d").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("c")).over(Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("d", "cum_before")
+    val tot = lens.agg(count(lit(1)).as("n_total"))
+    val ranked = lens.join(broadcast(cum), "d")
+      .withColumn("rk", col("cum_before") +
+        row_number().over(Window.partitionBy("d").orderBy("id")))
+      .crossJoin(broadcast(tot))
+    val perEpoch = fractions.zipWithIndex.map { case (f, i) =>
+      val e = i + 1
+      val allowed = ranked.filter(col("rk") <= ceil(col("n_total") * f))
+      val drawn = allowed
+        .orderBy(md5(concat(col("id").cast("string"),
+          lit(s":$seed:$e"))), col("id"))
+        .limit(budget)
+      drawn.agg(
+        count(lit(1)).as("n_drawn"),
+        max(col("rk")).as("max_rank"),
+        round(avg(col("rk")), 2).as("mean_rank"))
+        .crossJoin(broadcast(
+          allowed.agg(count(lit(1)).as("n_allowed"))))
+        .select(lit(e).as("epoch"), col("n_allowed"), col("n_drawn"),
+          col("mean_rank"), col("max_rank"))
+    }
+    perEpoch.reduce(_ unionByName _).orderBy("epoch")
+  }
+
   /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis & Spirakis 2006,
     * the A-ES "exponential race": key_i = −ln(u_i)/w_i, keep the n
     * SMALLEST keys — equivalent to sequential weighted draws, but each

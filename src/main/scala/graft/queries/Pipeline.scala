@@ -2448,6 +2448,42 @@ object Pipeline extends QueryPack {
               FROM documents CROSS JOIN tot
               GROUP BY lang, tot.n_total ORDER BY lang""")),
 
+    // CURRICULUM SCHEDULE (Bengio et al.; competence-based pacing): epoch
+    // e draws its budget only from the easiest fraction of the corpus by
+    // exact difficulty rank (n_chars here; a loss/perplexity signal in
+    // production) — the allowed pool widens 50% → 75% → 100% and the
+    // drawn difficulty profile shifts with it. Rank decomposes via the
+    // histogram cumsum (no corpus-global window on the engine side); the
+    // oracle MAY global-sort. Draw is md5-deterministic per epoch.
+    Q("q_pipeline_curriculum",
+      (s, dir) => Sampling.curriculumSchedule(Tables(s, dir, "documents"),
+        "n_chars", fractions = Seq(0.5, 0.75, 1.0), budget = 100,
+        seed = "c1"),
+      Some("""WITH lens AS (SELECT doc_id AS id, n_chars AS d FROM documents),
+              ranked AS (SELECT id, d,
+                  row_number() OVER (ORDER BY d, id) AS rk,
+                  count(*) OVER () AS n_total
+                FROM lens),
+              ep AS (SELECT unnest([1, 2, 3]) AS epoch,
+                            unnest([0.5, 0.75, 1.0]) AS f),
+              allowed AS (SELECT ep.epoch, r.id, r.rk FROM ranked r
+                          JOIN ep ON r.rk <= CAST(ceil(r.n_total * ep.f)
+                                                  AS BIGINT)),
+              drawn AS (SELECT epoch, id, rk,
+                  row_number() OVER (PARTITION BY epoch
+                    ORDER BY md5(CAST(id AS VARCHAR) || ':c1:' ||
+                                 CAST(epoch AS VARCHAR)), id) AS dn
+                FROM allowed),
+              agg AS (SELECT epoch,
+                  count(*) FILTER (dn <= 100) AS n_drawn,
+                  max(rk) FILTER (dn <= 100) AS max_rank,
+                  round(avg(rk) FILTER (dn <= 100), 2) AS mean_rank,
+                  count(*) AS n_allowed
+                FROM drawn GROUP BY epoch)
+              SELECT CAST(epoch AS INTEGER) AS epoch, n_allowed, n_drawn,
+                mean_rank, max_rank
+              FROM agg ORDER BY epoch""")),
+
     // WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis-Spirakis A-ES
     // exponential race; the principled "sample 50 docs proportional to
     // length" draw): key = −ln(u)/w per row, n smallest win — one

@@ -69,6 +69,21 @@ class SamplingSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0))
   }
 
+  test("curriculum: pools widen, drawn difficulty rises, draws bounded") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, i)).toDF("doc_id", "difficulty")
+    val sched = Sampling.curriculumSchedule(d, "difficulty",
+      fractions = Seq(0.2, 1.0), budget = 10, seed = "t").collect()
+    assert(sched.length == 2)
+    val e1 = sched(0); val e2 = sched(1)
+    assert(e1.getLong(1) == 20 && e2.getLong(1) == 100) // allowed pools
+    assert(e1.getLong(2) == 10 && e2.getLong(2) == 10)  // budgets met
+    // epoch 1 can only see ranks <= 20; epoch 2's draw reaches deeper
+    assert(e1.getLong(4) <= 20)
+    assert(e2.getLong(4) > 20, s"epoch 2 never left the easy pool: $e2")
+    assert(e2.getDouble(3) > e1.getDouble(3), "difficulty must rise")
+  }
+
   test("weightedSample: heavier rows win more often; deterministic; total") {
     import spark.implicits._
     // two-point weights: ids 0..99 weight 1, ids 100..199 weight 50 —
