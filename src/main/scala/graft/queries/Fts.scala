@@ -2458,6 +2458,38 @@ object Fts extends QueryPack {
                WHERE list_contains($DTOKS, 'spark')
                ORDER BY n_chars DESC, doc_id LIMIT 10""")),
 
+    // RANGE FACETS (ES range aggregation over a match set): the 'data'
+    // match set bucketed by fixed n_chars ranges — the numeric-filter
+    // sidebar beside q_fts_facets' term counts. The match set comes from
+    // the postings semi-join; the facet agg touches matches only, and the
+    // fixed boundaries need no quantile pass. Sum pinned to BIGINT.
+    Q("q_fts_range_facets",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val hits = docs.join(Search.matchAllIds(ix, Seq("data")),
+          Seq("doc_id"), "left_semi")
+        hits.withColumn("bucket",
+            when(col("n_chars") < 150, "lt150")
+              .when(col("n_chars") < 300, "150-299")
+              .when(col("n_chars") < 450, "300-449")
+              .otherwise("gte450"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, n_chars, $DTOKS AS t FROM documents),
+               m AS (SELECT doc_id, n_chars FROM toks
+                     WHERE list_contains(t, 'data'))
+               SELECT CASE WHEN n_chars < 150 THEN 'lt150'
+                           WHEN n_chars < 300 THEN '150-299'
+                           WHEN n_chars < 450 THEN '300-449'
+                           ELSE 'gte450' END AS bucket,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
+               FROM m GROUP BY 1 ORDER BY bucket""")),
+
     // COMPOSITE AGGREGATION pagination (ES composite agg): grouped
     // aggregates paged by a KEYSET cursor on the group key — page 2 is
     // "keys strictly after page 1's last (lang, source)", so the final

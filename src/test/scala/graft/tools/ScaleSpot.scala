@@ -115,7 +115,8 @@ object ScaleSpot {
       "q_sft_loss_mask",
       // SCD2: two dimension loads (current-slice + batch joins)
       "q_scd2", "q_text_zipf", "q_fts_composite_agg", "q_stream_scd2",
-      "q_text_collocations", "q_pipeline_split_leakage")
+      "q_text_collocations", "q_pipeline_split_leakage",
+      "q_pipeline_curriculum", "q_stream_weighted_sample", "q_fts_range_facets")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
