@@ -37,8 +37,15 @@ object Scd {
       col(keyCol) +: col("valid_from").as("cur_from") +:
         attrCols.map(c => col(c).as(s"cur_$c")): _*)
     val j = latest.join(cur, Seq(keyCol), "left_outer")
-    val differs = attrCols
-      .map(c => col(s"cur_$c").isNull || col(c) =!= col(s"cur_$c"))
+    // null-safe change detection: =!= evaluates to NULL when either side
+    // is NULL, and filter(NULL) silently drops the row — a change setting
+    // a tracked attribute to NULL would never open a version. <=> treats
+    // NULL as a comparable value; the brand-new-key arm keys off cur_from
+    // (never NULL on an existing current row), not the attributes, so an
+    // existing key whose current attribute is legitimately NULL is not
+    // misread as new.
+    val differs = col("cur_from").isNull || attrCols
+      .map(c => !(col(c) <=> col(s"cur_$c")))
       .reduce(_ || _)
     val effective = j.filter(differs)
     // close the changed keys' current rows at the change time

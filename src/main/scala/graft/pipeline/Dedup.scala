@@ -438,9 +438,13 @@ object Dedup {
       .partitionBy("doc_id")
       .orderBy(col("df").desc, col("term").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the verify filter below accepts round(cos, 4) >= t, which admits
+    // true cosines down to t - 5e-5 (half the rounding grain) — the
+    // blocking bound must cover everything the rounded filter can admit,
+    // so index at t - 5e-5 (plus float-noise epsilon), not t
     val indexed = wn.join(maxw, "term")
       .withColumn("sb", sum(col("wn") * col("maxw")).over(suffix))
-      .filter(col("sb") >= threshold - 1e-9)
+      .filter(col("sb") >= threshold - 5e-5 - 1e-9)
       .select(col("doc_id"), col("term"))
     val cand = indexed.as("ia")
       .join(indexed.as("ib"),

@@ -110,7 +110,9 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         min(col("len")).as("min_len"), max(col("len")).as("max_len"),
         sum(col("len")).as("sum_len"),
-        round(sum(col("len")).cast("double") /
+        // rational ratio → floor-form rounding (see core.Num.roundHalfUp:
+        // round() flips the last digit across engines on half boundaries)
+        graft.core.Num.roundHalfUp(sum(col("len")).cast("double") /
           (count(lit(1)) * max(col("len"))).cast("double"), 4).as("pad_eff"))
       .orderBy("bucket")
   }

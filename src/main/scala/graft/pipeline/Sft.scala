@@ -100,7 +100,8 @@ object Sft {
           length(col("content")).cast("long")).otherwise(0L))
           .as("chars_trainable"))
       .withColumn("trainable_ratio",
-        round(col("chars_trainable").cast("double") /
+        // rational ratio → floor-form rounding (core.Num.roundHalfUp)
+        graft.core.Num.roundHalfUp(col("chars_trainable").cast("double") /
           col("chars_total").cast("double"), 4))
       .orderBy("conv_id")
 

@@ -2618,6 +2618,114 @@ object Fts extends QueryPack {
                       FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
                       CROSS JOIN stats GROUP BY tf.doc_id)
                SELECT doc_id, round(s, 4) AS score FROM sc
-               ORDER BY round(s, 4) DESC, doc_id LIMIT 10 OFFSET 10"""))
+               ORDER BY round(s, 4) DESC, doc_id LIMIT 10 OFFSET 10""")),
+
+    // nDCG@10 (Järvelin & Kekäläinen; trec_eval's headline graded
+    // metric) of the BM25 ranking, evaluated IN-ENGINE: qrels are graded
+    // deterministically from the corpus (2 = doc holds both query terms,
+    // 1 = exactly one), so both engines derive judgments and ranking from
+    // the same parquet. The ranked list is k rows and IDCG reads only the
+    // grade histogram's top-k prefix — evaluation never re-touches
+    // corpus-scale data (graft.fts.Eval.ndcgAtK).
+    Q("q_fts_ndcg",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ranked = Search.bm25TopK(docs, Seq("spark", "query"), k = 10)
+        val qrels = docs.select(col("doc_id"),
+          graft.fts.Analyzer.tokenize(col("text")).as("t"))
+          .select(col("doc_id"),
+            (array_contains(col("t"), "spark").cast("int") +
+              array_contains(col("t"), "query").cast("int")).as("rel"))
+        graft.fts.Eval.ndcgAtK(ranked, qrels, k = 10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               ranked AS (SELECT doc_id, rank FROM (
+                   SELECT doc_id, row_number() OVER
+                     (ORDER BY round(s, 4) DESC, doc_id) AS rank FROM sc)
+                 WHERE rank <= 10),
+               rel AS (SELECT doc_id,
+                   list_contains(t, 'spark')::INT +
+                   list_contains(t, 'query')::INT AS rel FROM toks),
+               dcg AS (SELECT coalesce(sum((pow(2.0, r.rel) - 1.0)
+                         / log2(rank + 1.0)), 0.0) AS dcg
+                       FROM ranked LEFT JOIN rel r USING (doc_id)),
+               hist AS (SELECT rel, count(*) AS n,
+                   coalesce(sum(count(*)) OVER (ORDER BY rel DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS above
+                 FROM rel WHERE rel > 0 GROUP BY rel),
+               pos AS (SELECT unnest(range(1, 11)) AS i),
+               idcg AS (SELECT coalesce(sum((pow(2.0, rel) - 1.0)
+                          / log2(i + 1.0)), 0.0) AS idcg
+                        FROM pos JOIN hist ON i > above AND i <= above + n),
+               nr AS (SELECT count(*) AS n_rel FROM rel WHERE rel > 0)
+               SELECT round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+                 round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 4)
+                   AS ndcg,
+                 n_rel
+               FROM dcg, idcg, nr""")),
+
+    // RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the BM25
+    // and TF-IDF rankings of the same query — the top-weighted ranking
+    // similarity for non-conjoint top-k lists (Kendall/Spearman need
+    // conjoint domains). Truncated prefix form over the two k-row lists:
+    // ≤ k² work regardless of corpus size (graft.fts.Eval.rboAtK). The
+    // (1−p) factor is written 1.0−0.9 on BOTH sides — the same IEEE
+    // subtraction, since 0.1 the literal is a different double.
+    Q("q_fts_rbo",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.fts.Eval.rboAtK(
+          Search.bm25TopK(docs, Seq("merge", "window"), k = 10),
+          Search.tfidfTopK(docs, Seq("merge", "window"), k = 10),
+          k = 10, p = 0.9)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('merge', 'window') GROUP BY term),
+               bm AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               ti AS (SELECT tf.doc_id,
+                        sum( (tf.tf/dl.dl) * ln((stats.n + 1.0)/(df.df + 1.0)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               ra AS (SELECT doc_id, ra FROM (
+                   SELECT doc_id, row_number() OVER
+                     (ORDER BY round(s, 4) DESC, doc_id) AS ra FROM bm)
+                 WHERE ra <= 10),
+               rb AS (SELECT doc_id, rb FROM (
+                   SELECT doc_id, row_number() OVER
+                     (ORDER BY round(s, 6) DESC, doc_id) AS rb FROM ti)
+                 WHERE rb <= 10),
+               fd AS (SELECT greatest(ra, rb) AS first_depth
+                      FROM ra JOIN rb USING (doc_id)),
+               depths AS (SELECT unnest(range(1, 11)) AS d),
+               ag AS (SELECT d, count(first_depth) AS overlap
+                      FROM depths LEFT JOIN fd ON first_depth <= d
+                      GROUP BY d)
+               SELECT round(sum(pow(0.9, d - 1.0) * (1.0 - 0.9)
+                        * overlap::DOUBLE / d), 4) AS rbo,
+                 max(CASE WHEN d = 10 THEN overlap END) AS overlap_k
+               FROM ag"""))
   )
 }

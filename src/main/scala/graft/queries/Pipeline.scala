@@ -2265,7 +2265,8 @@ object Pipeline extends QueryPack {
                SELECT bucket, count(*) AS n_docs,
                  min(len) AS min_len, max(len) AS max_len,
                  CAST(sum(len) AS BIGINT) AS sum_len,
-                 round(sum(len)::DOUBLE / (count(*) * max(len))::DOUBLE, 4) AS pad_eff
+                 floor(sum(len)::DOUBLE / (count(*) * max(len))::DOUBLE
+                       * 10000 + 0.5) / 10000 AS pad_eff
                FROM b GROUP BY bucket ORDER BY bucket""")),
 
     // PREFERENCE-PAIR construction (the RLHF/DPO data shape): per
@@ -2430,21 +2431,24 @@ object Pipeline extends QueryPack {
         d.groupBy("lang").agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),
-            round(avg(col("n_chars")), 2).as("mean_chars"),
+            // rational ratios → floor-form rounding (core.Num.roundHalfUp)
+            graft.core.Num.roundHalfUp(avg(col("n_chars")), 2)
+              .as("mean_chars"),
             countDistinct(col("source")).as("n_sources"),
             (count(lit(1)) - countDistinct(col("text"))).as("exact_dup_docs"))
           .crossJoin(broadcast(tot))
-          .withColumn("share", round(col("n_docs") / col("n_total"), 4))
+          .withColumn("share",
+            graft.core.Num.roundHalfUp(col("n_docs") / col("n_total"), 4))
           .drop("n_total")
           .orderBy("lang")
       },
       Some("""WITH tot AS (SELECT count(*)::DOUBLE AS n_total FROM documents)
               SELECT lang, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                round(avg(n_chars), 2) AS mean_chars,
+                floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars,
                 count(DISTINCT source) AS n_sources,
                 count(*) - count(DISTINCT text) AS exact_dup_docs,
-                round(count(*) / tot.n_total, 4) AS share
+                floor(count(*) / tot.n_total * 10000 + 0.5) / 10000 AS share
               FROM documents CROSS JOIN tot
               GROUP BY lang, tot.n_total ORDER BY lang""")),
 
@@ -3646,9 +3650,10 @@ object Pipeline extends QueryPack {
                 CAST(sum(len(content)) AS BIGINT) AS chars_total,
                 CAST(sum(CASE WHEN role = 'assistant' THEN len(content)
                               ELSE 0 END) AS BIGINT) AS chars_trainable,
-                round(sum(CASE WHEN role = 'assistant' THEN len(content)
+                floor(sum(CASE WHEN role = 'assistant' THEN len(content)
                                ELSE 0 END)::DOUBLE
-                      / sum(len(content))::DOUBLE, 4) AS trainable_ratio
+                      / sum(len(content))::DOUBLE
+                      * 10000 + 0.5) / 10000 AS trainable_ratio
               FROM conv GROUP BY conv_id ORDER BY conv_id""")),
 
     // Context-budget truncation: keep the longest turn SUFFIX fitting 800

@@ -670,7 +670,7 @@ object Sources extends QueryPack {
         graft.streaming.StreamSketch.startWeightedReservoir(
           stream, "doc_id", "n_chars", seed = "w1", n = 50,
           s"$root/reservoir").awaitTermination()
-        graft.streaming.StreamSketch.read(s, s"$root/reservoir")
+        graft.streaming.StreamSketch.readReservoir(s, s"$root/reservoir", 50)
           .select(col("rid").as("doc_id"), col("skey"))
           .orderBy("skey", "doc_id")
       },

@@ -45,6 +45,34 @@ class ScdSpec extends SparkSpec {
       (3L, "south", None, true)))
   }
 
+  test("NULL-valued attribute changes are real changes, both directions") {
+    import spark.implicits._
+    // value → NULL must open a version (null-unsafe =!= would silently
+    // no-op it), and NULL → NULL must stay a no-op
+    val toNull = Seq((1L, null.asInstanceOf[String], "2024-03-01"))
+      .toDF("k", "region", "ts")
+    val d1 = Scd.applyChanges(dim0, toNull, "k", Seq("region"), "ts")
+      .localCheckpoint()
+    val rows1 = d1.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(3)),
+        r.getBoolean(4)))
+    assert(rows1.toSeq == Seq(
+      (1L, Some("east"), Some("2024-03-01"), false),
+      (1L, None, None, true),
+      (2L, Some("west"), None, true)),
+      s"value→NULL did not open a version: ${rows1.toSeq}")
+    // same NULL again: the current row already carries NULL → no-op
+    val again = Seq((1L, null.asInstanceOf[String], "2024-06-01"))
+      .toDF("k", "region", "ts")
+    val d2 = Scd.applyChanges(d1, again, "k", Seq("region"), "ts")
+    assert(d2.count() == 3, "NULL→NULL change must be the SCD no-op")
+    // and NULL → value re-opens
+    val back = Seq((1L, "north", "2024-09-01")).toDF("k", "region", "ts")
+    val d3 = Scd.applyChanges(d2, back, "k", Seq("region"), "ts")
+      .filter($"k" === 1L && $"is_current").collect()
+    assert(d3.length == 1 && d3.head.getString(1) == "north")
+  }
+
   test("history rows pass through untouched across repeated batches") {
     import spark.implicits._
     val b1 = Seq((1L, "north", "2024-03-01")).toDF("k", "region", "ts")

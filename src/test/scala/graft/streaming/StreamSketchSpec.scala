@@ -39,6 +39,27 @@ class StreamSketchSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batch,
       s"grids diverged: ${(streamed.toSet diff batch.toSet).take(5)}")
+    // REPLAY: wipe the checkpoint and re-run the whole stream against the
+    // same store — every batch rewrites its own bid dir with identical
+    // content, so the merged grid must NOT double-add.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/cms-ckpt"), true)
+    StreamSketch.start(stream, "k", s"$root/cms", d = 3, w = 32)
+      .awaitTermination()
+    val replayed = StreamSketch.read(spark, s"$root/cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(replayed == batch, "replay double-added into the grid")
+    // COMPACTION: folding bids <= 1 into a base must not change the grid,
+    // and re-running the same compaction (a simulated replay) is a no-op.
+    StreamSketch.compact(spark, s"$root/cms", 1)
+    StreamSketch.compact(spark, s"$root/cms", 1)
+    val compacted = StreamSketch.read(spark, s"$root/cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(compacted == batch, "compaction changed the merged grid")
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/cms"))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("base_upto=1") && !names.contains("bid=0") &&
+      !names.contains("bid=1") && names.contains("bid=2"),
+      s"unexpected store layout after compaction: $names")
   }
 
   test("weighted reservoir over batch splits equals the one-shot draw") {
@@ -66,11 +87,19 @@ class StreamSketchSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(s"$root/landing")
     StreamSketch.startWeightedReservoir(stream, "doc_id", "wt", "rs", 25,
       s"$root/res").awaitTermination()
-    val streamed = StreamSketch.read(spark, s"$root/res")
+    val streamed = StreamSketch.readReservoir(spark, s"$root/res", 25)
       .orderBy("skey", "rid").collect().map(_.getLong(0)).toSeq
     val batch = graft.pipeline.Sampling.weightedSample(rows, "wt", 25, "rs")
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(streamed == batch,
       s"reservoir diverged from the one-shot draw:\n$streamed\nvs\n$batch")
+    // replay + compaction: the reservoir is as idempotent as the grid
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/res-ckpt"), true)
+    StreamSketch.startWeightedReservoir(stream, "doc_id", "wt", "rs", 25,
+      s"$root/res").awaitTermination()
+    StreamSketch.compactReservoir(spark, s"$root/res", 1, 25)
+    val replayed = StreamSketch.readReservoir(spark, s"$root/res", 25)
+      .orderBy("skey", "rid").collect().map(_.getLong(0)).toSeq
+    assert(replayed == batch, "replay/compaction changed the reservoir")
   }
 }
