@@ -91,6 +91,52 @@ object Classifier {
     * behavior — but still count toward n). Rounded to 4 for cross-engine
     * rank stability. Docs with no features score NULL (no text ≠ bad
     * text). */
+  /** RELIABILITY DIAGRAM + ECE (Guo et al. 2017's calibration audit —
+    * the check that a quality score's 0.8 actually means 80%): scores
+    * bucket into `bins` equal-width bins; per bin the mean predicted
+    * probability (confidence), observed positive rate (accuracy), their
+    * gap, and the expected calibration error Σ_b n_b·|acc_b − conf_b|/N
+    * replicated onto every row.
+    *
+    * Engine-portability is the design constraint: scores arrive rounded
+    * to 4 dp ([[score]]), so s·10⁴ rounds to an exact INTEGER and every
+    * aggregate here is an exact integer sum — n_b·|acc_b − conf_b| =
+    * |10⁴·y_b − Σs·10⁴|/10⁴, so ECE's numerator is a single exact Long
+    * and no float accumulates across rows or bins in EITHER engine
+    * (double addition is order-sensitive; integer addition is not). The
+    * only floating ops are one final division per output column, floor-
+    * form rounded ([[graft.core.Num]]). One groupBy on the bin — the
+    * whole audit is a single aggregation pass at any corpus size. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val s4 = round(col(scoreCol) * 10000).cast("long")
+    val per = scored.filter(col(scoreCol).isNotNull)
+      .select(
+        least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+          .as("bin"),
+        s4.as("s4"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("s4")).as("ss"),
+        sum(col("y")).as("ys"))
+      .withColumn("gap_num", abs(col("ys") * 10000L - col("ss")))
+    val tot = per.agg(sum(col("n")).as("n_total"),
+      sum(col("gap_num")).as("gap_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        graft.core.Num.roundHalfUp(
+          col("ss").cast("double") / (col("n") * 10000.0), 4).as("conf"),
+        graft.core.Num.roundHalfUp(
+          col("ys").cast("double") / col("n").cast("double"), 4).as("acc"),
+        graft.core.Num.roundHalfUp(
+          col("gap_num").cast("double") / (col("n") * 10000.0), 4).as("gap"),
+        graft.core.Num.roundHalfUp(
+          col("gap_total").cast("double") / (col("n_total") * 10000.0), 4)
+          .as("ece"))
+      .orderBy("bin")
+  }
+
   def score(docs: DataFrame, weights: DataFrame,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val feats = docs

@@ -40,6 +40,42 @@ object Curation {
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(sym), "")))
       / sym.length).cast("long")
 
+  /** WINSORIZED group statistics (Tukey's robust-scaling staple; in a
+    * curation run it is how per-slice quality/length statistics stop
+    * being hostage to a handful of pathological documents): per group,
+    * exact linear-interpolated percentiles [lo, hi] over `valCol`, every
+    * value clamped into the band, plus clip counts and the winsorized
+    * mean.
+    *
+    * Plan: one percentile aggregation per group (Spark's exact
+    * `percentile` buffers a value→count map — fine while the value domain
+    * is bounded, e.g. document lengths; `approx_percentile` is the
+    * documented unbounded-domain fallback), then a broadcast join of the
+    * group-cardinality bounds frame back onto the rows — no second
+    * shuffle. Percentile interpolation and the winsorized mean are
+    * RATIONAL, so outputs take floor-form rounding ([[graft.core.Num]]).
+    * Both engines define quantiles as lower + frac·(upper − lower) at
+    * position (n−1)·p (Spark `percentile` ≡ DuckDB `quantile_cont`). */
+  def winsorizeStats(docs: DataFrame, groupCol: String, valCol: String,
+                     lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0, "need 0 ≤ lo < hi ≤ 1")
+    val bounds = docs.groupBy(groupCol).agg(
+      expr(s"percentile($valCol, $lo)").as("plo"),
+      expr(s"percentile($valCol, $hi)").as("phi"))
+    val v = col(valCol).cast("double")
+    docs.join(broadcast(bounds), groupCol)
+      .withColumn("wv",
+        when(v < col("plo"), col("plo"))
+          .when(v > col("phi"), col("phi")).otherwise(v))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        graft.core.Num.roundHalfUp(min(col("plo")), 4).as("p_lo"),
+        graft.core.Num.roundHalfUp(min(col("phi")), 4).as("p_hi"),
+        sum(when(v < col("plo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(v > col("phi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        graft.core.Num.roundHalfUp(avg(col("wv")), 2).as("mean_win"))
+  }
+
   /** Per-document Gopher quality signals + per-rule verdicts + the overall
     * keep. Frozen definitions (the paper's, with the measurable reading
     * pinned here so oracles replay):

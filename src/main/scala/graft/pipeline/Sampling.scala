@@ -50,6 +50,26 @@ object Sampling {
       .drop("target")
   }
 
+  /** STRATIFIED K-FOLD assignment (the cross-validation split every
+    * trained curation component — classifier thresholds, quality-score
+    * calibration — needs before its numbers are trustworthy): within each
+    * stratum, rows rank by a deterministic content hash and fold =
+    * (rank − 1) mod k — round-robin, so per-stratum fold sizes differ by
+    * AT MOST ONE (exact stratification, unlike hash-mod-k's binomial
+    * wobble). Same plan shape as [[stratifiedSample]]: one row_number
+    * window partitioned by the stratum, no global sort; at extreme
+    * per-stratum cardinality the hash-mod assignment (fully parallel,
+    * approximately balanced) is the documented fallback. `seed` re-deals
+    * the folds without touching the plan. */
+  def kfoldAssign(docs: DataFrame, strataCol: String, k: Int, seed: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    docs.withColumn("fold",
+      ((row_number().over(Window.partitionBy(col(strataCol))
+        .orderBy(hashKey(col(idCol), seed), col(idCol))) - 1) % k)
+        .cast("int"))
+  }
+
   /** DETERMINISTIC EPOCH SHUFFLE (the training-order permutation): every
     * row gets a shard and an in-shard position from md5(id:epoch) — a new
     * epoch is a new permutation, and re-running any failed shard

@@ -44,6 +44,68 @@ object TextStats {
       round((total - distinct).cast("double") / total, 4)).otherwise(0.0)
   }
 
+  /** FLESCH READING EASE (Flesch 1948; the readability staple curation
+    * stacks gate on): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), per document. Frozen measurable reading:
+    * words = the analyzer's tokens; sentences = max(1, count of '.'+'!'+
+    * '?'); syllables(word) = max(1, vowel-run count over [aeiouy]). Pure
+    * per-row projection — no shuffle at any corpus size. All inputs are
+    * exact integers, so the score is RATIONAL → floor-form rounding
+    * ([[graft.core.Num]]); zero-word docs are NULL (ANSI /0 guard). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    def runs(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val sentences = greatest(lit(1L),
+      runs(col(textCol), "[.!?]"))
+    val d = docs.select(col(idCol),
+      Analyzer.tokenize(col(textCol)).as("t"), sentences.as("sentences"))
+      .withColumn("words", size(col("t")).cast("long"))
+      .withColumn("syllables", aggregate(col("t"), lit(0L),
+        (acc, w) => acc + greatest(lit(1L),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))))
+    d.select(col(idCol), col("words"), col("sentences"), col("syllables"),
+      when(col("words") > 0, graft.core.Num.roundHalfUp(
+        lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("sentences").cast("double"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words").cast("double")),
+        2)).as("flesch"))
+  }
+
+  /** JENSEN–SHANNON DIVERGENCE between two corpus slices' unigram
+    * distributions (the mixture-shift diagnostic: how far does slice A's
+    * token distribution sit from slice B's — 0 = identical, ln 2 =
+    * disjoint; symmetric and finite, unlike KL): rows where `sliceCol` is
+    * true form P, the rest form Q. One tokenize→explode→groupBy pass
+    * builds both term-count vectors simultaneously (map-side combined;
+    * the shuffle carries the vocabulary, never the corpus), then the
+    * divergence is a single aggregation over the vocab. Zero-probability
+    * terms contribute 0 to their side's KL half by convention. Output in
+    * NATS, transcendental → round(4). */
+  def jsDivergence(docs: DataFrame, sliceCol: Column,
+                   textCol: String = "text"): DataFrame = {
+    val occ = docs.select(sliceCol.as("in_p"),
+        explode(Analyzer.tokenize(col(textCol))).as("term"))
+    val cnt = occ.groupBy("term").agg(
+      sum(when(col("in_p"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("in_p"), 1L).otherwise(0L)).as("cq"))
+    val tot = cnt.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("cp"), col("cq"),
+        (col("cp").cast("double") / col("tp").cast("double")).as("p"),
+        (col("cq").cast("double") / col("tq").cast("double")).as("q"))
+      .agg(
+        sum(when(col("cp") > 0, lit(1L)).otherwise(0L)).as("n_terms_p"),
+        sum(when(col("cq") > 0, lit(1L)).otherwise(0L)).as("n_terms_q"),
+        round(
+          sum(when(col("cp") > 0,
+            lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+            .otherwise(0.0)) +
+          sum(when(col("cq") > 0,
+            lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+            .otherwise(0.0)), 4).as("jsd_nats"))
+  }
+
   /** Per-doc quality/statistics row:
     * token counts, distinct ratio, mean token length, stopword ratio, and a
     * BPE-ish subword token estimate (chars/4 is the classic approximation;

@@ -3678,6 +3678,255 @@ object Pipeline extends QueryPack {
                      AS BIGINT) AS chars_kept,
                 count(*) - CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END)
                                 AS BIGINT) AS turns_dropped
-              FROM t GROUP BY conv_id ORDER BY conv_id"""))
+              FROM t GROUP BY conv_id ORDER BY conv_id""")),
+
+    // STRATIFIED K-FOLD (the cross-validation split behind every trained
+    // curation component): fold = (hash-rank − 1) mod k within the lang
+    // stratum — per-stratum fold sizes differ by at most one, and the
+    // audit below proves both the balance and that folds see the same
+    // length distribution (mean_chars per fold). One window per stratum;
+    // rational mean → floor-form rounding.
+    Q("q_pipeline_kfold",
+      (s, dir) => Sampling.kfoldAssign(Tables(s, dir, "documents"),
+          "lang", k = 4, seed = "kf")
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.core.Num.roundHalfUp(avg(col("n_chars")), 2)
+            .as("mean_chars"))
+        .orderBy("lang", "fold"),
+      Some("""WITH r AS (SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR || ':kf'), doc_id) AS rk
+                FROM documents)
+              SELECT lang, CAST((rk - 1) % 4 AS INTEGER) AS fold,
+                count(*) AS n_docs,
+                floor(avg(n_chars) * 100 + 0.5) / 100 AS mean_chars
+              FROM r GROUP BY 1, 2 ORDER BY lang, fold""")),
+
+    // WINSORIZED per-slice statistics (Tukey robust scaling): exact
+    // p05/p95 per lang, lengths clamped into the band, clip counts and
+    // the winsorized mean. Percentile interpolation is RATIONAL →
+    // floor-form rounding; Spark percentile ≡ DuckDB quantile_cont
+    // (lower + frac·(upper−lower) at position (n−1)·p).
+    Q("q_pipeline_winsorize",
+      (s, dir) => Curation.winsorizeStats(Tables(s, dir, "documents"),
+        "lang", "n_chars", 0.05, 0.95).orderBy("lang"),
+      Some("""WITH b AS (SELECT lang,
+                  quantile_cont(n_chars, 0.05) AS plo,
+                  quantile_cont(n_chars, 0.95) AS phi
+                FROM documents GROUP BY lang)
+              SELECT d.lang, count(*) AS n,
+                floor(min(plo) * 10000 + 0.5) / 10000 AS p_lo,
+                floor(min(phi) * 10000 + 0.5) / 10000 AS p_hi,
+                CAST(sum(CASE WHEN n_chars < plo THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_lo,
+                CAST(sum(CASE WHEN n_chars > phi THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clip_hi,
+                floor(avg(CASE WHEN n_chars < plo THEN plo
+                               WHEN n_chars > phi THEN phi
+                               ELSE n_chars::DOUBLE END) * 100 + 0.5) / 100
+                  AS mean_win
+              FROM documents d JOIN b USING (lang)
+              GROUP BY d.lang ORDER BY d.lang""")),
+
+    // CALIBRATION audit (reliability diagram + ECE, Guo et al. 2017) of
+    // the trained classifier against its own training label — the check
+    // that a quality score's 0.8 means 80%. Everything aggregates in
+    // exact INTEGER space (scores are 4-dp rationals, so s·10⁴ is an
+    // exact Long and ECE's numerator is Σ|10⁴·y_b − Σs4_b| — no float
+    // accumulates across rows in either engine); one final division per
+    // column, floor-form rounded.
+    Q("q_pipeline_calibration",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val y = col("text").contains("spark")
+        val scored = Classifier.score(docs, Classifier.trainLogOdds(docs, y))
+          .join(docs.select(col("doc_id"), y.as("y")), "doc_id")
+        Classifier.calibration(scored, "quality", "y", bins = 10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, contains(text, 'spark') AS y,
+                             $DTOKS AS t
+                             FROM documents),
+               f AS (SELECT doc_id, y, list_concat(t,
+                       CASE WHEN len(t) >= 2
+                         THEN [t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]
+                         ELSE [] END) AS fs
+                     FROM toks),
+               ex AS (SELECT doc_id, y, unnest(fs) AS fe FROM f),
+               bk AS (SELECT doc_id, y, substring(md5(fe), 1, 2) AS bucket FROM ex),
+               cnt AS (SELECT bucket,
+                         count(*) FILTER (y)::DOUBLE AS np,
+                         count(*) FILTER (NOT y)::DOUBLE AS nn
+                       FROM bk GROUP BY bucket),
+               tot AS (SELECT count(*) FILTER (y)::DOUBLE AS tp,
+                         count(*) FILTER (NOT y)::DOUBLE AS tn
+                       FROM bk),
+               w AS (SELECT bucket,
+                       CAST(greatest(-10, least(10,
+                         round(ln(((np + 1.0) / (tp + 256)) /
+                                  ((nn + 1.0) / (tn + 256))) * 4.0, 0)))
+                         AS INTEGER) AS w
+                     FROM cnt CROSS JOIN tot),
+               sc AS (SELECT bk.doc_id, any_value(bk.y) AS y,
+                        sum(coalesce(w.w, 0)) AS sw, count(*) AS n
+                      FROM bk LEFT JOIN w USING(bucket) GROUP BY bk.doc_id),
+               q AS (SELECT doc_id, y,
+                       round(1.0 / (1.0 + exp(-(sw::DOUBLE / (n * 2.0)))), 4)
+                         AS quality
+                     FROM sc WHERE n > 0),
+               per AS (SELECT least(CAST(floor(quality * 10) AS INTEGER), 9)
+                           AS bin,
+                         count(*) AS n,
+                         CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT))
+                           AS BIGINT) AS ss,
+                         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                           AS ys
+                       FROM q GROUP BY 1),
+               g AS (SELECT bin, n, ss, ys, abs(ys * 10000 - ss) AS gap_num
+                     FROM per),
+               t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                        CAST(sum(gap_num) AS BIGINT) AS gap_total FROM g)
+               SELECT bin, n,
+                 floor(ss::DOUBLE / (n * 10000.0) * 10000 + 0.5) / 10000
+                   AS conf,
+                 floor(ys::DOUBLE / n::DOUBLE * 10000 + 0.5) / 10000 AS acc,
+                 floor(gap_num::DOUBLE / (n * 10000.0) * 10000 + 0.5) / 10000
+                   AS gap,
+                 floor(gap_total::DOUBLE / (n_total * 10000.0) * 10000 + 0.5)
+                   / 10000 AS ece
+               FROM g CROSS JOIN t2 ORDER BY bin""")),
+
+    // COHEN'S KAPPA between two quality raters (the agreement audit run
+    // before trusting any heuristic gate): rater A = length gate
+    // (n_chars ≥ 200), rater B = hash-weight classifier ≥ 0.5. Chance-
+    // corrected agreement from the 2×2 confusion counts — exact integers
+    // until the three final divisions (floor-form rounded). One
+    // aggregation pass.
+    Q("q_pipeline_kappa",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val q = Classifier.score(docs, Classifier.hashWeights(s))
+        val rated = docs.select(col("doc_id"),
+            (col("n_chars") >= 200L).as("ra"))
+          .join(q, "doc_id")
+          .withColumn("rb", coalesce(col("quality") >= 0.5, lit(false)))
+        val cm = rated.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("d"))
+        cm.select(col("n"), col("a"), col("b"), col("c"), col("d"),
+            ((col("a") + col("d")).cast("double") / col("n").cast("double"))
+              .as("po0"),
+            (((col("a") + col("b")) * (col("a") + col("c")) +
+              (col("c") + col("d")) * (col("b") + col("d"))).cast("double") /
+              (col("n") * col("n")).cast("double")).as("pe0"))
+          .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+            graft.core.Num.roundHalfUp(col("po0"), 4).as("po"),
+            graft.core.Num.roundHalfUp(col("pe0"), 4).as("pe"),
+            graft.core.Num.roundHalfUp(
+              when(col("pe0") < 1.0,
+                (col("po0") - col("pe0")) / (lit(1.0) - col("pe0")))
+                .otherwise(0.0), 4).as("kappa"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, n_chars, $DTOKS AS t FROM documents),
+               f AS (SELECT doc_id, n_chars, list_concat(t,
+                       CASE WHEN len(t) >= 2
+                         THEN [t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]
+                         ELSE [] END) AS fs
+                     FROM toks),
+               ex AS (SELECT doc_id, unnest(fs) AS fe FROM f),
+               bq AS (SELECT doc_id, substring(md5(fe), 1, 2) AS bucket FROM ex),
+               w AS (SELECT lower(lpad(to_hex(i), 2, '0')) AS bucket,
+                       (ascii(substring(lower(lpad(to_hex(i), 2, '0')), 1, 1)) * 7 +
+                        ascii(substring(lower(lpad(to_hex(i), 2, '0')), 2, 1)) * 13)
+                         % 21 - 10 AS w
+                     FROM range(256) r(i)),
+               qual AS (SELECT bq.doc_id,
+                          round(1.0 / (1.0 + exp(-(sum(coalesce(w.w, 0))::DOUBLE /
+                            (count(*) * 2.0)))), 4) AS quality
+                        FROM bq LEFT JOIN w USING(bucket) GROUP BY bq.doc_id),
+               rated AS (SELECT d.doc_id, d.n_chars >= 200 AS ra,
+                           coalesce(q.quality >= 0.5, false) AS rb
+                         FROM documents d JOIN qual q USING (doc_id)),
+               cm AS (SELECT count(*) AS n,
+                        CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                        CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                        CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                        CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS d
+                      FROM rated),
+               e AS (SELECT n, a, b, c, d,
+                       (a + d)::DOUBLE / n::DOUBLE AS po0,
+                       ((a + b) * (a + c) + (c + d) * (b + d))::DOUBLE /
+                         (n * n)::DOUBLE AS pe0
+                     FROM cm)
+               SELECT n, a, b, c, d,
+                 floor(po0 * 10000 + 0.5) / 10000 AS po,
+                 floor(pe0 * 10000 + 0.5) / 10000 AS pe,
+                 floor((CASE WHEN pe0 < 1.0
+                             THEN (po0 - pe0) / (1.0 - pe0) ELSE 0.0 END)
+                       * 10000 + 0.5) / 10000 AS kappa
+               FROM e""")),
+
+    // FLESCH READING EASE (readability gate): per-doc words/sentences/
+    // syllable-runs — a pure projection, no shuffle. All-integer inputs →
+    // rational score → floor-form rounding. Frozen reading documented on
+    // TextStats.readability; oracle replays tokenization, [.!?] sentence
+    // count (min 1) and [aeiouy]-run syllables (min 1/word).
+    Q("q_text_readability",
+      (s, dir) => TextStats.readability(
+          Tables(s, dir, "documents").filter(col("doc_id") < 400))
+        .orderBy("doc_id"),
+      Some(s"""WITH d0 AS (SELECT doc_id, text, $DTOKS AS t FROM documents
+                           WHERE doc_id < 400),
+               sent AS (SELECT doc_id,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]')))::BIGINT
+                     AS sentences,
+                   len(t)::BIGINT AS words, t
+                 FROM d0),
+               syl AS (SELECT doc_id, CAST(coalesce(sum(
+                     greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))), 0)
+                   AS BIGINT) AS syllables
+                 FROM (SELECT doc_id, unnest(t) AS w FROM d0) GROUP BY doc_id)
+               SELECT s.doc_id, s.words, s.sentences,
+                 coalesce(y.syllables, 0) AS syllables,
+                 CASE WHEN s.words > 0 THEN
+                   floor((206.835
+                          - 1.015 * (s.words::DOUBLE / s.sentences::DOUBLE)
+                          - 84.6 * (coalesce(y.syllables, 0)::DOUBLE
+                                    / s.words::DOUBLE)) * 100 + 0.5) / 100
+                 END AS flesch
+               FROM sent s LEFT JOIN syl y USING (doc_id)
+               ORDER BY s.doc_id""")),
+
+    // JENSEN–SHANNON divergence between the 'en' slice's and the rest's
+    // unigram distributions — the mixture-shift diagnostic a curation run
+    // publishes when a source changes. One explode+groupBy builds both
+    // count vectors; the divergence is one vocab-sized aggregation.
+    // Transcendental (logs) → plain round(4).
+    Q("q_text_jsd",
+      (s, dir) => TextStats.jsDivergence(
+        Tables(s, dir, "documents"), col("lang") === "en"),
+      Some(s"""WITH occ AS (SELECT lang = 'en' AS in_p, unnest($DTOKS) AS term
+                            FROM documents),
+               cnt AS (SELECT term,
+                         CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                         CAST(sum(CASE WHEN in_p THEN 0 ELSE 1 END) AS BIGINT) AS cq
+                       FROM occ GROUP BY term),
+               tot AS (SELECT sum(cp)::DOUBLE AS tp, sum(cq)::DOUBLE AS tq
+                       FROM cnt),
+               pq AS (SELECT cp, cq, cp::DOUBLE / tp AS p, cq::DOUBLE / tq AS q
+                      FROM cnt CROSS JOIN tot)
+               SELECT CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_terms_p,
+                 CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_terms_q,
+                 round(sum(CASE WHEN cp > 0
+                             THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0 END) +
+                       sum(CASE WHEN cq > 0
+                             THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0 END), 4)
+                   AS jsd_nats
+               FROM pq"""))
   )
 }
