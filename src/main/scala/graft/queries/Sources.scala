@@ -681,6 +681,59 @@ object Sources extends QueryPack {
               FROM documents)
               SELECT doc_id, skey FROM k ORDER BY skey, doc_id LIMIT 50""")),
 
+    // STREAMING MIXTURE BUDGETS: per-source token counts stream in as
+    // the third additive lifecycle (CMS grid, A-ES reservoir, now source
+    // counts — each batch lands its own replay-idempotent delta dir) and
+    // the temperature budgets derived from the merged counts equal the
+    // one-shot batch computation, so this row shares q_pipeline_mix_temp's
+    // budget arithmetic (4-dp integer-scaled weights, exact BIGINT).
+    Q("q_stream_mix",
+      (s, dir) => {
+        val root = tmp("stream_mix")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            graft.pipeline.TextStats.estBpeTokens(col("text")).as("toks"))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(docs.filter(col("doc_id") % 2 === 0), "batch0", t0)
+        stage(docs.filter(col("doc_id") % 2 === 1), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamMix.start(stream, "source", "toks",
+          s"$root/counts").awaitTermination()
+        val counts = graft.streaming.StreamMix.readCounts(s, s"$root/counts")
+        val budgets = graft.pipeline.Mixing.temperatureBudgetsCounted(
+          counts.select(col("source"), col("n").as("toks")),
+          totalBudget = 10000L, alpha = 0.3)
+        import s.implicits._
+        counts.join(budgets.toSeq.toDF("source", "budget"), "source")
+          .select(col("source"), col("n").as("n_tokens"), col("budget"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source,
+                  sum(CAST(ceil(strlen(text) / 4.0) AS BIGINT)) AS n
+                FROM documents GROUP BY 1),
+              w AS (SELECT source, n,
+                      CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 10000) AS BIGINT)
+                        AS w4 FROM n),
+              tot AS (SELECT sum(w4) AS sw FROM w)
+              SELECT source, n AS n_tokens,
+                CAST((10000 * w4) // sw AS BIGINT) AS budget
+              FROM w, tot ORDER BY source""")),
+
     // STREAMING DIMENSION MAINTENANCE (SCD2 at ingest): the q_scd2 change
     // batches arrive as a STREAM (two staged files, maxFilesPerTrigger=1
     // pins order) and fold into the versioned dimension via epoch-flip

@@ -368,6 +368,59 @@ object Temporal extends QueryPack {
               SELECT c.cohort_week, e.week - c.cohort_week AS offset,
                 count(DISTINCT e.user_id) AS n_users
               FROM e JOIN c USING (user_id)
-              GROUP BY 1, 2 ORDER BY 1, 2"""))
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // MARKETING ATTRIBUTION (first-touch vs last-touch — the canonical
+    // events-analytics credit assignment): each 'purchase' credits the
+    // user's FIRST preceding non-purchase event (first-touch model) and
+    // the NEAREST preceding one (last-touch). One user-partitioned window
+    // pass with ignore-nulls first/last over the strict-past frame — no
+    // self-join, linear in events, skew bounded by per-user activity.
+    // (ts, event_id) is the total per-user order both engines replay.
+    Q("q_temporal_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val conv = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+          .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("last_touch").isNotNull)
+        val f = conv.groupBy(col("first_touch").as("event_type"))
+          .agg(count(lit(1)).as("first_touch_n"))
+        val l = conv.groupBy(col("last_touch").as("event_type"))
+          .agg(count(lit(1)).as("last_touch_n"))
+        f.join(l, Seq("event_type"), "full_outer")
+          .na.fill(0L, Seq("first_touch_n", "last_touch_n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT user_id, event_type,
+                  first_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS first_touch,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_touch
+                FROM events),
+              conv AS (SELECT first_touch, last_touch FROM t
+                       WHERE event_type = 'purchase'
+                         AND last_touch IS NOT NULL),
+              f AS (SELECT first_touch AS event_type,
+                      count(*) AS first_touch_n FROM conv GROUP BY 1),
+              l AS (SELECT last_touch AS event_type,
+                      count(*) AS last_touch_n FROM conv GROUP BY 1)
+              SELECT coalesce(f.event_type, l.event_type) AS event_type,
+                coalesce(first_touch_n, 0) AS first_touch_n,
+                coalesce(last_touch_n, 0) AS last_touch_n
+              FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+              ORDER BY event_type"""))
   )
 }
