@@ -65,6 +65,45 @@ object Eval {
         col("n_rel"))
   }
 
+  /** MRR@k over a batch of queries (the navigational-search headline:
+    * mean of 1/rank-of-first-relevant, 0 when nothing relevant lands in
+    * the top k). Engine-portable by the integer-space trick: reciprocal
+    * ranks scale by lcm(1..k) to EXACT integers, so the cross-query mean
+    * never accumulates floats (1/3 + 1/7 in doubles is summation-order
+    * sensitive; 840 + 360 is not) — one final division, floor-form
+    * rounded. Output: one row per query (first relevant rank, its RR)
+    * with the corpus MRR replicated, plus the qid order.
+    *
+    * `runs`: (qid, ranked(doc_id, score), relevant(doc_id)). Each ranked
+    * list is cut to k here via the (score DESC, doc_id) total order. */
+  def mrrAtK(runs: Seq[(Int, DataFrame, DataFrame)], k: Int): DataFrame = {
+    require(runs.nonEmpty && k >= 1, "need runs and k ≥ 1")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val firsts = runs.map { case (qid, ranked, rel) =>
+      ranked
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= k)
+        .join(rel.select("doc_id"), Seq("doc_id"), "left_semi")
+        .agg(min(col("rank")).as("first_rel_rank"))
+        .select(lit(qid).as("qid"), col("first_rel_rank"))
+    }.reduce(_ unionByName _)
+    val rr = firsts.withColumn("rr_int",
+      when(col("first_rel_rank").isNotNull, lit(lcm) / col("first_rel_rank"))
+        .otherwise(0L).cast("long"))
+    val m = rr.agg(sum(col("rr_int")).as("rr_sum"),
+      count(lit(1)).as("nq"))
+    rr.crossJoin(broadcast(m))
+      .select(col("qid"), col("first_rel_rank"),
+        graft.core.Num.roundHalfUp(
+          col("rr_int").cast("double") / lcm.toDouble, 4).as("rr"),
+        graft.core.Num.roundHalfUp(
+          col("rr_sum").cast("double") / (col("nq") * lcm).cast("double"), 4)
+          .as("mrr"))
+      .orderBy("qid")
+  }
+
   /** Rank-biased overlap, truncated at depth k (Webber, Moffat & Zobel
     * 2010 — the top-weighted similarity between two rankings; unlike
     * Kendall's tau it handles non-conjoint lists, which is exactly the

@@ -90,6 +90,33 @@ object Joins {
         attach.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** [[asOf]] with a STALENESS TOLERANCE (pandas merge_asof's
+    * `tolerance`; the feature-store freshness contract): the attached
+    * right row must satisfy `leftTime − rightTime ≤ tolerance` or the
+    * attachment is nulled — a feature older than the window is worse
+    * than no feature (training-serving skew). Same single-shuffle
+    * union+window plan: the match's own time travels in the attach
+    * struct and the staleness check is a post-window projection, so
+    * tolerance costs nothing over the plain as-of. Times compare as
+    * longs in the caller's unit. */
+  def asOfWithin(left: DataFrame, leftKey: String, leftTime: String,
+                 right: DataFrame, rightKey: String, rightTime: String,
+                 rightTiebreak: String, attach: Seq[String],
+                 tolerance: Long): DataFrame = {
+    require(tolerance >= 0L, "tolerance must be non-negative")
+    val carry = if (attach.contains(rightTime)) attach
+                else attach :+ rightTime
+    val j = asOf(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightTiebreak, carry)
+    val stale = col(s"asof_$rightTime").isNull ||
+      (col(leftTime).cast("long") -
+        col(s"asof_$rightTime").cast("long")) > tolerance
+    val nulled = attach.foldLeft(j)((d, c) =>
+      d.withColumn(s"asof_$c",
+        when(stale, lit(null)).otherwise(col(s"asof_$c"))))
+    if (attach.contains(rightTime)) nulled else nulled.drop(s"asof_$rightTime")
+  }
+
   /** RANGE JOIN (interval containment): all (left, right) pairs with
     * `right.t` in `[left.lo, left.hi)`, WITHOUT a nested-loop plan: each
     * left interval explodes into the coarse buckets it overlaps

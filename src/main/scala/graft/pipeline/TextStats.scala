@@ -72,6 +72,29 @@ object TextStats {
         2)).as("flesch"))
   }
 
+  /** KWIC CONCORDANCE (keyword-in-context — the corpus-exploration view
+    * every linguistics/search tool ships): one row per occurrence of
+    * `term` with `window` tokens of context each side. Tokenize →
+    * posexplode → filter is a pure per-row pipeline (the filter prunes
+    * before any context materializes); contexts come from array slices
+    * of the doc's own token list, so nothing joins and nothing
+    * shuffles — at 100 TB this is a scan. */
+  def kwic(docs: DataFrame, term: String, window: Int = 2,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    docs.select(col(idCol), Analyzer.tokenize(col(textCol)).as("t"))
+      .select(col(idCol), col("t"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .filter(col("tok") === term)
+      .withColumn("i", (col("p0") + 1).cast("int"))
+      .select(col(idCol), col("i"),
+        concat_ws(" ", slice(col("t"),
+          greatest(lit(1), col("i") - window),
+          col("i") - greatest(lit(1), col("i") - window))).as("left_ctx"),
+        concat_ws(" ", slice(col("t"), col("i") + 1, lit(window)))
+          .as("right_ctx"))
+  }
+
   /** JENSEN–SHANNON DIVERGENCE between two corpus slices' unigram
     * distributions (the mixture-shift diagnostic: how far does slice A's
     * token distribution sit from slice B's — 0 = identical, ln 2 =

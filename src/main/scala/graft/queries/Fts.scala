@@ -2677,6 +2677,67 @@ object Fts extends QueryPack {
                  n_rel
                FROM dcg, idcg, nr""")),
 
+    // MRR@10 over a 3-query batch (the navigational-search metric):
+    // relevant = docs containing ALL the query's terms, rankings = BM25.
+    // Reciprocal ranks scale by lcm(1..10)=2520 to exact integers, so
+    // the cross-query mean never accumulates floats in either engine
+    // (graft.fts.Eval.mrrAtK). Per-query rows + the replicated MRR.
+    Q("q_fts_mrr",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val toks = docs.select(col("doc_id"),
+          graft.fts.Analyzer.tokenize(col("text")).as("t"))
+        def rel(terms: Seq[String]) = toks
+          .filter(terms.map(t => array_contains(col("t"), t)).reduce(_ && _))
+          .select("doc_id")
+        val runs = Seq(
+          1 -> Seq("spark", "query"),
+          2 -> Seq("merge", "window"),
+          3 -> Seq("data", "query")).map { case (qid, ts) =>
+          (qid, Search.scoreBm25(ix, ts, 10), rel(ts))
+        }
+        graft.fts.Eval.mrrAtK(runs, k = 10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+               occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM occ GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+               q AS (SELECT 1 AS qid, ['spark', 'query'] AS terms
+                     UNION ALL SELECT 2, ['merge', 'window']
+                     UNION ALL SELECT 3, ['data', 'query']),
+               qt AS (SELECT qid, unnest(terms) AS term FROM q),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN (SELECT term FROM qt) GROUP BY term),
+               sc AS (SELECT qt.qid, tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM qt JOIN tf USING (term) JOIN df USING (term)
+                        JOIN dl USING (doc_id) CROSS JOIN stats
+                      GROUP BY qt.qid, tf.doc_id),
+               ranked AS (SELECT qid, doc_id, row_number() OVER
+                   (PARTITION BY qid ORDER BY round(s, 4) DESC, doc_id)
+                   AS rank FROM sc),
+               rel AS (SELECT q.qid, toks.doc_id FROM q JOIN toks
+                       ON len(list_filter(q.terms,
+                            x -> list_contains(toks.t, x))) = len(q.terms)),
+               fr AS (SELECT r.qid, min(r.rank) AS frk
+                      FROM ranked r JOIN rel
+                        ON r.qid = rel.qid AND r.doc_id = rel.doc_id
+                      WHERE r.rank <= 10 GROUP BY r.qid),
+               rr AS (SELECT q.qid, fr.frk,
+                        CASE WHEN fr.frk IS NOT NULL
+                             THEN 2520 // fr.frk ELSE 0 END AS rr_int
+                      FROM q LEFT JOIN fr USING (qid)),
+               m AS (SELECT sum(rr_int) AS rr_sum, count(*) AS nq FROM rr)
+               SELECT rr.qid, CAST(rr.frk AS INTEGER) AS first_rel_rank,
+                 floor(rr_int::DOUBLE / 2520.0 * 10000 + 0.5) / 10000 AS rr,
+                 floor(rr_sum::DOUBLE / (nq * 2520)::DOUBLE * 10000 + 0.5)
+                   / 10000 AS mrr
+               FROM rr, m ORDER BY qid""")),
+
     // RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between the BM25
     // and TF-IDF rankings of the same query — the top-weighted ranking
     // similarity for non-conjoint top-k lists (Kendall/Spearman need

@@ -3900,6 +3900,60 @@ object Pipeline extends QueryPack {
                FROM sent s LEFT JOIN syl y USING (doc_id)
                ORDER BY s.doc_id""")),
 
+    // KWIC CONCORDANCE for 'query': every occurrence with two tokens of
+    // context each side — tokenize → posexplode → filter → array slices
+    // of the doc's own tokens; no join, no shuffle, a scan at any scale.
+    Q("q_text_kwic",
+      (s, dir) => TextStats.kwic(
+          Tables(s, dir, "documents").filter(col("doc_id") < 300),
+          "query", window = 2)
+        .orderBy("doc_id", "i"),
+      Some(s"""WITH d0 AS (SELECT doc_id, $DTOKS AS t FROM documents
+                           WHERE doc_id < 300),
+               pos AS (SELECT doc_id, t,
+                         CAST(unnest(range(1, len(t) + 1)) AS INTEGER) AS i
+                       FROM d0),
+               hit AS (SELECT doc_id, t, i FROM pos WHERE t[i] = 'query')
+               SELECT doc_id, i,
+                 coalesce(array_to_string(t[greatest(1, i - 2):i - 1], ' '),
+                   '') AS left_ctx,
+                 coalesce(array_to_string(t[i + 1:least(len(t), i + 2)], ' '),
+                   '') AS right_ctx
+               FROM hit ORDER BY doc_id, i""")),
+
+    // K-ANONYMITY audit over the (lang, source) quasi-identifier (the
+    // re-identification risk report a dataset release ships): classes
+    // below k=25 are risky; the suppressed share is the fraction of docs
+    // that would need generalization. One aggregation pass; rational
+    // share → floor-form rounding.
+    Q("q_pipeline_kanon",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val classes = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+        classes.agg(
+            count(lit(1)).as("n_classes"),
+            sum(when(col("n") < 25, 1L).otherwise(0L)).as("n_risky"),
+            min(col("n")).as("min_class"),
+            sum(when(col("n") < 25, col("n")).otherwise(0L)).as("docs_risky"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+          .select(col("n_classes"), col("n_risky"), col("min_class"),
+            graft.core.Num.roundHalfUp(
+              col("docs_risky").cast("double") / col("n_total").cast("double"),
+              4).as("suppressed_share"))
+      },
+      Some("""WITH c AS (SELECT lang, source, count(*) AS n
+                         FROM documents GROUP BY 1, 2),
+              t AS (SELECT count(*) AS n_total FROM documents)
+              SELECT count(*) AS n_classes,
+                CAST(sum(CASE WHEN n < 25 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_risky,
+                min(n) AS min_class,
+                floor(sum(CASE WHEN n < 25 THEN n ELSE 0 END)::DOUBLE
+                      / any_value(n_total)::DOUBLE * 10000 + 0.5) / 10000
+                  AS suppressed_share
+              FROM c CROSS JOIN t""")),
+
     // JENSEN–SHANNON divergence between the 'en' slice's and the rest's
     // unigram distributions — the mixture-shift diagnostic a curation run
     // publishes when a source changes. One explode+groupBy builds both

@@ -54,6 +54,45 @@ object Temporal extends QueryPack {
                 ON c.user_id = p.user_id AND c.ts >= p.ts
               ORDER BY c.event_id""")),
 
+    // AS-OF with TOLERANCE (pandas merge_asof tolerance; feature-store
+    // freshness): same single-shuffle union+window as q_join_asof, but a
+    // match older than 1 hour is nulled — stale features are training-
+    // serving skew, not features. DuckDB emulates with ASOF JOIN + a
+    // staleness CASE on the matched row's own time.
+    Q("q_join_asof_tol",
+      (s, dir) => {
+        val ev = EventTime.toMicros(Tables(s, dir, "events"))
+        Joins.asOfWithin(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            leftKey = "user_id", leftTime = "ts",
+            right = ev.filter(col("event_type") === "purchase"),
+            rightKey = "user_id", rightTime = "ts",
+            rightTiebreak = "event_id",
+            attach = Seq("event_id", "value"),
+            tolerance = 3600L * 1000 * 1000)
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"),
+            round(col("asof_value"), 4).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+                SELECT user_id, ts,
+                  arg_max(event_id, event_id) AS pe_id,
+                  arg_max(value, event_id) AS pe_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts),
+              c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click')
+              SELECT c.event_id, c.user_id,
+                CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.pe_id END
+                  AS asof_event_id,
+                CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR
+                     THEN round(p.pe_value, 4) END AS asof_value
+              FROM c ASOF LEFT JOIN p
+                ON c.user_id = p.user_id AND c.ts >= p.ts
+              ORDER BY c.event_id""")),
+
     // RANGE: purchases landing in the hour after each signup (interval
     // containment, no key). Buckets of one hour → equi-join + residual;
     // aggregates are order-independent (count/max) so hashes are stable.

@@ -142,6 +142,27 @@ class JoinsSpec extends SparkSpec {
     assert(got == expect, s"missed=${expect -- got} extra=${got -- expect}")
   }
 
+  test("asOfWithin nulls matches older than the tolerance") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 100L), (2L, "u", 150L), (3L, "u", 300L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, "u", 95L, 1.5), (11L, "u", 140L, 2.5))
+      .toDF("rid", "k", "t", "v")
+    val got = Joins.asOfWithin(left, "k", "t", right, "k", "t", "rid",
+        attach = Seq("rid", "v"), tolerance = 20L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    assert(got.toSeq == Seq(
+      (1L, Some(10L), Some(1.5)),   // 5 behind → fresh
+      (2L, Some(11L), Some(2.5)),   // 10 behind → fresh
+      (3L, None, None)),            // 160 behind → stale, nulled
+      s"got ${got.toSeq}")
+    // tolerance attaching the time column itself survives the carry dedup
+    val withT = Joins.asOfWithin(left, "k", "t", right, "k", "t", "rid",
+      attach = Seq("t", "v"), tolerance = 20L).orderBy("id").collect()
+    assert(Option(withT(2).get(3)).isEmpty && withT(0).getLong(3) == 95L)
+  }
+
   test("rangeJoin drops empty/inverted intervals instead of exploding") {
     import spark.implicits._
     val intervals = Seq((1L, 10L, 10L), (2L, 12L, 8L)).toDF("iid", "lo", "hi")

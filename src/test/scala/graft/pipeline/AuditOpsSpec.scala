@@ -75,6 +75,20 @@ class AuditOpsSpec extends SparkSpec {
     assert(e.isNullAt(4) && e.getLong(2) == 1L)
   }
 
+  test("kwic: context windows clamp at document edges") {
+    import spark.implicits._
+    val d = Seq((1L, "query at start"), (2L, "it ends with query"),
+      (3L, "a query b query c")).toDF("doc_id", "text")
+    val rows = TextStats.kwic(d, "query", 2).orderBy("doc_id", "i")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 1, "", "at start"),
+      (2L, 4, "ends with", ""),
+      (3L, 2, "a", "b query"),
+      (3L, 4, "query b", "c")), s"got ${rows.toSeq}")
+  }
+
   test("jsDivergence: identical slices diverge 0, disjoint ln 2") {
     import spark.implicits._
     val same = Seq((true, "a b c"), (false, "a b c")).toDF("p", "text")
