@@ -282,7 +282,62 @@ object TextKernels {
       (args: Seq[Expression]) => PorterStemExpr(args.head)),
     (new FunctionIdentifier("graft_char_trigrams"),
       new ExpressionInfo(classOf[CharTrigramsExpr].getName, "graft_char_trigrams"),
-      (args: Seq[Expression]) => CharTrigramsExpr(args.head)))
+      (args: Seq[Expression]) => CharTrigramsExpr(args.head)),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
+
+  /** Jaro-Winkler similarity over code points, matching DuckDB's
+    * `jaro_winkler_similarity` bit-for-bit (probed this session so the
+    * ER oracle replays exactly): 0.0 when either side is empty (DuckDB
+    * returns 0, not 1, for empty-vs-empty); standard Jaro with match
+    * window ⌊max(|a|,|b|)/2⌋−1 and floor(t/2) half-transpositions;
+    * Winkler boost l·0.1·(1−jaro) with l = common prefix capped at 4,
+    * applied ONLY when jaro > 0.7 (verified: a sub-0.7 pair with a long
+    * shared prefix stays unboosted in DuckDB). Case-sensitive, exact
+    * code points — callers normalize first if they want folding. */
+  def jaroWinkler(au: UTF8String, bu: UTF8String): Double = {
+    val a = au.toString.codePoints.toArray
+    val b = bu.toString.codePoints.toArray
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a(i) == b(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    while (l < 4 && l < la && l < lb && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 
   /** Register all kernels on a session's function registry. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -405,5 +460,32 @@ case class IntersectCardExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.intersectCard($a, $b);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[TextKernels.jaroWinkler]] as a codegen expression — the fuzzy
+  * name-similarity kernel for entity resolution (Spark ships levenshtein
+  * but no Jaro-Winkler; a Scala UDF here would break the enclosing
+  * whole-stage codegen span exactly where the blocked ER join is
+  * hottest). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires (STRING, STRING), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ext.TextKernels$$.MODULE$$.jaroWinkler($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -154,4 +154,57 @@ object Rank {
       labels.orderBy("node")
     } finally und.unpersist()
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999 — the OTHER classic
+    * link-analysis score; PageRank measures global endorsement, HITS
+    * separates "points at good pages" from "is pointed at by good
+    * hubs"). Synchronous power iteration: a ← Eᵀh then L2-normalize,
+    * h ← E·a then L2-normalize, fixed `iters` rounds from the all-ones
+    * start — deterministic, oracle-replayable (the oracle unrolls the
+    * identical steps as chained CTEs).
+    *
+    * Scale shape per iteration: two equi-joins of the edge list with a
+    * |nodes|-row score frame + two aggregations; shuffle keys stay
+    * (src, dst) throughout so exchange reuse applies, and the L2 norm is
+    * a 1-row aggregate broadcast back — nothing ever concentrates.
+    * localCheckpoint truncates per-step lineage exactly like
+    * [[pageRank]]. Nodes without in-edges hold authority 0; without
+    * out-edges, hub 0. */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      nodes.count()
+      def l2normalize(df: DataFrame, c: String): DataFrame = {
+        val norm = df.agg(sqrt(sum(col(c) * col(c))).as("l2"))
+        df.crossJoin(broadcast(norm))
+          .select(col("node"), (col(c) / col("l2")).as(c))
+      }
+      var scores = nodes.select(col("node"), lit(1.0).as("auth"),
+        lit(1.0).as("hub"))
+      for (_ <- 1 to iters) {
+        val auth0 = e.join(
+            scores.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+        val auth = l2normalize(
+          nodes.join(auth0, Seq("node"), "left")
+            .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")),
+          "auth")
+        val hub0 = e.join(
+            auth.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+        val hub = l2normalize(
+          nodes.join(hub0, Seq("node"), "left")
+            .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+          "hub")
+        scores = auth.join(hub, "node").localCheckpoint()
+      }
+      nodes.unpersist()
+      scores.select(col("node"), round(col("auth"), 6).as("auth"),
+        round(col("hub"), 6).as("hub")).orderBy("node")
+    } finally e.unpersist()
+  }
 }

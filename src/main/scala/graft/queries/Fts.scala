@@ -2787,6 +2787,102 @@ object Fts extends QueryPack {
                SELECT round(sum(pow(0.9, d - 1.0) * (1.0 - 0.9)
                         * overlap::DOUBLE / d), 4) AS rbo,
                  max(CASE WHEN d = 10 THEN overlap END) AS overlap_k
-               FROM ag"""))
+               FROM ag""")),
+
+    // FUNCTION-SCORE DECAY (Elasticsearch function_score gauss decay,
+    // multiplicative): BM25 relevance × exp(−((n_chars−200)/300)²) — the
+    // freshness/size re-ranking every serving stack layers on lexical
+    // score (here decaying on document size; the fixture has no date
+    // column — same algebra). Composes on scoreAllBm25's full-precision
+    // scores; the decay term is one codegen'd projection over the
+    // candidate set (never the corpus), then the usual rounded-score
+    // top-k total order.
+    Q("q_fts_decay",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val decay = exp(-pow((col("n_chars") - 200.0) / 300.0, 2))
+        Search.scoreAllBm25(ix, Seq("spark", "query"))
+          .join(docs.select("doc_id", "n_chars"), "doc_id")
+          .select(col("doc_id"), round(col("score") * decay, 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term
+                             FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                         FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id)
+               SELECT sc.doc_id,
+                 round(s * exp(-pow((d.n_chars - 200.0) / 300.0, 2)), 4)
+                   AS score
+               FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+               ORDER BY score DESC, sc.doc_id LIMIT 10""")),
+
+    // SCORE EXPLAIN (Lucene Explanation / ES _explain): per-(doc, term)
+    // BM25 decomposition — tf, df, idf, and the term's contribution to
+    // the total — for the query's top-3 docs. The serving-debug surface
+    // every relevance tuning loop reads. Plan: the top-3 ids bound the
+    // postings via a semi-join, so the breakdown touches 3·|terms| rows
+    // regardless of corpus size; df/idf stay corpus statistics.
+    Q("q_fts_explain",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val terms = Seq("spark", "query")
+        val top = Search.scoreBm25(ix, terms, 3).select("doc_id")
+        val qp = ix.postings.filter(col("term").isin(terms: _*))
+        val df = qp.groupBy("term")
+          .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        val idf = log((col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0)
+        val norm = col("tf") * 2.2 /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        qp.join(top, Seq("doc_id"), "left_semi")
+          .join(broadcast(df), "term")
+          .join(ix.docLens, "doc_id")
+          .crossJoin(broadcast(ix.stats))
+          .select(col("doc_id"), col("term"),
+            col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+            round(idf, 4).as("idf"),
+            round(idf * norm, 4).as("contribution"))
+          .orderBy("doc_id", "term")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term
+                             FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                         FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               top AS (SELECT doc_id FROM sc
+                       ORDER BY round(s, 4) DESC, doc_id LIMIT 3)
+               SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+                 round(ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0), 4)
+                   AS idf,
+                 round(ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                       tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)),
+                       4) AS contribution
+               FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN stats
+                 JOIN top ON tf.doc_id = top.doc_id
+               ORDER BY tf.doc_id, tf.term"""))
   )
 }

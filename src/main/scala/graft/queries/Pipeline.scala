@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, EvalText, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -3981,6 +3981,568 @@ object Pipeline extends QueryPack {
                        sum(CASE WHEN cq > 0
                              THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0 END), 4)
                    AS jsd_nats
-               FROM pq"""))
+               FROM pq""")),
+
+    // CORPUS BLEU-4 (Papineni 2002) over a deterministic candidate/
+    // reference fixture: ref = the doc's tokens, cand = the same tokens
+    // with every k-th position dropped (k = doc_id%4 + 3) — the "lossy
+    // generation" an SFT eval scores. Clipped matches via one explode +
+    // groupBy + co-partitioned join per side; never all-pairs
+    // (pipeline/EvalText.scala bleu). p_n are rational → floor-form
+    // rounding; BP/BLEU are exp/ln-derived → plain round.
+    Q("q_eval_bleu",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents").filter(col("doc_id") < 600)
+          .select(col("doc_id"),
+            graft.fts.Analyzer.tokenize(col("text")).as("t"))
+        val pairs = toks.select(col("doc_id").as("pid"),
+          filter(col("t"), (_, i) =>
+            pmod(i + 1, pmod(col("doc_id"), lit(4)) + 3) =!= 0).as("cand"),
+          col("t").as("ref"))
+        EvalText.bleu(pairs, maxN = 4)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents
+                             WHERE doc_id < 600),
+               pairs AS (SELECT doc_id AS pid,
+                   [t[i] FOR i IN range(1, len(t) + 1)
+                         IF i % (doc_id % 4 + 3) != 0] AS cand,
+                   t AS ref FROM toks),
+               nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+               cg AS (SELECT pid, n, gram, count(*) AS c_cnt
+                      FROM (SELECT p.pid, nn.n,
+                              unnest([array_to_string(p.cand[i:i+nn.n-1], ' ')
+                                FOR i IN range(1, len(p.cand) - nn.n + 2)])
+                                AS gram
+                            FROM pairs p CROSS JOIN nn)
+                      GROUP BY 1, 2, 3),
+               rg AS (SELECT pid, n, gram, count(*) AS r_cnt
+                      FROM (SELECT p.pid, nn.n,
+                              unnest([array_to_string(p.ref[i:i+nn.n-1], ' ')
+                                FOR i IN range(1, len(p.ref) - nn.n + 2)])
+                                AS gram
+                            FROM pairs p CROSS JOIN nn)
+                      GROUP BY 1, 2, 3),
+               mt AS (SELECT pid, n, sum(least(c_cnt, r_cnt)) AS m
+                      FROM cg JOIN rg USING (pid, n, gram) GROUP BY 1, 2),
+               tot AS (SELECT pid, nn.n AS n,
+                         greatest(len(cand) - nn.n + 1, 0) AS c_tot
+                       FROM pairs CROSS JOIN nn),
+               pern AS (SELECT t.n, CAST(coalesce(sum(m), 0) AS BIGINT) AS m,
+                          CAST(sum(c_tot) AS BIGINT) AS t
+                        FROM tot t LEFT JOIN mt USING (pid, n) GROUP BY t.n),
+               agg AS (SELECT
+                   max(CASE WHEN n = 1 THEN
+                     floor(m::DOUBLE / t::DOUBLE * 10000 + 0.5) / 10000 END)
+                     AS p1,
+                   max(CASE WHEN n = 2 THEN
+                     floor(m::DOUBLE / t::DOUBLE * 10000 + 0.5) / 10000 END)
+                     AS p2,
+                   max(CASE WHEN n = 3 THEN
+                     floor(m::DOUBLE / t::DOUBLE * 10000 + 0.5) / 10000 END)
+                     AS p3,
+                   max(CASE WHEN n = 4 THEN
+                     floor(m::DOUBLE / t::DOUBLE * 10000 + 0.5) / 10000 END)
+                     AS p4,
+                   sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zero_ps,
+                   sum(CASE WHEN m > 0 THEN ln(m::DOUBLE / t::DOUBLE)
+                       ELSE 0 END) AS logsum
+                 FROM pern),
+               lens AS (SELECT CAST(sum(len(cand)) AS BIGINT) AS c_len,
+                          CAST(sum(len(ref)) AS BIGINT) AS r_len FROM pairs)
+               SELECT p1, p2, p3, p4, c_len, r_len,
+                 round(CASE WHEN c_len >= r_len THEN 1.0
+                   ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END, 4)
+                   AS bp,
+                 round(CASE WHEN zero_ps > 0 THEN 0.0
+                   ELSE (CASE WHEN c_len >= r_len THEN 1.0
+                         ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END)
+                        * exp(logsum / 4.0) END, 4) AS bleu
+               FROM agg CROSS JOIN lens""")),
+
+    // ROUGE-1/2 per pair (Lin 2004) on the same lossy-generation fixture
+    // (pid < 300): precision/recall from clipped n-gram matches; F1 in
+    // the integer form 2m/(c+r) so both engines divide the same exact
+    // integers once. One row per (pid, n).
+    Q("q_eval_rouge",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            graft.fts.Analyzer.tokenize(col("text")).as("t"))
+        val pairs = toks.select(col("doc_id").as("pid"),
+          filter(col("t"), (_, i) =>
+            pmod(i + 1, pmod(col("doc_id"), lit(4)) + 3) =!= 0).as("cand"),
+          col("t").as("ref"))
+        EvalText.rougeN(pairs, Seq(1, 2)).orderBy("pid", "n")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents
+                             WHERE doc_id < 300),
+               pairs AS (SELECT doc_id AS pid,
+                   [t[i] FOR i IN range(1, len(t) + 1)
+                         IF i % (doc_id % 4 + 3) != 0] AS cand,
+                   t AS ref FROM toks),
+               nn AS (SELECT unnest([1, 2]) AS n),
+               cg AS (SELECT pid, n, gram, count(*) AS c_cnt
+                      FROM (SELECT p.pid, nn.n,
+                              unnest([array_to_string(p.cand[i:i+nn.n-1], ' ')
+                                FOR i IN range(1, len(p.cand) - nn.n + 2)])
+                                AS gram
+                            FROM pairs p CROSS JOIN nn)
+                      GROUP BY 1, 2, 3),
+               rg AS (SELECT pid, n, gram, count(*) AS r_cnt
+                      FROM (SELECT p.pid, nn.n,
+                              unnest([array_to_string(p.ref[i:i+nn.n-1], ' ')
+                                FOR i IN range(1, len(p.ref) - nn.n + 2)])
+                                AS gram
+                            FROM pairs p CROSS JOIN nn)
+                      GROUP BY 1, 2, 3),
+               mt AS (SELECT pid, n, sum(least(c_cnt, r_cnt)) AS m
+                      FROM cg JOIN rg USING (pid, n, gram) GROUP BY 1, 2),
+               tot AS (SELECT pid, nn.n AS n,
+                         greatest(len(cand) - nn.n + 1, 0) AS c_tot,
+                         greatest(len(ref) - nn.n + 1, 0) AS r_tot
+                       FROM pairs CROSS JOIN nn)
+               SELECT t.pid, t.n,
+                 CAST(coalesce(mt.m, 0) AS BIGINT) AS matched,
+                 CAST(t.c_tot AS BIGINT) AS cand_total,
+                 CAST(t.r_tot AS BIGINT) AS ref_total,
+                 CASE WHEN t.c_tot > 0 THEN
+                   floor(coalesce(mt.m, 0)::DOUBLE / t.c_tot::DOUBLE
+                         * 10000 + 0.5) / 10000 ELSE 0.0 END AS precision,
+                 CASE WHEN t.r_tot > 0 THEN
+                   floor(coalesce(mt.m, 0)::DOUBLE / t.r_tot::DOUBLE
+                         * 10000 + 0.5) / 10000 ELSE 0.0 END AS recall,
+                 CASE WHEN t.c_tot + t.r_tot > 0 THEN
+                   floor((coalesce(mt.m, 0) * 2)::DOUBLE
+                         / (t.c_tot + t.r_tot)::DOUBLE * 10000 + 0.5) / 10000
+                   ELSE 0.0 END AS f1
+               FROM tot t LEFT JOIN mt ON t.pid = mt.pid AND t.n = mt.n
+               ORDER BY t.pid, t.n""")),
+
+    // ENTITY RESOLUTION via Jaro-Winkler (Winkler 1990, the record-linkage
+    // staple; Spark has no built-in — graft.ext.JaroWinklerExpr is a
+    // native codegen expression, oracle = DuckDB jaro_winkler_similarity,
+    // semantics probed + pinned in JaroWinklerSpec). Fixture: a "dirty
+    // catalog" of part names with one deterministic character deletion at
+    // position partkey%(len−3)+3; resolution = best clean name at rounded
+    // JW ≥ 0.9. Scale shape: the q_join_fuzzy dictionary lesson — match
+    // DISTINCT dirty names against DISTINCT clean names under a
+    // (2-char-prefix, length±1) block, broadcast the dictionary, then map
+    // winners back to rows. Corpus-side work is one projection + one
+    // broadcast join; similarity only ever runs on dictionary pairs.
+    Q("q_er_jw",
+      (s, dir) => {
+        graft.ext.TextKernels.install(s)
+        val parts = Tables(s, dir, "part")
+        val len = length(col("p_name"))
+        val pos = (pmod(col("p_partkey"), (len - 3).cast("long")) + 3)
+          .cast("int")
+        val dirty = parts.select(col("p_partkey").as("pid"),
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, len - pos)).as("dname"))
+        val dict = dirty.select("dname").distinct()
+        val clean = parts.select("p_name").distinct()
+        val scored = dict.join(broadcast(clean),
+            substring(col("dname"), 1, 2) === substring(col("p_name"), 1, 2)
+              && abs(length(col("dname")) - length(col("p_name"))) <= 1)
+          .select(col("dname"), col("p_name").as("match_name"),
+            graft.core.Num.roundHalfUp(
+              call_function("jaro_winkler", col("dname"), col("p_name")), 4)
+              .as("jw"))
+          .filter(col("jw") >= 0.9)
+        val best = scored.withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("dname")
+              .orderBy(col("jw").desc, col("match_name"))))
+          .filter(col("rk") === 1).drop("rk")
+        dirty.join(broadcast(best), Seq("dname"))
+          .select("pid", "dname", "match_name", "jw").orderBy("pid")
+      },
+      Some("""WITH p AS (SELECT p_partkey AS pid, p_name,
+                   CAST(p_partkey % (len(p_name) - 3) + 3 AS INT) AS pos
+                 FROM part),
+              dirty AS (SELECT pid,
+                  substr(p_name, 1, pos - 1)
+                    || substr(p_name, pos + 1, len(p_name) - pos) AS dname
+                FROM p),
+              dict AS (SELECT DISTINCT dname FROM dirty),
+              clean AS (SELECT DISTINCT p_name FROM part),
+              scored AS (SELECT dname, p_name AS match_name,
+                  floor(jaro_winkler_similarity(dname, p_name) * 10000 + 0.5)
+                    / 10000 AS jw
+                FROM dict JOIN clean
+                  ON substr(dname, 1, 2) = substr(p_name, 1, 2)
+                 AND abs(len(dname) - len(p_name)) <= 1),
+              best AS (SELECT dname, match_name, jw, row_number() OVER
+                  (PARTITION BY dname ORDER BY jw DESC, match_name) AS rk
+                FROM scored WHERE jw >= 0.9)
+              SELECT d.pid, d.dname, b.match_name, b.jw
+              FROM dirty d JOIN best b ON d.dname = b.dname AND b.rk = 1
+              ORDER BY d.pid""")),
+
+    // ASSOCIATION RULES (Agrawal & Srikant 1994 A-Priori, pair level) —
+    // market-basket mining over order baskets: brands co-purchased in one
+    // order → support / confidence / lift per directed rule. Plan: basket
+    // self-join ON THE ORDER KEY ONLY (pair fan-out is bounded by basket
+    // size² ≤ ~81, never corpus²), item counts broadcast back. Lift stays
+    // in integer space (pair·N / (a·c)) until one final division →
+    // floor-form rounding.
+    Q("q_mine_rules",
+      (s, dir) => {
+        val parts = Tables(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        val baskets = Tables(s, dir, "lineitem")
+          .join(broadcast(parts), "l_partkey")
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+        val nOrders = baskets.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val itemCnt = baskets.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        val pairs = baskets.as("a")
+          .join(baskets.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.p_brand") < col("b.p_brand"))
+          .groupBy(col("a.p_brand").as("x"), col("b.p_brand").as("y"))
+          .agg(count(lit(1)).as("pair_n"))
+          .filter(col("pair_n") >= 20)
+        val directed = pairs
+          .select(col("x").as("antecedent"), col("y").as("consequent"),
+            col("pair_n"))
+          .unionByName(pairs.select(col("y").as("antecedent"),
+            col("x").as("consequent"), col("pair_n")))
+        directed
+          .join(broadcast(itemCnt.select(col("p_brand").as("antecedent"),
+            col("cnt").as("a_cnt"))), "antecedent")
+          .join(broadcast(itemCnt.select(col("p_brand").as("consequent"),
+            col("cnt").as("c_cnt"))), "consequent")
+          .crossJoin(broadcast(nOrders))
+          .select(col("antecedent"), col("consequent"), col("pair_n"),
+            graft.core.Num.roundHalfUp(col("pair_n").cast("double") /
+              col("n_orders").cast("double"), 4).as("support"),
+            graft.core.Num.roundHalfUp(col("pair_n").cast("double") /
+              col("a_cnt").cast("double"), 4).as("confidence"),
+            graft.core.Num.roundHalfUp(
+              (col("pair_n") * col("n_orders")).cast("double") /
+                (col("a_cnt") * col("c_cnt")).cast("double"), 4).as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+              n_ord AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+                        FROM baskets),
+              item AS (SELECT p_brand, count(*) AS cnt FROM baskets
+                       GROUP BY 1),
+              pairs AS (SELECT a.p_brand AS x, b.p_brand AS y,
+                          count(*) AS pair_n
+                        FROM baskets a JOIN baskets b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.p_brand < b.p_brand
+                        GROUP BY 1, 2 HAVING count(*) >= 20),
+              directed AS (SELECT x AS antecedent, y AS consequent, pair_n
+                           FROM pairs
+                           UNION ALL
+                           SELECT y, x, pair_n FROM pairs)
+              SELECT d.antecedent, d.consequent,
+                CAST(d.pair_n AS BIGINT) AS pair_n,
+                floor(d.pair_n::DOUBLE / n.n_orders::DOUBLE * 10000 + 0.5)
+                  / 10000 AS support,
+                floor(d.pair_n::DOUBLE / a.cnt::DOUBLE * 10000 + 0.5)
+                  / 10000 AS confidence,
+                floor((d.pair_n * n.n_orders)::DOUBLE
+                      / (a.cnt * c.cnt)::DOUBLE * 10000 + 0.5) / 10000
+                  AS lift
+              FROM directed d
+                JOIN item a ON d.antecedent = a.p_brand
+                JOIN item c ON d.consequent = c.p_brand
+                CROSS JOIN n_ord n
+              ORDER BY d.antecedent, d.consequent""")),
+
+    // L-DIVERSITY audit (Machanavajjhala 2007 — the companion to
+    // q_pipeline_kanon's k-anonymity): within each (nation, segment)
+    // quasi-identifier class, how many DISTINCT sensitive values
+    // ($1000-wide account-balance bands) appear? Classes with l < 3 leak
+    // the sensitive attribute even when k-anonymous. One aggregation
+    // pass; the suppressed share is rational → floor-form rounding.
+    Q("q_pipeline_ldiv",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+        val cls = cust.groupBy("c_nationkey", "c_mktsegment")
+          .agg(countDistinct(floor(col("c_acctbal") / 1000).cast("long"))
+            .as("l"), count(lit(1)).as("n"))
+        cls.agg(count(lit(1)).as("n_classes"), min(col("l")).as("min_l"),
+            sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_risky"),
+            sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_risky"))
+          .crossJoin(broadcast(cust.agg(count(lit(1)).as("n_total"))))
+          .select(col("n_classes"), col("min_l"), col("n_risky"),
+            graft.core.Num.roundHalfUp(col("rows_risky").cast("double") /
+              col("n_total").cast("double"), 4).as("suppressed_share"))
+      },
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                    AS l,
+                  count(*) AS n
+                FROM customer GROUP BY 1, 2),
+              t AS (SELECT count(*) AS n_total FROM customer)
+              SELECT count(*) AS n_classes, CAST(min(l) AS BIGINT) AS min_l,
+                CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_risky,
+                floor(sum(CASE WHEN l < 3 THEN n ELSE 0 END)::DOUBLE
+                      / any_value(n_total)::DOUBLE * 10000 + 0.5) / 10000
+                  AS suppressed_share
+              FROM cls CROSS JOIN t""")),
+
+    // HITS hubs & authorities (Kleinberg 1999) on the pagerank fixture
+    // graph — the complementary link-analysis pair (pipeline/Rank.scala
+    // hits): synchronous a←Eᵀh / h←Ea power iteration, L2-normalized
+    // each half-step, 10 rounds. Oracle unrolls the identical steps.
+    Q("q_graph_hits",
+      (s, dir) => Rank.hits(
+        Tables(s, dir, "lineitem").select(
+          (col("l_orderkey") % 100).as("src"),
+          (col("l_suppkey") % 100).as("dst"))),
+      Some {
+        val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
+                        l_suppkey % 100 AS dst FROM lineitem),
+              nodes AS (SELECT src AS node FROM e
+                        UNION SELECT dst FROM e),
+              h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+        // one reference per CTE (norms via window, not scalar subquery):
+        // a doubly-referenced CTE inlines as two copies in DuckDB, which
+        // across 10 chained iterations expands exponentially — the plan
+        // exhausted the fd limit re-opening the parquet scan before this
+        // was flattened to window-normalization
+        val steps = (1 to 10).map { k =>
+          s"""a${k}r AS (SELECT e.dst AS node, sum(p.hub) AS auth
+                FROM e JOIN h${k - 1} p ON e.src = p.node GROUP BY e.dst),
+              a$k AS (SELECT nodes.node,
+                  coalesce(a${k}r.auth, 0)
+                    / sqrt(sum(coalesce(a${k}r.auth, 0)
+                               * coalesce(a${k}r.auth, 0)) OVER ()) AS auth
+                FROM nodes LEFT JOIN a${k}r USING (node)),
+              h${k}r AS (SELECT e.src AS node, sum(p.auth) AS hub
+                FROM e JOIN a$k p ON e.dst = p.node GROUP BY e.src),
+              h$k AS (SELECT nodes.node,
+                  coalesce(h${k}r.hub, 0)
+                    / sqrt(sum(coalesce(h${k}r.hub, 0)
+                               * coalesce(h${k}r.hub, 0)) OVER ()) AS hub
+                FROM nodes LEFT JOIN h${k}r USING (node))"""
+        }.mkString(",\n")
+        s"""$base,
+            $steps
+            SELECT a10.node, round(a10.auth, 6) AS auth,
+              round(h10.hub, 6) AS hub
+            FROM a10 JOIN h10 USING (node) ORDER BY node"""
+      }),
+
+    // chrF2 (Popović, WMT 2015 — the character-level MT metric, robust
+    // to tokenization): whitespace-stripped character n-grams n = 1..4,
+    // corpus-micro precision/recall per n, macro-averaged across n, then
+    // F_{β=2}. Reuses the SAME clipped-count kernel as BLEU/ROUGE
+    // (EvalText.pairGramStats over char arrays). Everything is a ratio
+    // of exact integers → floor-form rounding end-to-end.
+    Q("q_eval_chrf",
+      (s, dir) => {
+        val chars = (c: org.apache.spark.sql.Column) =>
+          filter(split(regexp_replace(c, "\\s+", ""), ""), _ =!= "")
+        val base = Tables(s, dir, "documents").filter(col("doc_id") < 400)
+        val pairs = base.select(col("doc_id").as("pid"),
+          filter(chars(col("text")), (_, i) =>
+            pmod(i + 1, pmod(col("doc_id"), lit(4)) + 3) =!= 0).as("cand"),
+          chars(col("text")).as("ref"))
+        val perN = EvalText.pairGramStats(pairs, 1 to 4)
+          .groupBy("n").agg(sum(col("matched")).as("m"),
+            sum(col("cand_total")).as("ct"), sum(col("ref_total")).as("rt"))
+          .select(
+            (col("m").cast("double") / col("ct").cast("double")).as("p"),
+            (col("m").cast("double") / col("rt").cast("double")).as("r"))
+        perN.agg(avg(col("p")).as("chrp0"), avg(col("r")).as("chrr0"))
+          .select(
+            graft.core.Num.roundHalfUp(col("chrp0"), 4).as("chrp"),
+            graft.core.Num.roundHalfUp(col("chrr0"), 4).as("chrr"),
+            graft.core.Num.roundHalfUp(
+              lit(5.0) * col("chrp0") * col("chrr0") /
+                (lit(4.0) * col("chrp0") + col("chrr0")), 4).as("chrf2"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, regexp_replace(text, '\s+', '', 'g')
+                     AS s FROM documents WHERE doc_id < 400),
+              pairs AS (SELECT doc_id AS pid,
+                  [s[i] FOR i IN range(1, len(s) + 1)
+                        IF i % (doc_id % 4 + 3) != 0] AS cand,
+                  [s[i] FOR i IN range(1, len(s) + 1)] AS ref
+                FROM d0),
+              nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+              cg AS (SELECT pid, n, gram, count(*) AS c_cnt
+                     FROM (SELECT p.pid, nn.n,
+                             unnest([array_to_string(p.cand[i:i+nn.n-1], ' ')
+                               FOR i IN range(1, len(p.cand) - nn.n + 2)])
+                               AS gram
+                           FROM pairs p CROSS JOIN nn)
+                     GROUP BY 1, 2, 3),
+              rg AS (SELECT pid, n, gram, count(*) AS r_cnt
+                     FROM (SELECT p.pid, nn.n,
+                             unnest([array_to_string(p.ref[i:i+nn.n-1], ' ')
+                               FOR i IN range(1, len(p.ref) - nn.n + 2)])
+                               AS gram
+                           FROM pairs p CROSS JOIN nn)
+                     GROUP BY 1, 2, 3),
+              mt AS (SELECT pid, n, sum(least(c_cnt, r_cnt)) AS m
+                     FROM cg JOIN rg USING (pid, n, gram) GROUP BY 1, 2),
+              tot AS (SELECT pid, nn.n AS n,
+                        greatest(len(cand) - nn.n + 1, 0) AS c_tot,
+                        greatest(len(ref) - nn.n + 1, 0) AS r_tot
+                      FROM pairs CROSS JOIN nn),
+              pern AS (SELECT t.n,
+                         coalesce(sum(m), 0)::DOUBLE / sum(c_tot)::DOUBLE
+                           AS p,
+                         coalesce(sum(m), 0)::DOUBLE / sum(r_tot)::DOUBLE
+                           AS r
+                       FROM tot t LEFT JOIN mt USING (pid, n) GROUP BY t.n),
+              ag AS (SELECT avg(p) AS chrp0, avg(r) AS chrr0 FROM pern)
+              SELECT floor(chrp0 * 10000 + 0.5) / 10000 AS chrp,
+                floor(chrr0 * 10000 + 0.5) / 10000 AS chrr,
+                floor(5.0 * chrp0 * chrr0 / (4.0 * chrp0 + chrr0)
+                      * 10000 + 0.5) / 10000 AS chrf2
+              FROM ag""")),
+
+    // SPEARMAN RANK CORRELATION between two per-user engagement signals
+    // (event count vs. total spend) — the monotonic-association check an
+    // analytics pipeline publishes before trusting one signal as a proxy
+    // for the other. Ranks are row_number over (value, user_id) — a
+    // TOTAL order, so no tie-correction term and the classic EXACT form
+    // applies: ρ = 1 − 6·Σd²/(n(n²−1)), computed entirely in integer
+    // space until one final division (floor-form rounded). Spend sums in
+    // DECIMAL (exact) so near-equal totals can't flip ranks across
+    // engines. The rank windows span the USER dimension (bounded,
+    // coordinator-scale relative to the event corpus); n³ stays exact in
+    // a double to n ≈ 2·10⁵ — past that, promote to DECIMAL.
+    Q("q_eval_spearman",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = Tables(s, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        val ranked = perUser
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n_events"), col("user_id"))))
+          .withColumn("rv", row_number().over(
+            Window.orderBy(col("total_value"), col("user_id"))))
+        ranked
+          .agg(count(lit(1)).as("n_users"),
+            sum((col("rn") - col("rv")).cast("long") *
+              (col("rn") - col("rv")).cast("long")).as("d2"))
+          .select(col("n_users"),
+            graft.core.Num.roundHalfUp(lit(1.0) -
+              lit(6.0) * col("d2").cast("double") /
+                (col("n_users") * (col("n_users") * col("n_users") - 1))
+                  .cast("double"), 4).as("spearman"))
+      },
+      Some("""WITH pu AS (SELECT user_id, count(*) AS n_events,
+                  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                FROM events GROUP BY 1),
+              rk AS (SELECT
+                  row_number() OVER (ORDER BY n_events, user_id) AS rn,
+                  row_number() OVER (ORDER BY total_value, user_id) AS rv
+                FROM pu)
+              SELECT count(*) AS n_users,
+                floor((1.0 - 6.0 * sum((rn - rv) * (rn - rv))::DOUBLE
+                       / (count(*) * (count(*) * count(*) - 1))::DOUBLE)
+                      * 10000 + 0.5) / 10000 AS spearman
+              FROM rk""")),
+
+    // WEIGHT OF EVIDENCE / INFORMATION VALUE (the credit-scoring feature
+    // audit — Siddiqi 2006): decile-bin the event value, per bin
+    // WoE = ln(pos_share/neg_share) against the 'purchase' target, and
+    // IV = Σ (pos_share − neg_share)·WoE replicated on every row. ntile
+    // over (value, event_id) is a total order, so both engines cut
+    // identical bins; bins empty of a class are unscored (WoE NULL) and
+    // excluded from IV — the standard smoothing-free convention. The
+    // rank window spans the corpus once; everything after is 10 rows.
+    Q("q_pipeline_woe",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val binned = Tables(s, dir, "events")
+          .select(col("event_id"), col("value"),
+            (col("event_type") === "purchase").cast("long").as("pos"))
+          .withColumn("bin", ntile(10).over(
+            Window.orderBy(col("value"), col("event_id"))))
+        val byBin = binned.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+          .withColumn("n_neg", col("n") - col("n_pos"))
+        val tot = byBin.agg(sum(col("n_pos")).as("tp"),
+          sum(col("n_neg")).as("tn"))
+        val ps = col("n_pos").cast("double") / col("tp").cast("double")
+        val ns = col("n_neg").cast("double") / col("tn").cast("double")
+        val woe = when(col("n_pos") > 0 && col("n_neg") > 0, log(ps / ns))
+        val terms = byBin.crossJoin(broadcast(tot))
+          .withColumn("iv_term", (ps - ns) * woe)
+        val iv = terms.agg(round(sum(col("iv_term")), 4).as("iv"))
+        terms.crossJoin(broadcast(iv))
+          .select(col("bin"), col("n"), col("n_pos"),
+            graft.core.Num.roundHalfUp(ps, 4).as("pos_share"),
+            round(woe, 4).as("woe"), col("iv"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT value, event_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+                  ntile(10) OVER (ORDER BY value, event_id) AS bin
+                FROM events),
+              bb AS (SELECT bin, count(*) AS n,
+                       CAST(sum(pos) AS BIGINT) AS n_pos,
+                       CAST(count(*) - sum(pos) AS BIGINT) AS n_neg
+                     FROM b GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                        CAST(sum(n_neg) AS BIGINT) AS tn FROM bb),
+              t AS (SELECT bin, n, n_pos,
+                      n_pos::DOUBLE / tp::DOUBLE AS ps,
+                      n_neg::DOUBLE / tn::DOUBLE AS ns,
+                      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                        ln((n_pos::DOUBLE / tp::DOUBLE)
+                           / (n_neg::DOUBLE / tn::DOUBLE)) END AS woe
+                    FROM bb CROSS JOIN tot),
+              iv AS (SELECT round(sum((ps - ns) * woe), 4) AS iv FROM t)
+              SELECT bin, n, n_pos,
+                floor(ps * 10000 + 0.5) / 10000 AS pos_share,
+                round(woe, 4) AS woe, iv.iv
+              FROM t CROSS JOIN iv ORDER BY bin""")),
+
+    // DELETION PROPAGATION AUDIT (right-to-be-forgotten): given a forget
+    // set of users, remove their events via a broadcast anti-join and
+    // publish the per-type before/after/removed reconciliation a privacy
+    // review signs off on. The anti-join is the 100 TB shape: the forget
+    // set is user-dimension sized and broadcasts; the corpus is scanned
+    // once, never shuffled.
+    Q("q_pipeline_forget",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val forget = ev.filter(col("user_id") % 97 === 0)
+          .select("user_id").distinct()
+        val kept = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+        val before = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("rows_before"),
+            countDistinct(col("user_id")).as("users_before"))
+        val after = kept.groupBy("event_type")
+          .agg(count(lit(1)).as("rows_after"),
+            countDistinct(col("user_id")).as("users_after"))
+        before.join(after, Seq("event_type"), "left_outer")
+          .na.fill(0L, Seq("rows_after", "users_after"))
+          .select(col("event_type"), col("rows_before"), col("rows_after"),
+            (col("rows_before") - col("rows_after")).as("removed"),
+            col("users_before"), col("users_after"))
+          .orderBy("event_type")
+      },
+      Some("""WITH f AS (SELECT DISTINCT user_id FROM events
+                         WHERE user_id % 97 = 0),
+              before AS (SELECT event_type, count(*) AS rows_before,
+                           count(DISTINCT user_id) AS users_before
+                         FROM events GROUP BY 1),
+              after AS (SELECT event_type, count(*) AS rows_after,
+                          count(DISTINCT user_id) AS users_after
+                        FROM events
+                        WHERE user_id NOT IN (SELECT user_id FROM f)
+                        GROUP BY 1)
+              SELECT b.event_type, b.rows_before,
+                coalesce(a.rows_after, 0) AS rows_after,
+                b.rows_before - coalesce(a.rows_after, 0) AS removed,
+                b.users_before, coalesce(a.users_after, 0) AS users_after
+              FROM before b LEFT JOIN after a USING (event_type)
+              ORDER BY b.event_type"""))
   )
 }

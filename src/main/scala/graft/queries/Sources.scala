@@ -730,7 +730,7 @@ object Sources extends QueryPack {
                       CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 10000) AS BIGINT)
                         AS w4 FROM n),
               tot AS (SELECT sum(w4) AS sw FROM w)
-              SELECT source, n AS n_tokens,
+              SELECT source, CAST(n AS BIGINT) AS n_tokens,
                 CAST((10000 * w4) // sw AS BIGINT) AS budget
               FROM w, tot ORDER BY source""")),
 
@@ -810,6 +810,65 @@ object Sources extends QueryPack {
                 '2024-09-01', NULL, true
               FROM b WHERE k % 20 = 0 AND k % 50 <> 0
               ORDER BY c_custkey, valid_from""")),
+
+    // STREAMING RATE-ANOMALY MONITOR: eight staged micro-batches
+    // (event_id % 8, maxFilesPerTrigger=1 pins bid order) each land
+    // their per-event-type counts as replay-idempotent delta dirs
+    // (streaming/StreamAnomaly.scala, the CMS-store exactly-once
+    // convention); the monitor view z-scores every batch against its 3
+    // preceding batches per type — q_temporal_anomaly's semantics at
+    // ingest granularity. The oracle replays the same batch partitioning
+    // relationally.
+    Q("q_stream_anomaly",
+      (s, dir) => {
+        val root = tmp("stream_anomaly")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "event_type")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        (0 until 8).foreach { k =>
+          stage(ev.filter(col("event_id") % 8 === k), f"batch$k",
+            t0 + k * 60000L)
+        }
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamAnomaly.start(stream, "event_type",
+          s"$root/counts").awaitTermination()
+        graft.streaming.StreamAnomaly.read(s, s"$root/counts",
+            lookback = 3, threshold = 3.0)
+          .withColumnRenamed("key", "event_type")
+      },
+      Some("""WITH b AS (SELECT event_id % 8 AS bid, event_type
+                         FROM events),
+              cnt AS (SELECT event_type, bid, count(*) AS n
+                      FROM b GROUP BY 1, 2),
+              win AS (SELECT event_type, bid, n,
+                  avg(n) OVER w AS mu,
+                  stddev_samp(n) OVER w AS sd,
+                  count(n) OVER w AS n_prev
+                FROM cnt
+                WINDOW w AS (PARTITION BY event_type ORDER BY bid
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+              SELECT event_type, bid, n,
+                floor(mu * 10000 + 0.5) / 10000 AS mean_prev,
+                round(sd, 4) AS sd_prev,
+                round((n - mu) / sd, 4) AS z,
+                abs(round((n - mu) / sd, 4)) >= 3.0 AS is_anomaly
+              FROM win WHERE n_prev = 3 AND sd > 0
+              ORDER BY event_type, bid""")),
 
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,

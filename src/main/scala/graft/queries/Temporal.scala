@@ -460,6 +460,91 @@ object Temporal extends QueryPack {
                 coalesce(first_touch_n, 0) AS first_touch_n,
                 coalesce(last_touch_n, 0) AS last_touch_n
               FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
-              ORDER BY event_type"""))
+              ORDER BY event_type""")),
+
+    // ROLLING Z-SCORE ANOMALY DETECTION (the ops-monitoring staple over
+    // an event stream): hourly counts per event type, each scored against
+    // the mean/stddev of its 6 PRECEDING observed buckets (rows-frame, so
+    // gaps don't stall the window); |z| ≥ 3 flags. One aggregation + one
+    // partitioned window pass — linear, no self-join; partitions are
+    // per-event-type time series so corpus growth adds rows, not width.
+    // z and sd are sqrt-derived (irrational) → plain round; the anomaly
+    // flag compares the ROUNDED z so both engines flip identically.
+    Q("q_temporal_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600L * 1000000
+        val hourly = EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("event_type"), expr(s"ts DIV $hourUs").as("hour"))
+          .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-6, -1)
+        hourly
+          .withColumn("mu", avg(col("n")).over(w))
+          .withColumn("sd", stddev_samp(col("n")).over(w))
+          .withColumn("n_prev", count(col("n")).over(w))
+          .filter(col("n_prev") === 6 && col("sd") > 0)
+          .withColumn("z",
+            round((col("n") - col("mu")) / col("sd"), 4))
+          .select(col("event_type"), col("hour"), col("n"),
+            graft.core.Num.roundHalfUp(col("mu"), 4).as("mean_prev"),
+            round(col("sd"), 4).as("sd_prev"), col("z"),
+            (abs(col("z")) >= 3.0).as("is_anomaly"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              win AS (SELECT event_type, hour, n,
+                  avg(n) OVER w AS mu,
+                  stddev_samp(n) OVER w AS sd,
+                  count(n) OVER w AS n_prev
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+              SELECT event_type, hour, n,
+                floor(mu * 10000 + 0.5) / 10000 AS mean_prev,
+                round(sd, 4) AS sd_prev,
+                round((n - mu) / sd, 4) AS z,
+                abs(round((n - mu) / sd, 4)) >= 3.0 AS is_anomaly
+              FROM win WHERE n_prev = 6 AND sd > 0
+              ORDER BY event_type, hour""")),
+
+    // MARKOV TRANSITION MATRIX over per-user event sequences (the
+    // behavioral-model fit a clickstream pipeline publishes): next-event
+    // via lead() under the (ts, event_id) total per-user order, counts →
+    // row-normalized probabilities. One window pass + one aggregation;
+    // probabilities are integer ratios → floor-form rounding.
+    Q("q_temporal_markov",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tr = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("src").agg(sum(col("n")).as("src_n"))
+        tr.join(broadcast(tot), "src")
+          .select(col("src"), col("dst"), col("n"),
+            graft.core.Num.roundHalfUp(
+              col("n").cast("double") / col("src_n").cast("double"), 4)
+              .as("prob"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH tr AS (SELECT event_type AS src,
+                  lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                FROM events),
+              cnt AS (SELECT src, dst, count(*) AS n FROM tr
+                      WHERE dst IS NOT NULL GROUP BY 1, 2),
+              tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS src_n
+                      FROM cnt GROUP BY 1)
+              SELECT c.src, c.dst, c.n,
+                floor(c.n::DOUBLE / t.src_n::DOUBLE * 10000 + 0.5) / 10000
+                  AS prob
+              FROM cnt c JOIN tot t USING (src)
+              ORDER BY c.src, c.dst"""))
   )
 }

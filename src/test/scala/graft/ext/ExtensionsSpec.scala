@@ -738,7 +738,7 @@ class ExtensionsSpec extends SparkSpec {
       "graft_dot", "vec_cosine", "graft_lsh_projs", "graft_lsh_bucket",
       "graft_shingle_hashes", "graft_minhash", "graft_simhash",
       "graft_intersect_card", "text_normalize", "graft_bigram_buckets",
-      "porter_stem", "graft_char_trigrams"))
+      "porter_stem", "graft_char_trigrams", "jaro_winkler"))
     GraftExtensions.install(spark)
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry

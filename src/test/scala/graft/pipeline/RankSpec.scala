@@ -93,4 +93,23 @@ class RankSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t(6L) == 40L, s"tie must break small: $t")
   }
+
+  test("hits: authorities collect in-links, hubs collect good out-links") {
+    import spark.implicits._
+    // 1→3, 2→3, 3→4 : node 3 is the authority (two in-links), nodes 1/2
+    // are equal hubs pointing at it; node 4's only in-link comes from a
+    // weaker hub, so auth(3) > auth(4). L2 norms are 1 per score vector.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Rank.hits(edges).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val auth = r.map(t => t._1 -> t._2).toMap
+    val hub = r.map(t => t._1 -> t._3).toMap
+    assert(auth(3L) > auth(4L) && auth(4L) >= 0.0, auth.toString)
+    assert(auth(1L) == 0.0 && auth(2L) == 0.0, "no in-links, no authority")
+    assert(math.abs(hub(1L) - hub(2L)) < 1e-9, "symmetric hubs must tie")
+    assert(hub(1L) > hub(3L), "pointing at the authority beats pointing away")
+    assert(hub(4L) == 0.0, "no out-links, no hub score")
+    def l2(m: Map[Long, Double]) = math.sqrt(m.values.map(v => v * v).sum)
+    assert(math.abs(l2(auth) - 1.0) < 1e-4 && math.abs(l2(hub) - 1.0) < 1e-4)
+  }
 }
