@@ -137,4 +137,130 @@ object Bpe {
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("toks"), lit(0L)).as("toks"))
   }
+
+  // ---------------------------------------------------------------------
+  // WordPiece (Schuster & Nakajima 2012; the BERT tokenizer family) —
+  // the THIRD production trainer beside BPE and unigram-LM. Same corpus
+  // shape as [[train]] (histogram reduction → driver loop), different
+  // merge OBJECTIVE: WordPiece merges the pair maximizing the likelihood
+  // gain score freq(ab) / (freq(a)·freq(b)), not raw pair frequency.
+  // Continuation pieces carry the '##' marker; serving uses greedy
+  // longest-match against the final vocabulary (the real WordPiece
+  // apply, not merge replay).
+  // ---------------------------------------------------------------------
+
+  /** Learned WordPiece model: the vocabulary (bare word-initial symbols +
+    * '##'-marked continuations) and its longest entry (the greedy
+    * matcher's scan bound). */
+  final case class WordPieceModel(vocab: Set[String], maxLen: Int)
+
+  /** Train `numMerges` WordPiece merges over the capped word histogram.
+    * Scores compare as exact integer cross-products (BigInt — no float
+    * ties), ties break lexicographically on (left, right); pairs must
+    * occur at least twice. Deterministic: same corpus, same model. */
+  def trainWordPiece(docs: DataFrame, numMerges: Int,
+                     maxWords: Int = 100000,
+                     textCol: String = "text"): WordPieceModel = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    val hist = docs
+      .select(explode(graft.fts.Analyzer.tokenize(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def initial(w: String): IndexedSeq[String] =
+      w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c
+      }
+    var words: Array[(IndexedSeq[String], Long)] =
+      hist.map { case (w, f) => (initial(w), f) }
+    val vocab = scala.collection.mutable.LinkedHashSet.empty[String]
+    words.foreach(_._1.foreach(vocab += _))
+    var continue = true
+    var done = 0
+    while (done < numMerges && continue) {
+      val pairF = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val symF = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (ps, f) =>
+        var i = 0
+        while (i < ps.length) {
+          symF(ps(i)) = symF.getOrElse(ps(i), 0L) + f
+          if (i + 1 < ps.length) {
+            val k = (ps(i), ps(i + 1))
+            pairF(k) = pairF.getOrElse(k, 0L) + f
+          }
+          i += 1
+        }
+      }
+      val cands = pairF.filter(_._2 >= 2)
+      if (cands.isEmpty) continue = false
+      else {
+        // argmax of f(ab)/(f(a)·f(b)) via BigInt cross-multiplication:
+        // a beats b iff fa·denomB > fb·denomA — exact, no float ties
+        val best = cands.toSeq.reduceLeft { (x, y) =>
+          val ((xl, xr), xf) = x
+          val ((yl, yr), yf) = y
+          val lhs = BigInt(xf) * BigInt(symF(yl)) * BigInt(symF(yr))
+          val rhs = BigInt(yf) * BigInt(symF(xl)) * BigInt(symF(xr))
+          if (lhs > rhs) x
+          else if (lhs < rhs) y
+          else if (Ordering[(String, String)].lteq((xl, xr), (yl, yr))) x
+          else y
+        }
+        val (l, r) = best._1
+        val merged = l + r.stripPrefix("##")
+        vocab += merged
+        words = words.map { case (ps, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ps.length) {
+            if (i + 1 < ps.length && ps(i) == l && ps(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += ps(i); i += 1 }
+          }
+          (out.toIndexedSeq, f)
+        }
+        done += 1
+      }
+    }
+    WordPieceModel(vocab.toSet,
+      if (vocab.isEmpty) 1 else vocab.map(_.length).max)
+  }
+
+  /** Greedy longest-match WordPiece encode (BERT's WordpieceTokenizer):
+    * at each position take the LONGEST vocab entry (continuation
+    * positions match against the '##'-marked form); a position with no
+    * match collapses the whole word to [UNK] — the standard convention.
+    * On the training corpus itself every single char is in-vocab by
+    * construction, so [UNK] only fires on out-of-corpus input. */
+  def encodeWordPiece(word: String, model: WordPieceModel): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val prefix = if (i == 0) "" else "##"
+      var j = math.min(word.length, i + model.maxLen)
+      var found: String = null
+      while (found == null && j > i) {
+        val cand = prefix + word.substring(i, j)
+        if (model.vocab.contains(cand)) found = cand else j -= 1
+      }
+      if (found == null) return Seq("[UNK]")
+      out += found
+      i = j
+    }
+    out.toSeq
+  }
+
+  /** Encode a token column under a trained WordPiece model — the same
+    * distinct-word broadcast-join shape as [[applyMerges]]. */
+  def applyWordPiece(tokens: DataFrame, model: WordPieceModel,
+                     wordCol: String = "word"): DataFrame = {
+    val spark = tokens.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    val enc = udf((w: String) => encodeWordPiece(w, modelB.value))
+    val vocab = tokens.select(col(wordCol)).distinct()
+      .withColumn("pieces", enc(col(wordCol)))
+      .withColumn("n_pieces", size(col("pieces")))
+    tokens.join(broadcast(vocab), wordCol)
+  }
 }

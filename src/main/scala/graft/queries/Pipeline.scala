@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, EvalText, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, EvalText, Geo, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -1554,6 +1554,49 @@ object Pipeline extends QueryPack {
           val verdict = s.range(1).select(
             lit(bad == 0 && merges == merges2 && merges.size == 30 &&
               totals.getLong(1) < totals.getLong(0)).as("ok"))
+          s.createDataFrame(
+            java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
+        } finally encoded.unpersist()
+      },
+      Some("SELECT true AS ok")),
+
+    // WORDPIECE tokenizer training (Schuster & Nakajima 2012 — BERT's
+    // tokenizer; the THIRD production trainer beside q_text_bpe and
+    // q_text_unigram): same histogram-reduction → driver-loop shape, but
+    // merges maximize the likelihood-gain score f(ab)/(f(a)·f(b)) —
+    // compared as exact BigInt cross-products, no float ties — and
+    // serving is greedy longest-match against the final '##'-marked
+    // vocabulary (the real WordPiece apply, not merge replay). Training
+    // is not SQL-expressible → verdict oracle over the real contracts:
+    // determinism (two runs, one model), lossless round-trip with no
+    // [UNK] on the training corpus, '##' marker discipline (first piece
+    // bare, continuations marked), genuine compression, and vocab size
+    // within alphabet + numMerges.
+    Q("q_text_wordpiece",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val m1 = Bpe.trainWordPiece(docs, numMerges = 30)
+        val m2 = Bpe.trainWordPiece(docs, numMerges = 30)
+        val encoded = Bpe.applyWordPiece(Bpe.words(docs), m1).persist()
+        try {
+          val strip = concat_ws("",
+            transform(col("pieces"), p => regexp_replace(p, "^##", "")))
+          val bad = encoded.filter(
+            strip =!= col("word") ||
+              col("n_pieces") > length(col("word")) ||
+              array_contains(col("pieces"), "[UNK]") ||
+              element_at(col("pieces"), 1).startsWith("##") ||
+              exists(slice(col("pieces"), 2, 1000000),
+                p => !p.startsWith("##"))).count()
+          val totals = encoded.agg(
+            sum(length(col("word"))).as("chars"),
+            sum(col("n_pieces")).as("pieces")).head()
+          val alphabet = m1.vocab.count(_.stripPrefix("##").length == 1)
+          val verdict = s.range(1).select(
+            lit(bad == 0 && m1.vocab == m2.vocab &&
+              totals.getLong(1) < totals.getLong(0) &&
+              m1.vocab.size <= alphabet + 30 &&
+              m1.vocab.size > alphabet).as("ok"))
           s.createDataFrame(
             java.util.Arrays.asList(verdict.collect(): _*), verdict.schema)
         } finally encoded.unpersist()
@@ -4543,6 +4586,152 @@ object Pipeline extends QueryPack {
                 b.rows_before - coalesce(a.rows_after, 0) AS removed,
                 b.users_before, coalesce(a.users_after, 0) AS users_after
               FROM before b LEFT JOIN after a USING (event_type)
-              ORDER BY b.event_type"""))
+              ORDER BY b.event_type""")),
+
+    // GEO RADIUS SEARCH (Elasticsearch geo_distance): all points within
+    // 1500 km of (12.3, 45.6). Coordinates are md5-derived from the
+    // customer key (hash-uniform — modular-arithmetic coords form a
+    // lattice whose voids empty any small box); the bounding-box
+    // prefilter is two scan-pushable range predicates (zone-map/file
+    // skipping at scale — written range-clustered on (lat, lon) via the
+    // ZOrder layout), haversine verifies only the boxed candidates
+    // (pipeline/Geo.scala). The SAME driver-computed box literals feed
+    // plan and oracle.
+    Q("q_geo_radius",
+      (s, dir) => Geo.withinRadius(
+        Tables(s, dir, "customer").select(col("c_custkey"),
+          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+            lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
+            .cast("double") / 100.0 - 85.0).as("lat"),
+          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+            lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
+            .cast("double") / 100.0 - 180.0).as("lon")),
+        qlat = 12.3, qlon = 45.6, radiusKm = 1500.0, idCol = "c_custkey"),
+      Some {
+        val (latLo, latHi, lonLo, lonHi) = Geo.boundingBox(12.3, 45.6, 1500.0)
+        s"""WITH pts AS (SELECT c_custkey,
+               CAST((CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                      || ':lat'), 1, 8) AS BIGINT) % 17000) AS DOUBLE)
+                 / 100.0 - 85.0 AS lat,
+               CAST((CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                      || ':lon'), 1, 8) AS BIGINT) % 36000) AS DOUBLE)
+                 / 100.0 - 180.0 AS lon
+             FROM customer),
+           cand AS (SELECT * FROM pts
+                    WHERE lat >= $latLo AND lat <= $latHi
+                      AND lon >= $lonLo AND lon <= $lonHi),
+           d AS (SELECT c_custkey, lat, lon,
+               round(2 * 6371.0 * asin(sqrt(
+                 sin(radians(12.3 - lat) / 2) * sin(radians(12.3 - lat) / 2)
+                 + cos(radians(lat)) * cos(radians(12.3))
+                   * sin(radians(45.6 - lon) / 2)
+                   * sin(radians(45.6 - lon) / 2))), 3) AS dist_km
+             FROM cand)
+           SELECT c_custkey, lat, lon, dist_km FROM d
+           WHERE dist_km <= 1500.0 ORDER BY c_custkey"""
+      }),
+
+    // GEO k-NN: the 10 nearest customers to (48.2, -60.3) inside a
+    // 3000 km search box — the bounded-search form a geo index serves
+    // (shortfall ⇒ the serving layer widens the ring driver-side).
+    // boundingBox REFUSES a box that wraps the antimeridian or reaches a
+    // pole (those split into two boxes / a lon-complete scan) — guarded,
+    // not silently wrong. Total order: (rounded km, key).
+    Q("q_geo_knn",
+      (s, dir) => Geo.nearestK(
+        Tables(s, dir, "customer").select(col("c_custkey"),
+          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+            lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
+            .cast("double") / 100.0 - 85.0).as("lat"),
+          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+            lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
+            .cast("double") / 100.0 - 180.0).as("lon")),
+        qlat = 48.2, qlon = -60.3, searchKm = 3000.0, k = 10,
+        idCol = "c_custkey"),
+      Some {
+        val (latLo, latHi, lonLo, lonHi) =
+          Geo.boundingBox(48.2, -60.3, 3000.0)
+        s"""WITH pts AS (SELECT c_custkey,
+               CAST((CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                      || ':lat'), 1, 8) AS BIGINT) % 17000) AS DOUBLE)
+                 / 100.0 - 85.0 AS lat,
+               CAST((CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                      || ':lon'), 1, 8) AS BIGINT) % 36000) AS DOUBLE)
+                 / 100.0 - 180.0 AS lon
+             FROM customer),
+           cand AS (SELECT * FROM pts
+                    WHERE lat >= $latLo AND lat <= $latHi
+                      AND lon >= $lonLo AND lon <= $lonHi)
+           SELECT c_custkey, lat, lon,
+             round(2 * 6371.0 * asin(sqrt(
+               sin(radians(48.2 - lat) / 2) * sin(radians(48.2 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(48.2))
+                 * sin(radians(-60.3 - lon) / 2)
+                 * sin(radians(-60.3 - lon) / 2))), 3) AS dist_km
+           FROM cand ORDER BY dist_km, c_custkey LIMIT 10"""
+      }),
+
+    // BINARY QUANTIZATION ANN (the Lucene/Elasticsearch BQ path): sign
+    // bits packed into two 32-bit halves (b0/b1 — two halves rather than
+    // one 64-bit word so bit 63's sign never differs across engines),
+    // Hamming shortlist via bit_count(xor) — 16 bytes per vector, a 16×
+    // scan-width cut at serving — then exact-cosine rerank of the top-48.
+    // Packing is one posexplode + groupBy (the index-build pass, one
+    // shuffle on vec_id); serving touches packed words + 48 full vectors.
+    Q("q_sim_bq",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val packed = emb
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .groupBy("vec_id")
+          .agg(
+            sum(when(col("pos") < 32 && col("col") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"))
+              .otherwise(0L)).as("b0"),
+            sum(when(col("pos") >= 32 && col("col") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(pos - 32 AS INT))"))
+              .otherwise(0L)).as("b1"))
+        val q = packed.filter(col("vec_id") === 0)
+          .select(col("b0").as("q0"), col("b1").as("q1")).limit(1)
+        val short = packed.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            (bit_count(col("b0").bitwiseXOR(col("q0"))) +
+              bit_count(col("b1").bitwiseXOR(col("q1")))).as("hd"))
+          .orderBy(col("hd"), col("vec_id")).limit(48)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("qv")).limit(1)
+        short.join(emb, "vec_id").crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("hd"),
+            round(graft.pipeline.Similarity.cosine(
+              col("embedding").cast("array<double>"), col("qv")), 4)
+              .as("cosim"))
+          .orderBy(col("cosim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+              bits AS (SELECT vec_id, v,
+                  CAST(unnest(range(1, len(v) + 1)) AS INT) AS i FROM e),
+              p AS (SELECT vec_id,
+                  CAST(sum(CASE WHEN i <= 32 AND v[i] > 0
+                       THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT)
+                    AS b0,
+                  CAST(sum(CASE WHEN i > 32 AND v[i] > 0
+                       THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT)
+                    AS b1
+                FROM bits GROUP BY vec_id),
+              q AS (SELECT b0 AS q0, b1 AS q1 FROM p WHERE vec_id = 0),
+              qe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              short AS (SELECT p.vec_id,
+                  CAST(bit_count(xor(b0, q0)) + bit_count(xor(b1, q1))
+                       AS INTEGER) AS hd
+                FROM p CROSS JOIN q WHERE vec_id <> 0
+                ORDER BY hd, vec_id LIMIT 48)
+              SELECT s.vec_id, s.hd,
+                round(list_dot_product(e.v, qe.qv) /
+                  (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(qe.qv, qe.qv))), 4) AS cosim
+              FROM short s JOIN e ON s.vec_id = e.vec_id CROSS JOIN qe
+              ORDER BY cosim DESC, s.vec_id LIMIT 10"""))
   )
 }

@@ -545,6 +545,55 @@ object Temporal extends QueryPack {
                 floor(c.n::DOUBLE / t.src_n::DOUBLE * 10000 + 0.5) / 10000
                   AS prob
               FROM cnt c JOIN tot t USING (src)
-              ORDER BY c.src, c.dst"""))
+              ORDER BY c.src, c.dst""")),
+
+    // EWMA SMOOTHING / FORECAST RESIDUAL (the monitoring baseline next to
+    // q_temporal_anomaly's z-score): per event type, each hourly count
+    // against the exponentially-weighted mean of its 12 preceding
+    // observed buckets (weights 0.7^(k−1), normalized over available
+    // lags — the bounded-window EWMA a relational engine can express
+    // without a sequential recurrence). Plan: a rank-windowed series
+    // self-joined on (type, rank distance ≤ 12) — per-row fan-out is a
+    // constant 12, the join key is the series id, never all-pairs.
+    Q("q_temporal_ewma",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourUs = 3600L * 1000000
+        val hourly = EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("event_type"), expr(s"ts DIV $hourUs").as("hour"))
+          .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("hour")))
+        val t = hourly.as("t")
+        val p = hourly.select(col("event_type"), col("n").as("pn"),
+          col("rn").as("prn")).as("p")
+        val w = pow(lit(0.7),
+          (col("t.rn") - col("p.prn") - 1).cast("double"))
+        t.join(p, col("t.event_type") === col("p.event_type") &&
+            col("p.prn") >= col("t.rn") - 12 &&
+            col("p.prn") <= col("t.rn") - 1)
+          .groupBy(col("t.event_type").as("event_type"), col("t.hour").as("hour"),
+            col("t.n").as("n"))
+          .agg((sum(w * col("p.pn")) / sum(w)).as("e"))
+          .select(col("event_type"), col("hour"), col("n"),
+            round(col("e"), 4).as("ewma"),
+            round(col("n") - col("e"), 4).as("deviation"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              rn AS (SELECT event_type, hour, n, row_number() OVER
+                  (PARTITION BY event_type ORDER BY hour) AS rn
+                FROM hourly),
+              j AS (SELECT t.event_type, t.hour, t.n,
+                  sum(pow(0.7, t.rn - p.rn - 1) * p.n)
+                    / sum(pow(0.7, t.rn - p.rn - 1)) AS e
+                FROM rn t JOIN rn p ON t.event_type = p.event_type
+                  AND p.rn BETWEEN t.rn - 12 AND t.rn - 1
+                GROUP BY 1, 2, 3)
+              SELECT event_type, hour, n, round(e, 4) AS ewma,
+                round(n - e, 4) AS deviation
+              FROM j ORDER BY event_type, hour"""))
   )
 }

@@ -62,7 +62,7 @@ object ScaleCorpus {
       Seq("event_id", "user_id"))((df, _) => df)
 
   def smallTables(spark: SparkSession, out: String): Unit =
-    for (t <- Seq("nation", "region"))
+    for (t <- Seq("nation", "region", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 

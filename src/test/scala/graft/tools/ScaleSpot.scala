@@ -46,8 +46,10 @@ object ScaleSpot {
     ensure("embeddings")(ScaleCorpus.embeddings(spark, out, factor))
     ensure("lineitem")(ScaleCorpus.lineitem(spark, out, factor))
     ensure("events")(ScaleCorpus.events(spark, out, factor))
-    // small tables some query setups read incidentally
+    // small tables some query setups read incidentally (the "part"
+    // ensure covers corpora materialized before part joined the set)
     ensure("nation")(ScaleCorpus.smallTables(spark, out))
+    ensure("part")(ScaleCorpus.smallTables(spark, out))
     ensure("orders")(ScaleCorpus.orders(spark, out, factor))
     ensure("customer")(ScaleCorpus.customer(spark, out, factor))
 
@@ -116,7 +118,19 @@ object ScaleSpot {
       // SCD2: two dimension loads (current-slice + batch joins)
       "q_scd2", "q_text_zipf", "q_fts_composite_agg", "q_stream_scd2",
       "q_text_collocations", "q_pipeline_split_leakage",
-      "q_pipeline_curriculum", "q_stream_weighted_sample", "q_fts_range_facets")
+      "q_pipeline_curriculum", "q_stream_weighted_sample", "q_fts_range_facets",
+      // round-15 wave: clipped-n-gram eval metrics (BLEU/ROUGE/chrF share
+      // one explode+join kernel), dictionary-blocked Jaro-Winkler ER,
+      // basket-bounded association rules, rolling z-score + Markov
+      // transitions (events), HITS power iteration, decay re-ranking +
+      // per-term explain (candidate-bounded), binary-quantization ANN
+      // (posexplode pack + Hamming shortlist), box-pruned geo search,
+      // WoE/IV + Spearman + deletion audits, streamed batch-rate monitor
+      "q_eval_bleu", "q_eval_rouge", "q_eval_chrf", "q_er_jw",
+      "q_mine_rules", "q_temporal_anomaly", "q_temporal_markov",
+      "q_graph_hits", "q_fts_decay", "q_fts_explain", "q_sim_bq",
+      "q_geo_radius", "q_geo_knn", "q_pipeline_woe", "q_pipeline_forget",
+      "q_eval_spearman", "q_pipeline_ldiv", "q_stream_anomaly")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
