@@ -130,7 +130,9 @@ object ScaleSpot {
       "q_mine_rules", "q_temporal_anomaly", "q_temporal_markov",
       "q_graph_hits", "q_fts_decay", "q_fts_explain", "q_sim_bq",
       "q_geo_radius", "q_geo_knn", "q_pipeline_woe", "q_pipeline_forget",
-      "q_eval_spearman", "q_pipeline_ldiv", "q_stream_anomaly")
+      "q_eval_spearman", "q_pipeline_ldiv", "q_stream_anomaly",
+      "q_temporal_ewma", "q_text_wordpiece", "q_pipeline_dq",
+      "q_pipeline_diff")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
