@@ -4891,6 +4891,103 @@ object Pipeline extends QueryPack {
               SELECT d.doc_id, d.change, counts.n AS n_of_kind
               FROM diff d JOIN counts USING (change)
               WHERE d.change != 'unchanged' AND d.doc_id % 5 = 0
-              ORDER BY d.doc_id"""))
+              ORDER BY d.doc_id""")),
+
+    // KEY-SKEW AUDIT (the partition-health report a pipeline publishes
+    // before keying a 100 TB shuffle on a column): top-5 heavy hitters
+    // with their row share, plus the GINI COEFFICIENT of the key
+    // histogram — computed entirely in integer space: with x sorted
+    // ascending, Σ rank·x over a tie-run of equal counts collapses to
+    // c·(2·k·cum_before + k(k+1)) — so the only window is a cumsum over
+    // the DISTINCT-COUNT histogram, never a per-key corpus rank. One
+    // final division floor-form-rounds. (Products reach count·K²: move
+    // the sums to DECIMAL past ~10⁹ distinct keys.)
+    Q("q_pipeline_skew_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val keys = Tables(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val ch = keys.groupBy("cnt").agg(count(lit(1)).as("kn"))
+        val cum = ch.withColumn("cb",
+          coalesce(sum(col("kn")).over(Window.orderBy("cnt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val g = cum.agg(
+            sum(col("cnt") * (col("kn") * col("cb") * 2 +
+              col("kn") * (col("kn") + 1))).as("s2"),
+            sum(col("kn")).as("k"),
+            sum(col("cnt") * col("kn")).as("t"))
+          .select(col("k").as("n_keys"), col("t").as("n_rows"),
+            graft.core.Num.roundHalfUp(
+              (col("s2") - (col("k") + 1) * col("t")).cast("double") /
+                (col("k") * col("t")).cast("double"), 6).as("gini"))
+        val top = keys
+          .orderBy(col("cnt").desc, col("user_id")).limit(5)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cnt").desc, col("user_id"))))
+        top.crossJoin(broadcast(g))
+          .select(col("rank"), col("user_id"), col("cnt"),
+            graft.core.Num.roundHalfUp(col("cnt").cast("double") /
+              col("n_rows").cast("double"), 6).as("share"),
+            col("gini"), col("n_keys"))
+          .orderBy("rank")
+      },
+      Some("""WITH keys AS (SELECT user_id, count(*) AS cnt FROM events
+                            GROUP BY 1),
+              ch AS (SELECT cnt, count(*) AS kn FROM keys GROUP BY 1),
+              cum AS (SELECT cnt, kn, coalesce(sum(kn) OVER
+                  (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   1 PRECEDING), 0) AS cb FROM ch),
+              g AS (SELECT CAST(sum(kn) AS BIGINT) AS n_keys,
+                      CAST(sum(cnt * kn) AS BIGINT) AS n_rows,
+                      floor((sum(cnt * (kn * cb * 2 + kn * (kn + 1)))
+                             - (sum(kn) + 1) * sum(cnt * kn))::DOUBLE
+                            / (sum(kn) * sum(cnt * kn))::DOUBLE
+                            * 1000000 + 0.5) / 1000000 AS gini
+                    FROM cum),
+              top AS (SELECT user_id, cnt, row_number() OVER
+                  (ORDER BY cnt DESC, user_id) AS rank
+                FROM keys ORDER BY cnt DESC, user_id LIMIT 5)
+              SELECT t.rank, t.user_id, t.cnt,
+                floor(t.cnt::DOUBLE / g.n_rows::DOUBLE * 1000000 + 0.5)
+                  / 1000000 AS share,
+                g.gini, g.n_keys
+              FROM top t CROSS JOIN g ORDER BY t.rank""")),
+
+    // EMBEDDING-QUALITY METRICS (Wang & Isola 2020 — alignment &
+    // uniformity, the two numbers that diagnose a contrastive embedding
+    // space): alignment = mean ‖x̂−ŷ‖² over SAME-LABEL pairs (2−2·cos on
+    // the normalized sphere), uniformity = ln E[e^(−2‖x̂−ŷ‖²)] over all
+    // pairs. Exact forms are all-pairs, so this runs the standard
+    // ESTIMATOR: a fixed deterministic sample (vec_id < 120 → 7 140
+    // pairs), constant work at any corpus size — the honest bounded
+    // form, the sample id range being the only knob.
+    Q("q_eval_embed_quality",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 120)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val pairs = e.as("a").crossJoin(e.as("b"))
+          .filter(col("a.vec_id") < col("b.vec_id"))
+          .select((col("a.label") === col("b.label")).as("same"),
+            (lit(2.0) - lit(2.0) * graft.pipeline.Similarity.cosine(
+              col("a.v"), col("b.v"))).as("d2"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("same"), 1L).otherwise(0L)).as("n_pos_pairs"),
+          round(avg(when(col("same"), col("d2"))), 4).as("alignment"),
+          round(log(avg(exp(col("d2") * -2.0))), 4).as("uniformity"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE vec_id < 120),
+              p AS (SELECT a.label = b.label AS same,
+                      2 - 2 * (list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)))) AS d2
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT count(*) AS n_pairs,
+                CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pos_pairs,
+                round(avg(CASE WHEN same THEN d2 END), 4) AS alignment,
+                round(ln(avg(exp(-2 * d2))), 4) AS uniformity
+              FROM p"""))
   )
 }

@@ -594,6 +594,119 @@ object Temporal extends QueryPack {
                 GROUP BY 1, 2, 3)
               SELECT event_type, hour, n, round(e, 4) AS ewma,
                 round(n - e, 4) AS deviation
-              FROM j ORDER BY event_type, hour"""))
+              FROM j ORDER BY event_type, hour""")),
+
+    // PERCENTILE BANDS (the P50/P95/P99 dashboard row every metrics
+    // pipeline publishes): exact interpolated percentiles of the event
+    // value per (type, day). Spark `percentile` ≡ DuckDB `quantile_cont`
+    // (lower + frac·(upper−lower) at (n−1)·p — the q_pipeline_kfold /
+    // winsorize parity); interpolants are rationals of 2-dp inputs →
+    // floor-form rounding. State is one value→count map per group
+    // (bounded domain); approx_percentile is the same-plan swap when it
+    // is not.
+    Q("q_temporal_percentiles",
+      (s, dir) => {
+        val dayUs = 86400L * 1000000
+        EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("event_type"), expr(s"ts DIV $dayUs").as("day"),
+            col("value"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"),
+            graft.core.Num.roundHalfUp(expr("percentile(value, 0.5)"), 4)
+              .as("p50"),
+            graft.core.Num.roundHalfUp(expr("percentile(value, 0.95)"), 4)
+              .as("p95"),
+            graft.core.Num.roundHalfUp(expr("percentile(value, 0.99)"), 4)
+              .as("p99"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                count(*) AS n,
+                floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000
+                  AS p50,
+                floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000
+                  AS p95,
+                floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000
+                  AS p99
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ROC AUC (Mann-Whitney form with tie-averaged ranks — the exact
+    // metric, not a trapezoid approximation): does spend predict
+    // conversion? AUC = (2·Σ avgrank⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻), computed
+    // ENTIRELY in integer space: per distinct score the tie-averaged
+    // rank doubles to (2·cum_before + n + 1), so Σ over positives is an
+    // exact BIGINT and one final division floor-form-rounds. The only
+    // window is a cumsum over the SCORE HISTOGRAM (bounded 2-dp domain)
+    // — no per-row corpus rank, the q_pipeline_woe lesson applied from
+    // the start.
+    Q("q_eval_auc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, dir, "events").select(col("value"),
+          (col("event_type") === "purchase").cast("long").as("pos"))
+        val hist = ev.groupBy("value")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+        val cum = hist.withColumn("cum_before",
+          coalesce(sum(col("n")).over(Window.orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.agg(
+            sum(col("np") * (col("cum_before") * 2 + col("n") + 1)).as("s2"),
+            sum(col("np")).as("npos"),
+            sum(col("n") - col("np")).as("nneg"))
+          .select(col("npos"), col("nneg"),
+            graft.core.Num.roundHalfUp(
+              (col("s2") - col("npos") * (col("npos") + 1)).cast("double") /
+                (col("npos") * col("nneg") * 2).cast("double"), 6).as("auc"))
+      },
+      Some("""WITH ev AS (SELECT value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+                FROM events),
+              hist AS (SELECT value, count(*) AS n,
+                         CAST(sum(pos) AS BIGINT) AS np
+                       FROM ev GROUP BY 1),
+              cum AS (SELECT n, np, coalesce(sum(n) OVER
+                  (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS cum_before
+                FROM hist)
+              SELECT CAST(sum(np) AS BIGINT) AS npos,
+                CAST(sum(n - np) AS BIGINT) AS nneg,
+                floor((sum(np * (cum_before * 2 + n + 1))
+                       - sum(np) * (sum(np) + 1))::DOUBLE
+                      / (sum(np) * sum(n - np) * 2)::DOUBLE
+                      * 1000000 + 0.5) / 1000000 AS auc
+              FROM cum""")),
+
+    // WEEK-OVER-WEEK GROWTH (the trend row on every analytics dashboard):
+    // weekly counts per event type, each week against its predecessor
+    // via lag() — growth is a ratio of exact integers → floor-form.
+    // OBSERVED-week lag (a silent gap compares against the last seen
+    // week, like the z-score row); one aggregation + one keyed window.
+    Q("q_temporal_wow",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekUs = 7L * 86400 * 1000000
+        EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("event_type"), expr(s"ts DIV $weekUs").as("week"))
+          .groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+          .withColumn("prev_n", lag(col("n"), 1).over(
+            Window.partitionBy("event_type").orderBy("week")))
+          .filter(col("prev_n").isNotNull)
+          .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+            graft.core.Num.roundHalfUp(
+              (col("n") - col("prev_n")).cast("double") /
+                col("prev_n").cast("double"), 4).as("wow_growth"))
+          .orderBy("event_type", "week")
+      },
+      Some("""WITH w AS (SELECT event_type,
+                  epoch_us(ts) // 604800000000 AS week, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              l AS (SELECT event_type, week, n, lag(n) OVER
+                  (PARTITION BY event_type ORDER BY week) AS prev_n
+                FROM w)
+              SELECT event_type, week, n, prev_n,
+                floor((n - prev_n)::DOUBLE / prev_n::DOUBLE * 10000 + 0.5)
+                  / 10000 AS wow_growth
+              FROM l WHERE prev_n IS NOT NULL
+              ORDER BY event_type, week"""))
   )
 }
