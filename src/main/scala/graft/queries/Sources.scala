@@ -870,6 +870,53 @@ object Sources extends QueryPack {
               FROM win WHERE n_prev = 3 AND sd > 0
               ORDER BY event_type, bid""")),
 
+    // STREAMING PERCENTILE MONITOR: per-batch (key, value) histogram
+    // deltas add across micro-batches (the fourth additive lifecycle
+    // beside the CMS grid, A-ES reservoir, and source counts), so the
+    // merged store yields EXACT interpolated percentiles — streamed ==
+    // one-shot batch, and the oracle is plain quantile_cont over the raw
+    // corpus. Bounded value domain (2-dp metrics) is the explicit
+    // assumption; t-digest/KLL is the unbounded-domain swap with the
+    // same store algebra (streaming/StreamPercentiles.scala).
+    Q("q_stream_percentiles",
+      (s, dir) => {
+        val root = tmp("stream_pct")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "event_type", "value")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        stage(ev.filter(col("event_id") % 2 === 0), "batch0", t0)
+        stage(ev.filter(col("event_id") % 2 === 1), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamPercentiles.start(stream, "event_type",
+          "value", s"$root/hist").awaitTermination()
+        graft.streaming.StreamPercentiles.read(s, s"$root/hist",
+            Seq(0.5, 0.95, 0.99))
+          .withColumnRenamed("key", "event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+                floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000
+                  AS p50,
+                floor(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000
+                  AS p95,
+                floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000
+                  AS p99
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,
     // maxFilesPerTrigger=1) and alert pairs append to the partitioned

@@ -707,6 +707,63 @@ object Temporal extends QueryPack {
                 floor((n - prev_n)::DOUBLE / prev_n::DOUBLE * 10000 + 0.5)
                   / 10000 AS wow_growth
               FROM l WHERE prev_n IS NOT NULL
-              ORDER BY event_type, week"""))
+              ORDER BY event_type, week""")),
+
+    // CEP PATTERN WITH NEGATION (the complex-event-processing shape
+    // beyond q_funnel's ordered sequence: A followed by B within T with
+    // NO C between — Flink CEP's notFollowedBy): purchases preceded by
+    // the same user's click within 1 h with no error event in between.
+    // ONE user-partitioned window pass carries the running last-click
+    // and last-error timestamps over the strict past (ignore-nulls last
+    // under the (ts, event_id) total order) — no self-join, linear in
+    // events, the negation is just a timestamp comparison between the
+    // two running columns.
+    Q("q_temporal_cep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = EventTime.toMicros(Tables(s, dir, "events"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"))
+        ev
+          .withColumn("last_click", last(
+            when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+          .withColumn("last_error", last(
+            when(col("event_type") === "error", col("ts")),
+            ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("last_click").isNotNull &&
+            col("ts") - col("last_click") <= 3600L * 1000000 &&
+            (col("last_error").isNull ||
+              col("last_error") < col("last_click")))
+          .select(col("event_id"), col("user_id"),
+            ((col("ts") - col("last_click")) / 1000000L).cast("long")
+              .as("gap_sec"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) AS ts FROM events),
+              t AS (SELECT event_id, user_id, event_type, ts,
+                  last_value(CASE WHEN event_type = 'click' THEN ts END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_click,
+                  last_value(CASE WHEN event_type = 'error' THEN ts END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_error
+                FROM ev)
+              SELECT event_id, user_id,
+                CAST((ts - last_click) // 1000000 AS BIGINT) AS gap_sec
+              FROM t
+              WHERE event_type = 'purchase' AND last_click IS NOT NULL
+                AND ts - last_click <= 3600000000
+                AND (last_error IS NULL OR last_error < last_click)
+              ORDER BY event_id"""))
   )
 }
