@@ -917,6 +917,64 @@ object Sources extends QueryPack {
                   AS p99
               FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // STREAMING CEP (flatMapGroupsWithState): q_temporal_cep's
+    // click→purchase-without-error pattern as a per-user state machine —
+    // two staged TIME-SPLIT batches (all of batch 0 precedes batch 1, so
+    // per-user fold order is the event-time order), state = two running
+    // timestamps that CROSS the batch boundary. Streamed matches ==
+    // batch windowed computation → shares q_temporal_cep's oracle.
+    Q("q_stream_cep",
+      (s, dir) => {
+        val root = tmp("stream_cep")
+        val landing = s"$root/landing"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = graft.core.EventTime.toMicros(
+            s.read.parquet(s"$dir/events.parquet"))
+          .select("event_id", "user_id", "event_type", "ts")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$stageDir/part-*")).head.getPath
+          val dst = new org.apache.hadoop.fs.Path(s"$landing/$name.parquet")
+          fs.mkdirs(new org.apache.hadoop.fs.Path(landing))
+          org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false, hconf)
+          fs.setTimes(dst, mtime, -1)
+        }
+        val t0 = 1700000000000L
+        val splitUs = 1705363200000000L // 2024-01-16T00:00Z
+        stage(ev.filter(col("ts") < splitUs), "batch0", t0)
+        stage(ev.filter(col("ts") >= splitUs), "batch1", t0 + 60000)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(landing)
+        graft.streaming.StreamCep.start(stream, s"$root/matches",
+          windowUs = 3600L * 1000000).awaitTermination()
+        graft.streaming.StreamCep.read(s, s"$root/matches")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts) AS ts FROM events),
+              t AS (SELECT event_id, user_id, event_type, ts,
+                  last_value(CASE WHEN event_type = 'click' THEN ts END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_click,
+                  last_value(CASE WHEN event_type = 'error' THEN ts END
+                             IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS last_error
+                FROM ev)
+              SELECT event_id, user_id,
+                CAST((ts - last_click) // 1000000 AS BIGINT) AS gap_sec
+              FROM t
+              WHERE event_type = 'purchase' AND last_click IS NOT NULL
+                AND ts - last_click <= 3600000000
+                AND (last_error IS NULL OR last_error < last_click)
+              ORDER BY event_id""")),
+
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,
     // maxFilesPerTrigger=1) and alert pairs append to the partitioned
