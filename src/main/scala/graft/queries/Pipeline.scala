@@ -4615,15 +4615,33 @@ object Pipeline extends QueryPack {
     // (pipeline/Geo.scala). The SAME driver-computed box literals feed
     // plan and oracle.
     Q("q_geo_radius",
-      (s, dir) => Geo.withinRadius(
+      (s, dir) => {
+        // the box prune must reach the SCAN, so the geo layout is a real
+        // table: coordinates materialize once (the one-time layout write
+        // every geo index pays), the search reads it back, and the plan
+        // is REQUIREd to carry the range predicates as PushedFilters —
+        // on a box over derived columns the prune would silently stay a
+        // post-scan Filter, which is exactly the overstated claim this
+        // assertion forbids
+        val layout = graft.core.Scratch.dir("geo_layout")
         Tables(s, dir, "customer").select(col("c_custkey"),
-          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
-            lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
-            .cast("double") / 100.0 - 85.0).as("lat"),
-          ((conv(substring(md5(concat(col("c_custkey").cast("string"),
-            lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
-            .cast("double") / 100.0 - 180.0).as("lon")),
-        qlat = 12.3, qlon = 45.6, radiusKm = 1500.0, idCol = "c_custkey"),
+            ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+              lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
+              .cast("double") / 100.0 - 85.0).as("lat"),
+            ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+              lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
+              .cast("double") / 100.0 - 180.0).as("lon"))
+          .write.mode("overwrite").parquet(layout)
+        val out = Geo.withinRadius(s.read.parquet(layout),
+          qlat = 12.3, qlon = 45.6, radiusKm = 1500.0, idCol = "c_custkey")
+        val plan = out.queryExecution.executedPlan.toString
+        // the rendered PushedFilters list truncates, so assert the lat
+        // range (always first) plus the lon bound in DataFilters
+        require(plan.contains("GreaterThanOrEqual(lat") &&
+          plan.contains("LessThanOrEqual(lat") && plan.contains("(lon"),
+          s"box predicates must push to the scan:\n${plan.take(1200)}")
+        out
+      },
       Some {
         val (latLo, latHi, lonLo, lonHi) = Geo.boundingBox(12.3, 45.6, 1500.0)
         s"""WITH pts AS (SELECT c_custkey,
