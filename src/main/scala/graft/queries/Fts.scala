@@ -2883,6 +2883,59 @@ object Fts extends QueryPack {
                FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
                  CROSS JOIN stats
                  JOIN top ON tf.doc_id = top.doc_id
-               ORDER BY tf.doc_id, tf.term"""))
+               ORDER BY tf.doc_id, tf.term""")),
+
+    // GEO-FILTERED SEARCH (the ES geo_distance-filter + match query —
+    // "nearby documents matching 'spark query'"): BM25 relevance ∩ a
+    // coordinate box, coordinates md5-derived per doc. Composition
+    // order matters and is the cheap one: the box is a per-doc predicate
+    // (semi-join onto the candidate set), BM25 statistics stay
+    // CORPUS-level (a filter must not change idf — the same contract the
+    // MaxScore candidates path pins), top-k after the intersection.
+    Q("q_fts_geo",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val ix = Index.build(docs)
+        val pts = docs.select(col("doc_id"),
+          ((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
+            .cast("double") / 100.0 - 85.0).as("lat"),
+          ((conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
+            .cast("double") / 100.0 - 180.0).as("lon"))
+        val boxed = pts.filter(col("lat") >= -40.0 && col("lat") <= 40.0 &&
+          col("lon") >= -90.0 && col("lon") <= 90.0).select("doc_id")
+        Search.scoreAllBm25(ix, Seq("spark", "query"))
+          .join(boxed, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term
+                             FROM documents),
+               tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                      FROM toks GROUP BY 1, 2),
+               dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY 1),
+               stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                         FROM dl),
+               df AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                      WHERE term IN ('spark', 'query') GROUP BY term),
+               sc AS (SELECT tf.doc_id,
+                        sum( ln((stats.n - df.df + 0.5)/(df.df + 0.5) + 1.0) *
+                             tf.tf*2.2/(tf.tf + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)) ) AS s
+                      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+                      CROSS JOIN stats GROUP BY tf.doc_id),
+               pts AS (SELECT doc_id,
+                   CAST((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                          || ':lat'), 1, 8) AS BIGINT) % 17000) AS DOUBLE)
+                     / 100.0 - 85.0 AS lat,
+                   CAST((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                          || ':lon'), 1, 8) AS BIGINT) % 36000) AS DOUBLE)
+                     / 100.0 - 180.0 AS lon
+                 FROM documents)
+               SELECT sc.doc_id, round(sc.s, 4) AS score
+               FROM sc JOIN pts ON sc.doc_id = pts.doc_id
+               WHERE pts.lat BETWEEN -40.0 AND 40.0
+                 AND pts.lon BETWEEN -90.0 AND 90.0
+               ORDER BY score DESC, sc.doc_id LIMIT 10"""))
   )
 }

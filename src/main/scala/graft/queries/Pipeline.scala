@@ -4971,6 +4971,40 @@ object Pipeline extends QueryPack {
                 g.gini, g.n_keys
               FROM top t CROSS JOIN g ORDER BY t.rank""")),
 
+    // FILTERED VECTOR SEARCH (the metadata-filter + ANN composition —
+    // the hard serving problem every vector store names): top-k cosine
+    // among label=3 vectors only. Served EXACT here: the label predicate
+    // pushes into the scan (so the corpus read is already
+    // filter-pruned), cosine runs on survivors, TakeOrderedAndProject
+    // bounds the heap. The approximate tier composes the same filter
+    // with the IVF probe (candidates ∩ filter before rerank — the
+    // ACORN/filtered-DiskANN trade documented, not built, since recall
+    // under filtering is corpus-dependent).
+    Q("q_sim_filtered",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("qv")).limit(1)
+        emb.filter(col("label") === 3 && col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(graft.pipeline.Similarity.cosine(
+              col("embedding").cast("array<double>"), col("qv")), 4)
+              .as("cosim"))
+          .orderBy(col("cosim").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+              q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              sc AS (SELECT vec_id, label,
+                       list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv))) AS c
+                     FROM e CROSS JOIN q
+                     WHERE label = 3 AND vec_id <> 0)
+              SELECT vec_id, label, round(c, 4) AS cosim FROM sc
+              ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+
     // EMBEDDING-QUALITY METRICS (Wang & Isola 2020 — alignment &
     // uniformity, the two numbers that diagnose a contrastive embedding
     // space): alignment = mean ‖x̂−ŷ‖² over SAME-LABEL pairs (2−2·cos on
