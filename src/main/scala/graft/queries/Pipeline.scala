@@ -1698,6 +1698,55 @@ object Pipeline extends QueryPack {
                       THEN 'en' ELSE 'unk' END AS lang_guess FROM toks)
                SELECT lang_guess, count(*) AS n FROM g GROUP BY 1 ORDER BY lang_guess""")),
 
+    // LANG-ID CONFUSION MATRIX (the quality report for q_text_lang's
+    // heuristic against the fixture's true labels — the eval row every
+    // classifier-in-the-pipeline needs): per (true, guessed) counts with
+    // the 'en' detector's precision/recall replicated. One aggregation
+    // over the same deterministic guess; ratios floor-form.
+    Q("q_eval_langid",
+      (s, dir) => {
+        val g = Tables(s, dir, "documents").select(col("lang"),
+          TextStats.langGuess(col("text")).as("lang_guess"))
+        val cm = g.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        val m = g.agg(
+          sum(when(col("lang_guess") === "en" && col("lang") === "en", 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("lang_guess") === "en" && col("lang") =!= "en", 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("lang_guess") =!= "en" && col("lang") === "en", 1L)
+            .otherwise(0L)).as("fn"))
+        cm.crossJoin(broadcast(m))
+          .select(col("lang"), col("lang_guess"), col("n"),
+            graft.core.Num.roundHalfUp(col("tp").cast("double") /
+              (col("tp") + col("fp")).cast("double"), 4).as("precision_en"),
+            graft.core.Num.roundHalfUp(col("tp").cast("double") /
+              (col("tp") + col("fn")).cast("double"), 4).as("recall_en"))
+          .orderBy("lang", "lang_guess")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $DTOKS AS t
+                             FROM documents),
+               g AS (SELECT lang,
+                 CASE WHEN len(list_filter(t, x -> list_contains(
+                        ['the','a','an','of','to','and','in','is'], x)))::DOUBLE
+                        / len(t) >= 0.02
+                      THEN 'en' ELSE 'unk' END AS lang_guess FROM toks),
+               cm AS (SELECT lang, lang_guess, count(*) AS n FROM g
+                      GROUP BY 1, 2),
+               m AS (SELECT
+                   CAST(sum(CASE WHEN lang_guess = 'en' AND lang = 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN lang_guess = 'en' AND lang != 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN lang_guess != 'en' AND lang = 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                 FROM g)
+               SELECT cm.lang, cm.lang_guess, cm.n,
+                 floor(m.tp::DOUBLE / (m.tp + m.fp)::DOUBLE * 10000 + 0.5)
+                   / 10000 AS precision_en,
+                 floor(m.tp::DOUBLE / (m.tp + m.fn)::DOUBLE * 10000 + 0.5)
+                   / 10000 AS recall_en
+               FROM cm CROSS JOIN m ORDER BY cm.lang, cm.lang_guess""")),
+
     // RAKE keyword extraction (Rose et al. 2010): stopword-delimited
     // candidate phrases, word score = degree/frequency, phrase score =
     // Σ word scores — the unsupervised keyphrase labeler for corpus

@@ -135,7 +135,7 @@ object ScaleSpot {
       "q_pipeline_diff", "q_eval_auc", "q_temporal_percentiles",
       "q_pipeline_skew_audit", "q_temporal_wow", "q_eval_embed_quality",
       "q_temporal_cep", "q_stream_percentiles", "q_stream_cep",
-      "q_sim_filtered", "q_fts_geo")
+      "q_sim_filtered", "q_fts_geo", "q_eval_langid")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
