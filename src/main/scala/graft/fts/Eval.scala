@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** The top-k prefix of a scored list under the (score DESC, doc_id)
+    * total order, with its 1-based rank. The cut happens FIRST via
+    * ORDER BY + LIMIT — planned as TakeOrderedAndProject (per-partition
+    * bounded heaps, driver merge), never a global sort — so the
+    * single-partition row_number window that assigns ranks runs over at
+    * most k rows BY CONSTRUCTION, whatever size the caller hands in.
+    * (Previously the window ran directly on the input and only a
+    * doc-comment promised it was top-k.) */
+  private def rankTopK(scored: DataFrame, k: Int, rankCol: String): DataFrame =
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn(rankCol, row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+
   /** nDCG@k (Järvelin & Kekäläinen 2002, the graded-relevance ranking
     * metric): DCG@k = Σ_{r≤k} (2^rel − 1)/log2(r+1) over the ranked
     * list's positions, normalized by the ideal DCG@k — the DCG of the
@@ -29,14 +42,12 @@ object Eval {
     *
     * The ranked list is k rows after the cut and IDCG needs only the
     * grade HISTOGRAM's top-k prefix — both coordinator-scale regardless
-    * of corpus size; the single-partition rank window is over the
-    * caller's top-k result, not the corpus. */
+    * of corpus size; [[rankTopK]] enforces the cut-before-window order,
+    * so the single-partition rank window never sees more than k rows
+    * even when the caller hands in a corpus-scale scored frame. */
   def ndcgAtK(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val rk = ranked
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    val rk = rankTopK(ranked, k, "rank")
     val dcg = rk.join(qrels, Seq("doc_id"), "left_outer")
       .na.fill(0, Seq("rel"))
       .agg(coalesce(sum((pow(lit(2.0), col("rel")) - 1.0) /
@@ -81,10 +92,7 @@ object Eval {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcm = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
     val firsts = runs.map { case (qid, ranked, rel) =>
-      ranked
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rank") <= k)
+      rankTopK(ranked, k, "rank")
         .join(rel.select("doc_id"), Seq("doc_id"), "left_semi")
         .agg(min(col("rank")).as("first_rel_rank"))
         .select(lit(qid).as("qid"), col("first_rel_rank"))
@@ -116,10 +124,8 @@ object Eval {
     * (score DESC, doc_id) total order. Everything is ≤ k² pairs. */
   def rboAtK(a: DataFrame, b: DataFrame, k: Int, p: Double): DataFrame = {
     require(k >= 1 && p > 0.0 && p < 1.0, "need k ≥ 1, p in (0,1)")
-    def ranks(df: DataFrame, c: String) = df
-      .withColumn(c, row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col(c) <= k).select(col("doc_id"), col(c))
+    def ranks(df: DataFrame, c: String) =
+      rankTopK(df, k, c).select(col("doc_id"), col(c))
     val ra = ranks(a, "ra")
     val rb = ranks(b, "rb")
     val joined = ra.join(rb, "doc_id")

@@ -81,9 +81,13 @@ object EvalText {
     val perN = pairGramStats(pairs, 1 to maxN)
       .groupBy("n")
       .agg(sum(col("matched")).as("m"), sum(col("cand_total")).as("t"))
+    // t = 0 (no candidate grams at this order corpus-wide) must yield
+    // p_n = 0, not 0/0 = NaN — the logsum/zero_ps guards below already
+    // treat m = 0 as a zeroed precision, this pins the projection too
     val pcols = (1 to maxN).map(n =>
-      Num.roundHalfUp(max(when(col("n") === n, col("m").cast("double") /
-        col("t").cast("double"))), 4).as(s"p$n"))
+      Num.roundHalfUp(max(when(col("n") === n,
+        when(col("t") > 0, col("m").cast("double") / col("t").cast("double"))
+          .otherwise(lit(0.0)))), 4).as(s"p$n"))
     val folded = perN.agg(
       pcols.head, (pcols.tail :+
         sum(when(col("m") === 0, 1).otherwise(0)).as("zero_ps") :+

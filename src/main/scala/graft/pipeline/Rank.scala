@@ -19,12 +19,64 @@ import org.apache.spark.sql.functions._
   * uniformly, so Σr = 1 is invariant at every step. Fixed iteration
   * count, no convergence test — deterministic and oracle-replayable.
   *
-  * The rank state is one (node, rank) row per node. The edge list is
-  * re-read per iteration; in a real deployment it would be written
-  * bucketed by `src` once so the per-iteration join is co-located
-  * (the q_join_bucketed pattern).
+  * The rank state is one (node, rank) row per node. Two edge-access
+  * modes: the ad-hoc path persists the edge frame (fine while edges fit
+  * executor memory), and the LAYOUT path ([[writeEdgeLayout]]) reads a
+  * one-time bucketed parquet write — at 100 TB edge scale persist() is
+  * executor-memory-bound and every iteration re-shuffles one join side,
+  * whereas the bucketed layout's scan already satisfies the join's
+  * hash distribution, so each iteration's edge-side join plans with NO
+  * Exchange (the q_join_bucketed pattern applied to graph state; the
+  * shuffle happened once at write time).
   */
 object Rank {
+
+  /** The two orientations of a persisted edge layout: [[hits]]'s auth
+    * step joins edges on `src`, its hub step on `dst` (and [[pageRank]]
+    * only on `src`) — a real graph store keeps both (GraphX's routing
+    * tables, a warehouse's dual-sorted link tables) so EVERY iteration
+    * join finds its key pre-bucketed. */
+  final case class EdgeLayout(bySrc: DataFrame, byDst: DataFrame)
+
+  /** One-time bucketed write of `edges(src, dst)` under `path`,
+    * registered as `<name>_by_src` / `<name>_by_dst`. The repartition
+    * on the bucket key before bucketBy yields exactly one file per
+    * bucket (the sorted-scan-friendly layout, no nPart×buckets
+    * fragments). Iterative consumers read the returned tables and plan
+    * their edge-side joins exchange-free (asserted in PlanShapeSpec). */
+  def writeEdgeLayout(edges: DataFrame, path: String, name: String,
+                      buckets: Int = 32): EdgeLayout = {
+    val s = edges.sparkSession
+    val norm = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    def side(key: String): DataFrame = {
+      val tbl = s"${name}_by_$key"
+      norm.repartition(buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", s"$path/by_$key")
+        .saveAsTable(tbl)
+      s.table(tbl)
+    }
+    EdgeLayout(side("src"), side("dst"))
+  }
+
+  /** [[pageRank]] over a persisted [[EdgeLayout]]: identical semantics
+    * and output, but the edge list is the bucketed-by-src table — no
+    * executor-memory persist (the layout IS the cache) and the
+    * per-iteration contribution join keeps the edge side exchange-free
+    * (the merge hint pins the shuffle join; broadcasting a corpus-scale
+    * rank state is exactly what the layout exists to avoid). */
+  def pageRankOnLayout(layout: EdgeLayout, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame =
+    rankInternal(layout.bySrc, iters, damping, seeds = Nil,
+      layoutBacked = true)
+
+  /** [[hits]] over a persisted [[EdgeLayout]] — auth propagation joins
+    * the by-src table, hub propagation the by-dst table, both
+    * exchange-free on the edge side. */
+  def hitsOnLayout(layout: EdgeLayout, iters: Int = 10): DataFrame =
+    hitsInternal(layout.bySrc, layout.byDst, iters, layoutBacked = true)
 
   /** 10-iteration PageRank over `edges(src, dst)` (duplicate edges count
     * as parallel links — weight by multiplicity, like Pregel's default).
@@ -49,10 +101,14 @@ object Rank {
   }
 
   private def rankInternal(edges: DataFrame, iters: Int,
-                           damping: Double, seeds: Seq[Long]): DataFrame = {
+                           damping: Double, seeds: Seq[Long],
+                           layoutBacked: Boolean = false): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist()
+    // layout-backed edges are already (long, long), already bucketed and
+    // already on disk — persisting them would re-materialize the whole
+    // edge list into executor memory for no plan benefit
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (layoutBacked) e0 else e0.persist()
     try {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
@@ -80,7 +136,12 @@ object Rank {
         // mass leaving through edges; nodes with no out-edges are dangling
         val contrib = withOut.filter(col("out").isNotNull)
           .select(col("node"), (col("rank") / col("out")).as("share"))
-          .join(e, col("node") === e("src"))
+          // layout mode pins the shuffle join: the bucketed edge scan
+          // already satisfies hashpartitioning(src), so SMJ plans with
+          // no Exchange on the edge side — and broadcasting a
+          // corpus-scale rank state is what the layout exists to avoid
+          .join(if (layoutBacked) e.hint("merge") else e,
+            col("node") === e("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("share")).as("in_mass"))
         val dangling = withOut.filter(col("out").isNull)
@@ -174,10 +235,23 @@ object Rank {
     require(iters >= 1, "at least one iteration")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
-    try {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct().persist()
-      nodes.count()
+    try hitsInternal(e, e, iters, layoutBacked = false)
+    finally e.unpersist()
+  }
+
+  /** The propagation loop shared by [[hits]] (one persisted frame serves
+    * both orientations) and [[hitsOnLayout]] (each step's join reads the
+    * edge table bucketed on ITS key, merge-pinned so the edge side plans
+    * exchange-free). */
+  private def hitsInternal(eSrc: DataFrame, eDst: DataFrame, iters: Int,
+                           layoutBacked: Boolean): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val eS = if (layoutBacked) eSrc.hint("merge") else eSrc
+    val eD = if (layoutBacked) eDst.hint("merge") else eDst
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct().persist()
+    nodes.count()
+    locally {
       // SPARSE iteration state: nodes with zero auth/hub carry no row —
       // they contribute nothing to either the propagation join or the
       // L2 norm (Σx² over non-zeros equals Σ over all), so the per-
@@ -192,11 +266,11 @@ object Rank {
       var hub = nodes.select(col("node"), lit(1.0).as("hub"))
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
-        val aRaw = e.join(
+        val aRaw = eS.join(
             hub.select(col("node").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
         auth = l2normalize(aRaw, "auth").localCheckpoint()
-        val hRaw = e.join(
+        val hRaw = eD.join(
             auth.select(col("node").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
         hub = l2normalize(hRaw, "hub").localCheckpoint()
@@ -209,6 +283,6 @@ object Rank {
           round(col("hub"), 6).as("hub")).orderBy("node")
       nodes.unpersist()
       out
-    } finally e.unpersist()
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, EvalText, Geo, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
+import graft.pipeline.{Bpe, Chunking, Classifier, Components, Curation, Dedup, Embed, EvalText, Geo, Graph, Hybrid, Mixing, Multimodal, Packing, Rank, Sampling, Sft, Similarity, TextStats, UnigramLm}
 import graft.streaming.StreamVectorIndex
 
 /** LLM-training-data pipeline operators (builder brief): dedup (exact,
@@ -118,6 +118,154 @@ object Pipeline extends QueryPack {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         SELECT aid, bid, round(j, 4) AS jac FROM pairs
         WHERE j >= 0.8 ORDER BY aid, bid"""
+
+  /** Ten unrolled PageRank steps in DuckDB — shared by the ad-hoc and
+    * bucketed-layout rows (identical semantics, different physical plan). */
+  private val pagerankOracle: String = {
+    val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
+                    l_suppkey % 100 AS dst FROM lineitem),
+          nodes AS (SELECT src AS node FROM e
+                    UNION SELECT dst FROM e),
+          nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          outdeg AS (SELECT src, count(*)::DOUBLE AS outd
+                     FROM e GROUP BY src),
+          pr0 AS (SELECT node, 1.0 / nn.n AS rank
+                  FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to 10).map { k =>
+      s"""pr$k AS (
+            SELECT nodes.node,
+              (0.15 / nn.n) + 0.85 *
+                (coalesce(m.mass, 0) + dg.dm / nn.n) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (SELECT e.dst AS node,
+                         sum(p.rank / o.outd) AS mass
+                       FROM pr${k - 1} p
+                       JOIN outdeg o ON p.node = o.src
+                       JOIN e ON e.src = p.node
+                       GROUP BY e.dst) m USING(node)
+            CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS dm
+                        FROM pr${k - 1} p
+                        LEFT JOIN outdeg o ON p.node = o.src
+                        WHERE o.src IS NULL) dg)"""
+    }.mkString(",\n")
+    s"""$base,
+        $steps
+        SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"""
+  }
+
+  /** Ten unrolled HITS steps (window-form L2 norms — one reference per
+    * CTE: a doubly-referenced CTE inlines as two copies in DuckDB, which
+    * across 10 chained iterations expands exponentially; the plan
+    * exhausted the fd limit re-opening the parquet scan before this was
+    * flattened to window-normalization). Shared by the ad-hoc and
+    * bucketed-layout rows. */
+  private val hitsOracle: String = {
+    val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
+                    l_suppkey % 100 AS dst FROM lineitem),
+          nodes AS (SELECT src AS node FROM e
+                    UNION SELECT dst FROM e),
+          h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    val steps = (1 to 10).map { k =>
+      s"""a${k}r AS (SELECT e.dst AS node, sum(p.hub) AS auth
+            FROM e JOIN h${k - 1} p ON e.src = p.node GROUP BY e.dst),
+          a$k AS (SELECT nodes.node,
+              coalesce(a${k}r.auth, 0)
+                / sqrt(sum(coalesce(a${k}r.auth, 0)
+                           * coalesce(a${k}r.auth, 0)) OVER ()) AS auth
+            FROM nodes LEFT JOIN a${k}r USING (node)),
+          h${k}r AS (SELECT e.src AS node, sum(p.auth) AS hub
+            FROM e JOIN a$k p ON e.dst = p.node GROUP BY e.src),
+          h$k AS (SELECT nodes.node,
+              coalesce(h${k}r.hub, 0)
+                / sqrt(sum(coalesce(h${k}r.hub, 0)
+                           * coalesce(h${k}r.hub, 0)) OVER ()) AS hub
+            FROM nodes LEFT JOIN h${k}r USING (node))"""
+    }.mkString(",\n")
+    s"""$base,
+        $steps
+        SELECT a10.node, round(a10.auth, 6) AS auth,
+          round(h10.hub, 6) AS hub
+        FROM a10 JOIN h10 USING (node) ORDER BY node"""
+  }
+
+  /** PPMI embedding training replayed in DuckDB: window-2 co-occurrence
+    * (position self-join), integer-marginal PPMI rounded to 6 (the pinned
+    * matrix BOTH engines iterate), top-8 dims by (count marginal DESC,
+    * term), and three window-normalized power steps (the q_graph_hits
+    * single-reference-per-CTE discipline). */
+  private val embedTrainOracle: String = {
+    val base = s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
+          pos AS (SELECT doc_id, unnest([{'pos': i, 'term': t[i]}
+                    FOR i IN range(1, len(t) + 1)], recursive := true)
+                  FROM toks),
+          pr AS (SELECT a.term AS x, b.term AS y
+                 FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+                  AND b.pos > a.pos AND b.pos <= a.pos + 2),
+          cooc AS (SELECT a, b, count(*)::BIGINT AS cab FROM (
+                     SELECT x AS a, y AS b FROM pr
+                     UNION ALL SELECT y AS a, x AS b FROM pr)
+                   GROUP BY a, b),
+          marg AS (SELECT a, sum(cab)::DOUBLE AS ca FROM cooc GROUP BY a),
+          tot AS (SELECT sum(cab)::DOUBLE AS total FROM cooc),
+          pp AS (SELECT w.a, w.b, w.w FROM (
+                   SELECT c.a, c.b,
+                     round(greatest(0.0, ln(c.cab::DOUBLE * tot.total /
+                       (ma.ca * mb.cb))), 6) AS w
+                   FROM cooc c
+                   JOIN marg ma ON c.a = ma.a
+                   JOIN (SELECT a AS b, ca AS cb FROM marg) mb ON c.b = mb.b
+                   CROSS JOIN tot) w
+                 WHERE w.w > 0),
+          dims AS (SELECT b, dim_rank FROM (
+                     SELECT a AS b,
+                       row_number() OVER (ORDER BY ca DESC, a) AS dim_rank
+                     FROM marg) WHERE dim_rank <= 8),
+          cells AS (SELECT v.a AS term, d.dim_rank, coalesce(p.w, 0.0) AS w
+                    FROM marg v CROSS JOIN dims d
+                    LEFT JOIN pp p ON p.a = v.a AND p.b = d.b),
+          vecs AS (SELECT term, list(w ORDER BY dim_rank) AS vec
+                   FROM cells GROUP BY term),
+          v0 AS (SELECT a AS term, 1.0 AS v FROM marg)"""
+    val steps = (1 to 3).map { k =>
+      s"""v${k}r AS (SELECT p.a AS term, sum(p.w * q.v) AS v
+            FROM pp p JOIN v${k - 1} q ON p.b = q.term GROUP BY p.a),
+          v$k AS (SELECT m.a AS term,
+              coalesce(r.v, 0) / sqrt(sum(coalesce(r.v, 0)
+                * coalesce(r.v, 0)) OVER ()) AS v
+            FROM marg m LEFT JOIN v${k}r r ON m.a = r.term)"""
+    }.mkString(",\n")
+    s"""$base,
+        $steps
+        SELECT vecs.term, vecs.vec, round(v3.v, 6) AS pc1
+        FROM vecs JOIN v3 USING (term) ORDER BY vecs.term"""
+  }
+
+  /** The (l_orderkey%100 → l_suppkey%100) edge list every q_graph_* row
+    * iterates. */
+  private def graphEdges(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "lineitem").select(
+      (col("l_orderkey") % 100).as("src"),
+      (col("l_suppkey") % 100).as("dst"))
+
+  /** Bucketed edge layout for `dir`, built ONCE per (JVM, corpus dir) —
+    * the [[graft.queries.Fts]] servedIndex pattern applied to graph
+    * state: a real deployment maintains the layout out-of-band and
+    * iterative queries SERVE from it, so re-paying the one-time
+    * bucketBy write per query would mismeasure the path the layout
+    * exists for. Keyed by corpus-dir md5 so sf dirs never collide;
+    * synchronized since suites drive queries concurrently in one JVM. */
+  private def edgeLayoutFor(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Rank.EdgeLayout = synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val name = s"edges_g$key"
+    if (s.catalog.tableExists(s"${name}_by_src") &&
+        s.catalog.tableExists(s"${name}_by_dst"))
+      Rank.EdgeLayout(s.table(s"${name}_by_src"), s.table(s"${name}_by_dst"))
+    else Rank.writeEdgeLayout(graphEdges(s, dir),
+      graft.core.Scratch.dir(name), name, buckets = 8)
+  }
 
   def queries: Seq[Q] = Seq(
 
@@ -1405,37 +1553,18 @@ object Pipeline extends QueryPack {
         Tables(s, dir, "lineitem").select(
           (col("l_orderkey") % 100).as("src"),
           (col("l_suppkey") % 100).as("dst"))),
-      Some {
-        val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
-                        l_suppkey % 100 AS dst FROM lineitem),
-              nodes AS (SELECT src AS node FROM e
-                        UNION SELECT dst FROM e),
-              nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-              outdeg AS (SELECT src, count(*)::DOUBLE AS outd
-                         FROM e GROUP BY src),
-              pr0 AS (SELECT node, 1.0 / nn.n AS rank
-                      FROM nodes CROSS JOIN nn)"""
-        val steps = (1 to 10).map { k =>
-          s"""pr$k AS (
-                SELECT nodes.node,
-                  (0.15 / nn.n) + 0.85 *
-                    (coalesce(m.mass, 0) + dg.dm / nn.n) AS rank
-                FROM nodes CROSS JOIN nn
-                LEFT JOIN (SELECT e.dst AS node,
-                             sum(p.rank / o.outd) AS mass
-                           FROM pr${k - 1} p
-                           JOIN outdeg o ON p.node = o.src
-                           JOIN e ON e.src = p.node
-                           GROUP BY e.dst) m USING(node)
-                CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS dm
-                            FROM pr${k - 1} p
-                            LEFT JOIN outdeg o ON p.node = o.src
-                            WHERE o.src IS NULL) dg)"""
-        }.mkString(",\n")
-        s"""$base,
-            $steps
-            SELECT node, round(rank, 6) AS rank FROM pr10 ORDER BY node"""
-      }),
+      Some(pagerankOracle)),
+
+    // PAGERANK over the persisted BUCKETED edge layout — identical ranks
+    // (same oracle), different physical story: the one-time
+    // writeEdgeLayout bucketBy(src) write replaces the executor-memory
+    // persist(), and every iteration's contribution join plans with NO
+    // Exchange on the edge side (merge-pinned SMJ against the bucketed
+    // scan; plan-asserted in PlanShapeSpec). This is the 100 TB shape —
+    // the r14 verdict's Rank.scala:56 item made a library entry point.
+    Q("q_graph_pagerank_bucketed",
+      (s, dir) => Rank.pageRankOnLayout(edgeLayoutFor(s, dir)),
+      Some(pagerankOracle)),
 
     // PERSONALIZED PageRank oracle row: teleport (and the dangling-mass
     // restart) restricted to seeds {0, 1} — proximity-to-trusted-docs
@@ -4390,38 +4519,76 @@ object Pipeline extends QueryPack {
         Tables(s, dir, "lineitem").select(
           (col("l_orderkey") % 100).as("src"),
           (col("l_suppkey") % 100).as("dst"))),
+      Some(hitsOracle)),
+
+    // HITS over the persisted DUAL-ORIENTATION edge layout: the auth
+    // step joins the bucketed-by-src table, the hub step the
+    // bucketed-by-dst table — each iteration join exchange-free on the
+    // edge side (same oracle as q_graph_hits; physical claim asserted
+    // in PlanShapeSpec).
+    Q("q_graph_hits_bucketed",
+      (s, dir) => Rank.hitsOnLayout(edgeLayoutFor(s, dir)),
+      Some(hitsOracle)),
+
+    // WORD-EMBEDDING TRAINING (the reference's last §2.9 text seed,
+    // ml/feature/Word2Vec.scala:121): skip-gram's SGD is nondeterministic
+    // by construction, so the engine trains the closed-form equivalent —
+    // Levy & Goldberg's explicit shifted-PPMI space (window-2
+    // co-occurrence → PPMI rows over the top-8 integer-marginal dims)
+    // plus the dominant PPMI direction via THREE pinned power-method
+    // steps (the q_graph_* pattern: the oracle unrolls the identical
+    // normalized matvecs). Every stage is an equi-join/aggregate; state
+    // is vocabulary²-bounded regardless of corpus size.
+    Q("q_text_embed_train",
+      (s, dir) => Embed.trainPpmiEmbeddings(
+        Tables(s, dir, "documents"), window = 2, dims = 8, powerIters = 3),
+      Some(embedTrainOracle)),
+
+    // The trained space SERVING: top-3 nearest terms per vocabulary term
+    // by cosine over the explicit PPMI vectors — the "similar words"
+    // surface Word2Vec.findSynonyms exposes (reference
+    // ml/feature/Word2Vec.scala:527). All-pairs here is vocabulary² —
+    // dictionary-bounded at ANY corpus size (the corpus only sharpens
+    // the counts); a trillion-term vocabulary would serve this through
+    // the ANN paths (q_sim_*), not a wider cross join. Cosine folds the
+    // 8 pinned dims in index order on both engines, so the rounded
+    // scores rank identically.
+    Q("q_text_embed_neighbors",
+      (s, dir) => {
+        val emb = Embed.trainPpmiEmbeddings(
+          Tables(s, dir, "documents"), window = 2, dims = 8, powerIters = 3)
+          .select(col("term"), col("vec")).persist()
+        try {
+          val a = emb.select(col("term"), col("vec").as("va"))
+          val b = emb.select(col("term").as("nbr"), col("vec").as("vb"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("term")
+            .orderBy(col("cos").desc, col("nbr"))
+          a.crossJoin(b).filter(col("term") =!= col("nbr"))
+            .select(col("term"), col("nbr"),
+              round(Embed.cosine(col("va"), col("vb")), 6).as("cos"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 3)
+            .select(col("term"), col("rank").cast("long").as("rank"),
+              col("nbr"), col("cos"))
+            .orderBy("term", "rank")
+        } finally emb.unpersist()
+      },
       Some {
-        val base = """WITH e AS (SELECT l_orderkey % 100 AS src,
-                        l_suppkey % 100 AS dst FROM lineitem),
-              nodes AS (SELECT src AS node FROM e
-                        UNION SELECT dst FROM e),
-              h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
-        // one reference per CTE (norms via window, not scalar subquery):
-        // a doubly-referenced CTE inlines as two copies in DuckDB, which
-        // across 10 chained iterations expands exponentially — the plan
-        // exhausted the fd limit re-opening the parquet scan before this
-        // was flattened to window-normalization
-        val steps = (1 to 10).map { k =>
-          s"""a${k}r AS (SELECT e.dst AS node, sum(p.hub) AS auth
-                FROM e JOIN h${k - 1} p ON e.src = p.node GROUP BY e.dst),
-              a$k AS (SELECT nodes.node,
-                  coalesce(a${k}r.auth, 0)
-                    / sqrt(sum(coalesce(a${k}r.auth, 0)
-                               * coalesce(a${k}r.auth, 0)) OVER ()) AS auth
-                FROM nodes LEFT JOIN a${k}r USING (node)),
-              h${k}r AS (SELECT e.src AS node, sum(p.auth) AS hub
-                FROM e JOIN a$k p ON e.dst = p.node GROUP BY e.src),
-              h$k AS (SELECT nodes.node,
-                  coalesce(h${k}r.hub, 0)
-                    / sqrt(sum(coalesce(h${k}r.hub, 0)
-                               * coalesce(h${k}r.hub, 0)) OVER ()) AS hub
-                FROM nodes LEFT JOIN h${k}r USING (node))"""
-        }.mkString(",\n")
-        s"""$base,
-            $steps
-            SELECT a10.node, round(a10.auth, 6) AS auth,
-              round(h10.hub, 6) AS hub
-            FROM a10 JOIN h10 USING (node) ORDER BY node"""
+        val dot = "list_sum([a.vec[i] * b.vec[i] FOR i IN range(1, 9)])"
+        val na = "sqrt(list_sum([a.vec[i] * a.vec[i] FOR i IN range(1, 9)]))"
+        val nb = "sqrt(list_sum([b.vec[i] * b.vec[i] FOR i IN range(1, 9)]))"
+        s"""WITH emb AS ($embedTrainOracle),
+            pairs AS (SELECT a.term, b.term AS nbr,
+                round(CASE WHEN $na > 0 AND $nb > 0
+                           THEN $dot / ($na * $nb) ELSE 0.0 END, 6) AS cos
+              FROM emb a JOIN emb b ON a.term <> b.term),
+            ranked AS (SELECT term, nbr, cos,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY cos DESC, nbr) AS rank
+              FROM pairs)
+            SELECT term, rank, nbr, cos FROM ranked
+            WHERE rank <= 3 ORDER BY term, rank"""
       }),
 
     // chrF2 (Popović, WMT 2015 — the character-level MT metric, robust
@@ -4683,12 +4850,31 @@ object Pipeline extends QueryPack {
           .write.mode("overwrite").parquet(layout)
         val out = Geo.withinRadius(s.read.parquet(layout),
           qlat = 12.3, qlon = 45.6, radiusKm = 1500.0, idCol = "c_custkey")
-        val plan = out.queryExecution.executedPlan.toString
-        // the rendered PushedFilters list truncates, so assert the lat
-        // range (always first) plus the lon bound in DataFilters
-        require(plan.contains("GreaterThanOrEqual(lat") &&
-          plan.contains("LessThanOrEqual(lat") && plan.contains("(lon"),
-          s"box predicates must push to the scan:\n${plan.take(1200)}")
+        // assert on the STRUCTURED pushed-filter list of the scan node,
+        // not the rendered plan text (the text truncates long filter
+        // lists and its format shifts across Spark versions / AQE)
+        val walker =
+          new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        val pushed = walker.collect(out.queryExecution.executedPlan) {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            // pushedDownFilters is Scala-protected (public in bytecode):
+            // reflective call keeps the assertion on the structured
+            // sources.Filter list rather than re-deriving the translation
+            sc.getClass.getMethod("pushedDownFilters").invoke(sc)
+              .asInstanceOf[Seq[org.apache.spark.sql.sources.Filter]]
+        }.flatten
+        def hasBox(attr: String): Boolean =
+          pushed.exists {
+            case org.apache.spark.sql.sources.GreaterThanOrEqual(a, _) =>
+              a == attr
+            case _ => false
+          } && pushed.exists {
+            case org.apache.spark.sql.sources.LessThanOrEqual(a, _) =>
+              a == attr
+            case _ => false
+          }
+        require(hasBox("lat") && hasBox("lon"),
+          s"box predicates must push to the scan, got: ${pushed.mkString(", ")}")
         out
       },
       Some {

@@ -975,6 +975,77 @@ object Sources extends QueryPack {
                 AND (last_error IS NULL OR last_error < last_click)
               ORDER BY event_id""")),
 
+    // WATERMARK LATE-DATA EVICTION, oracle-proven (the beyond-ref §2.10
+    // upgrade pinned end-to-end): run 1 streams every event AFTER the
+    // corpus's first day and commits watermark = max(ts) − 2 h into the
+    // CHECKPOINT; run 2 restarts the same query over a newly-landed file
+    // replaying the ENTIRE first day — every row older than the restored
+    // watermark, so the engine must DROP them all (their windows' state
+    // was already evicted; leaking any row would re-create a closed
+    // group and emit a duplicate window in append mode). Two separate
+    // AvailableNow runs make the batch boundary deterministic (a single
+    // run ingested both staged files in ONE batch, before any watermark
+    // stood between them) and additionally pin that the watermark
+    // SURVIVES RESTART via the checkpoint — the production upgrade
+    // path. The appended sink therefore holds exactly the on-time
+    // subset's day windows whose end the final watermark passed — which
+    // is what the oracle computes from the same split rule.
+    // StreamWatermarkSpec pins the row-level drop with hand-built
+    // batches (a late row whose value would visibly shift a sum).
+    Q("q_stream_watermark_late",
+      (s, dir) => {
+        val root = tmp("stream_wm_late")
+        val landing = s"$root/landing"
+        val outDir = s"$root/out"
+        val hconf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val ev = graft.core.EventTime.toTimestamp(
+            s.read.parquet(s"$dir/events.parquet"))
+          .select("ts", "event_type", "value")
+        // the first-day cut, as a literal both stages filter against
+        // (1-row collect — harness-scale)
+        val cut = ev.agg((date_trunc("DAY", min(col("ts")))
+            + expr("INTERVAL 1 DAY")).as("cut"))
+          .collect()(0).getTimestamp(0)
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$landing/$name")
+        def run(): Unit = {
+          val stream = s.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(s"$landing/*")
+          val q = graft.streaming.StreamOps.windowedAgg(stream).writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+            }
+            .outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(ev.filter(col("ts") >= lit(cut)), "batch0")
+        run()
+        stage(ev.filter(col("ts") < lit(cut)), "batch1_late")
+        run()
+        s.read.parquet(outDir).orderBy("w", "event_type")
+      },
+      Some("""WITH wmk AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm,
+                       date_trunc('day', min(ts)) + INTERVAL 1 DAY AS cut
+                     FROM events),
+              agg AS (SELECT date_trunc('day', ts) AS d, event_type,
+                        count(*) AS n,
+                        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                          AS sv
+                      FROM events CROSS JOIN wmk
+                      WHERE ts >= wmk.cut GROUP BY 1, 2)
+              SELECT strftime(agg.d, '%Y-%m-%d %H:%M:%S') AS w,
+                event_type, n, sv
+              FROM agg CROSS JOIN wmk ww
+              WHERE agg.d + INTERVAL 1 DAY <= ww.wm
+              ORDER BY w, event_type""")),
+
     // PERCOLATION at ingest — streaming alerting: the q_fts_percolate
     // subscriptions probe each arriving micro-batch (two parity batches,
     // maxFilesPerTrigger=1) and alert pairs append to the partitioned

@@ -711,4 +711,104 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"),
       s"the permutation must BE the hash partitioning:\n${plan.take(1500)}")
   }
+
+  test("q_fts_skew_serving gets a runtime skew split on the term-keyed " +
+       "postings join") {
+    // the FTS twin of q_join_skew_aqe: the hot term's postings partition
+    // must be split by OptimizeSkewedJoin on the executed plan. sf0.1:
+    // the skew detector works on COMPRESSED shuffle bytes, and the hot
+    // term's partition needs real volume to clear the 1KB threshold
+    // (at sf0.01 lz4 flattens ~400 posting rows under it)
+    val df = SparkEntry.queries("q_fts_skew_serving")(spark,
+      "/root/testdata/sf0.1")
+    assert(df.collect().length == 10, "BM25 top-10 must come back full")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+      s"expected AQE skew-split partitions in the final plan:\n${plan.take(2000)}")
+  }
+
+  test("Rank edge layout: the iteration join is exchange-free on the " +
+       "bucketed edge side") {
+    // the EXACT contribution-join shape rankInternal runs per iteration
+    // (share ⋈ edges ON node = src, then groupBy dst), against a layout
+    // written by Rank.writeEdgeLayout: the bucketed-by-src scan must
+    // satisfy the SMJ's hash distribution with NO ShuffleExchange above
+    // it — the shuffle happened once at write time
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    val walker = new AdaptiveSparkPlanHelper {}
+    val edges = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select((col("l_orderkey") % 100).as("src"),
+        (col("l_suppkey") % 100).as("dst"))
+    val layout = graft.pipeline.Rank.writeEdgeLayout(edges,
+      graft.core.Scratch.dir("edges_layout_spec"), "edges_spec", buckets = 8)
+    val e = layout.bySrc
+    val share = e.select(col("src").as("node")).distinct()
+      .withColumn("share", lit(1.0))
+    val step = share.join(e.hint("merge"), col("node") === e("src"))
+      .groupBy(col("dst")).agg(sum(col("share")).as("mass"))
+    step.collect()
+    val exec = step.queryExecution.executedPlan
+    val smjs = walker.collect(exec) { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected an SMJ:\n${exec.treeString.take(1500)}")
+    val bucketSides = smjs.flatMap(j => Seq(j.left, j.right).filter(side =>
+      walker.collect(side) {
+        case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty))
+    assert(bucketSides.nonEmpty,
+      s"the edge side must read the bucketed layout:\n${exec.treeString.take(1500)}")
+    bucketSides.foreach { side =>
+      val shuffles = walker.collect(side) { case x: ShuffleExchangeLike => x }
+      assert(shuffles.isEmpty,
+        s"bucketed edge side must not re-shuffle:\n${side.treeString.take(1500)}")
+    }
+  }
+
+  test("Eval rank windows: cut-to-k (TakeOrderedAndProject) precedes every " +
+       "unpartitioned window, even on corpus-scale input") {
+    // hand the metrics a CORPUS-SIZED scored frame — the shape the old
+    // code would have run a single-partition row_number over in full —
+    // and assert structurally (not on plan text) that each unpartitioned
+    // WindowExec now sits above a TakeOrderedAndProject limit
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.functions._
+    val walker = new AdaptiveSparkPlanHelper {}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      pmod(col("doc_id") * 37, lit(101)).cast("double").as("score"))
+    val qrels = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(3)).cast("int").as("rel"))
+    val rel = qrels.filter(col("rel") > 0).select("doc_id")
+    val frames = Seq(
+      "ndcg" -> graft.fts.Eval.ndcgAtK(scored, qrels, 10),
+      "mrr" -> graft.fts.Eval.mrrAtK(Seq((1, scored, rel)), 10),
+      "rbo" -> graft.fts.Eval.rboAtK(scored, scored, 10, 0.9))
+    frames.foreach { case (name, df) =>
+      df.collect() // materialize so the adaptive plan is final
+      val exec = df.queryExecution.executedPlan
+      // only the RANK (row_number) windows are corpus-exposed — ndcg's
+      // grade-histogram cumsum window is distinct-grade-sized by its
+      // aggregation child and stays exempt
+      val wins = walker.collect(exec) {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.windowExpression.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RowNumber])) => w
+      }
+      assert(wins.nonEmpty, s"$name: expected an unpartitioned rank window")
+      wins.foreach { w =>
+        val bounded = walker.collect(w.child) {
+          case t: TakeOrderedAndProjectExec => t
+        }
+        assert(bounded.nonEmpty,
+          s"$name: unpartitioned Window over an UNBOUNDED child — the " +
+            s"top-k cut must plan below it:\n${w.treeString.take(1500)}")
+      }
+    }
+  }
 }

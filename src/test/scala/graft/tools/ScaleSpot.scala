@@ -135,7 +135,14 @@ object ScaleSpot {
       "q_pipeline_diff", "q_eval_auc", "q_temporal_percentiles",
       "q_pipeline_skew_audit", "q_temporal_wow", "q_eval_embed_quality",
       "q_temporal_cep", "q_stream_percentiles", "q_stream_cep",
-      "q_sim_filtered", "q_fts_geo", "q_eval_langid")
+      "q_sim_filtered", "q_fts_geo", "q_eval_langid",
+      // round-15 wave: bucketed-edge-layout graph iteration (one-time
+      // layout write, exchange-free per-iteration edge joins), PPMI
+      // embedding training (vocabulary-bounded state), skewed-term BM25
+      // serving through AQE skew-split, watermark late-data eviction
+      "q_graph_pagerank_bucketed", "q_graph_hits_bucketed",
+      "q_text_embed_train", "q_text_embed_neighbors",
+      "q_fts_skew_serving", "q_stream_watermark_late")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
