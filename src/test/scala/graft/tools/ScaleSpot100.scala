@@ -54,10 +54,31 @@ object ScaleSpot100 {
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("q_fts_compacted", "q_sim_ivfpq_refined",
-        "q_sim_knn_join", "q_dedup_minhash", "q_graph_pagerank"))
+        "knn_join_serve", "q_dedup_minhash", "q_graph_pagerank"))
+    // The k-NN join registry row (q_sim_knn_join) exists to PROVE the
+    // ≥0.9 recall contract, so it runs the brute-force exact twin — at
+    // ×100 that is 4e10 pairs by construction (it filled the disk with
+    // sort spill when tried). The rehearsal measures the SERVING path
+    // alone — correctness is already oracle-pinned at sf0.01 — and at
+    // the configuration a deployment runs: nlist grows with the corpus
+    // so cells stay ~125 vectors (the SemDeDup/IVF sizing rule SCALE.md
+    // documents), keeping candidate pairs linear in n instead of n²/nlist.
+    import org.apache.spark.sql.functions._
+    val custom: Map[String, String => org.apache.spark.sql.DataFrame] = Map(
+      "knn_join_serve" -> { dir =>
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val nlist = math.max(16, (n / 125).toInt)
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val clustered = emb.select(col("vec_id"),
+          graft.pipeline.Similarity.clusteredVec(col("vec_id"),
+            col("embedding")).as("embedding"))
+        graft.pipeline.Similarity.knnJoin(clustered, clustered, 10,
+          nlist = nlist, nprobe = 4)
+      })
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
+      custom.getOrElse(name, graft.SparkEntry.queries(name)(spark, _: String))
+        .apply(dir)
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
