@@ -37,12 +37,24 @@ object ScaleCorpus {
       .write.mode("overwrite").parquet(s"$out/$name.parquet")
   }
 
-  /** Per-replica deterministic token shuffle for document text. */
+  /** Per-replica deterministic token shuffle for document text. The sort
+    * key is salted with the DOC'S TEXT HASH, not just the replica: a
+    * replica-only key gives every document in replica k the same token
+    * order, so hash-sorted runs repeat across documents and shingle
+    * collisions explode (measured at ×100: LSH candidate-pair mass grew
+    * ×39,392 against ×100 rows — the corpus was manufacturing pairs the
+    * doc-comment promised it wouldn't). Salting by text hash keeps the
+    * promised model exactly: IDENTICAL texts (the fixture's true
+    * duplicates) still shuffle identically — each replica carries the
+    * original's internal duplicate structure, pairs grow linearly —
+    * while DISTINCT texts get distinct orders and share no manufactured
+    * shingles. */
   def shuffledText(k: Int): org.apache.spark.sql.Column = {
     val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
       t => length(t) > 0)
     val keyed = transform(toks,
-      t => struct(xxhash64(t, lit(k)).as("h"), t.as("t")))
+      t => struct(xxhash64(t, lit(k), xxhash64(col("text"))).as("h"),
+        t.as("t")))
     array_join(transform(array_sort(keyed), s => s.getField("t")), " ")
   }
 
