@@ -4544,6 +4544,52 @@ object Pipeline extends QueryPack {
         Tables(s, dir, "documents"), window = 2, dims = 8, powerIters = 3),
       Some(embedTrainOracle)),
 
+    // VECTOR ARITHMETIC over the trained space (the Word2Vec analogy
+    // surface — findSynonyms(va − vb + vc); reference
+    // ml/feature/Word2Vec.scala:527): target = v(spark) − v(slow) +
+    // v(fast), rank the vocabulary by cosine against it, excluding the
+    // three operands (the standard analogy-eval protocol). On the
+    // fixture's near-uniform vocabulary the winner is arbitrary but
+    // DETERMINISTIC — both engines fold the same pinned 8-dim rounded
+    // vectors in index order. One broadcast 1-row target; the scan side
+    // is the vocabulary table.
+    Q("q_text_embed_analogy",
+      (s, dir) => {
+        val emb = Embed.trainPpmiEmbeddings(
+          Tables(s, dir, "documents"), window = 2, dims = 8, powerIters = 3)
+          .select(col("term"), col("vec")).persist()
+        try {
+          def vecOf(t: String, as: String) =
+            emb.filter(col("term") === t).select(col("vec").as(as))
+          val target = vecOf("spark", "va")
+            .crossJoin(vecOf("slow", "vb")).crossJoin(vecOf("fast", "vc"))
+            .select(zip_with(zip_with(col("va"), col("vb"), _ - _),
+              col("vc"), _ + _).as("vt"))
+          emb.crossJoin(broadcast(target))
+            .filter(!col("term").isin("spark", "slow", "fast"))
+            .select(col("term"),
+              round(Embed.cosine(col("vec"), col("vt")), 6).as("cos"))
+            .orderBy(col("cos").desc, col("term")).limit(5)
+        } finally emb.unpersist()
+      },
+      Some {
+        val dot = "list_sum([e.vec[i] * t.vt[i] FOR i IN range(1, 9)])"
+        val ne = "sqrt(list_sum([e.vec[i] * e.vec[i] FOR i IN range(1, 9)]))"
+        val nt = "sqrt(list_sum([t.vt[i] * t.vt[i] FOR i IN range(1, 9)]))"
+        s"""WITH emb AS ($embedTrainOracle),
+            t AS (SELECT [a.vec[i] - b.vec[i] + c.vec[i]
+                          FOR i IN range(1, 9)] AS vt
+                  FROM (SELECT vec FROM emb WHERE term = 'spark') a,
+                       (SELECT vec FROM emb WHERE term = 'slow') b,
+                       (SELECT vec FROM emb WHERE term = 'fast') c),
+            sc AS (SELECT e.term,
+                round(CASE WHEN $ne > 0 AND $nt > 0
+                           THEN $dot / ($ne * $nt) ELSE 0.0 END, 6) AS cos
+              FROM emb e CROSS JOIN t
+              WHERE e.term NOT IN ('spark', 'slow', 'fast'))
+            SELECT term, cos FROM sc ORDER BY cos DESC, term LIMIT 5"""
+      }),
+
     // The trained space SERVING: top-3 nearest terms per vocabulary term
     // by cosine over the explicit PPMI vectors — the "similar words"
     // surface Word2Vec.findSynonyms exposes (reference

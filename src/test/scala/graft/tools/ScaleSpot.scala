@@ -141,7 +141,7 @@ object ScaleSpot {
       // embedding training (vocabulary-bounded state), skewed-term BM25
       // serving through AQE skew-split, watermark late-data eviction
       "q_graph_pagerank_bucketed", "q_graph_hits_bucketed",
-      "q_text_embed_train", "q_text_embed_neighbors",
+      "q_text_embed_train", "q_text_embed_neighbors", "q_text_embed_analogy",
       "q_fts_skew_serving", "q_stream_watermark_late")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
