@@ -16,17 +16,37 @@ object Tables {
 
   // fixture frames are immutable read-only parquet, so the (session, path)
   // → DataFrame plan is reusable across queries — re-reading footers/file
-  // listings per call was part of the bench floor. (A DataFrame holds its
-  // session, so entries pin their key: bounded by the handful of sessions
-  // a process creates, which is fine.)
-  private val frames = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  // listings per call was part of the bench floor. Only the DEFAULT
+  // session is cached: a DataFrame strongly references its session, so a
+  // weak key can never evict its own entry — fine for the one long-lived
+  // session, but queries that spin `newSession()` per invocation (e.g.
+  // q_fts_skew_serving's conf-isolated session) would pin a SessionState
+  // per bench iteration without bound. Non-default sessions just re-read.
+  //
+  // IMMUTABILITY ASSUMPTION: a cached entry snapshots the parquet file
+  // listing at first access. Corpus dirs read through Tables must not be
+  // rewritten in-JVM afterwards — tools that regenerate a corpus under
+  // the same path (ScaleCorpus overwrite) must call [[invalidate]] after
+  // the write, or cached plans point at deleted files.
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    frames.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    if (SparkSession.getDefaultSession.exists(_ eq spark))
+      // compute() (not computeIfAbsent): a suite that stops the default
+      // session and builds a new one must not be served a frame bound to
+      // the dead session — revalidate the cached frame's own session
+      frames.compute(p, (pp, cached) =>
+        if (cached != null && (cached.sparkSession eq spark)) cached
+        else spark.read.parquet(pp))
+    else spark.read.parquet(p)
+  }
+
+  /** Drop cached frames under `dir` — required after any in-JVM rewrite
+    * of a corpus dir that was already read through [[apply]]. */
+  def invalidate(dir: String): Unit =
+    frames.keySet.removeIf(_.startsWith(s"$dir/"))
 
   // One registration per (session, dir): the 10 parquet footer reads +
   // catalog calls cost ~0.5 s, and the bench sweep's per-query harness
@@ -43,12 +63,16 @@ object Tables {
     * unreadable table must not take down queries over the other nine. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     if (registered.get(spark) == dir) return
-    names.foreach { n =>
-      try apply(spark, dir, n).createOrReplaceTempView(n)
+    // only mark the session registered when EVERY view registered — a
+    // transient read failure must re-attempt on the next call, not leave
+    // the view permanently missing for the session's lifetime
+    val allOk = names.forall { n =>
+      try { apply(spark, dir, n).createOrReplaceTempView(n); true }
       catch { case e: Throwable =>
         System.err.println(s"[tables] skipping view $n: ${e.getMessage}")
+        false
       }
     }
-    registered.put(spark, dir)
+    if (allOk) registered.put(spark, dir)
   }
 }

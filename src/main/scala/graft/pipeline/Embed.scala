@@ -116,7 +116,12 @@ object Embed {
         v = vocab.select(col("term"))
           .join(raw, Seq("term"), "left").na.fill(0.0, Seq("v"))
           .crossJoin(broadcast(norm))
-          .select(col("term"), (col("v") / col("l2")).as("v"))
+          // an all-zero PPMI matrix (e.g. single-token docs) makes the
+          // L2 aggregate null/zero — keep the iterate at 0.0 instead of
+          // propagating NULL (cosine's zero-norm rule); engines agree
+          .select(col("term"),
+            when(col("l2") > 0.0, col("v") / col("l2"))
+              .otherwise(lit(0.0)).as("v"))
           .localCheckpoint()
       }
       // materialize the vocabulary-sized result (localCheckpoint) BEFORE

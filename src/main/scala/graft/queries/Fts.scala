@@ -996,10 +996,24 @@ object Fts extends QueryPack {
         // stats side that aggregates AFTER its own shuffle can never be
         // skew-split; the persisted read plans scan → exchange → sort,
         // which can
-        val statsDir = graft.core.Scratch.dir("fts_skew_stats")
-        qp.groupBy("term")
-          .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-          .write.mode("overwrite").parquet(statsDir)
+        // keyed by corpus-dir md5 + built once under the servedIndex
+        // synchronization: suites drive queries concurrently in one JVM,
+        // and a fixed shared path could be overwritten by a sibling
+        // invocation over another corpus between this eager write and
+        // the lazy read of the returned plan
+        val statsDir = synchronized {
+          val key = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
+            .mkString.take(12)
+          val d = graft.core.Scratch.dir(s"fts_skew_stats_$key")
+          val done = new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")
+          val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(done))
+            qp.groupBy("term")
+              .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+              .write.mode("overwrite").parquet(d)
+          d
+        }
         val df = s.read.parquet(statsDir)
         qp.hint("merge").join(df, "term")
           .join(ix.docLens, "doc_id")

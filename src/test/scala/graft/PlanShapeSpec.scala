@@ -630,6 +630,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected AQE skew-split partitions in the final plan:\n${plan.take(2000)}")
   }
 
+  test("q_dedup_skew splits the hot LSH band bucket at runtime") {
+    // 400 identical boilerplate docs give every band ONE bucket with 400
+    // rows — the banded SELF-join's hot partition is skewed on BOTH
+    // sides, which OptimizeSkewedJoin handles with cartesian sub-splits.
+    // Execute first: skew handling only shows on the final adaptive plan.
+    val df = SparkEntry.queries("q_dedup_skew")(spark, "/root/testdata/sf0.01")
+    val row = df.collect().head
+    assert(row.getLong(1) == 79800L,
+      s"C(400,2) template pairs expected, got ${row.getLong(1)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+      s"expected AQE skew-split partitions in the final plan:\n${plan.take(2000)}")
+  }
+
   test("q_join_notin plans NULL-AWARE anti-joins for NOT IN") {
     // the trailing `true` on BroadcastHashJoin … LeftAnti is the
     // isNullAwareAntiJoin flag — plain anti-join semantics would get the

@@ -35,6 +35,9 @@ object ScaleCorpus {
       perReplica(shifted, k)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    // Tables caches file listings per path — a regenerated corpus under
+    // the same out path must drop stale cached plans (Tables.scala doc)
+    graft.core.Tables.invalidate(out)
   }
 
   /** Per-replica deterministic token shuffle for document text. The sort
@@ -73,10 +76,12 @@ object ScaleCorpus {
     replicas(spark, out, factor, "events",
       Seq("event_id", "user_id"))((df, _) => df)
 
-  def smallTables(spark: SparkSession, out: String): Unit =
+  def smallTables(spark: SparkSession, out: String): Unit = {
     for (t <- Seq("nation", "region", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    graft.core.Tables.invalidate(out)
+  }
 
   /** Orders/customer replicas (keys shifted per replica) — the KMV and
     * z-order layout rows read these. Each table's keys shift by its OWN
