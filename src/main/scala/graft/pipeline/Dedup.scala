@@ -132,6 +132,39 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidates with PER-BUCKET PAIR-MASS CAPPING — the linear-mass
+    * alternative to skew-splitting the banded self-join (its q_dedup_skew
+    * complement): a bucket with n ≤ cap members emits all C(n,2) pairs as
+    * usual; a hotter bucket emits only the n−1 STAR pairs against its
+    * lowest doc_id. For connected-component dedup policy this preserves
+    * the hot cluster's single component whenever the bucket is a genuine
+    * near-dup cluster (every member verifies against the anchor — exact
+    * for the boilerplate/identical-text clusters that create hot buckets
+    * in practice), while the pair mass drops from C(n,2) to n−1. The hot
+    * key never reaches the candidate self-join at all: bucket stats are
+    * a map-side-combined aggregate (the skewed key collapses to one row
+    * per mapper), and the bn ≤ cap filter removes the hot bucket BEFORE
+    * the join — capping de-tiers the keyspace instead of splitting it. */
+  def minhashCandidatesCapped(sets: DataFrame, cap: Int = 32,
+                              numHashes: Int = 64,
+                              bands: Int = 16): DataFrame = {
+    require(cap >= 2, "cap below 2 would star every bucket")
+    val banded = bandKeys(sets, numHashes, bands).persist()
+    banded.count() // materialize before the stats aggregate + self-join
+    val stats = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
+    val tagged = banded.join(stats, Seq("band", "bh"))
+    val small = tagged.filter(col("bn") <= cap)
+    val allPairs = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
+    val star = tagged
+      .filter(col("bn") > cap && col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("aid"), col("doc_id").as("bid"))
+    allPairs.union(star).distinct()
+  }
+
   /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum
     * over shingles of ±1 (sign of bit j of the shingle's hash) is positive.
     * Native kernel — the column-expression formulation is 64 interpreted

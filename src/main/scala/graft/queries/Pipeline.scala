@@ -27,6 +27,23 @@ object Pipeline extends QueryPack {
       "a search box and a login form all rights reserved contact us for " +
       "terms of service and privacy policy details"
 
+  /** The shared hot-band corpus for the q_dedup_skew* rows: 400 of 500
+    * docs rewritten to [[SkewTemplate]] (one corpus-scale near-dup
+    * cluster), the rest organic. */
+  private def skewFixture(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        when(col("doc_id") < 400, lit(SkewTemplate))
+          .otherwise(col("text")).as("text"))
+
+  /** The q_dedup_skew* fixture replayed as a DuckDB CTE. */
+  private val skewFixtureSql =
+    s"""fixture AS (SELECT doc_id,
+          CASE WHEN doc_id < 400 THEN '$SkewTemplate' ELSE text END AS text
+        FROM documents WHERE doc_id < 500)"""
+
   /** Seeded multi-line CURATION fixture shared by q_text_gopher /
     * q_pipeline_c4 (the q_dedup_lines fixture pattern — the sf docs are
     * single-line and punctuation-free, so both sides derive the same
@@ -386,12 +403,7 @@ object Pipeline extends QueryPack {
         // organic-sized (a 4-partition test session would average the
         // hot mass into every partition and nothing clears factor×median)
         s.conf.set("spark.sql.shuffle.partitions", "32")
-        val fixture = Tables(s, dir, "documents")
-          .filter(col("doc_id") < 500)
-          .select(col("doc_id"),
-            when(col("doc_id") < 400, lit(SkewTemplate))
-              .otherwise(col("text")).as("text"))
-        val sets = Dedup.shingleSets(fixture)
+        val sets = Dedup.shingleSets(skewFixture(s, dir))
         val pairs = Dedup.verifyJaccard(
           Dedup.minhashCandidates(sets), sets, 0.8)
         pairs.agg(
@@ -402,10 +414,7 @@ object Pipeline extends QueryPack {
             .otherwise(0L)).as("n_organic"),
           round(min(col("jac")), 4).as("min_jac"))
       },
-      Some(s"""WITH fixture AS (SELECT doc_id,
-                 CASE WHEN doc_id < 400 THEN '$SkewTemplate' ELSE text END
-                   AS text
-               FROM documents WHERE doc_id < 500),
+      Some(s"""WITH $skewFixtureSql,
               toks AS (SELECT doc_id, $DTOKS AS t FROM fixture),
               sh AS (SELECT doc_id,
                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -423,6 +432,49 @@ object Pipeline extends QueryPack {
                   AS BIGINT) AS n_organic,
                 round(min(j), 4) AS min_jac
               FROM pairs WHERE j >= 0.8""")),
+
+    // The CAPPED alternative on the same hot-band corpus: instead of
+    // skew-SPLITTING the C(400,2)-pair bucket (q_dedup_skew), the
+    // candidate generator caps per-bucket pair mass — buckets over the
+    // cap emit n−1 STAR pairs against their lowest doc_id, so the hot
+    // key never reaches the banded self-join at all
+    // (Dedup.minhashCandidatesCapped: bucket stats are map-side-combined,
+    // the bn ≤ cap filter removes the hot bucket before the join). Under
+    // CONNECTED-COMPONENT dedup policy the output is EXACT here, not
+    // approximate: every star pair of the boilerplate cluster verifies
+    // at Jaccard 1, so the cluster closes into the same single component
+    // the all-pairs ground truth produces, and small buckets still emit
+    // all pairs — the oracle is the recursive-reachability ground truth
+    // over ALL-pairs Jaccard (the q_dedup_cc bar), hash-exact. Pair mass:
+    // 399 star pairs vs 79,800 — the 100 TB path when one template
+    // cluster holds 10⁸ docs and C(n,2) is unpayable at any parallelism.
+    Q("q_dedup_skew_capped",
+      (s, dir) => {
+        val sets = Dedup.shingleSets(skewFixture(s, dir))
+        val pairs = Dedup.verifyJaccard(
+          Dedup.minhashCandidatesCapped(sets, cap = 32), sets, 0.8)
+        Components.connectedComponents(
+          pairs.select(col("aid"), col("bid"))).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $skewFixtureSql,
+               toks AS (SELECT doc_id, $DTOKS AS t FROM fixture),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+               e AS (SELECT aid AS a, bid AS b FROM p
+                     UNION SELECT bid, aid FROM p),
+               n AS (SELECT DISTINCT a AS id FROM e),
+               reach(id, r) AS (
+                 SELECT id, id FROM n
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+               SELECT id AS doc_id, min(r) AS comp FROM reach
+               GROUP BY id ORDER BY doc_id""")),
 
     // Dedup clustering: near-dup similarity is not transitive, but dedup
     // policy is ("one doc per connected cluster") — close the verified pairs

@@ -17,6 +17,29 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("minhashCandidatesCapped: hot buckets star to the anchor, small buckets keep all pairs") {
+    import spark.implicits._
+    // 40 identical boilerplate docs (one hot bucket per band) + the
+    // near-dup trio 1/2/3 from the shared fixture
+    val boiler = "the quick brown template renders a footer and a header " * 2
+    val fixture = docs.unionByName(
+      (100L until 140L).map(i => (i, boiler)).toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(fixture)
+    val capped = Dedup.minhashCandidatesCapped(sets, cap = 8).collect()
+    val all = Dedup.minhashCandidates(sets).count()
+    // star mass: 39 anchor pairs (anchor 100) instead of C(40,2) = 780
+    val hot = capped.filter(r => r.getLong(0) >= 100L || r.getLong(1) >= 100L)
+    assert(hot.length == 39 && hot.forall(_.getLong(0) == 100L),
+      s"expected 39 star pairs anchored at 100, got ${hot.length}")
+    assert(all >= 780L + 3,
+      s"uncapped generator must carry the C(40,2) bucket mass, got $all")
+    // the small-bucket pairs (the 1/2/3 near-dup trio) are untouched
+    val organic = capped.filter(r => r.getLong(0) < 100L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(organic),
+      s"small buckets must keep all pairs, got $organic")
+  }
+
   test("exactStats counts duplicates") {
     val r = Dedup.exactStats(docs).collect()(0)
     assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 1)

@@ -51,6 +51,12 @@ object ScaleSpot100 {
     ensure("lineitem")(ScaleCorpus.lineitem(spark, out, factor))
     ensure("nation")(ScaleCorpus.smallTables(spark, out))
 
+    // Wave 2 (round 16) runs the paths wave 1 skipped, via
+    //   SPARK_GRAFT_SCALE_ONLY="q_fts_sql_indexed,q_fts_sql_bm25,
+    //     q_fts_compacted_sql,q_text_embed_train,q_text_embed_analogy,
+    //     q_text_embed_neighbors,q_sim_stream_upsert,q_stream_dedup_near"
+    // (embed rows in that order: train's ×100 timing carries the one-time
+    // layout build; analogy/neighbors then measure serve-only).
     val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(Seq("q_fts_compacted", "q_sim_ivfpq_refined",
