@@ -200,7 +200,19 @@ object Bench {
     val microPost = runMicros()
     val microRatio = microPre.zip(microPost).map { case ((_, a), (_, b)) =>
       math.max(a, b) / math.max(1e-9, math.min(a, b)) }.max
-    val throttled = microRatio > 1.5
+    // DIRECTION matters (round-16 finding): after a 424-query sweep the
+    // JVM is deeper-JIT-compiled than any fresh-JVM ramp can reach, so
+    // post-probe rates now EXCEED the pre-probe by up to ~1.6× on the
+    // stat shapes even in a provably clean host window (probe-gated runs
+    // reproduced it twice back-to-back while interleaved probes read
+    // 1.1–1.3). Post-faster-than-pre cannot overstate per-query times —
+    // the sweep ran on a machine at least as fast as pre measured — so
+    // only DEGRADATION (post rate < pre rate / 1.5, the throttle-onset
+    // signature) stamps the artifact; the symmetric max is still
+    // reported as micro_ratio for the record.
+    val microDegrade = microPre.zip(microPost).map { case ((_, a), (_, b)) =>
+      a / math.max(1e-9, b) }.max
+    val throttled = microDegrade > 1.5
     // headline micro = per-shape BEST across all probes (ramp included —
     // it can only lose): the machine's demonstrated capability, robust to
     // a throttle window hitting one end
@@ -243,7 +255,7 @@ object Bench {
     // the long cheap tail folded into others_sec, micro + errors always kept.
     def fmt(v: Double): String = f"$v%.2f"
     val desc = results.sortBy { case (_, v) => -v }
-    val fixed = s""","errors":$es,"micro":$micro,"micro_pre":${microJson(microPre)},"micro_post":${microJson(microPost)},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"floor_sec":${f"$floorSec%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fixed = s""","errors":$es,"micro":$micro,"micro_pre":${microJson(microPre)},"micro_post":${microJson(microPost)},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"micro_degrade":${f"$microDegrade%.2f"},"floor_sec":${f"$floorSec%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val budget = 1700 - fixed.length - head.length - 60 // 60 ≈ ,"others_sec":…,"others_n":…}
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -274,7 +286,7 @@ object Bench {
     // windows are visible across rounds without opening each BENCH_r{N}
     // artifact (PROGRESS.jsonl is driver-owned, so the stamp lives here).
     scala.util.Try {
-      val stamp = s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","total_sec":${fmt(total)},"n_queries":${results.size},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"floor_sec":${f"$floorSec%.3f"}}""" + "\n"
+      val stamp = s"""{"ts":${System.currentTimeMillis / 1000},"sf":"$sfDir","total_sec":${fmt(total)},"n_queries":${results.size},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"micro_degrade":${f"$microDegrade%.2f"},"floor_sec":${f"$floorSec%.3f"}}""" + "\n"
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
         stamp.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

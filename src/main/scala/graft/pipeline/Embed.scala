@@ -83,9 +83,21 @@ object Embed {
     * `(term, vec: array<double>[dims], pc1)`, one row per vocabulary
     * term, ordered. Vocabulary-sized everywhere after the count stage. */
   def trainPpmiEmbeddings(docs: DataFrame, window: Int = 2, dims: Int = 8,
-                          powerIters: Int = 3): DataFrame = {
+                          powerIters: Int = 3): DataFrame =
+    trainFromCooc(cooccurrence(docs, window), dims, powerIters)
+
+  /** Train from an already-materialized co-occurrence COUNT table
+    * `(a, b, cab)` — the incremental entry point: windowed co-occurrence
+    * is ADDITIVE across document batches (window pairs never cross
+    * document boundaries), so a streaming ingest can append per-batch
+    * deltas ([[graft.streaming.StreamEmbed]]) and fold Σcab at serve
+    * time; everything from counts to vectors is the identical algebra,
+    * so the incrementally-maintained space equals the batch-trained one
+    * bit-for-bit. */
+  def trainFromCooc(cooc0: DataFrame, dims: Int = 8,
+                    powerIters: Int = 3): DataFrame = {
     require(dims >= 1 && powerIters >= 1, "need dims and iterations >= 1")
-    val cooc = cooccurrence(docs, window).persist()
+    val cooc = cooc0.persist()
     val m = ppmi(cooc).persist()
     try {
       // vocabulary and dim ranking off the INTEGER count marginals —

@@ -23,6 +23,26 @@ class EmbedSpec extends SparkSpec {
     }.toDF("doc_id", "text")
   }
 
+  test("co-occurrence is additive across doc batches: incremental == batch, bit-for-bit") {
+    import spark.implicits._
+    val docs = clusteredDocs
+    val batchA = docs.filter(col("doc_id") < 40)
+    val batchB = docs.filter(col("doc_id") >= 40)
+    // the StreamEmbed contract without the stream: per-batch deltas
+    // unioned and folded must train the identical space
+    val folded = Embed.cooccurrence(batchA)
+      .unionByName(Embed.cooccurrence(batchB))
+      .groupBy("a", "b").agg(sum(col("cab")).as("cab"))
+    val inc = Embed.trainFromCooc(folded)
+      .select("term", "vec", "pc1").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1), r.getDouble(2)))
+    val bat = Embed.trainPpmiEmbeddings(docs)
+      .select("term", "vec", "pc1").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1), r.getDouble(2)))
+    assert(inc.toSeq == bat.toSeq,
+      "incrementally folded counts must train the batch space exactly")
+  }
+
   private def cos(x: Seq[Double], y: Seq[Double]): Double = {
     val dot = x.lazyZip(y).map(_ * _).sum
     val nx = math.sqrt(x.map(v => v * v).sum)
