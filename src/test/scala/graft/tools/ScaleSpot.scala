@@ -142,7 +142,10 @@ object ScaleSpot {
       // serving through AQE skew-split, watermark late-data eviction
       "q_graph_pagerank_bucketed", "q_graph_hits_bucketed",
       "q_text_embed_train", "q_text_embed_neighbors", "q_text_embed_analogy",
-      "q_fts_skew_serving", "q_stream_watermark_late")
+      "q_fts_skew_serving", "q_stream_watermark_late",
+      // round-16 wave: hot-band LSH skew split + the capped (star-pair)
+      // alternative, streaming co-occurrence deltas folded at serve
+      "q_dedup_skew", "q_dedup_skew_capped", "q_text_embed_incremental")
     // SPARK_GRAFT_SCALE_ONLY=a,b,c re-measures a subset against the
     // already-materialized corpus (iterating on one operator's plan)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
