@@ -36,6 +36,41 @@ object VecKernels {
     acc
   }
 
+  /** IVF cell assignment: 1-based argmax over per-centroid scaled dots
+    * `dot(v, cᵢ)/normᵢ`, FIRST-max tiebreak via `Double.compare` — the
+    * exact semantics of the declarative
+    * `array_position(scores, array_max(scores))` it replaces (including
+    * the −0.0 < 0.0 and NaN-greatest orderings), over the same
+    * index-order dot folds, so assignments are bit-identical. The
+    * declarative form unrolls nlist dot products into one generated
+    * method — at deployment sizing (nlist ∝ corpus, ScaleSpot100
+    * measured nlist = 1600) that exceeds the JVM's 64 KB method limit
+    * and drops the whole stage to interpreted execution; this kernel is
+    * one compiled call with the centroids riding along as a reference
+    * object. Returns null (not an exception) when the vector's length
+    * doesn't match the centroids — the DotExpr null contract. */
+  def cellAssign(v: ArrayData, centroids: Array[Array[Double]],
+                 norms: Array[Double]): Any = {
+    if (centroids.length == 0) return null
+    val n = v.numElements()
+    if (n != centroids(0).length) return null
+    var mi = 0
+    var best = 0.0
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v.getDouble(j) * c(j); j += 1 }
+      val score = acc / norms(i)
+      if (i == 0 || java.lang.Double.compare(score, best) > 0) {
+        best = score; mi = i
+      }
+      i += 1
+    }
+    mi + 1
+  }
+
   /** Pseudo-random hyperplane component p,d in [-1, 1): same derivation as
     * Similarity's SQL version — pmod(xxhash64(p, d), 2000)/1000 − 1. */
   @inline private def planeComponent(p: Int, d: Int): Double = {
@@ -206,6 +241,34 @@ case class PqEncodeExpr(child: Expression,
       else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }""")
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** [[VecKernels.cellAssign]] as an expression; like [[PqEncodeExpr]],
+  * the centroid table and norms ride along as reference objects, so the
+  * generated code is one static call regardless of nlist — the
+  * declarative argmax unrolled nlist dots and blew the 64 KB generated-
+  * method limit at deployment sizing (nlist ∝ corpus). */
+case class CellAssignExpr(child: Expression,
+                          centroids: Array[Array[Double]],
+                          norms: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null on vector-length mismatch
+  override def prettyName: String = "graft_cell_assign"
+  override def nullSafeEval(input: Any): Any =
+    VecKernels.cellAssign(input.asInstanceOf[ArrayData], centroids, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("cellCentroids", centroids, "double[][]")
+    val nrm = ctx.addReferenceObj("cellNorms", norms, "double[]")
+    val res = ctx.freshName("cellRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object $res = graft.ext.VecKernels$$.MODULE$$.cellAssign($c,
+        (double[][]) $cents, (double[]) $nrm);
+      if ($res == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Integer) $res).intValue(); }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CellAssignExpr =
     copy(child = newChild)
 }
 

@@ -471,14 +471,17 @@ object Similarity {
   }
 
   /** Cell-assignment column: argmax over per-cell scaled dot products
-    * (1-based, deterministic first-max). */
+    * (1-based, deterministic first-max). Native kernel
+    * ([[graft.ext.CellAssignExpr]]): the former declarative
+    * `array_position(scores, array_max(scores))` unrolled nlist dot
+    * products into one generated method, which exceeds the JVM's 64 KB
+    * limit at deployment sizing (nlist ∝ corpus — ScaleSpot100 hit it at
+    * nlist = 1600) and dropped the stage to interpreted execution; the
+    * kernel reproduces its scores and first-max tiebreak bit-for-bit. */
   private[graft] def cellExpr(v: Column, centroids: Seq[Array[Double]],
-                              cNorms: Seq[Double]): Column = {
-    val scores = array(centroids.zip(cNorms).map { case (c, n) =>
-      dot(v, array(c.map(lit): _*)) / lit(n)
-    }: _*)
-    array_position(scores, array_max(scores)).cast("int")
-  }
+                              cNorms: Seq[Double]): Column =
+    kcol(graft.ext.CellAssignExpr(kexp(v),
+      centroids.map(_.clone()).toArray, cNorms.toArray))
 
   /** Persist the IVF-celled corpus partitioned BY CELL — the layout where a
     * query's probe set becomes a partition filter, so the scan reads
