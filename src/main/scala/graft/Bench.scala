@@ -180,11 +180,50 @@ object Bench {
     // exceeds 2 s gets one re-run; min is the machine's actual capability
     // (same policy as the micro shapes' best-of-5 below). Cheap queries
     // aren't re-run — their noise floor is milliseconds either way.
-    val results = firstPass.map { case (name, fn, t1) =>
+    val secondPass = firstPass.map { case (name, fn, t1) =>
       if (t1 > 2.0) {
         val t2 = timeOne(name, fn, recordError = false)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
-      } else name -> t1
+        (name, fn, if (t2 >= 0) math.min(t1, t2) else t1)
+      } else (name, fn, t1)
+    }
+    // SELF-ADJUDICATION (round-16 verdict item 2): the round-of-record
+    // artifact must not need cross-referencing against a separate
+    // clean-window sweep. The immediate re-run above can't help when a
+    // steal window straddles BOTH back-to-back runs (r16: q_fts_epochs
+    // read 14.19 s in the artifact, 5.80 s clean — plans untouched).
+    // Queries that regressed >1.3× against their OWN last recorded
+    // full-sweep time (BENCH_LAST.json's detail line) get one DEFERRED
+    // re-run after the whole sweep — minutes later, when a transient
+    // window has usually passed; min wins. Bounded to the 12 worst
+    // regressions so a genuinely slower build still finishes. A query
+    // with no history (new this round) is left alone: there is nothing
+    // to adjudicate against.
+    val lastTimes: Map[String, Double] = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
+      val re = """"([a-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r
+      // adjudicate only against a sweep of the SAME sf dir — BENCH_LAST
+      // may hold a smoke run at another scale, whose times would tag
+      // every query a suspect (legacy detail lines without "sf" count
+      // as same-sf: they were always the round's sf0.1 artifact)
+      txt.linesIterator.find(l => l.startsWith("""{"bench_detail"""") &&
+          (!l.contains("\"sf\":") || l.contains(s""""sf":"$sfDir"""")))
+        .map(l => re.findAllMatchIn(l)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        .getOrElse(Map.empty[String, Double])
+    }.getOrElse(Map.empty)
+    val suspects = secondPass.flatMap { case (name, fn, t) =>
+      lastTimes.get(name).collect {
+        case last if last > 0 && t > 2.0 && t > last * 1.3 =>
+          (name, fn, t, t / last)
+      }
+    }.sortBy { case (_, _, _, ratio) => -ratio }.take(12)
+    val requeried = suspects.map { case (name, fn, t, _) =>
+      val t3 = timeOne(name, fn, recordError = false)
+      name -> (if (t3 >= 0) math.min(t, t3) else t)
+    }.toMap
+    val results = secondPass.map { case (name, _, t) =>
+      name -> requeried.getOrElse(name, t)
     }
 
     // POST-sweep probe (same shapes, same JVM). First shed as much sweep
@@ -240,7 +279,7 @@ object Bench {
     // that window and the head (with "metric"/"value") was cut off.
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"bench_detail":true,"queries":$qsFull}""")
+    println(s"""{"bench_detail":true,"sf":"$sfDir","queries":$qsFull}""")
 
     // Shut the session down BEFORE emitting the metric line: the streaming
     // queries leave a StateStore maintenance thread whose post-stop failure
@@ -255,7 +294,7 @@ object Bench {
     // the long cheap tail folded into others_sec, micro + errors always kept.
     def fmt(v: Double): String = f"$v%.2f"
     val desc = results.sortBy { case (_, v) => -v }
-    val fixed = s""","errors":$es,"micro":$micro,"micro_pre":${microJson(microPre)},"micro_post":${microJson(microPost)},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"micro_degrade":${f"$microDegrade%.2f"},"floor_sec":${f"$floorSec%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
+    val fixed = s""","errors":$es,"micro":$micro,"micro_pre":${microJson(microPre)},"micro_post":${microJson(microPost)},"throttled":$throttled,"micro_ratio":${f"$microRatio%.2f"},"micro_degrade":${f"$microDegrade%.2f"},"requeried_n":${requeried.size},"floor_sec":${f"$floorSec%.3f"},"n_queries":${results.size},"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val budget = 1700 - fixed.length - head.length - 60 // 60 ≈ ,"others_sec":…,"others_n":…}
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -279,7 +318,7 @@ object Bench {
     // even if a stray log line shifts the tail window
     scala.util.Try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-        (metricLine + "\n" + s"""{"bench_detail":true,"queries":$qsFull}""" +
+        (metricLine + "\n" + s"""{"bench_detail":true,"sf":"$sfDir","queries":$qsFull}""" +
           "\n").getBytes("UTF-8"))
     }
     // Append the throttle stamp to a repo-side time series so throttle

@@ -16,4 +16,63 @@ object Scratch {
     s"/root/repo/target/qtmp/jvm-${ProcessHandle.current().pid()}"
 
   def dir(name: String): String = s"$root/$name"
+
+  /** Monotonic suffix for per-call scratch dirs (e.g. the dedup band-key
+    * spill) — unique within the JVM without any cross-call state. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  def freshDir(prefix: String): String = dir(s"${prefix}_${seq.incrementAndGet()}")
+
+  // ---- corpus-dir → served-layout registry -------------------------------
+  //
+  // Several serving caches are dir-md5-keyed parquet layouts built once per
+  // (JVM, corpus dir) and then read back on every query: the trained
+  // embedding space (queries/Pipeline.embedLayoutFor), the FTS serving
+  // index + persisted df stats (queries/Fts), the bucketed graph edge
+  // layout. Their keys embed the corpus dir's CONTENT-INDEPENDENT md5(path),
+  // so a tool that regenerates a corpus UNDER THE SAME PATH in one JVM
+  // (ScaleCorpus overwrite) would keep serving a space trained on the old
+  // content, silently. Tables.invalidate(dir) is the single in-JVM
+  // "this path's content changed" signal; each layout registers a drop
+  // thunk here at build/serve time and invalidate runs + removes them.
+  // Keyed by (corpusDir, layoutName) so repeated serving registers
+  // idempotently instead of accumulating thunks.
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), () => Unit]()
+
+  /** Record that `layoutName` is a served cache derived from `corpusDir`'s
+    * content; `drop` must delete the cached state (scratch dir, catalog
+    * tables) so the next serve rebuilds. Idempotent per (dir, name). */
+  def registerLayout(corpusDir: String, layoutName: String)(drop: () => Unit): Unit =
+    layouts.put((corpusDir, layoutName), drop)
+
+  /** Drop every layout registered against `corpusDir` (run + deregister).
+    * Called by [[Tables.invalidate]] — layouts must never outlive the
+    * cached file-listing frames they were derived from. */
+  def invalidateLayouts(corpusDir: String): Unit = {
+    val it = layouts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == corpusDir) {
+        try e.getValue.apply()
+        catch { case t: Throwable =>
+          System.err.println(
+            s"[scratch] dropping layout ${e.getKey._2} failed: ${t.getMessage}")
+        }
+        it.remove()
+      }
+    }
+  }
+
+  /** Local recursive delete for layout drop thunks (scratch dirs live on
+    * the local fs; no hadoop FileSystem needed after session stop). */
+  def deleteLocal(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }

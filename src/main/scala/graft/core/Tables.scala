@@ -43,10 +43,22 @@ object Tables {
     else spark.read.parquet(p)
   }
 
-  /** Drop cached frames under `dir` — required after any in-JVM rewrite
-    * of a corpus dir that was already read through [[apply]]. */
-  def invalidate(dir: String): Unit =
+  /** Drop ALL in-JVM state derived from `dir`'s content — required after
+    * any in-JVM rewrite of a corpus dir that was already read through
+    * [[apply]]. Three layers, because each caches independently:
+    * cached frames (stale file listings), the registered-views memo
+    * (temp views hold analyzed plans over the stale frames), and the
+    * dir-md5-keyed served layouts (trained embedding spaces, FTS serving
+    * index/df stats, bucketed edge layouts — [[Scratch.registerLayout]])
+    * whose keys hash the PATH, not the content, and would otherwise keep
+    * serving state trained on the old corpus with no error. */
+  def invalidate(dir: String): Unit = {
     frames.keySet.removeIf(_.startsWith(s"$dir/"))
+    registered.synchronized {
+      registered.entrySet().removeIf(_.getValue == dir)
+    }
+    Scratch.invalidateLayouts(dir)
+  }
 
   // One registration per (session, dir): the 10 parquet footer reads +
   // catalog calls cost ~0.5 s, and the bench sweep's per-query harness

@@ -50,7 +50,18 @@ object VecKernels {
     * object. Returns null (not an exception) when the vector's length
     * doesn't match the centroids — the DotExpr null contract. */
   def cellAssign(v: ArrayData, centroids: Array[Array[Double]],
-                 norms: Array[Double]): Any = {
+                 norms: Array[Double]): Any = cellAssign(v, centroids, norms, -1)
+
+  /** As above, with SemDeDup's score semantics when `roundTo >= 0`: each
+    * scaled dot is rounded to `roundTo` dp (Spark `round` = BigDecimal
+    * HALF_UP) BEFORE the argmax, so raw scores that agree to 9 dp TIE and
+    * the FIRST (lowest-index) centroid wins — bit-identical to the
+    * declarative `array_position(scores, array_max(scores))` over
+    * `round(dot/‖c‖, 9)` that [[graft.pipeline.Dedup.semDedup]] used at
+    * fixture nlist (and that its DuckDB oracle replays). The IVF serving
+    * path keeps roundTo = -1 (raw compare), its own pinned semantics. */
+  def cellAssign(v: ArrayData, centroids: Array[Array[Double]],
+                 norms: Array[Double], roundTo: Int): Any = {
     if (centroids.length == 0) return null
     val n = v.numElements()
     if (n != centroids(0).length) return null
@@ -62,7 +73,10 @@ object VecKernels {
       var acc = 0.0
       var j = 0
       while (j < n) { acc += v.getDouble(j) * c(j); j += 1 }
-      val score = acc / norms(i)
+      var score = acc / norms(i)
+      if (roundTo >= 0)
+        score = java.math.BigDecimal.valueOf(score)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
       if (i == 0 || java.lang.Double.compare(score, best) > 0) {
         best = score; mi = i
       }
@@ -251,20 +265,21 @@ case class PqEncodeExpr(child: Expression,
   * method limit at deployment sizing (nlist ∝ corpus). */
 case class CellAssignExpr(child: Expression,
                           centroids: Array[Array[Double]],
-                          norms: Array[Double])
+                          norms: Array[Double],
+                          roundTo: Int = -1)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true // null on vector-length mismatch
   override def prettyName: String = "graft_cell_assign"
   override def nullSafeEval(input: Any): Any =
-    VecKernels.cellAssign(input.asInstanceOf[ArrayData], centroids, norms)
+    VecKernels.cellAssign(input.asInstanceOf[ArrayData], centroids, norms, roundTo)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("cellCentroids", centroids, "double[][]")
     val nrm = ctx.addReferenceObj("cellNorms", norms, "double[]")
     val res = ctx.freshName("cellRes")
     nullSafeCodeGen(ctx, ev, c => s"""
       Object $res = graft.ext.VecKernels$$.MODULE$$.cellAssign($c,
-        (double[][]) $cents, (double[]) $nrm);
+        (double[][]) $cents, (double[]) $nrm, $roundTo);
       if ($res == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ((java.lang.Integer) $res).intValue(); }""")
   }

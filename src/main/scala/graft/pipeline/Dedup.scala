@@ -149,10 +149,37 @@ object Dedup {
                               numHashes: Int = 64,
                               bands: Int = 16): DataFrame = {
     require(cap >= 2, "cap below 2 would star every bucket")
-    val banded = bandKeys(sets, numHashes, bands).persist()
-    banded.count() // materialize before the stats aggregate + self-join
+    // Band keys SPILL to a per-call scratch parquet instead of .persist():
+    // the frame feeds the stats aggregate and both sides of the self-join,
+    // but the returned plan is lazy and a persist here has no unpersist
+    // hook — long-lived callers (streaming contexts) would leak a cached
+    // frame per call for the JVM lifetime (r16 advisory). The parquet
+    // roundtrip costs one write + re-reads, is disposable with target/,
+    // and reads back as scan → exchange → sort — the only child shape
+    // AQE's OptimizeSkewedJoin can split if a caller routes residual
+    // moderate skew through it.
+    val spark = sets.sparkSession
+    val spill = graft.core.Scratch.freshDir("dedup_cap_bands")
+    bandKeys(sets, numHashes, bands).write.mode("overwrite").parquet(spill)
+    val banded = spark.read.parquet(spill)
     val stats = banded.groupBy("band", "bh")
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("anchor"))
+    // Observability (r16 advisory): star pairs are exact under
+    // connected-component policy only when the hot bucket is a genuine
+    // near-dup cluster (every member verifies against the anchor); a
+    // bucket hot by band-hash coincidence silently loses its non-anchor
+    // pairs at verification. Surface the starred keyspace so recall loss
+    // is attributable: downstream, the anchor-verify failure rate over
+    // these buckets is the recall-loss signal (route such corpora through
+    // minhashCandidates + AQE splitting instead).
+    val hot = stats.filter(col("bn") > cap)
+      .agg(count(lit(1)).as("hot"), coalesce(max(col("bn")), lit(0L)).as("mx"))
+      .head()
+    if (hot.getLong(0) > 0)
+      System.err.println(s"[dedup] starring ${hot.getLong(0)} hot bucket(s) " +
+        s"(max members ${hot.get(1)}, cap $cap): pair mass drops C(n,2) -> " +
+        "n-1; exact iff each hot bucket anchor-verifies as one near-dup " +
+        "cluster")
     val tagged = banded.join(stats, Seq("band", "bh"))
     val small = tagged.filter(col("bn") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
@@ -163,6 +190,38 @@ object Dedup {
       .filter(col("bn") > cap && col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("aid"), col("doc_id").as("bid"))
     allPairs.union(star).distinct()
+  }
+
+  /** Hot-band policy chooser — encodes the split-vs-cap trade so a caller
+    * doesn't rediscover it per corpus (r16 verdict item 6). The two
+    * mechanisms for a bucket of n members:
+    *
+    *  - SPLIT ([[minhashCandidates]] + AQE OptimizeSkewedJoin): keeps all
+    *    C(n,2) candidate pairs but spreads them across tasks. Exact
+    *    candidate semantics for buckets that are NOT one near-dup cluster;
+    *    the pair MASS is still paid — splitting changes placement, not
+    *    work.
+    *  - CAP ([[minhashCandidatesCapped]]): emits n−1 star pairs. Removes
+    *    the mass entirely; exact only under connected-component policy for
+    *    buckets that verify as one cluster.
+    *
+    * Decision rule: cap a bucket once its own pair mass C(n,2) exceeds
+    * `pairBudgetPerBucket` — the mass a single task-sized unit of work can
+    * absorb (beyond it, even a perfect split pays the quadratic term in
+    * aggregate CPU); below it, AQE balances placement and nothing is
+    * approximated. cap = ⌈√(2·budget)⌉, floored at 32 so tiny budgets
+    * don't star ordinary buckets. The default budget (4M pairs ≈ one
+    * task-minute of pair generation+verify at measured fixture rates)
+    * caps buckets above ~2.9k members — at 100 TB a boilerplate cluster
+    * is 10⁶⁺ members and always caps, ordinary near-dup buckets (dozens)
+    * never do. Measured break-even: SCALE.md round-17 table. */
+  def minhashCandidatesAuto(sets: DataFrame, numHashes: Int = 64,
+                            bands: Int = 16,
+                            pairBudgetPerBucket: Long = 4L << 20): DataFrame = {
+    require(pairBudgetPerBucket >= 2, "budget must admit at least one pair")
+    val cap = math.max(32,
+      math.ceil(math.sqrt(2.0 * pairBudgetPerBucket.toDouble)).toInt)
+    minhashCandidatesCapped(sets, cap, numHashes, bands)
   }
 
   /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum
@@ -180,12 +239,29 @@ object Dedup {
     * expensive shingle-set verification ever see it. SimHash is the
     * low-memory strategy; minhash-LSH (wide band hashes, no quadratic
     * collision term) is the 100 TB path. */
-  def simhashCandidates(sets: DataFrame, maxHamming: Int = 15): DataFrame = {
+  def simhashCandidates(sets: DataFrame, maxHamming: Int = 15,
+                        bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    // The Manku/Jain/Sarma block rule (WWW'07 §3): to find every pair
+    // within Hamming k, split the fingerprint into k+1 blocks — pigeonhole
+    // leaves one block clean. `bands` IS that knob: bands=16 (4-bit
+    // blocks) covers Hamming ≤ 15 but each band has only 16 buckets, so
+    // coincidental collisions pay n²/2·(1/16) per band; bands=8 (8-bit
+    // blocks) covers Hamming ≤ 7 at 1/16 that mass. The trade is REAL
+    // recall, not a free lunch: the fixture's own J ≥ 0.8 near-dups
+    // measure at Hamming 8–15 (bands=8 drops 3 of 28 oracle pairs), so
+    // 64-bit simhash at the 0.8 threshold NEEDS k=15 and its birthday
+    // term — which is why simhash stays the low-memory/small-corpus
+    // strategy and minhash-LSH (64-bit band hashes: no birthday term)
+    // is the 100 TB path. Narrower k (or a 128-bit fingerprint) makes
+    // bands=8 sound; the contract is spec-pinned in DedupSpec.
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val hashed = sets.withColumn("sh64", simhashFromHashes(col("hs"))).persist()
     hashed.count() // materialize before the banded self-join
     val banded = hashed.select(col("doc_id"), col("sh64"),
-      posexplode(array((0 until 16).map(b =>
-        shiftright(col("sh64"), b * 4).bitwiseAND(lit(15L))): _*)))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh64"), b * width).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "nib")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
@@ -700,9 +776,12 @@ object Dedup {
     verifyJaccard(minhashCandidates(sets), sets, threshold)
   }
 
-  def nearDupPairsSimhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def nearDupPairsSimhash(docs: DataFrame, threshold: Double = 0.8,
+                          bands: Int = 16): DataFrame = {
     val sets = shingleSets(docs)
-    verifyJaccard(simhashCandidates(sets), sets, threshold)
+    verifyJaccard(
+      simhashCandidates(sets, maxHamming = bands - 1, bands = bands),
+      sets, threshold)
   }
 
   def nearDupPairsNgram(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
@@ -743,12 +822,23 @@ object Dedup {
     val cents: Seq[Array[Double]] = emb
       .filter(Similarity.dot(v, v) > 0).orderBy(col(idCol)).limit(nlist)
       .select(v).collect().map(_.getSeq[Double](0).toArray).toSeq
-    val scores = array(cents.map { c =>
-      round(Similarity.dot(v, array(c.map(lit): _*)) /
-        lit(math.sqrt(c.map(x => x * x).sum)), 9)
-    }: _*)
+    // Cell assignment through the native kernel with SemDeDup's pinned
+    // score semantics (round each scaled dot to 9 dp, FIRST-max tiebreak —
+    // bit-identical to the declarative round/array_position form this
+    // replaces and to the DuckDB oracle's replay). The declarative array
+    // unrolled nlist dots into one generated method: the same 64 KB-limit
+    // silent-interpreted-fallback class the IVF path hit at deployment
+    // nlist (r16), just waiting on this path — at the SemDeDup sizing rule
+    // (nlist ~ n/125, Abbas et al. use cells of ~100–200) a 200k-vector
+    // corpus needs nlist = 1600 and the unrolled form never compiles.
+    val cell = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.ext.CellAssignExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        cents.map(_.clone()).toArray,
+        cents.map(c => math.sqrt(c.map(x => x * x).sum)).toArray,
+        roundTo = 9))
     val assigned = emb
-      .withColumn("cell", array_position(scores, array_max(scores)).cast("int"))
+      .withColumn("cell", cell)
       .persist() // scanned by both verify sides and the kept anti-join
     assigned.count()
     val a = assigned.select(col("cell"), col(idCol).as("aid"), v.as("va"))

@@ -74,6 +74,10 @@ object Fts extends QueryPack {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val ixDir = graft.core.Scratch.dir(s"fts_serving_$key")
+    // dir-PATH-keyed layout: Tables.invalidate(dir) after an in-JVM
+    // corpus rewrite drops it so the next serve re-indexes
+    graft.core.Scratch.registerLayout(dir, s"fts_serving_$key")(() =>
+      graft.core.Scratch.deleteLocal(ixDir))
     val done = new org.apache.hadoop.fs.Path(s"$ixDir/stats")
     val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(done))
@@ -1006,6 +1010,8 @@ object Fts extends QueryPack {
             .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
             .mkString.take(12)
           val d = graft.core.Scratch.dir(s"fts_skew_stats_$key")
+          graft.core.Scratch.registerLayout(dir, s"fts_skew_stats_$key")(() =>
+            graft.core.Scratch.deleteLocal(d))
           val done = new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")
           val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (!fs.exists(done))

@@ -309,6 +309,13 @@ object Pipeline extends QueryPack {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
     val name = s"edges_g$key"
+    // dir-PATH-keyed layout: an in-JVM corpus rewrite must drop both the
+    // catalog tables and the bucketed files (Tables.invalidate runs this)
+    graft.core.Scratch.registerLayout(dir, name) { () =>
+      Seq(s"${name}_by_src", s"${name}_by_dst").foreach(t =>
+        scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $t")))
+      graft.core.Scratch.deleteLocal(graft.core.Scratch.dir(name))
+    }
     if (s.catalog.tableExists(s"${name}_by_src") &&
         s.catalog.tableExists(s"${name}_by_dst"))
       Rank.EdgeLayout(s.table(s"${name}_by_src"), s.table(s"${name}_by_dst"))
@@ -331,6 +338,10 @@ object Pipeline extends QueryPack {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val outDir = graft.core.Scratch.dir(s"embed_layout_$key")
+      // layout is dir-PATH-keyed, so an in-JVM corpus rewrite under the
+      // same path must drop it — Tables.invalidate(dir) runs this thunk
+      graft.core.Scratch.registerLayout(dir, s"embed_layout_$key")(() =>
+        graft.core.Scratch.deleteLocal(outDir))
       val done = new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS")
       val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(done))
@@ -392,6 +403,7 @@ object Pipeline extends QueryPack {
     Q("q_dedup_simhash",
       (s, dir) => Dedup.nearDupPairsSimhash(Tables(s, dir, "documents"), 0.8),
       Some(nearDupOracle)),
+
 
     Q("q_dedup_ngram",
       (s, dir) => Dedup.nearDupPairsNgram(Tables(s, dir, "documents"), 0.8),
@@ -477,6 +489,45 @@ object Pipeline extends QueryPack {
         val sets = Dedup.shingleSets(skewFixture(s, dir))
         val pairs = Dedup.verifyJaccard(
           Dedup.minhashCandidatesCapped(sets, cap = 32), sets, 0.8)
+        Components.connectedComponents(
+          pairs.select(col("aid"), col("bid"))).orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $skewFixtureSql,
+               toks AS (SELECT doc_id, $DTOKS AS t FROM fixture),
+               sh AS (SELECT doc_id,
+                        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                       FOR i IN range(1, len(t) - 1)]) AS s
+                      FROM toks WHERE len(t) >= 3),
+               p AS (SELECT a.doc_id AS aid, b.doc_id AS bid
+                     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                           len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+               e AS (SELECT aid AS a, bid AS b FROM p
+                     UNION SELECT bid, aid FROM p),
+               n AS (SELECT DISTINCT a AS id FROM e),
+               reach(id, r) AS (
+                 SELECT id, id FROM n
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+               SELECT id AS doc_id, min(r) AS comp FROM reach
+               GROUP BY id ORDER BY doc_id""")),
+
+    // AUTO hot-band policy (Dedup.minhashCandidatesAuto): the split-vs-cap
+    // decision rule as an entry point — cap a bucket once its own pair
+    // mass C(n,2) exceeds the per-bucket budget, leave the rest to the
+    // ordinary banded join (+ AQE if residual skew remains). The fixture's
+    // boilerplate cluster (400 docs → 79,800 pairs/bucket) exceeds the
+    // 1,000-pair budget passed here (→ cap 45), so the hot buckets STAR
+    // while the organic near-dup buckets keep exact all-pairs — and the
+    // result is hash-equal to the same recursive-reachability ground truth
+    // as the capped row, proving the policy seam changes nothing under
+    // connected-component semantics.
+    Q("q_dedup_auto",
+      (s, dir) => {
+        val sets = Dedup.shingleSets(skewFixture(s, dir))
+        val pairs = Dedup.verifyJaccard(
+          Dedup.minhashCandidatesAuto(sets, pairBudgetPerBucket = 1000L),
+          sets, 0.8)
         Components.connectedComponents(
           pairs.select(col("aid"), col("bid"))).orderBy("doc_id")
       },
@@ -4828,8 +4879,17 @@ object Pipeline extends QueryPack {
     // lifecycle: new data pays its own delta, never the corpus re-pass,
     // and serve-time state is bounded by distinct observed pairs.
     Q("q_text_embed_incremental",
-      (s, dir) => {
-        val root = graft.core.Scratch.dir("embed_incr_q")
+      // synchronized + dir-md5-keyed root: suites drive queries
+      // concurrently in one JVM over different corpus dirs, and a fixed
+      // shared root would let a sibling invocation's delete-at-start
+      // remove this run's landing/checkpoint/store mid-stream — the same
+      // hazard class embedLayoutFor/fts_skew_stats already key against.
+      // The lock is the object lock embedLayoutFor uses, so the two
+      // embed surfaces also never interleave their stage/train phases.
+      (s, dir) => synchronized {
+        val dkey = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val root = graft.core.Scratch.dir(s"embed_incr_q_$dkey")
         val landing = s"$root/landing"
         val store = s"$root/store"
         val hconf = s.sparkContext.hadoopConfiguration

@@ -40,6 +40,28 @@ class DedupSpec extends SparkSpec {
       s"small buckets must keep all pairs, got $organic")
   }
 
+  test("minhashCandidatesAuto: budget -> cap formula, hot bucket stars iff over budget") {
+    import spark.implicits._
+    val boiler = "the quick brown template renders a footer and a header " * 2
+    val fixture = docs.unionByName(
+      (100L until 140L).map(i => (i, boiler)).toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(fixture)
+    // budget 100 pairs -> cap = max(32, ceil(sqrt(200))) = 32 < 40: the
+    // 40-doc boilerplate bucket is over budget and stars (39 anchor pairs)
+    val tight = Dedup.minhashCandidatesAuto(sets, pairBudgetPerBucket = 100L)
+      .collect().filter(r => r.getLong(0) >= 100L || r.getLong(1) >= 100L)
+    assert(tight.length == 39 && tight.forall(_.getLong(0) == 100L),
+      s"over-budget bucket must star, got ${tight.length} pairs")
+    // budget 4M (default) -> cap 2897 >> 40: nothing stars, the bucket
+    // keeps its full C(40,2) mass (same output as the uncapped generator)
+    val loose = Dedup.minhashCandidatesAuto(sets)
+      .filter(org.apache.spark.sql.functions.col("aid") >= 100L).count()
+    assert(loose == 780L,
+      s"under-budget bucket must keep all C(40,2) pairs, got $loose")
+    assertThrows[IllegalArgumentException](
+      Dedup.minhashCandidatesAuto(sets, pairBudgetPerBucket = 1L))
+  }
+
   test("exactStats counts duplicates") {
     val r = Dedup.exactStats(docs).collect()(0)
     assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 1)
@@ -85,6 +107,26 @@ class DedupSpec extends SparkSpec {
     val s = Dedup.nearDupPairsSimhash(docs, 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val n = Dedup.nearDupPairsNgram(docs, 0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(m == s && s == n)
+  }
+
+  test("simhash band width is the Manku k+1 knob: Hamming < bands pairs always collide") {
+    // bands=b guarantees recall for Hamming ≤ b−1 (pigeonhole: one clean
+    // block) and NOTHING beyond — measured on the sf0.01 fixture, J ≥ 0.8
+    // near-dups reach Hamming 8–15, so bands=8 drops real oracle pairs
+    // (the reason q_dedup_simhash stays on the 16×4-bit configuration and
+    // its birthday term; minhash-LSH is the at-scale path). Here: exact
+    // dups are Hamming 0 and must collide under EVERY legal band split;
+    // the wide split's candidate set is a subset of the narrow split's.
+    val sets = Dedup.shingleSets(docs)
+    val wide = Dedup.simhashCandidates(sets, maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Dedup.simhashCandidates(sets, maxHamming = 15, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((1L, 2L)), "Hamming-0 exact dup must collide at bands=8")
+    assert(wide.subsetOf(narrow),
+      "wide blocks admit fewer coincidental candidates, never new ones")
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashCandidates(sets, bands = 10)) // 10 does not divide 64
   }
 
   test("prefix-filter blocking is EXACT vs brute-force all-pairs Jaccard") {
