@@ -415,7 +415,7 @@ object Dedup {
   /** n-token shingles over a materialized token array — array_join(slice)
     * per position, never the Analyzer.shingles element_at composition (the
     * interpreted-HOF trap: n re-inlined tokenizations per slot). */
-  private def gramsOf(t: Column, n: Int): Column = filter(
+  private[graft] def gramsOf(t: Column, n: Int): Column = filter(
     transform(t, (_, i) =>
       when(i <= size(t) - n, array_join(slice(t, i + 1, lit(n)), " "))),
     g => g.isNotNull)
@@ -513,11 +513,21 @@ object Dedup {
     // df to stay bounded as the corpus grows (3-grams on the ~60-word
     // fixture vocabulary hit avg df ~30 at x10 — Σdf² blew the candidate
     // join to a 30 GB spill; 5-grams keep max df single-digit)
+    // Dictionary-hash the shingle to a 64-bit key at the door: the term
+    // rides through SIX corpus-sized wide shuffles (tf, df, weight join,
+    // norm, index, candidate + verify joins) and a 5-gram string is
+    // 40–60 bytes against the hash's 8 — the ×100 rehearsal measured the
+    // string form exhausting 70 GB of shuffle/spill where the hashed form
+    // fits. Output is (aid, bid, cos) — the term never leaves the
+    // operator, and tf/df/weights are invariant under a collision-free
+    // rename (64-bit over a corpus-scale shingle vocabulary: collision
+    // odds ~n²/2⁶⁵ — and the oracle's exact hash-compare would flag one).
     val sh = docs
       .select(col(idCol).as("doc_id"),
         Analyzer.tokenize(col(textCol)).as("t"))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(gramsOf(col("t"), n)).as("term"))
+      .select(col("doc_id"), explode(gramsOf(col("t"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("term"))
     // tf feeds df, the doc count, and the weight join — persist or the
     // tokenize→explode→agg chain runs once per consumer
     val tf = sh.groupBy("doc_id", "term")

@@ -165,6 +165,35 @@ object ScaleSpot100 {
             s"CAST($tc AS DOUBLE) AS t_cap, CAST($nc AS BIGINT) AS pairs_cap"
         }.mkString(" UNION ALL "))
       },
+      // APSS sharing-mass attribution (wave-3): q_dedup_apss's work is
+      // linear in Σ_t C(df_t, 2) (shared-feature occurrences), and the
+      // replica corpus's ~60-word vocabulary manufactures 5-gram
+      // collisions across replicas — r13 measured Σdf² 277k (1×) →
+      // 1.48e9 (×10). This probe extends the attribution to ×100 with
+      // aggregates alone (the executed join exhausted the box's disk —
+      // the measured reason the timed ×100 row is replaced by this
+      // attribution + the ×10 regression row, same policy as the
+      // quadratic knn exact twin).
+      "apss_share_mass" -> { dir =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val sh = docs.select(col("doc_id"),
+            graft.fts.Analyzer.tokenize(col("text")).as("t"))
+          .filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(
+            graft.pipeline.Dedup.gramsOf(col("t"), 5)).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("term"))
+        val df = sh.groupBy("doc_id", "term").count()
+          .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+        val r = df.agg(
+          sum(col("df") * (col("df") - 1) / 2).as("share_pairs"),
+          sum(col("df") * col("df")).as("sum_df2"),
+          count(lit(1)).as("vocab"), max(col("df")).as("max_df")).head()
+        println(s"[x100] apss share mass @$dir: share_pairs=${r.get(0)} " +
+          s"sum_df2=${r.get(1)} vocab=${r.get(2)} max_df=${r.get(3)}")
+        spark.sql(s"SELECT CAST('${r.get(0)}' AS DOUBLE) AS share_pairs, " +
+          s"CAST('${r.get(1)}' AS DOUBLE) AS sum_df2, " +
+          s"CAST(${r.get(2)} AS BIGINT) AS vocab")
+      },
       "knn_join_serve" -> { dir =>
         val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
         val nlist = math.max(16, (n / 125).toInt)
