@@ -15,6 +15,31 @@ object Scratch {
   private val root =
     s"/root/repo/target/qtmp/jvm-${ProcessHandle.current().pid()}"
 
+  // Sweep DEAD JVMs' scratch roots once at first use: pid-scoped dirs are
+  // private while their JVM lives, garbage the moment it exits, and a day
+  // of drive/bench/test runs leaves multiple GB behind — enough to matter
+  // when a scale rehearsal needs the disk (the ×100 wave ran the box to
+  // ENOSPC with ~1.5 GB of dead roots sitting here). Liveness via
+  // ProcessHandle keeps a concurrent sibling JVM's root untouched.
+  locally {
+    val base = java.nio.file.Paths.get("/root/repo/target/qtmp")
+    if (java.nio.file.Files.isDirectory(base)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(base)) { st =>
+        st.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("jvm-")) {
+            val alive = scala.util.Try(name.stripPrefix("jvm-").toLong)
+              .toOption.exists(pid =>
+                ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+            if (!alive)
+              scala.util.Try(deleteLocal(p.toString)) // best-effort sweep
+          }
+        }
+      }
+    }
+  }
+
   def dir(name: String): String = s"$root/$name"
 
   /** Monotonic suffix for per-call scratch dirs (e.g. the dedup band-key
