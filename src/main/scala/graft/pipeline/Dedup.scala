@@ -179,7 +179,7 @@ object Dedup {
       System.err.println(s"[dedup] starring ${hot.getLong(0)} hot bucket(s) " +
         s"(max members ${hot.get(1)}, cap $cap): pair mass drops C(n,2) -> " +
         "n-1; exact iff each hot bucket anchor-verifies as one near-dup " +
-        "cluster")
+        "cluster — run Dedup.starAudit for per-bucket verify fractions")
     val tagged = banded.join(stats, Seq("band", "bh"))
     val small = tagged.filter(col("bn") <= cap)
     val allPairs = small.as("a").join(small.as("b"),
@@ -222,6 +222,48 @@ object Dedup {
     val cap = math.max(32,
       math.ceil(math.sqrt(2.0 * pairBudgetPerBucket.toDouble)).toInt)
     minhashCandidatesCapped(sets, cap, numHashes, bands)
+  }
+
+  /** Hot-bucket STAR AUDIT — the runnable recall-loss check for
+    * [[minhashCandidatesCapped]] (the stderr note at cap time points
+    * here). For every band bucket over `cap`, verify the star pairs
+    * (anchor ↔ member) at `threshold` and report, per bucket:
+    * `(band, bh, members, starred, verified, frac)`. frac = 1.0 means the
+    * bucket anchor-verifies as one near-dup cluster, so capping it was
+    * EXACT under connected-component policy; frac < 1.0 means non-anchor
+    * members silently lost their pairs — route that corpus through
+    * [[minhashCandidates]] + AQE splitting (or raise the cap) instead.
+    * Cost is Σ(n−1) over hot buckets — the star mass itself, never
+    * C(n,2), so the audit is always affordable where the cap is. */
+  def starAudit(sets: DataFrame, cap: Int = 32, threshold: Double = 0.8,
+                numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(cap >= 2, "cap below 2 would star every bucket")
+    val spark = sets.sparkSession
+    val spill = graft.core.Scratch.freshDir("dedup_audit_bands")
+    bandKeys(sets, numHashes, bands).write.mode("overwrite").parquet(spill)
+    val banded = spark.read.parquet(spill)
+    val hot = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("members"), min(col("doc_id")).as("anchor"))
+      .filter(col("members") > cap)
+    val star = banded.join(hot, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("band"), col("bh"), col("members"),
+        col("anchor").as("aid"), col("doc_id").as("bid"))
+    val verified = verifyJaccard(
+        star.select(least(col("aid"), col("bid")).as("aid"),
+          greatest(col("aid"), col("bid")).as("bid")).distinct(),
+        sets, threshold)
+      .select(col("aid"), col("bid"), lit(1L).as("_ok"))
+    star
+      .select(col("band"), col("bh"), col("members"),
+        least(col("aid"), col("bid")).as("aid"),
+        greatest(col("aid"), col("bid")).as("bid"))
+      .join(verified, Seq("aid", "bid"), "left")
+      .groupBy("band", "bh", "members")
+      .agg(count(lit(1)).as("starred"),
+        coalesce(sum(col("_ok")), lit(0L)).as("verified"))
+      .withColumn("frac",
+        round(col("verified").cast("double") / col("starred"), 4))
   }
 
   /** SimHash (64-bit) from precomputed shingle hashes: bit j set iff the sum

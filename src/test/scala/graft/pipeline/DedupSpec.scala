@@ -62,6 +62,42 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashCandidatesAuto(sets, pairBudgetPerBucket = 1L))
   }
 
+  test("starAudit: genuine cluster verifies 1.0, a dissimilar anchor is exposed") {
+    import spark.implicits._
+    val boiler = "the quick brown template renders a footer and a header " * 2
+    // genuine cluster: 40 identical docs (ids 100+) -> every hot bucket
+    // anchor-verifies fully
+    val genuine = Dedup.shingleSets(docs.unionByName(
+      (100L until 140L).map(i => (i, boiler)).toDF("doc_id", "text")))
+    val g = Dedup.starAudit(genuine, cap = 8).collect()
+    assert(g.nonEmpty, "the 40-doc cluster must star at cap 8")
+    assert(g.forall(_.getAs[Double]("frac") == 1.0),
+      "identical-text buckets must anchor-verify fully")
+    // poisoned anchor: doc 99 shares the boilerplate's shingles but adds
+    // distinct tokens, and as the LOWEST id it becomes every colliding
+    // bucket's anchor — the silent recall-loss case the audit exposes.
+    // The extra-token count trades two deterministic monotone effects:
+    // more extras lower J(99, member) below the 0.8 threshold, fewer
+    // extras keep more band minima unchanged so 99 still collides.
+    // Scan the window for the first count that shows BOTH (fixture is
+    // fixed — the scan is deterministic, not probabilistic):
+    val exposed = (2 to 12).view.map { e =>
+      val extra = (1 to e).map(i => s"tok$i").mkString(" ")
+      val poisoned = Dedup.shingleSets(docs.unionByName(
+        ((100L until 140L).map(i => (i, boiler)) :+ (99L, boiler + extra))
+          .toDF("doc_id", "text")))
+      val b = Dedup.starAudit(poisoned, cap = 8).collect()
+        .filter(_.getAs[Long]("members") == 41L)
+      poisoned.unpersist()
+      (e, b)
+    }.find { case (_, b) =>
+      b.nonEmpty && b.forall(_.getAs[Double]("frac") < 1.0)
+    }
+    assert(exposed.nonEmpty,
+      "some extra-token count must put doc 99 in the cluster's buckets " +
+        "(41 members) with a sub-threshold anchor — audit must expose it")
+  }
+
   test("exactStats counts duplicates") {
     val r = Dedup.exactStats(docs).collect()(0)
     assert(r.getLong(0) == 5 && r.getLong(1) == 4 && r.getLong(2) == 1)
