@@ -194,6 +194,26 @@ object ScaleSpot100 {
           s"CAST('${r.get(1)}' AS DOUBLE) AS sum_df2, " +
           s"CAST(${r.get(2)} AS BIGINT) AS vocab")
       },
+      // Graph-ANN serving at deployment sizing (wave-3 coda): build the
+      // NSW neighbor graph through the celled knnJoin (the ×100-measured
+      // serve path) at nlist ~ n/125, then run the beam search over it —
+      // the index-time/query-time split a deployment runs (the registry
+      // row is fixture-bounded at 500 vectors by design; this measures
+      // the same operators corpus-sized).
+      "nsw_serve" -> { dir =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        val nlist = math.max(16, (n / 125).toInt)
+        val clustered = emb.select(col("vec_id"),
+          graft.pipeline.Similarity.clusteredVec(col("vec_id"),
+            col("embedding")).as("embedding"))
+        val graph = graft.pipeline.Similarity
+          .knnJoin(clustered, clustered, 8, nlist = nlist, nprobe = 4)
+          .select(col("q_id").as("src"), col("n_id").as("dst")).persist()
+        graph.count()
+        graft.pipeline.Similarity.nswSearch(clustered, graph,
+          queryId = 7L, k = 10, entries = 64)
+      },
       "knn_join_serve" -> { dir =>
         val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
         val nlist = math.max(16, (n / 125).toInt)
