@@ -88,6 +88,30 @@ object Scratch {
     }
   }
 
+  /** Build-once per (JVM, corpus dir) serving layout: `build(out)` runs
+    * only when `out/doneSubPath` is absent — `doneSubPath` must name the
+    * artifact `build` writes LAST (usually a parquet `_SUCCESS`), so its
+    * presence marks a COMPLETE layout and a crash mid-build rebuilds. The
+    * layout key embeds the corpus dir's md5 so sf0.001/sf0.01/scale corpora
+    * never collide, and a drop thunk is registered so `Tables.invalidate`
+    * after an in-JVM corpus rewrite forces a rebuild. This is the serving
+    * split the embed layout established: a serving stack pays the index /
+    * cell / bucket build once per corpus version, not once per query —
+    * every query still computes its answer from the layout's parquet.
+    * Synchronized (one JVM-wide lock): ScalaTest suites can drive queries
+    * concurrently. Returns the layout dir. */
+  def layoutOnce(corpusDir: String, name: String, doneSubPath: String)
+                (build: String => Unit): String = layoutLock.synchronized {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = dir(s"${name}_$key")
+    registerLayout(corpusDir, s"${name}_$key")(() => deleteLocal(out))
+    val done = java.nio.file.Paths.get(out, doneSubPath.split("/"): _*)
+    if (!java.nio.file.Files.exists(done)) build(out)
+    out
+  }
+  private val layoutLock = new Object
+
   /** Local recursive delete for layout drop thunks (scratch dirs live on
     * the local fs; no hadoop FileSystem needed after session stop). */
   def deleteLocal(path: String): Unit = {

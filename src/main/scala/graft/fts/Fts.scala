@@ -586,6 +586,22 @@ object Index {
     require(analyzer.isV1 || !reversed,
       "analyzer-configured indexes carry no reversed projection (suffix " +
         "patterns predate the analyzer stages)")
+    // Reuse-if-fresh: when a complete index with these exact parameters
+    // already sits at indexDir and the table's file listing is unchanged
+    // since it was built, a rebuild would reproduce the same bytes —
+    // re-register and return. Serving stacks pay the index build once per
+    // corpus version, not once per query; any append/rewrite of the table
+    // (fingerprint change) or parameter change still rebuilds.
+    if (IndexCatalog.metaMatches(spark, tablePath, indexDir, idCol, textCol,
+        buckets, positional, reversed, analyzer)) {
+      IndexCatalog.restore(spark, indexDir)
+      return
+    }
+    // drop any stale metadata BEFORE rewriting the layout: the meta file is
+    // written last, so its presence must always mean "complete layout" — a
+    // rebuild that dies mid-write must not leave the old meta blessing
+    // half-overwritten postings as fresh
+    IndexCatalog.deleteMeta(spark, indexDir)
     val docs = spark.read.parquet(tablePath)
     val ix = if (!analyzer.isV1 && positional)
                buildPositionalWithAnalyzer(docs, analyzer, idCol, textCol)
@@ -1398,11 +1414,36 @@ object Search {
     * persisted layout here would store them per term-bucket. */
   def bm25TopKMaxScore(ix: FtsIndex, terms: Seq[String], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val plan = maxScorePartition(ix, terms, k, k1, b)
-    if (plan.nonEssential.isEmpty) scoreBm25(ix, terms, k, k1, b)
+    // The MaxScore planning takes several INDEPENDENT actions over the same
+    // postings (corpus stats, per-term df and exact max contribution, seed
+    // top-k, seed scoring) before the final scoring plan even runs. Over an
+    // EPHEMERAL index every one of those actions re-runs the whole
+    // scan→tokenize→aggregate pipeline from the corpus. Spill the postings
+    // once to a per-call scratch parquet with dl denormalized (exactly the
+    // persisted layout's row shape, so every downstream path skips the
+    // docLens join) and serve all passes from the spill: ONE corpus pass
+    // total, and no cached frame outlives the call (the dedup band-key
+    // pattern — spill, not .persist()). A postings frame that already
+    // carries dl IS a materialized layout; no second copy then.
+    val mat =
+      if (ix.postings.columns.contains("dl")) ix
+      else {
+        val spark = ix.postings.sparkSession
+        val spill = graft.core.Scratch.freshDir("maxscore_spill")
+        val dlWin = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        ix.postings.withColumn("dl", sum(col("tf")).over(dlWin))
+          .write.mode(SaveMode.Overwrite).parquet(spill)
+        val p = spark.read.parquet(spill)
+        val docLens = p.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        val stats = docLens.agg(
+          count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        FtsIndex(p, docLens, stats)
+      }
+    val plan = maxScorePartition(mat, terms, k, k1, b)
+    if (plan.nonEssential.isEmpty) scoreBm25(mat, terms, k, k1, b)
     else {
-      val cands = matchAnyIds(ix, plan.essential)
-      scoreAllBm25(ix, terms, k1, b, Some(cands))
+      val cands = matchAnyIds(mat, plan.essential)
+      scoreAllBm25(mat, terms, k1, b, Some(cands))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(k)
     }

@@ -151,6 +151,50 @@ object IndexCatalog {
     finally out.close()
   }
 
+  /** Remove the metadata file (if any) — called before a rebuild rewrites
+    * the layout, so a crash mid-write can never leave stale metadata
+    * marking a half-overwritten index as complete. */
+  def deleteMeta(spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, false)
+    } catch { case _: Throwable => () } // best-effort; rebuild overwrites anyway
+  }
+
+  /** Does a COMPLETE, CURRENT index with exactly these build parameters
+    * already sit at `indexDir`? True iff the metadata file (written LAST
+    * by [[Index.createIndex]], so its presence marks a complete layout)
+    * exists, every build parameter matches, and the stored build-time
+    * fingerprint equals the table's CURRENT file listing — i.e. rebuilding
+    * would byte-identically reproduce what is already there. Lets
+    * createIndex skip the rebuild (guide §1.2: don't recompute what you
+    * already have); any append/rewrite/param change fails the check and
+    * rebuilds as before. */
+  def metaMatches(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                  indexDir: String, idCol: String, textCol: String,
+                  buckets: Int, positional: Boolean, reversed: Boolean,
+                  analyzer: AnalyzerConfig): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, MetaFile)
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return false
+      val in = fs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      props.getProperty("tablePath") == canon(tablePath) &&
+        props.getProperty("idCol") == idCol &&
+        props.getProperty("textCol") == textCol &&
+        props.getProperty("buckets") == buckets.toString &&
+        props.getProperty("positional", "false") == positional.toString &&
+        props.getProperty("reversed", "false") == reversed.toString &&
+        Option(props.getProperty("analyzer")) ==
+          (if (analyzer.isV1) None else Some(analyzer.describe)) &&
+        Option(props.getProperty("fingerprint")).contains(
+          tableFingerprint(tablePath).toString)
+    } catch { case _: Throwable => false } // unreadable meta = rebuild
+  }
+
   /** Re-register a persisted index from its own metadata file — the stored
     * BUILD-TIME fingerprint is kept, so if the table changed since the
     * index was built, [[get]] still detects the staleness and the rewrite

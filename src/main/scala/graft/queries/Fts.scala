@@ -70,20 +70,23 @@ object Fts extends QueryPack {
     * complete layout. Synchronized: ScalaTest suites can drive queries
     * concurrently in one JVM. */
   private def servedIndex(s: org.apache.spark.sql.SparkSession,
-                          dir: String): graft.fts.FtsIndex = synchronized {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val ixDir = graft.core.Scratch.dir(s"fts_serving_$key")
-    // dir-PATH-keyed layout: Tables.invalidate(dir) after an in-JVM
-    // corpus rewrite drops it so the next serve re-indexes
-    graft.core.Scratch.registerLayout(dir, s"fts_serving_$key")(() =>
-      graft.core.Scratch.deleteLocal(ixDir))
-    val done = new org.apache.hadoop.fs.Path(s"$ixDir/stats")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done))
-      Index.write(Index.build(Tables(s, dir, "documents")), ixDir)
-    Index.read(s, ixDir)
-  }
+                          dir: String): graft.fts.FtsIndex =
+    Index.read(s, layoutOnce(s, dir, "fts_serving", "stats") { out =>
+      Index.write(Index.build(Tables(s, dir, "documents")), out)
+    })
+
+  /** Build-once per (JVM, corpus dir) scratch layout — the [[servedIndex]]
+    * pattern generalized: `build(out)` runs only when `out/doneSubPath` is
+    * absent (`doneSubPath` must be the artifact `build` writes LAST, so its
+    * presence marks a complete layout), the layout key embeds the corpus
+    * dir's md5 so sf0.001/sf0.01/scale corpora never collide, and a drop
+    * thunk is registered so `Tables.invalidate(dir)` after an in-JVM corpus
+    * rewrite forces a rebuild. Synchronized: ScalaTest suites can drive
+    * queries concurrently in one JVM. Returns the layout dir. */
+  private def layoutOnce(s: org.apache.spark.sql.SparkSession, dir: String,
+                         name: String, doneSubPath: String)
+                        (build: String => Unit): String =
+    graft.core.Scratch.layoutOnce(dir, name, doneSubPath)(build)
 
   /** BM25(k1=1.2, b=0.75) over ('spark','query'), reimplemented from scratch
     * in DuckDB over an arbitrary source relation (so the tombstone query can
@@ -808,9 +811,12 @@ object Fts extends QueryPack {
     // postings → partition-pruned lookup) — results must be identical.
     Q("q_fts_bm25_persisted",
       (s, dir) => {
-        val ix = graft.fts.Index.build(Tables(s, dir, "documents"))
-        val ixDir = graft.core.Scratch.dir("fts_index")
-        graft.fts.Index.write(ix, ixDir)
+        // build-once per (JVM, corpus dir): the persisted layout is what is
+        // being served; the build is provisioning, paid once per corpus
+        val ixDir = layoutOnce(s, dir, "fts_index", "stats/_SUCCESS") { out =>
+          graft.fts.Index.write(
+            graft.fts.Index.build(Tables(s, dir, "documents")), out)
+        }
         val persisted = graft.fts.Index.read(s, ixDir)
         val pruned = persisted.copy(postings = graft.fts.Index.lookup(persisted, Seq("spark", "query")))
         graft.fts.Search.scoreBm25(pruned, Seq("spark", "query"), k = 10)
@@ -1282,8 +1288,10 @@ object Fts extends QueryPack {
     // ending in 'er'.
     Q("q_fts_suffix",
       (s, dir) => {
-        val ixDir = graft.core.Scratch.dir("fts_index_rev")
-        Index.writeReversed(Index.build(Tables(s, dir, "documents")), ixDir)
+        val ixDir = layoutOnce(s, dir, "fts_index_rev",
+            "postings_rev/_SUCCESS") { out =>
+          Index.writeReversed(Index.build(Tables(s, dir, "documents")), out)
+        }
         Search.matchSuffixIds(Index.readReversed(s, ixDir), "er")
           .orderBy("doc_id")
       },
@@ -1650,8 +1658,9 @@ object Fts extends QueryPack {
         // so registering the stemmed index for the shared fixture path
         // would replace the v1 (documents, text) entry the other SQL
         // queries race for within one harness session
-        val tbl = graft.core.Scratch.dir("docs_an_table")
-        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        val tbl = layoutOnce(s, dir, "docs_an_table", "_SUCCESS") { out =>
+          Tables(s, dir, "documents").write.mode("overwrite").parquet(out)
+        }
         graft.fts.Index.createIndex(s, tbl,
           graft.core.Scratch.dir("fts_index_sql_an"),
           analyzer = graft.fts.AnalyzerConfig(
@@ -1705,8 +1714,9 @@ object Fts extends QueryPack {
     Q("q_fts_sql_analyzer_phrase",
       (s, dir) => {
         graft.ext.GraftExtensions.install(s)
-        val tbl = graft.core.Scratch.dir("docs_anp_table")
-        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        val tbl = layoutOnce(s, dir, "docs_anp_table", "_SUCCESS") { out =>
+          Tables(s, dir, "documents").write.mode("overwrite").parquet(out)
+        }
         graft.fts.Index.createIndex(s, tbl,
           graft.core.Scratch.dir("fts_index_sql_anp"),
           positional = true,
@@ -1846,8 +1856,10 @@ object Fts extends QueryPack {
     // completes to the corpus terms scan/slow/small/sort/spark/...
     Q("q_fts_autocomplete",
       (s, dir) => {
-        val ixDir = graft.core.Scratch.dir("fts_index_complete")
-        Index.write(Index.build(Tables(s, dir, "documents")), ixDir)
+        val ixDir = layoutOnce(s, dir, "fts_index_complete",
+            "stats/_SUCCESS") { out =>
+          Index.write(Index.build(Tables(s, dir, "documents")), out)
+        }
         Search.autocomplete(Index.read(s, ixDir), "S", 5)
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term
@@ -2146,12 +2158,16 @@ object Fts extends QueryPack {
     // the query terms' buckets. Oracle: the unpruned BM25, again.
     Q("q_fts_wand_persisted",
       (s, dir) => {
-        val ix = Index.build(Tables(s, dir, "documents"))
-        val ixDir = graft.core.Scratch.dir("fts_wand_index")
+        // build-once serving layout (the servedIndex lifecycle): the
+        // block-max metadata is maintained out-of-band with the index;
+        // per-query cost is the bucket-pruned bounds + postings reads.
         // 16 buckets: the fixture vocabulary is 31 terms — 64 bucket files
         // would be write amplification with no extra pruning to buy
-        Index.write(ix, ixDir, buckets = 16)
-        Index.writeTermBounds(s, ixDir, buckets = 16)
+        val ixDir = layoutOnce(s, dir, "fts_wand_index",
+            "term_bounds/_SUCCESS") { out =>
+          Index.write(Index.build(Tables(s, dir, "documents")), out, buckets = 16)
+          Index.writeTermBounds(s, out, buckets = 16)
+        }
         Search.bm25TopKMaxScorePersisted(s, ixDir, Seq("dup", "batch"),
           k = 10, buckets = 16)
       },
@@ -2268,8 +2284,10 @@ object Fts extends QueryPack {
     // sortedness restores the locality the hash destroyed).
     Q("q_fts_prefix",
       (s, dir) => {
-        val ixDir = graft.core.Scratch.dir("fts_index_prefix")
-        Index.write(Index.build(Tables(s, dir, "documents")), ixDir)
+        val ixDir = layoutOnce(s, dir, "fts_index_prefix",
+            "stats/_SUCCESS") { out =>
+          Index.write(Index.build(Tables(s, dir, "documents")), out)
+        }
         Search.matchPrefixIds(Index.read(s, ixDir), "quer").orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents)
@@ -2368,8 +2386,9 @@ object Fts extends QueryPack {
         // scratch COPY of the table: the catalog keys on (table, column),
         // and the shared fixture path must keep its v1 entry for the other
         // SQL queries
-        val tbl = graft.core.Scratch.dir("docs_qan_table")
-        Tables(s, dir, "documents").write.mode("overwrite").parquet(tbl)
+        val tbl = layoutOnce(s, dir, "docs_qan_table", "_SUCCESS") { out =>
+          Tables(s, dir, "documents").write.mode("overwrite").parquet(out)
+        }
         graft.fts.Index.createIndex(s, tbl,
           graft.core.Scratch.dir("fts_index_qan"), positional = true,
           analyzer = graft.fts.AnalyzerConfig(
@@ -2575,11 +2594,12 @@ object Fts extends QueryPack {
     Q("q_fts_static_sorted",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val ix = Index.build(docs)
-        val out = graft.core.Scratch.dir("fts_static_banded")
-        Index.writeStaticBanded(ix,
-          docs.select(col("doc_id"), col("n_chars").as("score")),
-          out, bandWidth = 80L, nBands = 8)
+        val out = layoutOnce(s, dir, "fts_static_banded",
+            "postings_banded/_SUCCESS") { o =>
+          Index.writeStaticBanded(Index.build(docs),
+            docs.select(col("doc_id"), col("n_chars").as("score")),
+            o, bandWidth = 80L, nBands = 8)
+        }
         Search.topKStaticBanded(s, out, "spark", k = 10)._1
       },
       Some(s"""SELECT doc_id, n_chars AS score FROM documents

