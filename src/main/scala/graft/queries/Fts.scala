@@ -375,8 +375,11 @@ object Fts extends QueryPack {
     // levenshtein, hash exact.
     Q("q_fts_fuzzy",
       (s, dir) => {
-        val ix = graft.fts.Index.build(Tables(s, dir, "documents"))
-        Search.matchFuzzyIds(ix, "querry").orderBy("doc_id")
+        // the dictionary expansion references the postings TWICE in one
+        // plan (dict side + join side) — over an ephemeral index the
+        // corpus would tokenize twice per query. Serve from the persisted
+        // layout (same postings content, pruned parquet reads).
+        Search.matchFuzzyIds(servedIndex(s, dir), "querry").orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($DTOKS) AS term FROM documents),
                dict AS (SELECT DISTINCT term FROM toks),
@@ -1894,8 +1897,9 @@ object Fts extends QueryPack {
     // every corpus token in SearchSpec (the porter-map pattern).
     Q("q_fts_phonetic",
       (s, dir) => {
-        val ix = Index.build(Tables(s, dir, "documents"))
-        Search.matchPhoneticIds(ix, "spork").orderBy("doc_id")
+        // dict + join sides both read postings — serve from the persisted
+        // layout instead of tokenizing the corpus twice (q_fts_fuzzy note)
+        Search.matchPhoneticIds(servedIndex(s, dir), "spork").orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, $DTOKS AS t FROM documents),
                tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
